@@ -1,13 +1,583 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ops.{AnomalyMath, Filters, Scalers, Timeseries}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with DuckDB `oracleSql` unless non-SQL-expressible.
+  *
+  * Hash-match discipline (SURVEY.md §2, FIXTURES.md):
+  *   - deterministic ORDER BY on a unique key in both engines;
+  *   - float sums go through DECIMAL(18,6) then back to DOUBLE (exact,
+  *     order-independent); averages are round(x, 6);
+  *   - events.ts is ns in parquet: Spark truncates to µs on read, so every
+  *     oracle use of ts goes through CAST(ts AS TIMESTAMP) (µs) too;
+  *   - timestamps in output are µs in both engines;
+  *   - counts / row_number cast to BIGINT on the Spark side (DuckDB emits
+  *     BIGINT for both).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read as a
+    * timestamp ([PARQUET_TYPE_ILLEGAL]). Read it as a long (ns since epoch)
+    * via the legacy flag, then truncate to µs — exactly what DuckDB's
+    * CAST(ts AS TIMESTAMP) does on its side of the oracle compare.
+    */
+  private def E(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Exact order-independent sum of a double expression: sum in
+    * DECIMAL(18,6), emit DOUBLE. Mirrors CAST(SUM(CAST(x AS
+    * DECIMAL(18,6))) AS DOUBLE) in the oracle.
+    */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
+
+  // ---------------------------------------------------------------------
+  // Flagship: the gordo essence — per-event_type streams resampled to
+  // 10-minute mean buckets, aligned (inner join on bucket), with a
+  // diff-based anomaly-style score. Driver smoke-checks rows > 0 at sf0.001.
+  // ---------------------------------------------------------------------
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    flagship(spark, "/root/testdata/sf0.001")
+
+  private def flagship(s: SparkSession, dir: String): DataFrame = {
+    val wide = Timeseries.align(
+      E(s, dir), "ts", "event_type", "value",
+      tags = Seq("click", "view"), resolution = "10 minutes")
+    wide.select(
+      col("bucket"),
+      round(col("click"), 6).as("click_v"),
+      round(col("view"), 6).as("view_v"),
+      round(abs(col("click") - col("view")), 6).as("diff_score")
+    ).orderBy("bucket")
+  }
+
+  // ---------------------------------------------------------------------
+  // §2.1 scans
+  // ---------------------------------------------------------------------
+  private def q_scan_parquet(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem").orderBy("l_orderkey", "l_linenumber")
+
+  // ---------------------------------------------------------------------
+  // §2.2 projections / filters
+  // ---------------------------------------------------------------------
+  private def q_proj_tags(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def q_filter_rowexpr(s: SparkSession, dir: String): DataFrame =
+    Filters.rowFilter(T(s, dir, "lineitem"), "`l_quantity` > 25 & `l_discount` < 0.05")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def q_filter_timerange(s: SparkSession, dir: String): DataFrame =
+    Filters.timeRange(E(s, dir), "ts", "2024-01-10", "2024-01-20")
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+
+  private def q_filter_dropna(s: SparkSession, dir: String): DataFrame = {
+    val tags = Seq("click", "view", "purchase")
+    Timeseries.align(E(s, dir), "ts", "event_type", "value",
+        tags, "1 hour", dropIncomplete = true)
+      .select(col("bucket"),
+        round(col("click"), 6).as("click_v"),
+        round(col("view"), 6).as("view_v"),
+        round(col("purchase"), 6).as("purchase_v"))
+      .orderBy("bucket")
+  }
+
+  private def q_filter_inf(s: SparkSession, dir: String): DataFrame = {
+    // Deterministically inject +inf (every first line of an order), then
+    // apply the InfImputer semantics: +inf -> max finite of the column.
+    val withInf = T(s, dir, "lineitem").withColumn("v",
+      when(col("l_linenumber") === 1, lit(Double.PositiveInfinity))
+        .otherwise(col("l_extendedprice")))
+    Filters.imputeInf(withInf, Seq("v"))
+      .select(col("l_orderkey"), col("l_linenumber"), round(col("v"), 6).as("v_imputed"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ---------------------------------------------------------------------
+  // §2.3 joins
+  // ---------------------------------------------------------------------
+  private def q_join_align(s: SparkSession, dir: String): DataFrame =
+    flagship(s, dir)
+
+  private def q_join_dim_broadcast(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    val part = T(s, dir, "part")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
+  private def q_join_multiway(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    val o = T(s, dir, "orders")
+    val c = T(s, dir, "customer")
+    val n = T(s, dir, "nation")
+    val r = T(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private def q_join_pred_input(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    val o = T(s, dir, "orders")
+    o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy("o_orderkey", "o_totalprice")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("line_rev"))
+      .orderBy("o_orderkey")
+  }
+
+  private def q_join_semi(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+    val big = T(s, dir, "lineitem").filter(col("l_quantity") > 45)
+    o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  private def q_join_anti(s: SparkSession, dir: String): DataFrame = {
+    // "tags that yielded no rows" analogue; the urgent-order predicate keeps
+    // the anti side non-empty at every sf (plain no-orders is empty at sf0.01).
+    val c = T(s, dir, "customer")
+    val o = T(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------------
+  // §2.4 aggregations
+  // ---------------------------------------------------------------------
+  private def q_agg_resample_mean(s: SparkSession, dir: String): DataFrame =
+    E(s, dir)
+      .groupBy(Timeseries.bucket(col("ts"), "10 minutes").as("bucket"), col("event_type"))
+      .agg(round(avg(col("value")), 6).as("avg_v"), count(lit(1)).as("n"))
+      .orderBy("bucket", "event_type")
+
+  private def q_agg_resample_multi(s: SparkSession, dir: String): DataFrame =
+    E(s, dir)
+      .groupBy(Timeseries.bucket(col("ts"), "10 minutes").as("bucket"), col("event_type"))
+      .agg(
+        round(avg(col("value")), 6).as("avg_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        count(lit(1)).as("n"))
+      .orderBy("bucket", "event_type")
+
+  private def q_agg_scaler_fit(s: SparkSession, dir: String): DataFrame =
+    Scalers.minMax(T(s, dir, "lineitem"), Seq("l_extendedprice"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice_scaled"), 6).as("price_scaled"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def q_agg_metrics(s: SparkSession, dir: String): DataFrame = {
+    // "predicted-by-mean": yhat = per-group mean; MAE / RMSE / R2 of that.
+    val li = T(s, dir, "lineitem")
+    val means = li.groupBy("l_returnflag").agg(avg(col("l_extendedprice")).as("gmean"))
+    val e = col("l_extendedprice") - col("gmean")
+    li.join(broadcast(means), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        round(avg(abs(e)), 6).as("mae"),
+        round(sqrt(avg(e * e)), 6).as("rmse"),
+        round(lit(1.0) - avg(e * e) / var_pop(col("l_extendedprice")), 6).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  private def q_agg_threshold_pctl(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(AnomalyMath.threshold(col("l_extendedprice"), 0.99), 6).as("thr_p99"),
+        round(AnomalyMath.threshold(col("l_extendedprice"), 0.95), 6).as("thr_p95"))
+      .orderBy("l_returnflag")
+
+  private def q_agg_distinct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  private def q_agg_grouping_sets(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  // ---------------------------------------------------------------------
+  // §2.5 windows
+  // ---------------------------------------------------------------------
+  private def evWindow = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  private def q_win_lookback(s: SparkSession, dir: String): DataFrame =
+    E(s, dir)
+      .select(col("event_id"), col("user_id"),
+        collect_list(col("value")).over(evWindow.rowsBetween(-2, 0)).as("seq"))
+      .filter(size(col("seq")) === 3)
+      .orderBy("event_id")
+
+  private def q_win_shift_forecast(s: SparkSession, dir: String): DataFrame =
+    E(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(evWindow).as("prev_v"))
+      .orderBy("event_id")
+
+  private def q_win_smooth(s: SparkSession, dir: String): DataFrame =
+    E(s, dir)
+      .select(col("event_id"), col("user_id"),
+        round(AnomalyMath.smooth(col("value"), Seq(col("user_id")),
+          Seq(col("ts"), col("event_id")), 5), 6).as("smoothed"))
+      .orderBy("event_id")
+
+  private def q_win_rank_topk(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        ).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+
+  /** Spark-only (no portable oracle): forward-fill of resample gaps. */
+  private def q_win_ffill(s: SparkSession, dir: String): DataFrame = {
+    val wide = Timeseries.align(E(s, dir), "ts", "event_type", "value",
+      Seq("click", "view", "purchase"), "10 minutes", dropIncomplete = false)
+    Timeseries.ffill(wide, Seq("click", "view", "purchase"), Seq.empty, "bucket")
+      .select(col("bucket"), round(col("click"), 6).as("click_v"),
+        round(col("view"), 6).as("view_v"), round(col("purchase"), 6).as("purchase_v"))
+      .orderBy("bucket")
+  }
+
+  // ---------------------------------------------------------------------
+  // §2.6 sorts / limits / set ops
+  // ---------------------------------------------------------------------
+  private def q_sort_time(s: SparkSession, dir: String): DataFrame =
+    E(s, dir)
+      .select(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        col("event_type"), col("value"))
+      .orderBy("ts_us", "event_id")
+
+  private def q_limit_head(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+
+  private def q_setop_union_years(s: SparkSession, dir: String): DataFrame = {
+    val ev = E(s, dir)
+    val a = ev.filter(col("event_type") === "click").select("event_id", "event_type", "value")
+    val b = ev.filter(col("event_type") === "view").select("event_id", "event_type", "value")
+    a.unionByName(b).orderBy("event_id")
+  }
+
+  private def q_setop_except_periods(s: SparkSession, dir: String): DataFrame = {
+    val ev = E(s, dir).select("event_id", "user_id", "event_type")
+    val bad = Filters.timeRange(E(s, dir), "ts", "2024-01-05", "2024-01-12")
+      .select("event_id", "user_id", "event_type")
+    ev.except(bad).orderBy("event_id")
+  }
+
+  private def q_setop_intersect(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+    val h1 = o.filter(col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1995-07-01"))
+      .select("o_custkey")
+    val h2 = o.filter(col("o_orderdate") >= lit("1995-07-01") && col("o_orderdate") < lit("1996-01-01"))
+      .select("o_custkey")
+    h1.intersect(h2).orderBy("o_custkey")
+  }
+
+  // ---------------------------------------------------------------------
+  // §2.7 scalar functions
+  // ---------------------------------------------------------------------
+  private def q_fn_ts(s: SparkSession, dir: String): DataFrame =
+    E(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_v"))
+      .orderBy("d")
+
+  private def q_fn_math_anomaly(s: SparkSession, dir: String): DataFrame = {
+    val wide = Timeseries.align(E(s, dir), "ts", "event_type", "value",
+      Seq("click", "view", "purchase"), "1 hour")
+    wide.select(
+      col("bucket"),
+      round(AnomalyMath.tagAnomaly(col("click"), col("view")), 6).as("tag_anomaly"),
+      round(AnomalyMath.totalAnomaly(
+        Seq((col("click"), col("view")), (col("purchase"), col("view")))), 6).as("total_anomaly"))
+      .orderBy("bucket")
+  }
+
+  private def q_fn_string_tag(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(trim(col("p_name"))).as("tag_norm"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("asset_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_replace(col("p_name"), "\\s+", "_").as("name_snake"))
+      .orderBy("p_partkey")
+
+  private def q_fn_json_props(s: SparkSession, dir: String): DataFrame =
+    E(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+      .orderBy("event_id")
+
+  // ---------------------------------------------------------------------
+  // The contract maps
+  // ---------------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_parquet" -> (q_scan_parquet _),
+    "proj_tags" -> (q_proj_tags _),
+    "filter_rowexpr" -> (q_filter_rowexpr _),
+    "filter_timerange" -> (q_filter_timerange _),
+    "filter_dropna" -> (q_filter_dropna _),
+    "filter_inf" -> (q_filter_inf _),
+    "join_align" -> (q_join_align _),
+    "join_dim_broadcast" -> (q_join_dim_broadcast _),
+    "join_multiway" -> (q_join_multiway _),
+    "join_pred_input" -> (q_join_pred_input _),
+    "join_semi" -> (q_join_semi _),
+    "join_anti" -> (q_join_anti _),
+    "agg_resample_mean" -> (q_agg_resample_mean _),
+    "agg_resample_multi" -> (q_agg_resample_multi _),
+    "agg_scaler_fit" -> (q_agg_scaler_fit _),
+    "agg_metrics" -> (q_agg_metrics _),
+    "agg_threshold_pctl" -> (q_agg_threshold_pctl _),
+    "agg_distinct" -> (q_agg_distinct _),
+    "agg_grouping_sets" -> (q_agg_grouping_sets _),
+    "win_lookback" -> (q_win_lookback _),
+    "win_shift_forecast" -> (q_win_shift_forecast _),
+    "win_smooth" -> (q_win_smooth _),
+    "win_rank_topk" -> (q_win_rank_topk _),
+    "win_ffill" -> (q_win_ffill _),
+    "sort_time" -> (q_sort_time _),
+    "limit_head" -> (q_limit_head _),
+    "setop_union_years" -> (q_setop_union_years _),
+    "setop_except_periods" -> (q_setop_except_periods _),
+    "setop_intersect" -> (q_setop_intersect _),
+    "fn_ts" -> (q_fn_ts _),
+    "fn_math_anomaly" -> (q_fn_math_anomaly _),
+    "fn_string_tag" -> (q_fn_string_tag _),
+    "fn_json_props" -> (q_fn_json_props _)
+  )
+
+  // Shared oracle fragments
+  private val bucket10m = "time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))"
+  private val bucket1h = "time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))"
+  private val wide1h =
+    s"""SELECT $bucket1h AS bucket,
+       |  avg(CASE WHEN event_type = 'click' THEN value END) AS click,
+       |  avg(CASE WHEN event_type = 'view' THEN value END) AS view,
+       |  avg(CASE WHEN event_type = 'purchase' THEN value END) AS purchase
+       |FROM events GROUP BY 1""".stripMargin
+
+  private val joinAlignSql =
+    s"""WITH c AS (SELECT $bucket10m AS bucket, avg(value) AS cv
+       |           FROM events WHERE event_type = 'click' GROUP BY 1),
+       |     v AS (SELECT $bucket10m AS bucket, avg(value) AS vv
+       |           FROM events WHERE event_type = 'view' GROUP BY 1)
+       |SELECT c.bucket AS bucket, round(cv, 6) AS click_v, round(vv, 6) AS view_v,
+       |       round(abs(cv - vv), 6) AS diff_score
+       |FROM c JOIN v ON c.bucket = v.bucket ORDER BY bucket""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+        |  CAST(l_shipdate AS TIMESTAMP) AS l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "proj_tags" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "filter_rowexpr" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem WHERE l_quantity > 25 AND l_discount < 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "filter_timerange" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20'
+        |ORDER BY event_id""".stripMargin,
+    "filter_dropna" ->
+      s"""WITH w AS ($wide1h)
+         |SELECT bucket, round(click, 6) AS click_v, round(view, 6) AS view_v,
+         |       round(purchase, 6) AS purchase_v
+         |FROM w
+         |WHERE click IS NOT NULL AND view IS NOT NULL AND purchase IS NOT NULL
+         |ORDER BY bucket""".stripMargin,
+    "filter_inf" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber,
+        |             CASE WHEN l_linenumber = 1 THEN 'infinity'::DOUBLE
+        |                  ELSE l_extendedprice END AS v
+        |           FROM lineitem),
+        |     b AS (SELECT max(CASE WHEN isfinite(v) THEN v END) AS mx FROM t)
+        |SELECT l_orderkey, l_linenumber,
+        |       round(CASE WHEN v = 'infinity'::DOUBLE THEN b.mx ELSE v END, 6) AS v_imputed
+        |FROM t, b ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_align" -> joinAlignSql,
+    "join_dim_broadcast" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "join_multiway" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "join_pred_input" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS line_rev
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_totalprice ORDER BY o_orderkey""".stripMargin,
+    "join_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "agg_resample_mean" ->
+      s"""SELECT $bucket10m AS bucket, event_type,
+         |  round(avg(value), 6) AS avg_v, count(*) AS n
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "agg_resample_multi" ->
+      s"""SELECT $bucket10m AS bucket, event_type,
+         |  round(avg(value), 6) AS avg_v, min(value) AS min_v,
+         |  max(value) AS max_v, count(*) AS n
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "agg_scaler_fit" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |           FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |       round((l_extendedprice - mn) / (mx - mn), 6) AS price_scaled
+        |FROM lineitem, b ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "agg_metrics" ->
+      """WITH m AS (SELECT l_returnflag, avg(l_extendedprice) AS gmean
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  round(avg(abs(l_extendedprice - gmean)), 6) AS mae,
+        |  round(sqrt(avg((l_extendedprice - gmean) * (l_extendedprice - gmean))), 6) AS rmse,
+        |  round(1 - avg((l_extendedprice - gmean) * (l_extendedprice - gmean))
+        |          / var_pop(l_extendedprice), 6) AS r2
+        |FROM lineitem l JOIN m USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+    "agg_threshold_pctl" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS thr_p99,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS thr_p95
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "win_lookback" ->
+      """SELECT event_id, user_id, seq FROM (
+        |  SELECT event_id, user_id,
+        |    array_agg(value) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS seq
+        |  FROM events)
+        |WHERE len(seq) = 3 ORDER BY event_id""".stripMargin,
+    "win_shift_forecast" ->
+      """SELECT event_id, user_id, value,
+        |  LAG(value) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_v
+        |FROM events ORDER BY event_id""".stripMargin,
+    "win_smooth" ->
+      """SELECT event_id, user_id,
+        |  round(avg(value) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS smoothed
+        |FROM events ORDER BY event_id""".stripMargin,
+    "win_rank_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "sort_time" ->
+      """SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, event_type, value
+        |FROM events ORDER BY ts_us, event_id""".stripMargin,
+    "limit_head" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "setop_union_years" ->
+      """SELECT event_id, event_type, value FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, event_type, value FROM events WHERE event_type = 'view'
+        |ORDER BY event_id""".stripMargin,
+    "setop_except_periods" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |EXCEPT
+        |SELECT event_id, user_id, event_type FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-12'
+        |ORDER BY event_id""".stripMargin,
+    "setop_intersect" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-07-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+    "fn_ts" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, count(*) AS n,
+        |  round(avg(value), 6) AS avg_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "fn_math_anomaly" ->
+      s"""WITH w AS ($wide1h)
+         |SELECT bucket, round(abs(click - view), 6) AS tag_anomaly,
+         |  round(sqrt((click - view) * (click - view)
+         |           + (purchase - view) * (purchase - view)), 6) AS total_anomaly
+         |FROM w
+         |WHERE click IS NOT NULL AND view IS NOT NULL AND purchase IS NOT NULL
+         |ORDER BY bucket""".stripMargin,
+    "fn_string_tag" ->
+      """SELECT p_partkey, upper(trim(p_name)) AS tag_norm,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS asset_prefix,
+        |  length(p_name) AS name_len,
+        |  regexp_replace(p_name, '\s+', '_', 'g') AS name_snake
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_json_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        |FROM events ORDER BY event_id""".stripMargin
+  )
 }

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Core time-series feature engineering: resample + align into the "wide
+  * matrix" that the reference builds per machine.
+  *
+  * Reference semantics (equinor/gordo-components, public repo; the local
+  * mount was empty — see SURVEY.md §0):
+  *   - `gordo_components/dataset/base.py::join_timeseries` resamples each
+  *     per-tag series to a fixed resolution (default "10T" mean) and
+  *     inner-joins the resampled series on the bucket timestamp.
+  *   - `gordo_components/dataset/datasets.py::TimeSeriesDataset.get_data`
+  *     then applies row filters / dropna to produce (X, y).
+  *
+  * Spark-first design: the N-way "join" is NOT executed as N joins — a
+  * single `groupBy(window(ts, res)).agg(when(tag = t, value) per tag)`
+  * (conditional aggregation) produces the wide matrix in exactly ONE
+  * shuffle, and the inner-join semantics fall out of `dropna` on the
+  * pivoted columns. The tag list is always explicit
+  * (never an inferred pivot), so no extra distinct scan and the schema is
+  * deterministic at plan time. At 100 TB the shuffle is keyed on
+  * (bucket, …) which is high-cardinality and evenly distributed — no skew,
+  * no driver-side collection, and AQE can coalesce post-shuffle partitions.
+  */
+object Timeseries {
+
+  /** Tumbling-window bucket start for `ts` at `resolution` (e.g. "10 minutes").
+    * Equivalent to pandas `series.resample(res, closed="left", label="left")`
+    * bucket labels: left-closed, labeled by window start, epoch-aligned.
+    */
+  def bucket(ts: Column, resolution: String): Column =
+    window(ts, resolution).getField("start")
+
+  /** Long-format resample: one row per (bucket, key…) with the requested
+    * aggregations of `value`. Mirrors `series.resample(res).agg(methods)`.
+    */
+  def resample(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      resolution: String,
+      keyCols: Seq[String],
+      aggs: Map[String, Column => Column] = Map("avg" -> avg)
+  ): DataFrame = {
+    val aggExprs = aggs.toSeq.sortBy(_._1).map { case (name, fn) =>
+      fn(col(valueCol)).as(s"${name}_$valueCol")
+    }
+    df.groupBy(bucket(col(tsCol), resolution).as("bucket") +: keyCols.map(col): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+  }
+
+  /** The gordo core: N per-tag series → resampled → aligned wide matrix.
+    *
+    * @param df         long-format input (tsCol, tagCol, valueCol)
+    * @param tags       explicit tag list = the wide matrix's columns
+    * @param resolution tumbling window size, e.g. "10 minutes"
+    * @param dropIncomplete inner-join semantics: drop buckets missing any tag
+    *                       (reference's post-align `dropna`); false = outer.
+    *
+    * One shuffle total; at scale the bucket×tag key space is uniform.
+    */
+  def align(
+      df: DataFrame,
+      tsCol: String,
+      tagCol: String,
+      valueCol: String,
+      tags: Seq[String],
+      resolution: String,
+      agg: Column => Column = avg,
+      dropIncomplete: Boolean = true
+  ): DataFrame = {
+    // Conditional aggregation, NOT `.pivot`: DataFrame pivot plans TWO
+    // shuffles (groupBy(bucket, tag) partial agg, then pivotfirst on
+    // bucket). `agg(when(tag = t, value)) AS t` per tag groups by bucket
+    // alone — exactly one shuffle, full map-side partial aggregation, and
+    // the same null-ignoring mean semantics as pandas' per-tag resample.
+    val aggExprs = tags.map(t => agg(when(col(tagCol) === t, col(valueCol))).as(t))
+    val wide = df
+      .filter(col(tagCol).isin(tags: _*))
+      .groupBy(bucket(col(tsCol), resolution).as("bucket"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    if (dropIncomplete) wide.na.drop("any", tags) else wide
+  }
+
+  /** Forward-fill nulls within each partition key, ordered by `orderCol` —
+    * the resample-gap padding analogue (`win_ffill`). Spark-only op (no
+    * portable SQL oracle: DuckDB lacks IGNORE NULLS `last_value` portably).
+    */
+  def ffill(df: DataFrame, cols: Seq[String], partitionBy: Seq[String], orderCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(partitionBy.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+}

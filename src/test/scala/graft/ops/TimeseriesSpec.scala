@@ -1,0 +1,97 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TimeseriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val long = Seq(
+    // (ts, tag, value) — two tags, 10-minute buckets 00:00 / 00:10
+    (ts("2024-01-01 00:01:00"), "a", 1.0),
+    (ts("2024-01-01 00:04:00"), "a", 3.0),
+    (ts("2024-01-01 00:02:00"), "b", 10.0),
+    (ts("2024-01-01 00:11:00"), "a", 5.0),
+    (ts("2024-01-01 00:12:00"), "b", 20.0),
+    (ts("2024-01-01 00:21:00"), "b", 30.0) // bucket 00:20 has no 'a'
+  ).toDF("ts", "tag", "value")
+
+  test("bucket truncates to left-closed, left-labeled tumbling windows") {
+    val out = long
+      .select(Timeseries.bucket(col("ts"), "10 minutes").as("b"))
+      .distinct()
+      .orderBy("b")
+      .as[Timestamp]
+      .collect()
+    assert(out.toSeq == Seq(
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), ts("2024-01-01 00:20:00")))
+  }
+
+  test("align pivots to the wide matrix with inner-join (dropIncomplete) semantics") {
+    val wide = Timeseries
+      .align(long, "ts", "tag", "value", Seq("a", "b"), "10 minutes")
+      .orderBy("bucket")
+      .collect()
+    assert(wide.length == 2) // 00:20 dropped: no 'a'
+    assert(wide(0).getAs[Double]("a") == 2.0) // mean(1,3)
+    assert(wide(0).getAs[Double]("b") == 10.0)
+    assert(wide(1).getAs[Double]("a") == 5.0)
+    assert(wide(1).getAs[Double]("b") == 20.0)
+  }
+
+  test("align keeps incomplete buckets when dropIncomplete=false") {
+    val wide = Timeseries
+      .align(long, "ts", "tag", "value", Seq("a", "b"), "10 minutes", dropIncomplete = false)
+      .orderBy("bucket")
+      .collect()
+    assert(wide.length == 3)
+    assert(wide(2).isNullAt(wide(2).fieldIndex("a")))
+    assert(wide(2).getAs[Double]("b") == 30.0)
+  }
+
+  test("align ignores tags outside the explicit tag list") {
+    val extra = long.union(Seq((ts("2024-01-01 00:01:00"), "zzz", 99.0)).toDF)
+    val wide = Timeseries.align(extra, "ts", "tag", "value", Seq("a", "b"), "10 minutes")
+    assert(wide.columns.toSeq == Seq("bucket", "a", "b"))
+    assert(wide.count() == 2)
+  }
+
+  test("align executes in exactly one shuffle (plan invariant)") {
+    val wide = Timeseries.align(long, "ts", "tag", "value", Seq("a", "b"), "10 minutes")
+    // AQE wraps the physical plan, so count Exchange nodes in the formatted
+    // explain rather than collecting over the (adaptive) executedPlan.
+    val formatted = wide.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(formatted).size
+    assert(exchanges == 1, s"expected 1 Exchange, plan:\n$formatted")
+  }
+
+  test("resample computes multiple aggregation methods in one pass") {
+    val out = Timeseries
+      .resample(long, "ts", "value", "10 minutes", Seq("tag"),
+        Map("avg" -> avg, "max" -> max, "min" -> min))
+      .filter(col("tag") === "a" && col("bucket") === ts("2024-01-01 00:00:00"))
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Double]("avg_value") == 2.0)
+    assert(out(0).getAs[Double]("max_value") == 3.0)
+    assert(out(0).getAs[Double]("min_value") == 1.0)
+  }
+
+  test("ffill forward-fills gaps without touching leading nulls") {
+    val df = Seq(
+      (1L, Option.empty[Double]),
+      (2L, Some(1.0)),
+      (3L, Option.empty[Double]),
+      (4L, Option.empty[Double]),
+      (5L, Some(2.0))
+    ).toDF("k", "v")
+    val out = Timeseries.ffill(df, Seq("v"), Seq.empty, "k")
+      .orderBy("k").select("v").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(None, Some(1.0), Some(1.0), Some(1.0), Some(2.0)))
+  }
+}
