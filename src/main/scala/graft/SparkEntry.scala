@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AnomalyMath, Filters, Scalers, Timeseries}
+import graft.ops.{AnomalyMath, Dedup, Filters, Scalers, Similarity, TextAnalysis, Timeseries}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with DuckDB `oracleSql` unless non-SQL-expressible.
@@ -346,6 +346,74 @@ object SparkEntry {
       .orderBy("event_id")
 
   // ---------------------------------------------------------------------
+  // North-star extensions: dedup / similarity search / text analysis over
+  // the documents + embeddings tables (SURVEY.md §2 north-star rows).
+  // ---------------------------------------------------------------------
+
+  /** documents ∪ case-mutated copies of every 10th doc — deterministic
+    * injected near-duplicates so the dedup operators have real work (the
+    * raw corpus is 100% distinct). Mirrored verbatim in the oracle CTE.
+    */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents").select("doc_id", "text")
+    d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), upper(col("text")).as("text")))
+  }
+
+  private def q_dedup_exact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docsWithDups(s, dir), "doc_id", "text")
+      .orderBy("canonical_id")
+
+  private def q_dedup_minhash_lsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docsWithDups(s, dir), "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+
+  private def q_dedup_simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(T(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private def q_dedup_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text", 0.6)
+      .orderBy("doc_a", "doc_b")
+
+  private def q_dedup_embed_cosine(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+      .orderBy("vec_a", "vec_b")
+
+  private def q_simsearch_topk(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Spark-only (no oracle): LSH-bucketed approximate near-dup pairs — the
+    * 100 TB path; recall vs the brute-force baseline is unit-tested.
+    */
+  private def q_simsearch_lsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshCosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
+      .orderBy("vec_a", "vec_b")
+
+  private def q_text_langid(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents")
+    d.join(TextAnalysis.langId(d, "doc_id", "text"), "doc_id")
+      .select("doc_id", "lang", "lang_pred")
+      .orderBy("doc_id")
+  }
+
+  private def q_text_quality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(T(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private def q_text_tokens(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(T(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private def q_text_fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(T(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------------
   // The contract maps
   // ---------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -381,10 +449,55 @@ object SparkEntry {
     "fn_ts" -> (q_fn_ts _),
     "fn_math_anomaly" -> (q_fn_math_anomaly _),
     "fn_string_tag" -> (q_fn_string_tag _),
-    "fn_json_props" -> (q_fn_json_props _)
+    "fn_json_props" -> (q_fn_json_props _),
+    "dedup_exact" -> (q_dedup_exact _),
+    "dedup_minhash_lsh" -> (q_dedup_minhash_lsh _),
+    "dedup_simhash" -> (q_dedup_simhash _),
+    "dedup_ngram_jaccard" -> (q_dedup_ngram_jaccard _),
+    "dedup_embed_cosine" -> (q_dedup_embed_cosine _),
+    "simsearch_topk" -> (q_simsearch_topk _),
+    "simsearch_lsh" -> (q_simsearch_lsh _),
+    "text_langid" -> (q_text_langid _),
+    "text_quality" -> (q_text_quality _),
+    "text_tokens" -> (q_text_tokens _),
+    "text_fingerprint" -> (q_text_fingerprint _)
   )
 
   // Shared oracle fragments
+  private val docsWithDupsSql =
+    """all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, upper(text) AS text
+      |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Word list / word 3-gram shingle CTEs over a docs relation — must stay
+    * formula-identical to Dedup.words / Dedup.shingles.
+    */
+  private def shingleCte(src: String) =
+    s"""w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM $src),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS s
+       |  FROM w WHERE len(ws) >= 3)""".stripMargin
+
+  private val minhashSigSql =
+    (0 until 20).map(i => s"min(md5(s || '#$i')) AS m$i").mkString(", ")
+  private val lshBandsSql =
+    (0 until 5).map(b => "md5(" + (0 until 4).map(j => s"m${b * 4 + j}").mkString("||") + s") AS b$b").mkString(", ")
+  private val simhashBitsSql =
+    (0 until 60).map(b =>
+      s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN (1::BIGINT << $b) ELSE 0 END)"
+    ).mkString(" + ")
+
+  /** Sequential double-fold list dot product — DuckDB's list_sum folds
+    * left-to-right exactly like Spark's `aggregate`, so the doubles are
+    * bit-identical (see Similarity.dot).
+    */
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+  private def normSqSql(a: String) =
+    s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+
   private val bucket10m = "time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))"
   private val bucket1h = "time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))"
   private val wide1h =
@@ -578,6 +691,94 @@ object SparkEntry {
         |FROM part ORDER BY p_partkey""".stripMargin,
     "fn_json_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "dedup_exact" ->
+      s"""WITH $docsWithDupsSql
+         |SELECT md5(lower(trim(text))) AS h, min(doc_id) AS canonical_id,
+         |       count(*) AS n_members
+         |FROM all_docs GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $docsWithDupsSql,
+         |${shingleCte("all_docs")},
+         |sig AS (SELECT doc_id, $minhashSigSql FROM sh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, $lshBandsSql FROM sig),
+         |bl AS (
+         |  SELECT doc_id, 0 AS band, b0 AS bh FROM bands UNION ALL SELECT doc_id, 1, b1 FROM bands
+         |  UNION ALL SELECT doc_id, 2, b2 FROM bands UNION ALL SELECT doc_id, 3, b3 FROM bands
+         |  UNION ALL SELECT doc_id, 4, b4 FROM bands)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bl a JOIN bl b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS t
+         |  FROM documents),
+         |h AS (SELECT doc_id, CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h FROM w)
+         |SELECT doc_id, $simhashBitsSql AS simhash
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH ${shingleCte("documents")},
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT da AS doc_a, db AS doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embed_cosine" ->
+      s"""WITH dots AS (
+         | SELECT a.vec_id va, b.vec_id vb,
+         |  ${dotSql("a.embedding", "b.embedding")} AS dot,
+         |  ${normSqSql("a.embedding")} AS naa,
+         |  ${normSqSql("b.embedding")} AS nbb
+         | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+         |SELECT va AS vec_a, vb AS vec_b, dot/sqrt(naa*nbb) AS cos_sim
+         |FROM dots WHERE dot/sqrt(naa*nbb) >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "simsearch_topk" ->
+      s"""WITH dots AS (
+         | SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |  ${dotSql("q.embedding", "c.embedding")} AS dot,
+         |  ${normSqSql("q.embedding")} AS nq,
+         |  ${normSqSql("c.embedding")} AS nc
+         | FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         | SELECT qid, nid, dot/sqrt(nq*nc) AS cos_sim,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dot/sqrt(nq*nc) DESC, nid) AS rnk
+         | FROM dots)
+         |SELECT qid, nid, cos_sim, rnk FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "text_langid" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents),
+         |v AS (SELECT doc_id, CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) % 5 AS li,
+         |        count(*) AS n
+         |      FROM w GROUP BY 1, 2),
+         |top AS (SELECT doc_id, li,
+         |          row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, li) AS rn FROM v)
+         |SELECT d.doc_id, d.lang,
+         |  CASE t.li WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+         |            WHEN 3 THEN 'es' ELSE 'zh' END AS lang_pred
+         |FROM documents d JOIN top t ON d.doc_id = t.doc_id AND t.rn = 1
+         |ORDER BY d.doc_id""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+         |  len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS n_distinct,
+         |  round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |        w -> w IN ('the','a','of','to','and'))) * 1.0
+         |      / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS stopword_ratio,
+         |  round(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) * 1.0
+         |      / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS ttr,
+         |  round(length(replace(text, ' ', '')) * 1.0
+         |      / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS avg_word_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(
+         |    string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines: exact
+  * (hash groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard.
+  *
+  * Not present in the reference (equinor/gordo-components is a sensor-ML
+  * framework); these are the north-star LLM-data-pipeline operators the
+  * engine adds on top. Every hash is derived from md5 hex strings so the
+  * DuckDB oracle can reproduce the exact same values (no engine-specific
+  * hash functions anywhere).
+  *
+  * Scale design (100 TB):
+  *   - exact dedup is one hash-aggregate keyed on the content hash —
+  *     partial aggregation map-side, uniform key space, no skew;
+  *   - MinHash signatures are ONE groupBy(doc) with k min() aggregates
+  *     (never k passes); candidate generation is an equi-join on
+  *     (band, band_hash) — band buckets are small by construction, and AQE
+  *     skew-join splits any hot bucket;
+  *   - nothing collects to the driver; pair output is itself distributed.
+  */
+object Dedup {
+
+  /** Lowercased whitespace tokenization shared by every text op — must stay
+    * identical to the oracle's `string_split_regex(lower(trim(text)), '\s+')`.
+    */
+  def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Word n-gram shingles (1-based indexing to mirror the oracle SQL);
+    * documents shorter than n words yield no shingles.
+    */
+  def shingles(ws: Column, n: Int = 3): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*))
+    ).otherwise(array().cast("array<string>"))
+
+  /** Exact dedup: group by md5 of the normalized text; the canonical doc is
+    * the smallest id in the group. One shuffle on the content hash.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(md5(lower(trim(col(textCol)))).as("h"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_members"))
+
+  /** Distinct (doc, shingle) pairs in long format — input to MinHash and
+    * Jaccard. Explodes ~(n_words-2) shingles per doc.
+    */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(shingles(words(col(textCol)), n)).as("s"))
+      .distinct()
+
+  /** MinHash signatures: k independent hash functions simulated as
+    * md5(shingle + "#i"), signature component i = lexicographic min. One
+    * groupBy(doc_id) with k min-aggregates — a single shuffle regardless
+    * of k.
+    */
+  def minhashSignatures(shingled: DataFrame, k: Int = 20): DataFrame = {
+    val sigExprs = (0 until k).map(i => min(md5(concat(col("s"), lit(s"#$i")))).as(s"m$i"))
+    shingled.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
+  }
+
+  /** LSH banding: split the k-component signature into `bands` bands of
+    * k/bands rows; band key = md5 of the concatenated components. Emits
+    * (doc_id, band, bh) long format.
+    */
+  def lshBands(sigs: DataFrame, k: Int = 20, bands: Int = 5): DataFrame = {
+    val r = k / bands
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat((0 until r).map(j => col(s"m${b * r + j}")): _*)).as("bh"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Candidate near-duplicate pairs: docs sharing any LSH band bucket.
+    * Equi-join on (band, bh); AQE handles skewed buckets at scale.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, bands: Int = 5, shingleN: Int = 3): DataFrame = {
+    val bl = lshBands(minhashSignatures(shingleTable(docs, idCol, textCol, shingleN), k), k, bands)
+    val a = bl.as("a")
+    val b = bl.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash: 60-bit signature (60 = 15 hex chars of md5, keeps the value
+    * in a positive BIGINT for oracle portability). Bit b is set when the
+    * sum over distinct tokens of ±1 (sign of token-hash bit b) is > 0.
+    * One explode + one groupBy(doc) with 60 sum-aggregates.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = docs.select(
+      col(idCol).as("doc_id"),
+      explode(array_distinct(words(col(textCol)))).as("t"))
+    val h = conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long")
+    val withH = tokens.select(col("doc_id"), h.as("h"))
+    val bitSums = (0 until 60).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
+    val sums = withH.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 60)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs that share at least one
+    * shingle: |A∩B| / (|A|+|B|-|A∩B|) >= threshold. The shared-shingle
+    * join IS the candidate filter — pairs with nothing in common are never
+    * materialized (at scale, pair generation should go through
+    * minhashLshPairs first; this operator is the exact re-scorer).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    val d = shingleTable(docs, idCol, textCol, shingleN)
+    val sz = d.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = d.as("a")
+    val b = d.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i") * lit(1.0) / (col("na") + col("nb") - col("i"))
+    inter
+      .join(sz.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sz.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-corpus analysis for training-data pipelines: language-ID,
+  * quality scoring, token counting, and document fingerprinting.
+  *
+  * North-star extension (not in the reference). All operators are pure
+  * Column expressions over one scan — no UDFs, no shuffles except where a
+  * groupBy is semantically required (langid's per-doc vote).
+  */
+object TextAnalysis {
+
+  import Dedup.words
+
+  /** Deterministic language-ID by hashed word voting: each token votes for
+    * the language whose index is md5(token) mod nLangs; a doc's predicted
+    * language is its modal vote (count desc, index tie-break). This is the
+    * *plumbing* of an n-gram language identifier — in production the vote
+    * table is a broadcast dictionary of real n-gram→language weights; the
+    * md5 stand-in keeps the pipeline deterministic and oracle-checkable
+    * offline (no model files in this environment).
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String,
+      langs: Seq[String] = Seq("en", "de", "fr", "es", "zh")): DataFrame = {
+    val tokens = docs.select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("t"))
+    val li = pmod(conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"), lit(langs.size))
+    val votes = tokens.select(col("doc_id"), li.as("li"))
+      .groupBy("doc_id", "li").agg(count(lit(1)).as("n"))
+    val top = votes.withColumn("rn",
+      row_number().over(Window.partitionBy("doc_id").orderBy(col("n").desc, col("li"))))
+      .filter(col("rn") === 1)
+    val langExpr = langs.zipWithIndex.foldLeft(lit(langs.last)) { case (acc, (l, i)) =>
+      when(col("li") === i, lit(l)).otherwise(acc)
+    }
+    top.select(col("doc_id"), langExpr.as("lang_pred"))
+  }
+
+  /** Quality metrics in one narrow projection: word count, distinct word
+    * count, stopword ratio, type-token ratio, average word length.
+    */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = Seq("the", "a", "of", "to", "and")): DataFrame = {
+    val ws = words(col(textCol))
+    val nWords = size(ws)
+    val nDistinct = size(array_distinct(ws))
+    val nStop = size(filter(ws, w => w.isInCollection(stopwords)))
+    docs.select(
+      col(idCol).as("doc_id"),
+      nWords.cast("long").as("n_words"),
+      nDistinct.cast("long").as("n_distinct"),
+      round(nStop * lit(1.0) / nWords, 6).as("stopword_ratio"),
+      round(nDistinct * lit(1.0) / nWords, 6).as("ttr"),
+      round(length(regexp_replace(col(textCol), " ", "")) * lit(1.0) / nWords, 6)
+        .as("avg_word_len"))
+  }
+
+  /** Token counts: plain whitespace tokens and a BPE-ish regex token class
+    * count (letter runs, digit runs, single punctuation).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(split(trim(col(textCol)), "\\s+")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe_ish_tokens"))
+
+  /** Key-collision fingerprint: md5 of the sorted distinct token set.
+    * Documents that differ only in word order/duplication collide — the
+    * classic "fingerprint" clustering key.
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(words(col(textCol)))))).as("fingerprint"))
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"), // case dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different words entirely here now today"),
+    (5L, "ab") // shorter than one shingle
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case-normalized duplicates under the min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("canonical_id").collect()
+    assert(out.length == 4)
+    assert(out(0).getAs[Long]("canonical_id") == 1L)
+    assert(out(0).getAs[Long]("n_members") == 2L)
+  }
+
+  test("shingles produces word 3-grams and is empty for short docs") {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(Dedup.words(col("text"))).as("sh"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    assert(sh(1L).head == "the quick brown")
+    assert(sh(1L).length == 7) // 9 words -> 7 shingles
+    assert(sh(5L).isEmpty)
+  }
+
+  test("minhash LSH finds the case dup and the near dup, not the unrelated doc") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical normalized docs share a signature; hamming small for near dups") {
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L)) // case-insensitive tokens identical
+    val hamming = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    assert(hamming <= 15, s"near-dup hamming was $hamming")
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(4L)) > hamming)
+  }
+
+  test("ngram jaccard scores the near dup high and excludes disjoint docs") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out.contains((1L, 3L)))
+    assert(out((1L, 3L)) > 0.3 && out((1L, 3L)) < 1.0)
+    assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+}

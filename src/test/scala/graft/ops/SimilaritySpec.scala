@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)), // near 1
+    (3L, Array(0.0f, 1.0f, 0.0f)), // orthogonal to 1
+    (4L, Array(-1.0f, 0.0f, 0.0f)) // opposite of 1
+  ).toDF("vec_id", "embedding")
+
+  test("cosine matches hand-computed values") {
+    val out = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(out((1L, 2L)) - 0.9 / math.sqrt(0.82)) < 1e-6)
+    assert(math.abs(out((1L, 3L))) < 1e-12)
+    assert(math.abs(out((1L, 4L)) + 1.0) < 1e-12)
+  }
+
+  test("cosinePairs keeps only pairs above threshold") {
+    val pairs = Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("bruteForceTopK ranks by similarity with id tie-break") {
+    val out = Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") === 1), vecs, "vec_id", "embedding", 3)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getAs[Long]("nid")).toSeq == Seq(2L, 3L, 4L))
+    assert(out.map(_.getAs[Long]("rnk")).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("topK query side is broadcast (plan invariant)") {
+    val df = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 1), vecs, "vec_id", "embedding", 3)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("BroadcastNestedLoopJoin") || formatted.contains("BroadcastExchange"),
+      s"expected broadcast join, plan:\n$formatted")
+  }
+
+  test("LSH bucketing is deterministic and identical vectors share buckets") {
+    val dup = Seq((10L, Array(0.5f, 0.5f, 0.5f)), (11L, Array(0.5f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val buckets = Similarity.hyperplaneBuckets(dup, "vec_id", "embedding")
+      .select("bucket").as[Long].collect()
+    assert(buckets(0) == buckets(1))
+  }
+
+  test("LSH recall: bucketed pairs recover most high-cosine pairs on real data") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshCosinePairs(e, "vec_id", "embedding", 0.35,
+        nPlanes = 4, nTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.subsetOf(exact)) // no false positives: same threshold re-score
+    if (exact.nonEmpty) {
+      val recall = approx.size.toDouble / exact.size
+      assert(recall >= 0.5, s"recall $recall (${approx.size}/${exact.size})")
+    }
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox and the lazy dog"),
+    (2L, "one two three")
+  ).toDF("doc_id", "text")
+
+  test("qualityScore computes word stats and ratios") {
+    val r = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .filter(col("doc_id") === 1).collect().head
+    assert(r.getAs[Long]("n_words") == 8)
+    assert(r.getAs[Long]("n_distinct") == 7) // 'the' twice
+    assert(r.getAs[Double]("stopword_ratio") == 0.375) // the, and, the
+    assert(r.getAs[Double]("ttr") == 0.875)
+  }
+
+  test("tokenCounts counts whitespace and regex token classes") {
+    val punct = Seq((3L, "hello, world! x2")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(punct, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("ws_tokens") == 3)
+    // hello , world ! x 2 -> 6
+    assert(r.getAs[Long]("bpe_ish_tokens") == 6)
+  }
+
+  test("fingerprint collapses word order and duplication") {
+    val perm = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma alpha beta alpha"),
+      (3L, "alpha beta delta")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(perm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("langId emits one deterministic prediction per doc from the lang set") {
+    val out = TextAnalysis.langId(docs, "doc_id", "text").collect()
+    assert(out.length == 2)
+    val langs = Set("en", "de", "fr", "es", "zh")
+    assert(out.forall(r => langs.contains(r.getAs[String]("lang_pred"))))
+    // deterministic across runs
+    val again = TextAnalysis.langId(docs, "doc_id", "text").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+}
