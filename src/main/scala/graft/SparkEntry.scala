@@ -414,6 +414,51 @@ object SparkEntry {
       .orderBy("doc_id")
 
   // ---------------------------------------------------------------------
+  // Spark-only module queries (no SQL oracle — driver records rows-only):
+  // the streaming transforms run in batch replay mode (same code path the
+  // incremental plans use), ML and multimodal drive their whole pipelines.
+  // ---------------------------------------------------------------------
+
+  private def q_stream_resample(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.resample(E(s, dir), "ts", "event_type", "value",
+        "10 minutes", "20 minutes")
+      .orderBy("bucket", "event_type")
+
+  private def q_stream_session(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.sessionize(E(s, dir), "ts", "user_id",
+        "30 minutes", "20 minutes")
+      .orderBy("user_id", "session_start")
+
+  private def q_stream_score(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val readings = E(s, dir)
+      .select(col("event_type").as("tag"), col("ts"), col("value"))
+      .as[graft.streaming.Reading]
+    graft.streaming.Streams.scoreOnline(readings, 3.0)
+      .toDF()
+      .orderBy("tag", "ts")
+  }
+
+  private def q_ml_pca_anomaly(s: SparkSession, dir: String): DataFrame = {
+    val wide = Timeseries.align(E(s, dir), "ts", "event_type", "value",
+      Seq("click", "view", "purchase"), "1 hour")
+    val model = graft.ml.PcaAnomaly.fit(wide, Seq("click", "view", "purchase"), k = 2)
+    model.anomaly(wide)
+      .select(col("bucket"), round(col("anomaly_score"), 6).as("anomaly_score"),
+        col("anomalous"))
+      .orderBy("bucket")
+  }
+
+  private def q_multimodal_features(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromText(
+      T(s, dir, "documents"), "doc_id", "text")
+    graft.multimodal.Multimodal.extractFeatures(media, "bytes", dim = 16)
+      .select(col("media_id"), col("kind"), size(col("features")).as("dim"),
+        round(element_at(col("features"), 1), 6).as("f0"))
+      .orderBy("media_id")
+  }
+
+  // ---------------------------------------------------------------------
   // The contract maps
   // ---------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -460,7 +505,12 @@ object SparkEntry {
     "text_langid" -> (q_text_langid _),
     "text_quality" -> (q_text_quality _),
     "text_tokens" -> (q_text_tokens _),
-    "text_fingerprint" -> (q_text_fingerprint _)
+    "text_fingerprint" -> (q_text_fingerprint _),
+    "stream_resample" -> (q_stream_resample _),
+    "stream_session" -> (q_stream_session _),
+    "stream_score" -> (q_stream_score _),
+    "ml_pca_anomaly" -> (q_ml_pca_anomaly _),
+    "multimodal_features" -> (q_multimodal_features _)
   )
 
   // Shared oracle fragments

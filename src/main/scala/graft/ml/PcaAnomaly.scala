@@ -1,0 +1,64 @@
+package graft.ml
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PCA-reconstruction anomaly detector — the native MLlib analogue of the
+  * reference's Keras autoencoder + DiffBasedAnomalyDetector
+  * (`model/anomaly/diff.py::DiffBasedAnomalyDetector`, public repo; mount
+  * empty, SURVEY.md §0): project the standardized feature vector onto k
+  * principal components and score each row by the reconstruction error.
+  *
+  * With an orthonormal component matrix W and standardized input x, the
+  * reconstruction error collapses to a column expression —
+  * ||x - W·Wᵀx||² = ||x||² − ||Wᵀx||² — so scoring is pure codegen'd math
+  * on top of MLlib's PCA transform (no per-row matrix multiply, no UDF).
+  *
+  * Threshold discipline mirrors the reference: a high exact percentile of
+  * the training-fold scores (default 0.99; the exact reference value is
+  * unverifiable offline — kept as a parameter).
+  */
+case class PcaAnomalyModel(pipeline: PipelineModel, threshold: Double) {
+
+  /** Score = sqrt(max(0, ||x_scaled||² − ||z||²)) per row. */
+  def score(df: DataFrame): DataFrame =
+    PcaAnomaly.withScore(pipeline.transform(df))
+
+  /** Score + boolean flag against the fitted threshold. */
+  def anomaly(df: DataFrame): DataFrame =
+    score(df).withColumn("anomalous", col("anomaly_score") > lit(threshold))
+}
+
+object PcaAnomaly {
+
+  private def sumSq(arr: Column): Column =
+    aggregate(transform(arr, x => x * x), lit(0.0), (acc, v) => acc + v)
+
+  private[ml] def withScore(transformed: DataFrame): DataFrame = {
+    val x = vector_to_array(col(PipelineFactory.ScaledCol))
+    val z = vector_to_array(col("pca_features"))
+    transformed.withColumn("anomaly_score",
+      sqrt(greatest(sumSq(x) - sumSq(z), lit(0.0))))
+  }
+
+  /** Fit scaler+PCA on `train`, then fit the anomaly threshold as the
+    * `pctl` exact percentile of the training scores. Two jobs total: one
+    * MLlib fit, one percentile aggregate — nothing collects except the
+    * single threshold value.
+    */
+  def fit(train: DataFrame, featureCols: Seq[String], k: Int,
+      pctl: Double = 0.99): PcaAnomalyModel = {
+    val pipeline = PipelineFactory.fromDefinition(Map(
+      "steps" -> Seq(
+        Map("type" -> "assembler", "inputCols" -> featureCols),
+        Map("type" -> "standard_scaler"),
+        Map("type" -> "pca", "k" -> k))))
+    val model = pipeline.fit(train)
+    val thr = withScore(model.transform(train))
+      .agg(percentile(col("anomaly_score"), lit(pctl)).as("thr"))
+      .head().getDouble(0)
+    PcaAnomalyModel(model, thr)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sensor-tag sources: the reference's data-provider layer re-expressed as
+  * Spark readers that all land in ONE canonical long format
+  * `(ts timestamp, tag string, value double)` — the input contract of
+  * `graft.ops.Timeseries.align`.
+  *
+  * Reference analogues (public repo; mount empty, SURVEY.md §0):
+  *   - `data_provider/ncs_reader.py::NcsReader.read_tag_files`: per-tag,
+  *     per-year parquet/CSV files `{tag}_{year}.parquet` from a data lake;
+  *   - `iroc_reader.py::read_iroc_file`: multi-tag CSV with a tag column.
+  *
+  * Scale notes: explicit path construction per (tag, year) is the
+  * partition-pruning story — Spark lists and splits only the requested
+  * files, and the per-file tag is reattached from the file path (one
+  * regexp on `input_file_name`, no per-tag driver loop over reads). A
+  * missing (tag, year) file is skipped silently, mirroring the
+  * reference's "tags with no data" behavior (surface via `missingTags`).
+  */
+object TagSources {
+
+  val csvSchema: StructType = StructType(Seq(
+    StructField("ts", TimestampType, nullable = true),
+    StructField("value", DoubleType, nullable = true)))
+
+  /** Per-tag/per-year parquet layout: `dir/{tag}_{year}.parquet`, each file
+    * holding (ts, value). All requested files go into a single multi-path
+    * scan; the tag comes back out of the file name.
+    */
+  def readTagParquet(spark: SparkSession, dir: String, tags: Seq[String],
+      years: Seq[Int]): DataFrame = {
+    val paths = for (t <- tags; y <- years) yield s"$dir/${t}_$y.parquet"
+    val existing = paths.filter(p => new java.io.File(p).exists())
+    if (existing.isEmpty) {
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        csvSchema.add("tag", StringType))
+    }
+    spark.read.parquet(existing: _*)
+      // not end-anchored: {tag}_{year}.parquet may be a single file or a
+      // directory of part files
+      .withColumn("tag", regexp_extract(input_file_name(), "([^/]+)_\\d{4}\\.parquet", 1))
+  }
+
+  /** NcsReader CSV branch: `;`-separated (ts, value) per-tag files with an
+    * explicit schema (never inferred — inference is a second full scan).
+    */
+  def readTagCsv(spark: SparkSession, pathsByTag: Map[String, Seq[String]],
+      sep: String = ";"): DataFrame = {
+    val perTag = pathsByTag.toSeq.sortBy(_._1).flatMap { case (tag, paths) =>
+      val existing = paths.filter(p => new java.io.File(p).exists())
+      if (existing.isEmpty) None
+      else Some(
+        spark.read.option("sep", sep).schema(csvSchema).csv(existing: _*)
+          .withColumn("tag", lit(tag)))
+    }
+    perTag.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        csvSchema.add("tag", StringType)))
+  }
+
+  /** IROC-style multi-tag CSV: (tag, ts, value) rows, filtered to the
+    * requested tag list at the scan.
+    */
+  def readIrocCsv(spark: SparkSession, paths: Seq[String], tags: Seq[String],
+      sep: String = ","): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("tag", StringType, nullable = true),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("value", DoubleType, nullable = true)))
+    spark.read.option("sep", sep).schema(schema).csv(paths: _*)
+      .filter(col("tag").isin(tags: _*))
+      .select("ts", "value", "tag")
+  }
+
+  /** Tags from the request list that yielded no rows — the dataset-metadata
+    * "missing tags" report (anti-join semantics, distributed).
+    */
+  def missingTags(spark: SparkSession, longDf: DataFrame, requested: Seq[String]): DataFrame = {
+    import spark.implicits._
+    requested.toDF("tag").join(longDf.select("tag").distinct(), Seq("tag"), "left_anti")
+  }
+}

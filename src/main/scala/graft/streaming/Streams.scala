@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** A sensor reading in the long format every streaming op consumes. */
+case class Reading(tag: String, ts: java.sql.Timestamp, value: Double)
+
+/** Welford accumulator for online per-tag standardization. */
+case class TagStats(n: Long, mean: Double, m2: Double)
+
+/** A prequentially scored reading: z-score against the state *before* this
+  * reading updated it.
+  */
+case class Scored(tag: String, ts: java.sql.Timestamp, value: Double,
+    z: Double, anomalous: Boolean)
+
+/** Structured Streaming forms of the engine's core ops. The reference is
+  * batch + request/response — its closest streaming analogue is the bulk
+  * client's chunked date-range loop (`client/client.py::Client.predict`,
+  * public repo; mount empty, SURVEY.md §0). Here the same semantics run as
+  * genuine incremental plans: every transform below accepts the streaming
+  * DataFrame from `readStream` and produces an incremental query, while
+  * staying batch-compatible (same code path works on a static frame for
+  * replay testing).
+  *
+  * Late data: the watermark is the streaming analogue of the batch
+  * dropna-after-align — readings later than the watermark are dropped
+  * instead of mutating closed buckets.
+  */
+object Streams {
+
+  /** Continuous resample: tumbling-window mean/count per tag with a
+    * watermark bounding state. Mirrors `graft.ops.Timeseries.resample`.
+    */
+  def resample(df: DataFrame, tsCol: String, tagCol: String, valueCol: String,
+      resolution: String, watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), resolution).as("w"), col(tagCol))
+      .agg(avg(col(valueCol)).as("avg_value"), count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket"), col(tagCol), col("avg_value"), col("n"))
+
+  /** Event sessionization: gap-based session windows per key. */
+  def sessionize(df: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col(keyCol), col("n_events"))
+
+  /** Exactly-once readings: drop duplicate ids arriving within the
+    * watermark horizon (at-least-once source → effectively-once sink).
+    */
+  def dedup(df: DataFrame, tsCol: String, idCols: Seq[String], watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Online anomaly scoring with per-tag state: each reading is z-scored
+    * against the running Welford statistics *before* it updates them
+    * (prequential), so scores are identical in streaming and single-pass
+    * batch replay. The per-tag state is O(1) — three numbers — regardless
+    * of stream length; state is partitioned by tag across executors.
+    *
+    * Streaming analogue of the reference's DiffBasedAnomalyDetector
+    * pipeline (`model/anomaly/diff.py`): scale → score → threshold.
+    */
+  def scoreOnline(readings: Dataset[Reading], zThreshold: Double): Dataset[Scored] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.tag)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tag: String, it: Iterator[Reading],
+         state: org.apache.spark.sql.streaming.GroupState[TagStats]) =>
+          var s = state.getOption.getOrElse(TagStats(0L, 0.0, 0.0))
+          val out = it.toSeq.sortBy(_.ts.getTime).map { r =>
+            val z =
+              if (s.n >= 2) {
+                val std = math.sqrt(s.m2 / (s.n - 1))
+                if (std > 0) (r.value - s.mean) / std else 0.0
+              } else 0.0
+            val n1 = s.n + 1
+            val d = r.value - s.mean
+            val mean1 = s.mean + d / n1
+            val m21 = s.m2 + d * (r.value - mean1)
+            s = TagStats(n1, mean1, m21)
+            Scored(tag, r.ts, r.value, z, math.abs(z) > zThreshold)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TagSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir() = Files.createTempDirectory("graft-src").toString
+
+  test("readTagParquet unions per-tag per-year files and recovers the tag from the path") {
+    val dir = tmpDir()
+    Seq(("2024-01-01 00:00:00", 1.0)).toDF("s", "value")
+      .select(to_timestamp(col("s")).as("ts"), col("value"))
+      .write.parquet(s"$dir/T1_2024.parquet")
+    Seq(("2023-06-01 00:00:00", 2.0)).toDF("s", "value")
+      .select(to_timestamp(col("s")).as("ts"), col("value"))
+      .write.parquet(s"$dir/T1_2023.parquet")
+    Seq(("2024-02-01 00:00:00", 3.0)).toDF("s", "value")
+      .select(to_timestamp(col("s")).as("ts"), col("value"))
+      .write.parquet(s"$dir/T2_2024.parquet")
+
+    val out = TagSources.readTagParquet(spark, dir, Seq("T1", "T2"), Seq(2023, 2024))
+    val byTag = out.groupBy("tag").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTag == Map("T1" -> 2L, "T2" -> 1L))
+    // missing (tag, year) combinations are skipped, absent tags yield nothing
+    val sparse = TagSources.readTagParquet(spark, dir, Seq("T2", "NOPE"), Seq(2024))
+    assert(sparse.count() == 1)
+  }
+
+  test("readTagCsv reads ;-separated ts/value files with explicit schema") {
+    val dir = tmpDir()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/t1.csv"),
+      "2024-01-01 00:00:00;1.5\n2024-01-01 00:10:00;2.5\n")
+    val out = TagSources.readTagCsv(spark, Map("T1" -> Seq(s"$dir/t1.csv")))
+    assert(out.count() == 2)
+    assert(out.select("tag").distinct().as[String].collect().toSeq == Seq("T1"))
+    assert(out.agg(sum("value")).head().getDouble(0) == 4.0)
+  }
+
+  test("readIrocCsv filters to requested tags at the scan") {
+    val dir = tmpDir()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/iroc.csv"),
+      "T1,2024-01-01 00:00:00,1.0\nT2,2024-01-01 00:00:00,2.0\nT3,2024-01-01 00:00:00,3.0\n")
+    val out = TagSources.readIrocCsv(spark, Seq(s"$dir/iroc.csv"), Seq("T1", "T3"))
+    assert(out.select("tag").as[String].collect().sorted.toSeq == Seq("T1", "T3"))
+  }
+
+  test("missingTags reports requested tags that yielded no rows") {
+    val longDf = Seq(("2024-01-01 00:00:00", 1.0, "T1")).toDF("s", "value", "tag")
+    val missing = TagSources.missingTags(spark, longDf, Seq("T1", "T2", "T3"))
+      .as[String].collect().sorted
+    assert(missing.toSeq == Seq("T2", "T3"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val readings = Seq(
+    Reading("a", ts("2024-01-01 00:01:00"), 1.0),
+    Reading("a", ts("2024-01-01 00:04:00"), 3.0),
+    Reading("b", ts("2024-01-01 00:02:00"), 10.0),
+    Reading("a", ts("2024-01-01 00:11:00"), 5.0),
+    Reading("b", ts("2024-01-01 00:12:00"), 20.0),
+    Reading("a", ts("2024-01-01 00:31:00"), 7.0)
+  )
+
+  /** Run a streaming transform over a MemoryStream fed in `batches`,
+    * collect the complete output via a memory sink.
+    */
+  private def runStream(name: String, batches: Seq[Seq[Reading]],
+      f: DataFrame => DataFrame, outputMode: String): Array[org.apache.spark.sql.Row] = {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val q = f(mem.toDF).writeStream
+      .format("memory").queryName(name).outputMode(outputMode).start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name).collect()
+  }
+
+  test("stream resample replays identically to the batch resample") {
+    val streamed = runStream("resample_out", Seq(readings.take(3), readings.drop(3)),
+      df => Streams.resample(df, "ts", "tag", "value", "10 minutes", "0 seconds"),
+      "append")
+    // Append mode only emits windows closed by the watermark; with the
+    // final event at 00:31 the first three 10-min windows are closed.
+    val batch = Streams.resample(readings.toDF, "ts", "tag", "value", "10 minutes", "0 seconds")
+    val key = (r: org.apache.spark.sql.Row) => (r.getTimestamp(0), r.getString(1))
+    val batchMap = batch.collect().map(r => key(r) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { r =>
+      assert(batchMap(key(r)) == ((r.getDouble(2), r.getLong(3))),
+        s"bucket ${key(r)} differs from batch")
+    }
+  }
+
+  test("stream dedup drops duplicate event ids within the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = Streams.dedup(
+        mem.toDF.toDF("event_id", "ts", "value"), "ts", Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, ts("2024-01-01 00:01:00"), 1.0), (2L, ts("2024-01-01 00:02:00"), 2.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((1L, ts("2024-01-01 00:01:00"), 1.0), (3L, ts("2024-01-01 00:03:00"), 3.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("sessionize groups events by gap windows per key") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:10:00")), // same session (gap 30m)
+      (1L, ts("2024-01-01 01:00:00")), // new session
+      (2L, ts("2024-01-01 00:05:00"))
+    ).toDF("user_id", "ts")
+    val out = Streams.sessionize(df, "ts", "user_id", "30 minutes", "0 seconds")
+      .orderBy("user_id", "session_start").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2)
+    assert(out(1).getAs[Long]("n_events") == 1)
+    assert(out(2).getAs[Long]("user_id") == 2L)
+  }
+
+  test("scoreOnline is prequential and identical between batch and two-batch stream") {
+    // batch (single pass over a static Dataset)
+    val batchScores = Streams.scoreOnline(readings.toDS, 1.5)
+      .collect().map(s => (s.tag, s.ts, s.z)).sortBy(x => (x._1, x._2.getTime))
+
+    // hand-check tag a: scores 0, 0, then z of 5 vs mean(1,3)=2, std=sqrt(2)
+    val aScores = batchScores.filter(_._1 == "a").map(_._3)
+    assert(aScores(0) == 0.0 && aScores(1) == 0.0)
+    assert(math.abs(aScores(2) - (5.0 - 2.0) / math.sqrt(2.0)) < 1e-12)
+
+    // streaming replay in two batches must produce the same scores
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val q = Streams.scoreOnline(mem.toDS, 1.5)
+      .writeStream.format("memory").queryName("score_out").outputMode("append").start()
+    try {
+      mem.addData(readings.take(3)); q.processAllAvailable()
+      mem.addData(readings.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val streamScores = spark.table("score_out").as[Scored]
+      .collect().map(s => (s.tag, s.ts, s.z)).sortBy(x => (x._1, x._2.getTime))
+    assert(streamScores.toSeq == batchScores.toSeq)
+  }
+}
