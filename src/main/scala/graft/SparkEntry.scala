@@ -530,10 +530,19 @@ object SparkEntry {
        |  unnest(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS s
        |  FROM w WHERE len(ws) >= 3)""".stripMargin
 
+  // Carter-Wegman minhash: one md5 per shingle -> (h1, h2), k affine
+  // combinations; must stay formula-identical to Dedup.minhashSignatures.
   private val minhashSigSql =
-    (0 until 20).map(i => s"min(md5(s || '#$i')) AS m$i").mkString(", ")
+    (0 until 20).map(i => s"min(h1 + $i * h2) AS m$i").mkString(", ")
+  private val minhashHashCte =
+    """hh AS (SELECT doc_id,
+      |  CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) AS h1,
+      |  CAST(('0x'||substr(md5(s),17,15)) AS BIGINT) % 1099511627776 AS h2
+      |  FROM sh)""".stripMargin
   private val lshBandsSql =
-    (0 until 5).map(b => "md5(" + (0 until 4).map(j => s"m${b * 4 + j}").mkString("||") + s") AS b$b").mkString(", ")
+    (0 until 5).map(b =>
+      "md5(concat_ws('#', " + (0 until 4).map(j => s"m${b * 4 + j}").mkString(", ") + s")) AS b$b"
+    ).mkString(", ")
   private val simhashBitsSql =
     (0 until 60).map(b =>
       s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN (1::BIGINT << $b) ELSE 0 END)"
@@ -750,7 +759,8 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $docsWithDupsSql,
          |${shingleCte("all_docs")},
-         |sig AS (SELECT doc_id, $minhashSigSql FROM sh GROUP BY doc_id),
+         |$minhashHashCte,
+         |sig AS (SELECT doc_id, $minhashSigSql FROM hh GROUP BY doc_id),
          |bands AS (SELECT doc_id, $lshBandsSql FROM sig),
          |bl AS (
          |  SELECT doc_id, 0 AS band, b0 AS bh FROM bands UNION ALL SELECT doc_id, 1, b1 FROM bands

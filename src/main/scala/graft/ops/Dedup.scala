@@ -45,22 +45,34 @@ object Dedup {
       .groupBy(md5(lower(trim(col(textCol)))).as("h"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_members"))
 
-  /** Distinct (doc, shingle) pairs in long format — input to MinHash and
-    * Jaccard. Explodes ~(n_words-2) shingles per doc.
+  /** (doc, shingle) pairs in long format — input to MinHash and Jaccard.
+    * Explodes ~(n_words-2) shingles per doc. `dedupe = false` skips the
+    * distinct shuffle for consumers whose aggregates are duplicate-
+    * insensitive (MinHash's min() — set semantics for free); Jaccard
+    * counts need real set semantics and must keep it.
     */
-  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    docs
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      dedupe: Boolean = true): DataFrame = {
+    val exploded = docs
       .select(col(idCol).as("doc_id"), explode(shingles(words(col(textCol)), n)).as("s"))
-      .distinct()
+    if (dedupe) exploded.distinct() else exploded
+  }
 
-  /** MinHash signatures: k independent hash functions simulated as
-    * md5(shingle + "#i"), signature component i = lexicographic min. One
-    * groupBy(doc_id) with k min-aggregates — a single shuffle regardless
-    * of k.
+  /** MinHash signatures via the Carter-Wegman affine family: ONE md5 per
+    * shingle yields two integers (h1 = hex[0,15), h2 = hex[16,31) of the
+    * digest), hash_i = h1 + i·(h2 mod 2^40) — k independent-enough hashes
+    * for the cost of one digest instead of k. All values stay positive
+    * 61-bit, so the arithmetic is exact and identical in any engine.
+    * Signature component i = min(hash_i). One groupBy(doc_id) with k
+    * min-aggregates — a single shuffle regardless of k.
     */
   def minhashSignatures(shingled: DataFrame, k: Int = 20): DataFrame = {
-    val sigExprs = (0 until k).map(i => min(md5(concat(col("s"), lit(s"#$i")))).as(s"m$i"))
-    shingled.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
+    val digest = md5(col("s"))
+    val h1 = conv(substring(digest, 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(digest, 17, 15), 16, 10).cast("long") % lit(1099511627776L) // 2^40
+    val withH = shingled.select(col("doc_id"), h1.as("h1"), h2.as("h2"))
+    val sigExprs = (0 until k).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
+    withH.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
   }
 
   /** LSH banding: split the k-component signature into `bands` bands of
@@ -71,7 +83,7 @@ object Dedup {
     val r = k / bands
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat((0 until r).map(j => col(s"m${b * r + j}")): _*)).as("bh"))
+        md5(concat_ws("#", (0 until r).map(j => col(s"m${b * r + j}")): _*)).as("bh"))
     }
     sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
@@ -83,7 +95,8 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 20, bands: Int = 5, shingleN: Int = 3): DataFrame = {
-    val bl = lshBands(minhashSignatures(shingleTable(docs, idCol, textCol, shingleN), k), k, bands)
+    val bl = lshBands(
+      minhashSignatures(shingleTable(docs, idCol, textCol, shingleN, dedupe = false), k), k, bands)
     val a = bl.as("a")
     val b = bl.as("b")
     a.join(b,
@@ -112,6 +125,34 @@ object Dedup {
       .reduce(_ + _)
     sums.select(col("doc_id"), sig.as("simhash"))
   }
+
+  /** Exact Jaccard re-score of a given candidate pair set — the 100 TB
+    * composition: `minhashLshPairs` prunes the n² space to candidates,
+    * this joins each pair to its two shingle sets (collect_set per doc —
+    * one shuffle) and computes exact |A∩B|/|A∪B| with array intersection.
+    * Cost is O(candidates), never O(n²).
+    */
+  def jaccardRescore(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, threshold: Double, shingleN: Int = 3): DataFrame = {
+    val sets = shingleTable(docs, idCol, textCol, shingleN, dedupe = false)
+      .groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
+    val jac = col("i") * lit(1.0) / (col("na") + col("nb") - col("i"))
+    pairs
+      .join(sets.select(col("doc_id"), col("ss").as("sa")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sets.select(col("doc_id"), col("ss").as("sb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("na", size(col("sa"))).withColumn("nb", size(col("sb")))
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+  }
+
+  /** The end-to-end near-dup pipeline at scale: LSH candidates → exact
+    * re-score.
+    */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 20, bands: Int = 5, shingleN: Int = 3): DataFrame =
+    jaccardRescore(docs, idCol, textCol,
+      minhashLshPairs(docs, idCol, textCol, k, bands, shingleN), threshold, shingleN)
 
   /** Exact n-gram Jaccard over candidate pairs that share at least one
     * shingle: |A∩B| / (|A|+|B|-|A∩B|) >= threshold. The shared-shingle

@@ -9,58 +9,78 @@ import org.apache.spark.sql.expressions.Window
   * bucketing as the approximate scale path.
   *
   * North-star extension (not in the reference). Scale design:
+  *   - squared norms are computed ONCE per vector and carried into the
+  *     pair stage — never recomputed per pair (at n² pairs that's the
+  *     difference between 2n and 2n² norm folds);
   *   - top-k always broadcasts the (small) query set and streams the
   *     corpus — the corpus side never shuffles for scoring, only the
   *     per-query top-k reduction shuffles (tiny);
   *   - pairwise near-dup at 100 TB must NOT cross-join: route through
-  *     `hyperplaneBuckets` (LSH) and re-score only within-bucket pairs;
+  *     `lshCosinePairs` and re-score only within-bucket candidates;
+  *   - LSH hyperplanes are deterministic md5-derived CONSTANTS materialized
+  *     once on the driver and embedded as literals — no per-row hashing;
   *   - all arithmetic is Column expressions inside codegen — no UDFs.
   */
 object Similarity {
 
-  /** Sequential-fold double dot product. `aggregate` folds left-to-right,
-    * exactly like DuckDB's `list_sum` over the same array (verified
-    * bit-identical), so results are deterministically portable without any
-    * decimal arithmetic — and stay inside codegen.
+  /** Sequential-fold double dot product, as a native codegen expression
+    * (graft.expressions.DotProduct): folds left-to-right exactly like
+    * `aggregate(zip_with(...))` AND DuckDB's `list_sum` over the same
+    * array (verified bit-identical), so results are deterministically
+    * portable — with a primitive loop instead of per-element lambda
+    * dispatch and intermediate arrays.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.DotProduct(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
 
   /** Squared L2 norm via the same sequential fold. */
   def normSq(a: Column): Column = dot(a, a)
 
   /** Cosine similarity — bit-exact across engines for identical float
     * arrays (same products, same fold order, IEEE doubles throughout).
+    * For pair pipelines prefer precomputed norms (see cosinePairs).
     */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(normSq(a) * normSq(b))
 
+  /** Input side of a pair pipeline: vector + its squared norm, computed
+    * exactly once per row.
+    */
+  private def withNormSq(vecs: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String, nsqAs: String): DataFrame =
+    vecs.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+      normSq(col(vecCol)).as(nsqAs))
+
   /** All pairs with cosine >= threshold. Quadratic — exact small-corpus
-    * baseline and the within-bucket re-scorer for the LSH path.
+    * baseline and oracle reference; the scale path is lshCosinePairs.
+    * Norms come from the per-vector pre-pass; only the dot product runs
+    * per pair, and the cosine expression is materialized once
+    * (withColumn) rather than per filter+project.
     */
   def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = vecs.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
-    val b = vecs.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
-    val cos = cosine(col("va"), col("vb"))
-    // Unrounded for the same reason as bruteForceTopK: identical doubles
-    // on both engines; round(x, 6) could split half-way ties.
+    val a = withNormSq(vecs, idCol, vecCol, "vec_a", "va", "naa")
+    val b = withNormSq(vecs, idCol, vecCol, "vec_b", "vb", "nbb")
     a.join(b, col("vec_a") < col("vec_b"))
-      .filter(cos >= threshold)
-      .select(col("vec_a"), col("vec_b"), cos.as("cos_sim"))
+      // same expression tree as the oracle: dot / sqrt(naa*nbb)
+      .withColumn("cos_sim", dot(col("va"), col("vb")) / sqrt(col("naa") * col("nbb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("vec_a", "vec_b", "cos_sim")
   }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded), ranked by similarity desc with id
-    * tie-break. The query side is broadcast; the corpus streams.
+    * tie-break. The query side is broadcast; the corpus streams with its
+    * norm computed once per row.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
-    val cos = cosine(col("qv"), col("nv"))
+    val q = withNormSq(queries, idCol, vecCol, "qid", "qv", "nq")
+    val c = withNormSq(corpus, idCol, vecCol, "nid", "nv", "nc")
     val ranked = c.join(broadcast(q), col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cos.as("cos_raw"))
+      .withColumn("cos_raw", dot(col("qv"), col("nv")) / sqrt(col("nq") * col("nc")))
       .withColumn("rnk",
         row_number().over(Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("nid"))))
     // cos_sim stays unrounded: both engines derive bit-identical doubles,
@@ -71,31 +91,36 @@ object Similarity {
         col("rnk").cast("long").as("rnk"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table t, plane
-    * p, dim d): md5-derived value uniform in [-1, 1). Reproducible
-    * everywhere without any RNG state.
+  /** Deterministic pseudo-random hyperplane for (table t, plane p): each
+    * component is md5-derived, uniform in [-1, 1), reproducible everywhere
+    * without RNG state. Materialized ONCE on the driver — the md5s are
+    * plan-time constants, never per-row work.
     */
-  private def planeComponent(t: Int, p: Int, d: Column): Column =
-    (conv(substring(md5(concat(lit(s"t${t}p$p#"), d)), 1, 15), 16, 10).cast("double")
-      / lit(math.pow(2.0, 59)) - lit(1.0))
+  private[ops] def planeVector(t: Int, p: Int, dim: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { d =>
+      val hex = md.digest(s"t${t}p$p#$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2.0, 59) - 1.0
+    }
+  }
 
-  /** Random-hyperplane LSH bucket for one table: the `nPlanes` sign bits
-    * of deterministic hyperplane dot products, packed into a long.
+  /** LSH bucket for one table: the `nPlanes` sign bits of dot products
+    * against constant hyperplanes, packed into a long.
     */
-  private def bucketExpr(v: Column, table: Int, nPlanes: Int): Column =
+  private def bucketExpr(v: Column, table: Int, nPlanes: Int, dim: Int): Column =
     (0 until nPlanes).map { p =>
-      val dot = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeComponent(table, p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      val plane = typedLit(planeVector(table, p, dim))
+      val d = aggregate(zip_with(v, plane, (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Single-table bucketing (table 0) — the building block; vectors in the
     * same bucket are near-neighbor candidates.
     */
   def hyperplaneBuckets(vecs: DataFrame, idCol: String, vecCol: String,
-      nPlanes: Int = 8): DataFrame =
-    vecs.select(col(idCol), col(vecCol), bucketExpr(col(vecCol), 0, nPlanes).as("bucket"))
+      nPlanes: Int = 8, dim: Int = 64): DataFrame =
+    vecs.select(col(idCol), col(vecCol), bucketExpr(col(vecCol), 0, nPlanes, dim).as("bucket"))
 
   /** Approximate near-neighbor pairs: `nTables` independent LSH tables
     * (candidate = same bucket in ANY table — recall 1-(1-p^k)^L like
@@ -104,21 +129,24 @@ object Similarity {
     * equi-join keyed on (table, bucket), never an all-pairs product.
     */
   def lshCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nPlanes: Int = 8, nTables: Int = 8): DataFrame = {
-    val tb = vecs.select(col(idCol), col(vecCol),
+      threshold: Double, nPlanes: Int = 8, nTables: Int = 8, dim: Int = 64): DataFrame = {
+    val withN = vecs.select(col(idCol), col(vecCol), normSq(col(vecCol)).as("nsq"))
+    val tb = withN.select(col(idCol), col(vecCol), col("nsq"),
       explode(array((0 until nTables).map(t =>
-        struct(lit(t).as("tbl"), bucketExpr(col(vecCol), t, nPlanes).as("bucket"))): _*)).as("b"))
-      .select(col(idCol), col(vecCol), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
-    val a = tb.select(col("tbl"), col("bucket"), col(idCol).as("vec_a"), col(vecCol).as("va"))
+        struct(lit(t).as("tbl"), bucketExpr(col(vecCol), t, nPlanes, dim).as("bucket"))): _*)).as("b"))
+      .select(col(idCol), col(vecCol), col("nsq"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+    val a = tb.select(col("tbl"), col("bucket"), col(idCol).as("vec_a"),
+      col(vecCol).as("va"), col("nsq").as("naa"))
     val b = tb.select(col("tbl").as("tbl_b"), col("bucket").as("bucket_b"),
-      col(idCol).as("vec_b"), col(vecCol).as("vb"))
+      col(idCol).as("vec_b"), col(vecCol).as("vb"), col("nsq").as("nbb"))
     val cand = a.join(b,
         col("tbl") === col("tbl_b") && col("bucket") === col("bucket_b") &&
           col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b", "va", "vb")
+      .select("vec_a", "vec_b", "va", "vb", "naa", "nbb")
       .distinct() // a pair can collide in several tables; score it once
-    val cos = cosine(col("va"), col("vb"))
-    cand.filter(cos >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(cos, 6).as("cos_sim"))
+    cand
+      .withColumn("cos_raw", dot(col("va"), col("vb")) / sqrt(col("naa") * col("nbb")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cos_sim"))
   }
 }

@@ -47,6 +47,16 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sig(1L) ^ sig(4L)) > hamming)
   }
 
+  test("nearDuplicates (LSH -> exact re-score) agrees with all-pairs jaccard on its candidates") {
+    val viaLsh = Dedup.nearDuplicates(docs, "doc_id", "text", 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // no false positives, identical scores on recovered pairs
+    viaLsh.foreach { case (pair, j) => assert(exact(pair) == j) }
+    assert(viaLsh.contains((1L, 2L)))
+  }
+
   test("ngram jaccard scores the near dup high and excludes disjoint docs") {
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
