@@ -1,0 +1,143 @@
+package graft.ml
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.ops.{Filters, Timeseries}
+
+/** The `gordo-components build` analogue (reference trace SURVEY.md §3.1:
+  * `cli/cli.py::build` → `builder/build_model.py::build_model` →
+  * `TimeSeriesDataset.get_data` → pipeline fit → CV → metadata dump;
+  * public repo, mount empty §0) — re-expressed as ONE SparkSession job:
+  *
+  *   long scan → resample+align (one shuffle) → row filter → CV folds
+  *   (ts-range filters) → MLlib fit → threshold agg → artifact + metadata.
+  *
+  * The reference's per-machine pod, ThreadPool tag downloads, and chunked
+  * client loop all collapse into Spark task scheduling. The md5 build
+  * cache (`provide_saved_model`) survives as DiskRegistry.
+  *
+  * Machine config (JSON; YAML parses to the same tree):
+  * {{{
+  * { "name": "m1",
+  *   "dataset": { "tags": ["click","view"], "resolution": "10 minutes",
+  *                "row_filter": "`click` > 0" },
+  *   "model": { "k": 2, "threshold_pctl": 0.99 },
+  *   "evaluation": { "n_splits": 3 } }
+  * }}}
+  */
+object ModelBuilder {
+
+  case class BuildResult(path: String, model: PcaAnomalyModel, metadata: String)
+
+  /** Build the wide feature matrix from a long-format frame per the
+    * dataset config — the `TimeSeriesDataset.get_data` analogue.
+    */
+  def dataset(longDf: DataFrame, cfg: Map[String, Any]): (DataFrame, Seq[String]) = {
+    val ds = obj(cfg, "dataset")
+    val tags = strList(ds, "tags")
+    val resolution = ds.getOrElse("resolution", "10 minutes").toString
+    val tsCol = ds.getOrElse("ts_col", "ts").toString
+    val tagCol = ds.getOrElse("tag_col", "tag").toString
+    val valueCol = ds.getOrElse("value_col", "value").toString
+    var wide = Timeseries.align(longDf, tsCol, tagCol, valueCol, tags, resolution)
+    ds.get("row_filter").foreach(f => wide = Filters.rowFilter(wide, f.toString))
+    (wide, tags)
+  }
+
+  /** Full build: dataset → expanding-window CV (per-fold threshold +
+    * score stats on strictly-later validation data) → final fit on all
+    * data → model + metadata.json under `outDir/<name>/`, registered in
+    * the content-addressed cache (a config re-build is a registry hit and
+    * does no Spark work).
+    */
+  def build(spark: SparkSession, configJson: String, longDf: DataFrame,
+      outDir: String): BuildResult = {
+    val cfg = parse(configJson)
+    val name = cfg.getOrElse("name", "machine").toString
+    val registry = DiskRegistry(s"$outDir/registry")
+
+    val path = registry.getOrBuild(configJson) {
+      val (wide, tags) = dataset(longDf, cfg)
+      val model = obj(cfg, "model")
+      val k = intOf(model, "k", 2)
+      val pctl = model.get("threshold_pctl").map(_.toString.toDouble).getOrElse(0.99)
+      val nSplits = intOf(obj(cfg, "evaluation"), "n_splits", 3)
+
+      val folds = TimeSeriesCV.folds(wide, "bucket", nSplits)
+      val foldMeta = folds.zipWithIndex.map { case ((train, valid), i) =>
+        val m = PcaAnomaly.fit(train, tags, k, pctl)
+        val stats = m.score(valid).agg(
+          count(lit(1)).as("n"),
+          avg(col("anomaly_score")).as("mean_score"),
+          max(col("anomaly_score")).as("max_score")).head()
+        s"""{"fold": $i, "threshold": ${m.threshold}, "val_rows": ${stats.getLong(0)},
+           | "val_mean_score": ${stats.getAs[Double]("mean_score")},
+           | "val_max_score": ${stats.getAs[Double]("max_score")}}""".stripMargin
+          .replaceAll("\n", "")
+      }
+
+      val finalModel = PcaAnomaly.fit(wide, tags, k, pctl)
+      val dir = Paths.get(outDir, name)
+      Files.createDirectories(dir)
+      finalModel.pipeline.write.overwrite().save(dir.resolve("model").toString)
+      val metadata =
+        s"""{"name": "$name",
+           | "tags": [${tags.map("\"" + _ + "\"").mkString(", ")}],
+           | "rows": ${wide.count()},
+           | "model": {"type": "pca_anomaly", "k": $k, "threshold": ${finalModel.threshold},
+           |           "threshold_pctl": $pctl},
+           | "cv": [${foldMeta.mkString(", ")}],
+           | "config_key": "${registry.key(configJson)}"}""".stripMargin
+      Files.writeString(dir.resolve("metadata.json"), metadata)
+      Files.writeString(dir.resolve("threshold.txt"), finalModel.threshold.toString)
+      dir.toString
+    }
+
+    val threshold = Files.readString(Paths.get(path, "threshold.txt")).trim.toDouble
+    val pipeline = PipelineModel.load(Paths.get(path, "model").toString)
+    BuildResult(path, PcaAnomalyModel(pipeline, threshold),
+      Files.readString(Paths.get(path, "metadata.json")))
+  }
+
+  /** Bulk scoring over a time range — the `client predict` analogue
+    * (SURVEY.md §3.3): one lazy plan, no chunking/retry loop.
+    */
+  def predict(result: BuildResult, longDf: DataFrame, cfg: String): DataFrame = {
+    val (wide, _) = dataset(longDf, parse(cfg))
+    result.model.anomaly(wide)
+  }
+
+  // -- config plumbing ----------------------------------------------------
+
+  private def parse(json: String): Map[String, Any] =
+    toPlain(JsonMethods.parse(json)).asInstanceOf[Map[String, Any]]
+
+  private def toPlain(v: JValue): Any = v match {
+    case JObject(fields) => fields.map { case (k, x) => k -> toPlain(x) }.toMap
+    case JArray(items) => items.map(toPlain)
+    case JString(s) => s
+    case JInt(i) => i.toInt
+    case JLong(l) => l
+    case JDouble(d) => d
+    case JDecimal(d) => d.toDouble
+    case JBool(b) => b
+    case JNull | JNothing => null
+  }
+
+  private def obj(m: Map[String, Any], k: String): Map[String, Any] = m.get(k) match {
+    case Some(o: Map[_, _]) => o.asInstanceOf[Map[String, Any]]
+    case _ => Map.empty
+  }
+  private def strList(m: Map[String, Any], k: String): Seq[String] = m.get(k) match {
+    case Some(s: Seq[_]) => s.map(_.toString)
+    case _ => throw new IllegalArgumentException(s"dataset.$k must be a string list")
+  }
+  private def intOf(m: Map[String, Any], k: String, default: Int): Int =
+    m.get(k).map(_.toString.toInt).getOrElse(default)
+}

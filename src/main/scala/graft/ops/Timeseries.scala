@@ -87,6 +87,13 @@ object Timeseries {
   /** Forward-fill nulls within each partition key, ordered by `orderCol` —
     * the resample-gap padding analogue (`win_ffill`). Spark-only op (no
     * portable SQL oracle: DuckDB lacks IGNORE NULLS `last_value` portably).
+    *
+    * Scale caveat: with `partitionBy = Seq.empty` the window is a single
+    * global sort partition — fine for one machine's wide matrix (gordo's
+    * unit of work, bounded by resolution × time range), WRONG for a 100 TB
+    * frame. At scale partition by tag/machine (the natural key) or use
+    * `streaming.Streams.scoreOnline`-style stateful processing where the
+    * carry-over is explicit state.
     */
   def ffill(df: DataFrame, cols: Seq[String], partitionBy: Seq[String], orderCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

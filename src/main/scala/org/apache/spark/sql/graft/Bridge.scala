@@ -12,4 +12,21 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Imperative registration of graft's SQL functions into an EXISTING
+    * session (the extension route, `graft.GraftExtensions`, only applies
+    * at session build time). Uses the session's own function registry, so
+    * it composes with `newSession()` isolation.
+    */
+  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[graft.expressions.DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"graft_dot takes 2 arguments, got ${children.length}")
+        graft.expressions.DotProduct(children.head, children(1))
+      })
+  }
 }

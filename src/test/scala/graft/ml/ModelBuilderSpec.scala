@@ -1,0 +1,48 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ModelBuilderSpec extends SparkSpec {
+
+  private val config =
+    """{"name": "events-anomaly",
+      |  "dataset": {"tags": ["click", "view", "purchase"],
+      |              "resolution": "1 hour",
+      |              "tag_col": "event_type", "value_col": "value"},
+      |  "model": {"k": 2, "threshold_pctl": 0.95},
+      |  "evaluation": {"n_splits": 2}}""".stripMargin
+
+  private def events = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  test("build produces a reloadable model, metadata, and scores new data") {
+    val out = java.nio.file.Files.createTempDirectory("graft-build").toString
+    val result = ModelBuilder.build(spark, config, events, out)
+
+    assert(result.metadata.contains("\"name\": \"events-anomaly\""))
+    assert(result.metadata.contains("\"cv\":"))
+    assert(result.model.threshold > 0)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(result.path, "metadata.json")))
+
+    val scored = ModelBuilder.predict(result, events, config)
+    assert(scored.columns.contains("anomaly_score") && scored.columns.contains("anomalous"))
+    val n = scored.count()
+    val flagged = scored.filter(col("anomalous")).count()
+    assert(n > 0 && flagged < n) // 0.95 pctl threshold: some but not all flagged
+  }
+
+  test("rebuilding the same config is a registry hit (no new artifact)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-build2").toString
+    val r1 = ModelBuilder.build(spark, config, events, out)
+    val mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(r1.path, "metadata.json"))
+    val r2 = ModelBuilder.build(spark, config, events, out)
+    assert(r1.path == r2.path)
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(r2.path, "metadata.json")) == mtime)
+  }
+}
