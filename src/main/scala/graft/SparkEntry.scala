@@ -410,6 +410,25 @@ object SparkEntry {
     Similarity.lshCosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
       .orderBy("vec_a", "vec_b")
 
+  /** Spark-only: IVF coarse-quantizer ANN — probe-limited top-k. */
+  private def q_simsearch_ivf(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5,
+        nLists = 16, nProbe = 4)
+      .select(col("qid"), col("nid"), round(col("cos_sim"), 6).as("cos_sim"), col("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Spark-only: linear interpolation of resample gaps. */
+  private def q_win_interpolate(s: SparkSession, dir: String): DataFrame = {
+    val wide = Timeseries.align(E(s, dir), "ts", "event_type", "value",
+      Seq("click", "view", "purchase"), "10 minutes", dropIncomplete = false)
+    Timeseries.interpolate(wide, Seq("click", "view", "purchase"), Seq.empty, "bucket")
+      .select(col("bucket"), round(col("click"), 6).as("click_v"),
+        round(col("view"), 6).as("view_v"), round(col("purchase"), 6).as("purchase_v"))
+      .orderBy("bucket")
+  }
+
   private def q_text_langid(s: SparkSession, dir: String): DataFrame = {
     val d = T(s, dir, "documents")
     d.join(TextAnalysis.langId(d, "doc_id", "text"), "doc_id")
@@ -522,6 +541,8 @@ object SparkEntry {
     "text_quality" -> (q_text_quality _),
     "text_tokens" -> (q_text_tokens _),
     "text_fingerprint" -> (q_text_fingerprint _),
+    "simsearch_ivf" -> (q_simsearch_ivf _),
+    "win_interpolate" -> (q_win_interpolate _),
     "stream_resample" -> (q_stream_resample _),
     "stream_session" -> (q_stream_session _),
     "stream_score" -> (q_stream_score _),

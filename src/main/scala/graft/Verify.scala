@@ -11,6 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // keep the INT96 timestamp default: readers see tz-NAIVE values,
+      // matching the DuckDB oracle's TIMESTAMP; TIMESTAMP_MICROS would
+      // surface as tz-aware (isAdjustedToUTC) and break naive compares
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

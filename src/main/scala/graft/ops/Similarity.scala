@@ -122,6 +122,58 @@ object Similarity {
       nPlanes: Int = 8, dim: Int = 64): DataFrame =
     vecs.select(col(idCol), col(vecCol), bucketExpr(col(vecCol), 0, nPlanes, dim).as("bucket"))
 
+  /** IVF (inverted-file) approximate top-k: cluster the corpus with
+    * seeded k-means (deterministic), then for each query probe only the
+    * `nProbe` nearest cluster lists instead of the full corpus — the
+    * classic coarse-quantizer ANN layout. At 100 TB the cluster
+    * assignment is a narrow map over the corpus, the probe-list join is
+    * an equi-join on the centroid id, and per-query work drops by
+    * ~nlist/nProbe versus brute force.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+
+    val asVec = corpus.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("__v"))
+    val km = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("__v")
+    val model = km.fit(asVec)
+    val assigned = model.transform(asVec)
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"),
+        col(km.getPredictionCol).as("cluster"), normSq(col(vecCol)).as("nc"))
+
+    // centroid table is tiny (nLists rows) — broadcast to rank per query
+    val centroids = model.clusterCenters.zipWithIndex.toSeq.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cdf = centroids.toDF("cluster", "cvec")
+
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      normSq(col(vecCol)).as("nq"))
+    // nearest nProbe centroids per query (query side is small: broadcast both ways)
+    val probes = q.crossJoin(broadcast(cdf))
+      // rank centroids by cosine (|q| is constant per query, so
+      // dot/||centroid|| gives the same ordering)
+      .withColumn("cdist",
+        dot(col("qv").cast("array<double>"), col("cvec")) / sqrt(dot(col("cvec"), col("cvec"))))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cdist").desc, col("cluster"))))
+      .filter(col("crnk") <= nProbe)
+      .select("qid", "qv", "nq", "cluster")
+
+    val ranked = assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos_raw", dot(col("qv"), col("nv")) / sqrt(col("nq") * col("nc")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("nid"))))
+    ranked.filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("cos_raw").as("cos_sim"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** Approximate near-neighbor pairs: `nTables` independent LSH tables
     * (candidate = same bucket in ANY table — recall 1-(1-p^k)^L like
     * MinHash banding), then exact re-score within buckets only. The scale

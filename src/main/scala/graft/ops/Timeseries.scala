@@ -105,4 +105,30 @@ object Timeseries {
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
   }
+
+  /** Linear interpolation of gaps: a null at position t between the
+    * nearest non-null neighbors (t0, v0) and (t1, v1) becomes
+    * v0 + (v1 - v0)·(t - t0)/(t1 - t0); leading/trailing nulls stay null
+    * (pandas `interpolate(method="time")`-style, limit_area="inside").
+    * Two windows (backward + forward ignore-nulls) per column — same
+    * single-partition caveat as ffill when partitionBy is empty.
+    */
+  def interpolate(df: DataFrame, cols: Seq[String], partitionBy: Seq[String],
+      orderCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Window.partitionBy(partitionBy.map(col): _*).orderBy(col(orderCol))
+    val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val t = unix_micros(col(orderCol).cast("timestamp")).cast("double")
+    cols.foldLeft(df) { (d, c) =>
+      val vPrev = last(col(c), ignoreNulls = true).over(back)
+      val vNext = first(col(c), ignoreNulls = true).over(fwd)
+      val tPrev = last(when(col(c).isNotNull, t), ignoreNulls = true).over(back)
+      val tNext = first(when(col(c).isNotNull, t), ignoreNulls = true).over(fwd)
+      d.withColumn(c,
+        when(col(c).isNotNull, col(c))
+          .when(vPrev.isNotNull && vNext.isNotNull,
+            vPrev + (vNext - vPrev) * (t - tPrev) / (tNext - tPrev)))
+    }
+  }
 }

@@ -54,6 +54,23 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets(0) == buckets(1))
   }
 
+  test("IVF top-k: high overlap with brute-force top-k on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, e, "vec_id", "embedding", 10,
+        nLists = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall")
+    // probing all lists must be exactly brute force
+    val full = Similarity.ivfTopK(queries, e, "vec_id", "embedding", 10,
+        nLists = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+  }
+
   test("LSH recall: bucketed pairs recover most high-cosine pairs on real data") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.35)

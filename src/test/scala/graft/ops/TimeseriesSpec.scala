@@ -82,6 +82,23 @@ class TimeseriesSpec extends SparkSpec {
     assert(out(0).getAs[Double]("min_value") == 1.0)
   }
 
+  test("interpolate fills interior gaps linearly, leaves edges null") {
+    val df = Seq(
+      ("2024-01-01 00:00:00", Option.empty[Double]),
+      ("2024-01-01 00:10:00", Some(10.0)),
+      ("2024-01-01 00:20:00", Option.empty[Double]),
+      ("2024-01-01 00:40:00", Some(40.0)),
+      ("2024-01-01 00:50:00", Option.empty[Double])
+    ).toDF("s", "v").withColumn("t", to_timestamp(col("s"))).drop("s")
+    val out = Timeseries.interpolate(df, Seq("v"), Seq.empty, "t")
+      .orderBy("t").select("v").as[Option[Double]].collect()
+    assert(out(0).isEmpty) // leading
+    assert(out(1).contains(10.0))
+    assert(out(2).contains(20.0)) // 10 + (40-10)*(10/30)
+    assert(out(3).contains(40.0))
+    assert(out(4).isEmpty) // trailing
+  }
+
   test("ffill forward-fills gaps without touching leading nulls") {
     val df = Seq(
       (1L, Option.empty[Double]),
