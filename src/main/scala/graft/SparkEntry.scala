@@ -361,6 +361,16 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
       .orderBy("event_id")
 
+  /** The reference's `multiply_by` FunctionTransformer
+    * (`model/transformer_funcs/general.py`): scale a matrix by a scalar.
+    */
+  private def q_fn_multiply_by(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity") * lit(2.5), 6).as("qty_x"),
+        round(col("l_extendedprice") * lit(0.5), 6).as("price_x"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   // ---------------------------------------------------------------------
   // North-star extensions: dedup / similarity search / text analysis over
   // the documents + embeddings tables (SURVEY.md §2 north-star rows).
@@ -530,6 +540,7 @@ object SparkEntry {
     "fn_math_anomaly" -> (q_fn_math_anomaly _),
     "fn_string_tag" -> (q_fn_string_tag _),
     "fn_json_props" -> (q_fn_json_props _),
+    "fn_multiply_by" -> (q_fn_multiply_by _),
     "dedup_exact" -> (q_dedup_exact _),
     "dedup_minhash_lsh" -> (q_dedup_minhash_lsh _),
     "dedup_simhash" -> (q_dedup_simhash _),
@@ -788,6 +799,11 @@ object SparkEntry {
     "fn_json_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_multiply_by" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_quantity * 2.5, 6) AS qty_x,
+        |  round(l_extendedprice * 0.5, 6) AS price_x
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "dedup_exact" ->
       s"""WITH $docsWithDupsSql
          |SELECT md5(lower(trim(text))) AS h, min(doc_id) AS canonical_id,

@@ -53,8 +53,13 @@ object Dedup {
     */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
       dedupe: Boolean = true): DataFrame = {
+    // Materialize the word array as a column FIRST: if `shingles` received
+    // the raw split(...) expression, every element_at inside the transform
+    // lambda would re-run the split — ~3·shingle-count tokenizations per
+    // row (measured 8s for 287k shingles; this projection makes it one).
     val exploded = docs
-      .select(col(idCol).as("doc_id"), explode(shingles(words(col(textCol)), n)).as("s"))
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("__ws"))
+      .select(col("doc_id"), explode(shingles(col("__ws"), n)).as("s"))
     if (dedupe) exploded.distinct() else exploded
   }
 

@@ -43,17 +43,21 @@ object TextAnalysis {
     */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String] = Seq("the", "a", "of", "to", "and")): DataFrame = {
-    val ws = words(col(textCol))
+    // project the tokenization once — the expression is referenced five
+    // times below and would otherwise re-split per reference
+    val projected = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+      words(col(textCol)).as("__ws"))
+    val ws = col("__ws")
     val nWords = size(ws)
     val nDistinct = size(array_distinct(ws))
     val nStop = size(filter(ws, w => w.isInCollection(stopwords)))
-    docs.select(
-      col(idCol).as("doc_id"),
+    projected.select(
+      col("doc_id"),
       nWords.cast("long").as("n_words"),
       nDistinct.cast("long").as("n_distinct"),
       round(nStop * lit(1.0) / nWords, 6).as("stopword_ratio"),
       round(nDistinct * lit(1.0) / nWords, 6).as("ttr"),
-      round(length(regexp_replace(col(textCol), " ", "")) * lit(1.0) / nWords, 6)
+      round(length(regexp_replace(col("__text"), " ", "")) * lit(1.0) / nWords, 6)
         .as("avg_word_len"))
   }
 
