@@ -137,7 +137,9 @@ object Similarity {
 
     val asVec = corpus.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol).cast("array<double>")).as("__v"))
-    val km = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("__v")
+    // few iterations suffice: the quantizer only needs stable-enough cells,
+    // not converged centroids (correctness is governed by nProbe)
+    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8).setFeaturesCol("__v")
     val model = km.fit(asVec)
     val assigned = model.transform(asVec)
       .select(col(idCol).as("nid"), col(vecCol).as("nv"),
