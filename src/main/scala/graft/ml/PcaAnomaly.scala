@@ -43,6 +43,33 @@ object PcaAnomaly {
       sqrt(greatest(sumSq(x) - sumSq(z), lit(0.0))))
   }
 
+  /** Per-tag anomaly decomposition — the reference's `tag-anomaly-scaled`
+    * columns: |x_j − x̂_j| where x̂ = W·Wᵀx is the PCA reconstruction of
+    * the standardized input. W is k×d and tiny (gordo tag lists are tens
+    * of columns), so the reconstruction is d·k multiply-adds of LITERAL
+    * coefficients per row — pure codegen'd column math, no matrix library
+    * in the row path.
+    */
+  def perTagScores(model: PcaAnomalyModel, df: DataFrame, tags: Seq[String]): DataFrame = {
+    import org.apache.spark.ml.feature.PCAModel
+    val pcaModel = model.pipeline.stages.collectFirst { case p: PCAModel => p }
+      .getOrElse(throw new IllegalStateException("pipeline has no PCA stage"))
+    val pc = pcaModel.pc // d x k, column-major principal components
+    val d = pc.numRows
+    val k = pc.numCols
+    val transformed = model.pipeline.transform(df)
+    val x = vector_to_array(col(PipelineFactory.ScaledCol))
+    val z = vector_to_array(col("pca_features"))
+    val withErr = tags.zipWithIndex.foldLeft(transformed) { case (acc, (tag, j)) =>
+      require(j < d, s"tag index $j out of range for ${d}x$k component matrix")
+      val reconstructed = (0 until k)
+        .map(c => element_at(z, c + 1) * lit(pc(j, c)))
+        .reduce(_ + _)
+      acc.withColumn(s"tag_anomaly_$tag", abs(element_at(x, j + 1) - reconstructed))
+    }
+    withErr.drop(PipelineFactory.FeaturesCol, PipelineFactory.ScaledCol, "pca_features")
+  }
+
   /** Fit scaler+PCA on `train`, then fit the anomaly threshold as the
     * `pctl` exact percentile of the training scores. Two jobs total: one
     * MLlib fit, one percentile aggregate — nothing collects except the

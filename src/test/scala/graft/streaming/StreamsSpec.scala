@@ -83,6 +83,38 @@ class StreamsSpec extends SparkSpec {
     assert(out(2).getAs[Long]("user_id") == 2L)
   }
 
+  test("file-source pipeline: readStream parquet -> resample -> parquet sink with checkpoint") {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val (in, out, chk) = (s"$root/in", s"$root/out", s"$root/chk")
+    // files arriving over time: append part-files into the watched dir
+    // (the file stream source does not recurse into subdirectories)
+    readings.take(3).toDF.coalesce(1).write.mode("append").parquet(in)
+    val schema = readings.toDF.schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val q = Streams.resample(stream, "ts", "tag", "value", "10 minutes", "0 seconds")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", chk).outputMode("append").start()
+    val sentinel = Reading("a", ts("2024-01-01 02:00:00"), 0.0)
+    try {
+      q.processAllAvailable()
+      readings.drop(3).toDF.coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+      // the watermark advances at batch END and emits in the NEXT batch —
+      // a late sentinel file forces that final emitting batch
+      Seq(sentinel).toDF.coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+    val result = spark.read.parquet(out)
+    val batch = Streams.resample((readings :+ sentinel).toDF,
+      "ts", "tag", "value", "10 minutes", "0 seconds")
+    // append mode emits watermark-closed windows; each must match batch
+    val key = (r: org.apache.spark.sql.Row) => (r.getTimestamp(0), r.getString(1))
+    val batchMap = batch.collect().map(r => key(r) -> (r.getDouble(2), r.getLong(3))).toMap
+    val rows = result.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(batchMap(key(r)) == ((r.getDouble(2), r.getLong(3)))))
+  }
+
   test("scoreOnline is prequential and identical between batch and two-batch stream") {
     // batch (single pass over a static Dataset)
     val batchScores = Streams.scoreOnline(readings.toDS, 1.5)
