@@ -48,6 +48,30 @@ class TagSourcesSpec extends SparkSpec {
     assert(out.select("tag").as[String].collect().sorted.toSeq == Seq("T1", "T3"))
   }
 
+  test("ParquetLakeStore implements the TimeSeriesReader contract") {
+    val dir = tmpDir()
+    Seq(("2024-03-01 00:00:00", 7.0)).toDF("s", "value")
+      .select(to_timestamp(col("s")).as("ts"), col("value"))
+      .write.parquet(s"$dir/T9_2024.parquet")
+    val store = new ParquetLakeStore(dir)
+    assert(store.canHandleTag("T9") && !store.canHandleTag("NOPE"))
+    val out = store.loadSeries(spark, Seq("T9"),
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+    assert(out.columns.toSeq == Seq("ts", "tag", "value"))
+    assert(out.count() == 1)
+  }
+
+  test("InfluxStore stub declares itself unimplemented, not wrong") {
+    val store = new InfluxStore("http://example", "db", "m")
+    val e = intercept[UnsupportedOperationException] {
+      store.loadSeries(spark, Seq("T1"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    }
+    assert(e.getMessage.contains("stub"))
+  }
+
   test("missingTags reports requested tags that yielded no rows") {
     val longDf = Seq(("2024-01-01 00:00:00", 1.0, "T1")).toDF("s", "value", "tag")
     val missing = TagSources.missingTags(spark, longDf, Seq("T1", "T2", "T3"))
