@@ -33,7 +33,8 @@ object AnomalyMath {
     Seq(
       avg(abs(e)).as("mae"),
       sqrt(avg(e * e)).as("rmse"),
-      (lit(1.0) - avg(e * e) / var_pop(y)).as("r2")
+      // nullif: constant y yields null r2 instead of an ANSI crash
+      (lit(1.0) - avg(e * e) / nullif(var_pop(y), lit(0.0))).as("r2")
     )
   }
 

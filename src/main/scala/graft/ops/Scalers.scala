@@ -29,7 +29,10 @@ object Scalers {
     )
     val joined = df.crossJoin(broadcast(bounds))
     val out = cols.foldLeft(joined) { (d, c) =>
-      d.withColumn(s"${c}_scaled", (col(c) - col(s"__min_$c")) / (col(s"__max_$c") - col(s"__min_$c")))
+      // nullif: a constant column scales to null, not a DIVIDE_BY_ZERO
+      // crash (ANSI mode throws on 0-divisor)
+      d.withColumn(s"${c}_scaled",
+        (col(c) - col(s"__min_$c")) / nullif(col(s"__max_$c") - col(s"__min_$c"), lit(0.0)))
     }
     out.drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
   }
@@ -42,7 +45,8 @@ object Scalers {
     )
     val joined = df.crossJoin(broadcast(stats))
     val out = cols.foldLeft(joined) { (d, c) =>
-      d.withColumn(s"${c}_scaled", (col(c) - col(s"__avg_$c")) / col(s"__std_$c"))
+      d.withColumn(s"${c}_scaled",
+        (col(c) - col(s"__avg_$c")) / nullif(col(s"__std_$c"), lit(0.0)))
     }
     out.drop(cols.flatMap(c => Seq(s"__avg_$c", s"__std_$c")): _*)
   }

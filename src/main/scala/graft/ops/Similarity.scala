@@ -44,7 +44,7 @@ object Similarity {
     * For pair pipelines prefer precomputed norms (see cosinePairs).
     */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(normSq(a) * normSq(b))
+    dot(a, b) / sqrt(nullif(normSq(a) * normSq(b), lit(0.0)))
 
   /** Input side of a pair pipeline: vector + its squared norm, computed
     * exactly once per row.
@@ -65,7 +65,8 @@ object Similarity {
     val b = withNormSq(vecs, idCol, vecCol, "vec_b", "vb", "nbb")
     a.join(b, col("vec_a") < col("vec_b"))
       // same expression tree as the oracle: dot / sqrt(naa*nbb)
-      .withColumn("cos_sim", dot(col("va"), col("vb")) / sqrt(col("naa") * col("nbb")))
+      .withColumn("cos_sim",
+        dot(col("va"), col("vb")) / sqrt(nullif(col("naa") * col("nbb"), lit(0.0))))
       .filter(col("cos_sim") >= threshold)
       .select("vec_a", "vec_b", "cos_sim")
   }
@@ -80,7 +81,8 @@ object Similarity {
     val q = withNormSq(queries, idCol, vecCol, "qid", "qv", "nq")
     val c = withNormSq(corpus, idCol, vecCol, "nid", "nv", "nc")
     val ranked = c.join(broadcast(q), col("qid") =!= col("nid"))
-      .withColumn("cos_raw", dot(col("qv"), col("nv")) / sqrt(col("nq") * col("nc")))
+      .withColumn("cos_raw",
+        dot(col("qv"), col("nv")) / sqrt(nullif(col("nq") * col("nc"), lit(0.0))))
       .withColumn("rnk",
         row_number().over(Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("nid"))))
     // cos_sim stays unrounded: both engines derive bit-identical doubles,
@@ -160,7 +162,8 @@ object Similarity {
       // rank centroids by cosine (|q| is constant per query, so
       // dot/||centroid|| gives the same ordering)
       .withColumn("cdist",
-        dot(col("qv").cast("array<double>"), col("cvec")) / sqrt(dot(col("cvec"), col("cvec"))))
+        dot(col("qv").cast("array<double>"), col("cvec"))
+          / sqrt(nullif(dot(col("cvec"), col("cvec")), lit(0.0))))
       .withColumn("crnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("cdist").desc, col("cluster"))))
       .filter(col("crnk") <= nProbe)
@@ -168,7 +171,8 @@ object Similarity {
 
     val ranked = assigned.join(broadcast(probes), Seq("cluster"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cos_raw", dot(col("qv"), col("nv")) / sqrt(col("nq") * col("nc")))
+      .withColumn("cos_raw",
+        dot(col("qv"), col("nv")) / sqrt(nullif(col("nq") * col("nc"), lit(0.0))))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("nid"))))
     ranked.filter(col("rnk") <= k)
@@ -199,7 +203,8 @@ object Similarity {
       .select("vec_a", "vec_b", "va", "vb", "naa", "nbb")
       .distinct() // a pair can collide in several tables; score it once
     cand
-      .withColumn("cos_raw", dot(col("va"), col("vb")) / sqrt(col("naa") * col("nbb")))
+      .withColumn("cos_raw",
+        dot(col("va"), col("vb")) / sqrt(nullif(col("naa") * col("nbb"), lit(0.0))))
       .filter(col("cos_raw") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cos_sim"))
   }

@@ -1,0 +1,92 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior: empty frames, all-null columns, unicode
+  * text, zero vectors. These pin down semantics so a 100 TB run can't be
+  * surprised by a weird partition.
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("align on an empty frame yields an empty wide matrix with the right schema") {
+    val empty = Seq.empty[(Timestamp, String, Double)].toDF("ts", "tag", "value")
+    val wide = Timeseries.align(empty, "ts", "tag", "value", Seq("a", "b"), "10 minutes")
+    assert(wide.columns.toSeq == Seq("bucket", "a", "b"))
+    assert(wide.count() == 0)
+  }
+
+  test("align drops buckets where a tag has only null values") {
+    val df = Seq(
+      (ts("2024-01-01 00:01:00"), "a", Some(1.0)),
+      (ts("2024-01-01 00:02:00"), "b", Option.empty[Double])
+    ).toDF("ts", "tag", "value")
+    assert(Timeseries.align(df, "ts", "tag", "value", Seq("a", "b"), "10 minutes").count() == 0)
+  }
+
+  test("dedup handles unicode text: CJK, emoji, combining marks") {
+    val docs = Seq(
+      (1L, "机器 学习 模型 训练 数据 处理"),
+      (2L, "机器 学习 模型 训练 数据 处理"),
+      (3L, "héllo wörld ñice 🎉 done today yes")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(exact.length == 2)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    val sig = Dedup.simhash(docs, "doc_id", "text").collect()
+    assert(sig.length == 3)
+  }
+
+  test("empty documents produce no shingles and vanish from pair ops, not errors") {
+    val docs = Seq((1L, ""), (2L, "one two three four"), (3L, "   ")).toDF("doc_id", "text")
+    val sh = Dedup.shingleTable(docs, "doc_id", "text")
+    assert(sh.select("doc_id").distinct().as[Long].collect().toSeq == Seq(2L))
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.1).count() == 0)
+  }
+
+  test("cosine of a zero vector is null (not an ANSI crash); filters exclude it") {
+    // ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO on 0-divisors —
+    // one zero embedding must not kill a 100 TB job, hence the nullif guard.
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val all = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .as[Option[Double]].collect()
+    assert(all.count(_.isEmpty) == 2) // the two pairs involving the zero vector
+    val kept = Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.5).collect()
+    assert(kept.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 3L)))
+  }
+
+  test("rowFilter keeps pandas == spelling and imputeInf is a no-op without infs") {
+    val df = Seq((1, 2.0), (2, 3.0)).toDF("k", "v")
+    assert(Filters.rowFilter(df, "`k` == 2").count() == 1)
+    val out = Filters.imputeInf(df, Seq("v")).orderBy("k").select("v").as[Double].collect()
+    assert(out.toSeq == Seq(2.0, 3.0))
+  }
+
+  test("imputeInf nulls a column that is ALL inf (no finite bound exists)") {
+    val df = Seq(Double.PositiveInfinity, Double.PositiveInfinity).toDF("v")
+    val out = Filters.imputeInf(df, Seq("v")).select("v").as[Option[Double]].collect()
+    // documented behavior: the finite max is null, so inf imputes to null —
+    // the sklearn InfImputer analogue of filling with NaN when no finite
+    // bound exists
+    assert(out.forall(_.isEmpty))
+  }
+
+  test("bucket is epoch-aligned across day boundaries") {
+    val df = Seq(ts("2024-03-10 23:55:00"), ts("2024-03-11 00:04:00")).toDF("ts")
+    val buckets = df.select(Timeseries.bucket(col("ts"), "10 minutes").as("b"))
+      .as[Timestamp].collect().toSeq
+    assert(buckets == Seq(ts("2024-03-10 23:50:00"), ts("2024-03-11 00:00:00")))
+  }
+}
