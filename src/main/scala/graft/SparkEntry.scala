@@ -171,6 +171,30 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  private def q_join_asof(s: SparkSession, dir: String): DataFrame = {
+    val ev = E(s, dir)
+    val l = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    // right side pre-aggregated to unique (user, ts) — as-of with duplicate
+    // build timestamps is ambiguous in any engine
+    val r = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(avg(col("value")).as("vv"))
+    graft.ops.AsOf.join(l, r, "ts", Seq("user_id"), Seq("vv"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(col("asof_vv"), 6).as("asof_view"))
+      .orderBy("event_id")
+  }
+
+  private def q_win_smooth_time(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_seconds(col("ts")))
+      .rangeBetween(-600, 0) // trailing 10-minute TIME window (not rows)
+    E(s, dir)
+      .select(col("event_id"), col("user_id"),
+        round(avg(col("value")).over(w), 6).as("smoothed_t"))
+      .orderBy("event_id")
+  }
+
   private def q_join_anti(s: SparkSession, dir: String): DataFrame = {
     // "tags that yielded no rows" analogue; the urgent-order predicate keeps
     // the anti side non-empty at every sf (plain no-orders is empty at sf0.01).
@@ -519,6 +543,8 @@ object SparkEntry {
     "join_pred_input" -> (q_join_pred_input _),
     "join_semi" -> (q_join_semi _),
     "join_anti" -> (q_join_anti _),
+    "join_asof" -> (q_join_asof _),
+    "win_smooth_time" -> (q_win_smooth_time _),
     "agg_resample_mean" -> (q_agg_resample_mean _),
     "agg_resample_multi" -> (q_agg_resample_multi _),
     "agg_scaler_fit" -> (q_agg_scaler_fit _),
@@ -688,6 +714,20 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+    "join_asof" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) t, value
+        |           FROM events WHERE event_type = 'click'),
+        |     r AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, avg(value) AS vv
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.value, round(r.vv, 6) AS asof_view
+        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.t >= r.t
+        |ORDER BY event_id""".stripMargin,
+    "win_smooth_time" ->
+      """SELECT event_id, user_id,
+        |  round(avg(value) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 6) AS smoothed_t
+        |FROM events ORDER BY event_id""".stripMargin,
     "agg_resample_mean" ->
       s"""SELECT $bucket10m AS bucket, event_type,
          |  round(avg(value), 6) AS avg_v, count(*) AS n

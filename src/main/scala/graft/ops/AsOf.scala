@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-match) join: for every left row, the latest right
+  * row with `right.ts <= left.ts` within the same key group.
+  *
+  * The reference never needed an as-of join — it resamples both sides to a
+  * shared grid and equi-joins (SURVEY.md §2.3) — but training-data
+  * pipelines joining events to slowly-changing state need the real thing.
+  *
+  * Spark-first design: NOT a range join (which explodes to a
+  * per-pair comparison and falls back to broadcast-nested-loop). Both
+  * sides are unioned with a side marker and processed by ONE window over
+  * (keys, ts): each left row picks up `last(right value, ignoreNulls)` at
+  * that point in time — a single shuffle on the keys, linear work,
+  * identical to the classic sort-merge as-of at 100 TB. Right rows sort
+  * before left rows at equal timestamps, so an exactly-simultaneous right
+  * row matches (`>=` semantics, like DuckDB ASOF JOIN).
+  *
+  * Right timestamps should be unique per key (pre-aggregate if not); with
+  * duplicates the latest row in (ts, input order) wins, which is
+  * deterministic only if the caller makes it so.
+  */
+object AsOf {
+
+  /** @param left      probe side; keeps all its columns
+    * @param right     build side: (keyCols, tsCol, valueCols) only
+    * @param tsCol     event-time column name present on both sides
+    * @param keyCols   equality keys (empty = global as-of — single
+    *                  partition, same caveat as ffill; always pass keys at
+    *                  scale)
+    * @param valueCols right columns to carry; emitted as `asof_<name>`
+    * @param inner     drop left rows with no preceding right row (ASOF
+    *                  JOIN semantics); false keeps them with nulls
+    */
+  def join(left: DataFrame, right: DataFrame, tsCol: String, keyCols: Seq[String],
+      valueCols: Seq[String], inner: Boolean = true): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // side: right=0 sorts before left=1 at equal ts -> >= semantics
+    val l = left
+      .withColumn("__side", lit(1))
+      .select((leftCols.map(col) :+ col("__side")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val r = right
+      .withColumn("__side", lit(0))
+      .select((leftCols.map(c =>
+        if (keyCols.contains(c) || c == tsCol) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+ col("__side")) ++
+        valueCols.map(c => col(c).as(s"__r_$c")): _*)
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .select(col("*") +: valueCols.map(c =>
+        last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+      .drop(valueCols.map(c => s"__r_$c"): _*)
+    if (inner) carried.na.drop("any", valueCols.map(c => s"asof_$c")) else carried
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val left = Seq(
+    (1L, 10L, ts("2024-01-01 00:05:00")),
+    (2L, 10L, ts("2024-01-01 00:10:00")), // exactly simultaneous right row
+    (3L, 10L, ts("2024-01-01 00:30:00")),
+    (4L, 20L, ts("2024-01-01 00:01:00")) // key with no preceding right row
+  ).toDF("id", "k", "ts")
+
+  private lazy val right = Seq(
+    (10L, ts("2024-01-01 00:00:00"), 1.0),
+    (10L, ts("2024-01-01 00:10:00"), 2.0),
+    (10L, ts("2024-01-01 00:20:00"), 3.0),
+    (20L, ts("2024-01-01 00:05:00"), 9.0)
+  ).toDF("k", "ts", "state")
+
+  test("asof join picks the latest right row at-or-before each left ts, per key") {
+    val out = AsOf.join(left, right, "ts", Seq("k"), Seq("state"))
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L)) // id 4 dropped (inner)
+    assert(out.map(_.getAs[Double]("asof_state")).toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("outer form keeps unmatched left rows with null state") {
+    val out = AsOf.join(left, right, "ts", Seq("k"), Seq("state"), inner = false)
+      .orderBy("id").collect()
+    assert(out.length == 4)
+    assert(out(3).isNullAt(out(3).fieldIndex("asof_state")))
+  }
+
+  test("asof join is a single shuffle (plan invariant)") {
+    val out = AsOf.join(left, right, "ts", Seq("k"), Seq("state"))
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 Exchange:\n$plan")
+    assert(!plan.contains("NestedLoop"), "must not fall back to a nested-loop range join")
+  }
+}
