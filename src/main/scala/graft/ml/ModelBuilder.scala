@@ -105,6 +105,22 @@ object ModelBuilder {
       Files.readString(Paths.get(path, "metadata.json")))
   }
 
+  /** Fleet build — the workflow-generator analogue (SURVEY.md §3.1: one
+    * Argo pod per machine, thousands of machines). Here each machine is a
+    * sequence of Spark jobs inside ONE session; the registry dedupes
+    * already-built configs across the fleet, and failures are isolated
+    * per machine (a broken config doesn't sink the fleet — it lands in
+    * the error list, like a failed Argo step).
+    */
+  def buildAll(spark: SparkSession, configs: Seq[String], longDf: DataFrame,
+      outDir: String): (Seq[BuildResult], Seq[(String, Throwable)]) = {
+    val results = configs.map { cfg =>
+      try Right(build(spark, cfg, longDf, outDir))
+      catch { case e: Throwable => Left(cfg -> e) }
+    }
+    (results.collect { case Right(r) => r }, results.collect { case Left(f) => f })
+  }
+
   /** Bulk scoring over a time range — the `client predict` analogue
     * (SURVEY.md §3.3): one lazy plan, no chunking/retry loop.
     */

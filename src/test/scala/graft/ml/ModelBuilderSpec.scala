@@ -35,6 +35,17 @@ class ModelBuilderSpec extends SparkSpec {
     assert(n > 0 && flagged < n) // 0.95 pctl threshold: some but not all flagged
   }
 
+  test("buildAll isolates per-machine failures and dedupes via the registry") {
+    val out = java.nio.file.Files.createTempDirectory("graft-fleet").toString
+    val bad = """{"name": "broken", "dataset": {"tags": "not-a-list"}}"""
+    val second = config.replace("events-anomaly", "events-anomaly-2")
+    val (ok, failed) = ModelBuilder.buildAll(
+      spark, Seq(config, bad, second, config), events, out)
+    assert(ok.length == 3) // two distinct + the duplicate (registry hit)
+    assert(ok.head.path == ok(2).path) // duplicate config -> same artifact
+    assert(failed.length == 1 && failed.head._1 == bad)
+  }
+
   test("rebuilding the same config is a registry hit (no new artifact)") {
     val out = java.nio.file.Files.createTempDirectory("graft-build2").toString
     val r1 = ModelBuilder.build(spark, config, events, out)
