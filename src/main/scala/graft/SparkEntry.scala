@@ -231,16 +231,22 @@ object SparkEntry {
       .orderBy("l_orderkey", "l_linenumber")
 
   private def q_agg_metrics(s: SparkSession, dir: String): DataFrame = {
-    // "predicted-by-mean": yhat = per-group mean; MAE / RMSE / R2 of that.
+    // "predicted-by-mean": yhat = per-group mean; MAE / RMSE / R2 /
+    // explained_variance of that. gmean is an exact decimal sum ÷ count so
+    // the per-row error e is bit-identical on both engines; the metrics
+    // themselves follow AnomalyMath's decimal-sum discipline.
     val li = T(s, dir, "lineitem")
-    val means = li.groupBy("l_returnflag").agg(avg(col("l_extendedprice")).as("gmean"))
-    val e = col("l_extendedprice") - col("gmean")
+    val means = li.groupBy("l_returnflag")
+      .agg((dsum(col("l_extendedprice")) / count(lit(1))).as("gmean"))
+    val m = AnomalyMath.metricExprs(col("l_extendedprice"), col("gmean"))
     li.join(broadcast(means), "l_returnflag")
       .groupBy("l_returnflag")
-      .agg(
-        round(avg(abs(e)), 6).as("mae"),
-        round(sqrt(avg(e * e)), 6).as("rmse"),
-        round(lit(1.0) - avg(e * e) / var_pop(col("l_extendedprice")), 6).as("r2"))
+      .agg(m.head, m.tail: _*)
+      .select(col("l_returnflag"),
+        round(col("mae"), 6).as("mae"),
+        round(col("rmse"), 6).as("rmse"),
+        round(col("r2"), 6).as("r2"),
+        round(col("explained_variance"), 6).as("explained_variance"))
       .orderBy("l_returnflag")
   }
 
@@ -276,6 +282,13 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"),
         collect_list(col("value")).over(evWindow.rowsBetween(-2, 0)).as("seq"))
       .filter(size(col("seq")) === 3)
+      // serialize the window to a scalar: the driver's pandas compare
+      // cannot sort/hash a row containing a numpy array (round-1 failure).
+      // Via DECIMAL(18,6) — fixed-scale rendering is identical across
+      // engines, unlike double→string shortest-repr formatting.
+      .select(col("event_id"), col("user_id"),
+        concat_ws(",",
+          expr("transform(seq, x -> cast(cast(x as decimal(18,6)) as string))")).as("seq_str"))
       .orderBy("event_id")
 
   private def q_win_shift_forecast(s: SparkSession, dir: String): DataFrame =
@@ -744,15 +757,28 @@ object SparkEntry {
         |       round((l_extendedprice - mn) / (mx - mn), 6) AS price_scaled
         |FROM lineitem, b ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "agg_metrics" ->
-      """WITH m AS (SELECT l_returnflag, avg(l_extendedprice) AS gmean
-        |           FROM lineitem GROUP BY 1)
-        |SELECT l.l_returnflag,
-        |  round(avg(abs(l_extendedprice - gmean)), 6) AS mae,
-        |  round(sqrt(avg((l_extendedprice - gmean) * (l_extendedprice - gmean))), 6) AS rmse,
-        |  round(1 - avg((l_extendedprice - gmean) * (l_extendedprice - gmean))
-        |          / var_pop(l_extendedprice), 6) AS r2
-        |FROM lineitem l JOIN m USING (l_returnflag)
-        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+      """WITH m AS (SELECT l_returnflag,
+        |             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(*) AS gmean
+        |           FROM lineitem GROUP BY 1),
+        |     j AS (SELECT l.l_returnflag, l_extendedprice AS y,
+        |             l_extendedprice - gmean AS e
+        |           FROM lineitem l JOIN m USING (l_returnflag)),
+        |     a AS (SELECT l_returnflag,
+        |             CAST(count(*) AS DOUBLE) AS n,
+        |             CAST(SUM(CAST(abs(e) AS DECIMAL(28,6))) AS DOUBLE) AS s_abs_e,
+        |             CAST(SUM(CAST(e AS DECIMAL(28,6))) AS DOUBLE) AS s_e,
+        |             CAST(SUM(CAST(e * e AS DECIMAL(28,6))) AS DOUBLE) AS s_e2,
+        |             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS s_y,
+        |             CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS s_y2
+        |           FROM j GROUP BY 1)
+        |SELECT l_returnflag,
+        |  round(s_abs_e / n, 6) AS mae,
+        |  round(sqrt(s_e2 / n), 6) AS rmse,
+        |  round(1 - (s_e2 / n) / nullif(s_y2 / n - (s_y / n) * (s_y / n), 0), 6) AS r2,
+        |  round(1 - (s_e2 / n - (s_e / n) * (s_e / n))
+        |          / nullif(s_y2 / n - (s_y / n) * (s_y / n), 0), 6) AS explained_variance
+        |FROM a ORDER BY l_returnflag""".stripMargin,
     "agg_threshold_pctl" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.99), 6) AS thr_p99,
@@ -768,7 +794,10 @@ object SparkEntry {
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "win_lookback" ->
-      """SELECT event_id, user_id, seq FROM (
+      """SELECT event_id, user_id,
+        |  array_to_string(list_transform(seq,
+        |    x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), ',') AS seq_str
+        |FROM (
         |  SELECT event_id, user_id,
         |    array_agg(value) OVER (PARTITION BY user_id
         |      ORDER BY CAST(ts AS TIMESTAMP), event_id

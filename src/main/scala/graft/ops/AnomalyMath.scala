@@ -26,15 +26,31 @@ object AnomalyMath {
     sqrt(pairs.map { case (y, yh) => pow(y - yh, 2) }.reduce(_ + _))
 
   /** Per-group regression metrics of col `y` against prediction `yHat`:
-    * mae, rmse, and r2 = 1 - MSE/Var(y). Aggregate expressions only.
+    * mae, rmse, r2 = 1 - MSE/Var(y), and explained_variance =
+    * 1 - Var(e)/Var(y) (sklearn's explained_variance_score, the reference's
+    * CV scorer). Aggregate expressions only.
+    *
+    * Every raw sum goes through DECIMAL(28,6) — exact and summation-order
+    * independent, so partial/final aggregation in Spark and single-threaded
+    * DuckDB produce bit-identical doubles; the derived metrics are then the
+    * same short sequence of IEEE double ops on both engines. A raw
+    * `avg(e*e)` double aggregate is NOT order-stable and flips the 6th
+    * rounded decimal between engines (round-1 agg_metrics failure).
     */
   def metricExprs(y: Column, yHat: Column): Seq[Column] = {
     val e = y - yHat
+    // e ~ 1e5, e² ~ 1e10, × 1e8 rows ~ 1e18 — DECIMAL(28,6) holds 1e22.
+    def dsum(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
+    val n = count(lit(1)).cast("double")
+    val mse = dsum(e * e) / n
+    val varY = dsum(y * y) / n - (dsum(y) / n) * (dsum(y) / n)
+    val varE = dsum(e * e) / n - (dsum(e) / n) * (dsum(e) / n)
     Seq(
-      avg(abs(e)).as("mae"),
-      sqrt(avg(e * e)).as("rmse"),
+      (dsum(abs(e)) / n).as("mae"),
+      sqrt(mse).as("rmse"),
       // nullif: constant y yields null r2 instead of an ANSI crash
-      (lit(1.0) - avg(e * e) / nullif(var_pop(y), lit(0.0))).as("r2")
+      (lit(1.0) - mse / nullif(varY, lit(0.0))).as("r2"),
+      (lit(1.0) - varE / nullif(varY, lit(0.0))).as("explained_variance")
     )
   }
 

@@ -39,6 +39,8 @@ class AnomalyMathSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("rmse") - math.sqrt(2.0 / 3)) < 1e-12)
     // var_pop(y) = 8/3; r2 = 1 - (2/3)/(8/3) = 0.75
     assert(math.abs(row.getAs[Double]("r2") - 0.75) < 1e-12)
+    // sum(e) = 0 so Var(e) = MSE and explained_variance = r2 here
+    assert(math.abs(row.getAs[Double]("explained_variance") - 0.75) < 1e-12)
   }
 
   test("threshold matches the exact percentile definition") {
