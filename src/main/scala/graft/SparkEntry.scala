@@ -314,14 +314,26 @@ object SparkEntry {
       .filter(col("rn") <= 3)
       .orderBy("o_custkey", "rn")
 
-  /** Spark-only (no portable oracle): forward-fill of resample gaps. */
+  /** 10-min resample in LONG format (bucket, event_type, v) — the keyed
+    * layout ffill/interpolate need to window per tag instead of globally.
+    * v is rounded to 6 before any gap-filling so both engines interpolate
+    * from identical doubles.
+    */
+  private def longResampled(s: SparkSession, dir: String): DataFrame =
+    E(s, dir)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .groupBy(Timeseries.bucket(col("ts"), "10 minutes").as("bucket"), col("event_type"))
+      .agg(round(avg(col("value")), 6).as("v"))
+
+  /** Forward-fill of resample gaps, windowed PER TAG on the long format —
+    * no single-partition sort anywhere in the plan (round-1 scale audit).
+    */
   private def q_win_ffill(s: SparkSession, dir: String): DataFrame = {
-    val wide = Timeseries.align(E(s, dir), "ts", "event_type", "value",
-      Seq("click", "view", "purchase"), "10 minutes", dropIncomplete = false)
-    Timeseries.ffill(wide, Seq("click", "view", "purchase"), Seq.empty, "bucket")
-      .select(col("bucket"), round(col("click"), 6).as("click_v"),
-        round(col("view"), 6).as("view_v"), round(col("purchase"), 6).as("purchase_v"))
-      .orderBy("bucket")
+    val dense = Timeseries.densify(longResampled(s, dir), "bucket", "event_type",
+      Seq("click", "view", "purchase"))
+    Timeseries.ffill(dense, Seq("v"), Seq("event_type"), "bucket")
+      .select(col("bucket"), col("event_type"), col("v").as("v_filled"))
+      .orderBy("bucket", "event_type")
   }
 
   // ---------------------------------------------------------------------
@@ -466,14 +478,13 @@ object SparkEntry {
       .orderBy("qid", "rnk")
   }
 
-  /** Spark-only: linear interpolation of resample gaps. */
+  /** Linear interpolation of resample gaps, windowed PER TAG. */
   private def q_win_interpolate(s: SparkSession, dir: String): DataFrame = {
-    val wide = Timeseries.align(E(s, dir), "ts", "event_type", "value",
-      Seq("click", "view", "purchase"), "10 minutes", dropIncomplete = false)
-    Timeseries.interpolate(wide, Seq("click", "view", "purchase"), Seq.empty, "bucket")
-      .select(col("bucket"), round(col("click"), 6).as("click_v"),
-        round(col("view"), 6).as("view_v"), round(col("purchase"), 6).as("purchase_v"))
-      .orderBy("bucket")
+    val dense = Timeseries.densify(longResampled(s, dir), "bucket", "event_type",
+      Seq("click", "view", "purchase"))
+    Timeseries.interpolate(dense, Seq("v"), Seq("event_type"), "bucket")
+      .select(col("bucket"), col("event_type"), round(col("v"), 6).as("v_interp"))
+      .orderBy("bucket", "event_type")
   }
 
   private def q_text_langid(s: SparkSession, dir: String): DataFrame = {
@@ -643,6 +654,20 @@ object SparkEntry {
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
   private def normSqSql(a: String) =
     s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+
+  /** Dense long-format 10-min resample grid — must stay formula-identical
+    * to `longResampled` + `Timeseries.densify`.
+    */
+  private val denseGridCte =
+    """l AS (SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS bucket,
+      |         event_type, round(avg(value), 6) AS v
+      |       FROM events WHERE event_type IN ('click','view','purchase')
+      |       GROUP BY 1, 2),
+      |g AS (SELECT b.bucket, t.event_type
+      |      FROM (SELECT DISTINCT bucket FROM l) b
+      |      CROSS JOIN (SELECT unnest(['click','view','purchase']) AS event_type) t),
+      |d AS (SELECT g.bucket, g.event_type, l.v
+      |      FROM g LEFT JOIN l USING (bucket, event_type))""".stripMargin
 
   private val bucket10m = "time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))"
   private val bucket1h = "time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))"
@@ -961,6 +986,33 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct(
          |    string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS fingerprint
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "win_ffill" ->
+      s"""WITH $denseGridCte
+         |SELECT bucket, event_type,
+         |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+         |FROM d ORDER BY bucket, event_type""".stripMargin,
+    "win_interpolate" ->
+      s"""WITH $denseGridCte,
+         |w AS (SELECT bucket, event_type, v,
+         |        CAST(epoch_us(bucket) AS DOUBLE) AS t,
+         |        last_value(v IGNORE NULLS) OVER back AS v_prev,
+         |        first_value(v IGNORE NULLS) OVER fwd AS v_next,
+         |        last_value(CASE WHEN v IS NOT NULL
+         |          THEN CAST(epoch_us(bucket) AS DOUBLE) END IGNORE NULLS) OVER back AS t_prev,
+         |        first_value(CASE WHEN v IS NOT NULL
+         |          THEN CAST(epoch_us(bucket) AS DOUBLE) END IGNORE NULLS) OVER fwd AS t_next
+         |      FROM d
+         |      WINDOW back AS (PARTITION BY event_type ORDER BY bucket
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |             fwd AS (PARTITION BY event_type ORDER BY bucket
+         |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT bucket, event_type,
+         |  round(CASE WHEN v IS NOT NULL THEN v
+         |             WHEN v_prev IS NOT NULL AND v_next IS NOT NULL
+         |             THEN v_prev + (v_next - v_prev) * (t - t_prev) / (t_next - t_prev)
+         |        END, 6) AS v_interp
+         |FROM w ORDER BY bucket, event_type""".stripMargin
   )
 }

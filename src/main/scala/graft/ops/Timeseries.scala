@@ -84,16 +84,32 @@ object Timeseries {
     if (dropIncomplete) wide.na.drop("any", tags) else wide
   }
 
+  /** Dense (bucket × key) grid: every observed bucket crossed with every
+    * requested key, left-joined back onto the long frame so gaps appear as
+    * null rows — the precondition for KEYED ffill/interpolate (window
+    * partitioned by the key, never a global sort). The bucket set grows
+    * with the time range, not the data volume, and the key list is an
+    * explicit broadcast literal, so the grid is |buckets| × |keys| —
+    * never data-sized.
+    */
+  def densify(long: DataFrame, bucketCol: String, keyCol: String,
+      keys: Seq[String]): DataFrame = {
+    val spark = long.sparkSession
+    import spark.implicits._
+    val grid = long.select(bucketCol).distinct()
+      .crossJoin(broadcast(keys.toDF(keyCol)))
+    grid.join(long, Seq(bucketCol, keyCol), "left")
+  }
+
   /** Forward-fill nulls within each partition key, ordered by `orderCol` —
-    * the resample-gap padding analogue (`win_ffill`). Spark-only op (no
-    * portable SQL oracle: DuckDB lacks IGNORE NULLS `last_value` portably).
+    * the resample-gap padding analogue (`win_ffill`).
     *
     * Scale caveat: with `partitionBy = Seq.empty` the window is a single
     * global sort partition — fine for one machine's wide matrix (gordo's
     * unit of work, bounded by resolution × time range), WRONG for a 100 TB
-    * frame. At scale partition by tag/machine (the natural key) or use
-    * `streaming.Streams.scoreOnline`-style stateful processing where the
-    * carry-over is explicit state.
+    * frame. At scale run on the LONG format partitioned by tag/machine
+    * (see `densify`) or use `streaming.Streams.scoreOnline`-style stateful
+    * processing where the carry-over is explicit state.
     */
   def ffill(df: DataFrame, cols: Seq[String], partitionBy: Seq[String], orderCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -36,4 +36,18 @@ class PlanAuditSpec extends SparkSpec {
     val multi = planOf("join_multiway")
     assert(multi.contains("BroadcastHashJoin"))
   }
+
+  test("no shipped query windows over a single partition (100 TB scale audit)") {
+    // A WindowExec with an empty partitionSpec forces ALL rows through one
+    // Exchange SinglePartition — correct at sf0.01, a scale-killer at 100×.
+    // Sink-side global orderBy (range exchange) is allowed: it is the
+    // oracle's determinism contract and would be dropped in production.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.sparkPlan
+      val bad = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"global-window queries: ${offenders.mkString(", ")}")
+  }
 }
