@@ -449,7 +449,15 @@ object SparkEntry {
       .orderBy("doc_id")
 
   private def q_dedup_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text", 0.6)
+    Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text", 0.6,
+        maxDocFreq = 20)
+      .orderBy("doc_a", "doc_b")
+
+  /** The 100 TB near-dup pipeline: LSH candidate pairs → exact Jaccard
+    * re-score — O(candidates), never O(n²). Oracle-checked end to end.
+    */
+  private def q_dedup_near_duplicates(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDuplicates(docsWithDups(s, dir), "doc_id", "text", 0.6)
       .orderBy("doc_a", "doc_b")
 
   private def q_dedup_embed_cosine(s: SparkSession, dir: String): DataFrame =
@@ -595,6 +603,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (q_dedup_minhash_lsh _),
     "dedup_simhash" -> (q_dedup_simhash _),
     "dedup_ngram_jaccard" -> (q_dedup_ngram_jaccard _),
+    "dedup_near_duplicates" -> (q_dedup_near_duplicates _),
     "dedup_embed_cosine" -> (q_dedup_embed_cosine _),
     "simsearch_topk" -> (q_simsearch_topk _),
     "simsearch_lsh" -> (q_simsearch_lsh _),
@@ -641,6 +650,18 @@ object SparkEntry {
     (0 until 5).map(b =>
       "md5(concat_ws('#', " + (0 until 4).map(j => s"m${b * 4 + j}").mkString(", ") + s")) AS b$b"
     ).mkString(", ")
+  /** md5 → signature → bands → (doc, band, bh) long format; shared by the
+    * candidate-pair oracle and the full near-dup pipeline oracle.
+    */
+  private val minhashBlCtes =
+    s"""$minhashHashCte,
+       |sig AS (SELECT doc_id, $minhashSigSql FROM hh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, $lshBandsSql FROM sig),
+       |bl AS (
+       |  SELECT doc_id, 0 AS band, b0 AS bh FROM bands UNION ALL SELECT doc_id, 1, b1 FROM bands
+       |  UNION ALL SELECT doc_id, 2, b2 FROM bands UNION ALL SELECT doc_id, 3, b3 FROM bands
+       |  UNION ALL SELECT doc_id, 4, b4 FROM bands)""".stripMargin
+
   private val simhashBitsSql =
     (0 until 60).map(b =>
       s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN (1::BIGINT << $b) ELSE 0 END)"
@@ -906,15 +927,26 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $docsWithDupsSql,
          |${shingleCte("all_docs")},
-         |$minhashHashCte,
-         |sig AS (SELECT doc_id, $minhashSigSql FROM hh GROUP BY doc_id),
-         |bands AS (SELECT doc_id, $lshBandsSql FROM sig),
-         |bl AS (
-         |  SELECT doc_id, 0 AS band, b0 AS bh FROM bands UNION ALL SELECT doc_id, 1, b1 FROM bands
-         |  UNION ALL SELECT doc_id, 2, b2 FROM bands UNION ALL SELECT doc_id, 3, b3 FROM bands
-         |  UNION ALL SELECT doc_id, 4, b4 FROM bands)
+         |$minhashBlCtes
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bl a JOIN bl b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_near_duplicates" ->
+      s"""WITH $docsWithDupsSql,
+         |${shingleCte("all_docs")},
+         |$minhashBlCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bl a JOIN bl b ON a.band = b.band AND a.bh = b.bh
+         |          AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+         |          FROM cand c
+         |          JOIN sh a ON a.doc_id = c.doc_a
+         |          JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+         |          GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+         |FROM inter i JOIN sz sa ON i.doc_a = sa.doc_id JOIN sz sb ON i.doc_b = sb.doc_id
+         |WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH w AS (SELECT doc_id,
@@ -925,9 +957,11 @@ object SparkEntry {
          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH ${shingleCte("documents")},
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 20),
+         |shc AS (SELECT sh.doc_id, sh.s FROM sh ANTI JOIN hot USING (s)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
          |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) AS i
-         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
          |SELECT da AS doc_a, db AS doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
          |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
          |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,

@@ -50,9 +50,16 @@ object Dedup {
     * distinct shuffle for consumers whose aggregates are duplicate-
     * insensitive (MinHash's min() — set semantics for free); Jaccard
     * counts need real set semantics and must keep it.
+    *
+    * `maxDocFreq` drops shingles present in more than that many documents
+    * (corpus boilerplate). The shared-shingle self-join is O(Σ df²) over
+    * shingle document frequency, so one hot shingle ("the quick brown" of
+    * the corpus) explodes quadratically at scale — standard practice is to
+    * cap df before any pair generation. The hot list is by construction
+    * tiny (only shingles ABOVE the cap), so the anti-join broadcasts.
     */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
-      dedupe: Boolean = true): DataFrame = {
+      dedupe: Boolean = true, maxDocFreq: Int = Int.MaxValue): DataFrame = {
     // Materialize the word array as a column FIRST: if `shingles` received
     // the raw split(...) expression, every element_at inside the transform
     // lambda would re-run the split — ~3·shingle-count tokenizations per
@@ -60,7 +67,14 @@ object Dedup {
     val exploded = docs
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("__ws"))
       .select(col("doc_id"), explode(shingles(col("__ws"), n)).as("s"))
-    if (dedupe) exploded.distinct() else exploded
+    val base = if (dedupe) exploded.distinct() else exploded
+    if (maxDocFreq == Int.MaxValue) base
+    else {
+      // countDistinct: df = distinct docs even when dedupe=false
+      val hot = base.groupBy("s").agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") > maxDocFreq).select("s")
+      base.join(broadcast(hot), Seq("s"), "left_anti")
+    }
   }
 
   /** MinHash signatures via the Carter-Wegman affine family: ONE md5 per
@@ -99,9 +113,11 @@ object Dedup {
     * Equi-join on (band, bh); AQE handles skewed buckets at scale.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 20, bands: Int = 5, shingleN: Int = 3): DataFrame = {
+      k: Int = 20, bands: Int = 5, shingleN: Int = 3,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val bl = lshBands(
-      minhashSignatures(shingleTable(docs, idCol, textCol, shingleN, dedupe = false), k), k, bands)
+      minhashSignatures(
+        shingleTable(docs, idCol, textCol, shingleN, dedupe = false, maxDocFreq), k), k, bands)
     val a = bl.as("a")
     val b = bl.as("b")
     a.join(b,
@@ -138,8 +154,9 @@ object Dedup {
     * Cost is O(candidates), never O(n²).
     */
   def jaccardRescore(docs: DataFrame, idCol: String, textCol: String,
-      pairs: DataFrame, threshold: Double, shingleN: Int = 3): DataFrame = {
-    val sets = shingleTable(docs, idCol, textCol, shingleN, dedupe = false)
+      pairs: DataFrame, threshold: Double, shingleN: Int = 3,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val sets = shingleTable(docs, idCol, textCol, shingleN, dedupe = false, maxDocFreq)
       .groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
     val jac = col("i") * lit(1.0) / (col("na") + col("nb") - col("i"))
     pairs
@@ -155,9 +172,11 @@ object Dedup {
     * re-score.
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, k: Int = 20, bands: Int = 5, shingleN: Int = 3): DataFrame =
+      threshold: Double, k: Int = 20, bands: Int = 5, shingleN: Int = 3,
+      maxDocFreq: Int = Int.MaxValue): DataFrame =
     jaccardRescore(docs, idCol, textCol,
-      minhashLshPairs(docs, idCol, textCol, k, bands, shingleN), threshold, shingleN)
+      minhashLshPairs(docs, idCol, textCol, k, bands, shingleN, maxDocFreq),
+      threshold, shingleN, maxDocFreq)
 
   /** Exact n-gram Jaccard over candidate pairs that share at least one
     * shingle: |A∩B| / (|A|+|B|-|A∩B|) >= threshold. The shared-shingle
@@ -166,8 +185,9 @@ object Dedup {
     * minhashLshPairs first; this operator is the exact re-scorer).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 3): DataFrame = {
-    val d = shingleTable(docs, idCol, textCol, shingleN)
+      threshold: Double, shingleN: Int = 3,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val d = shingleTable(docs, idCol, textCol, shingleN, dedupe = true, maxDocFreq)
     val sz = d.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = d.as("a")
     val b = d.as("b")

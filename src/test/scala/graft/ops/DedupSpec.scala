@@ -57,6 +57,20 @@ class DedupSpec extends SparkSpec {
     assert(viaLsh.contains((1L, 2L)))
   }
 
+  test("maxDocFreq drops corpus-boilerplate shingles before pair generation") {
+    import spark.implicits._
+    // "x y z" appears in every doc (df=4) + each doc has a unique tail
+    val boiler = Seq(
+      (1L, "x y z a1 b1 c1"), (2L, "x y z a2 b2 c2"),
+      (3L, "x y z a3 b3 c3"), (4L, "x y z a4 b4 c4")).toDF("doc_id", "text")
+    val capped = Dedup.shingleTable(boiler, "doc_id", "text", maxDocFreq = 3)
+    assert(!capped.select("s").distinct().as[String].collect().contains("x y z"))
+    // with the hot shingle capped, the only shared shingle is gone -> no pairs
+    assert(Dedup.ngramJaccardPairs(boiler, "doc_id", "text", 0.1, maxDocFreq = 3).isEmpty)
+    // uncapped, every pair shares "x y z"
+    assert(!Dedup.ngramJaccardPairs(boiler, "doc_id", "text", 0.1).isEmpty)
+  }
+
   test("ngram jaccard scores the near dup high and excludes disjoint docs") {
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
