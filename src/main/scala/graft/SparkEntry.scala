@@ -394,6 +394,20 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** The detector's scaled variant: |scale(y) - scale(ŷ)| with min-max
+    * parameters fitted on the y columns (click, purchase) and applied to
+    * both sides; view is the prediction stand-in.
+    */
+  private def q_fn_math_anomaly_scaled(s: SparkSession, dir: String): DataFrame = {
+    val wide = Timeseries.align(E(s, dir), "ts", "event_type", "value",
+      Seq("click", "view", "purchase"), "1 hour")
+    AnomalyMath.scaledTagAnomaly(wide, Seq("click" -> "view", "purchase" -> "view"))
+      .select(col("bucket"),
+        round(col("click_anomaly_scaled"), 6).as("click_anom_scaled"),
+        round(col("purchase_anomaly_scaled"), 6).as("purchase_anom_scaled"))
+      .orderBy("bucket")
+  }
+
   private def q_fn_string_tag(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "part")
       .select(
@@ -596,6 +610,7 @@ object SparkEntry {
     "setop_intersect" -> (q_setop_intersect _),
     "fn_ts" -> (q_fn_ts _),
     "fn_math_anomaly" -> (q_fn_math_anomaly _),
+    "fn_math_anomaly_scaled" -> (q_fn_math_anomaly_scaled _),
     "fn_string_tag" -> (q_fn_string_tag _),
     "fn_json_props" -> (q_fn_json_props _),
     "fn_multiply_by" -> (q_fn_multiply_by _),
@@ -905,6 +920,18 @@ object SparkEntry {
          |FROM w
          |WHERE click IS NOT NULL AND view IS NOT NULL AND purchase IS NOT NULL
          |ORDER BY bucket""".stripMargin,
+    "fn_math_anomaly_scaled" ->
+      s"""WITH w AS ($wide1h),
+         |wd AS (SELECT * FROM w
+         |       WHERE click IS NOT NULL AND view IS NOT NULL AND purchase IS NOT NULL),
+         |p AS (SELECT min(click) AS cmn, max(click) AS cmx,
+         |             min(purchase) AS pmn, max(purchase) AS pmx FROM wd)
+         |SELECT bucket,
+         |  round(abs((click - cmn) / (cmx - cmn) - (view - cmn) / (cmx - cmn)), 6)
+         |    AS click_anom_scaled,
+         |  round(abs((purchase - pmn) / (pmx - pmn) - (view - pmn) / (pmx - pmn)), 6)
+         |    AS purchase_anom_scaled
+         |FROM wd, p ORDER BY bucket""".stripMargin,
     "fn_string_tag" ->
       """SELECT p_partkey, upper(trim(p_name)) AS tag_norm,
         |  regexp_extract(p_name, '^(\w+)', 1) AS asset_prefix,

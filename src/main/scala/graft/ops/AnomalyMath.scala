@@ -25,6 +25,29 @@ object AnomalyMath {
   def totalAnomaly(pairs: Seq[(Column, Column)]): Column =
     sqrt(pairs.map { case (y, yh) => pow(y - yh, 2) }.reduce(_ + _))
 
+  /** The reference's `tag-anomaly-scaled`: |scale(y) - scale(ŷ)| per tag,
+    * where scale is min-max FITTED ON THE ACTUAL y COLUMNS ONLY and applied
+    * to both y and ŷ (the detector fits its scaler on the target frame,
+    * then transforms y and the prediction with the same parameters).
+    *
+    * Spark-first: one aggregate job for all per-tag parameters, broadcast
+    * cross-joined into the elementwise transform — no window, no second
+    * scan. Appends `<y>_anomaly_scaled` per (y, ŷ) pair.
+    */
+  def scaledTagAnomaly(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    val paramExprs = pairs.flatMap { case (y, _) =>
+      Seq(min(col(y)).as(s"__mn_$y"), max(col(y)).as(s"__mx_$y"))
+    }
+    val params = df.agg(paramExprs.head, paramExprs.tail: _*)
+    val out = pairs.foldLeft(df.crossJoin(broadcast(params))) { case (d, (y, yh)) =>
+      val mn = col(s"__mn_$y")
+      val rng = nullif(col(s"__mx_$y") - mn, lit(0.0)) // constant y -> null
+      d.withColumn(s"${y}_anomaly_scaled",
+        abs((col(y) - mn) / rng - (col(yh) - mn) / rng))
+    }
+    out.drop(pairs.flatMap { case (y, _) => Seq(s"__mn_$y", s"__mx_$y") }: _*)
+  }
+
   /** Per-group regression metrics of col `y` against prediction `yHat`:
     * mae, rmse, r2 = 1 - MSE/Var(y), and explained_variance =
     * 1 - Var(e)/Var(y) (sklearn's explained_variance_score, the reference's

@@ -124,36 +124,74 @@ object Similarity {
       nPlanes: Int = 8, dim: Int = 64): DataFrame =
     vecs.select(col(idCol), col(vecCol), bucketExpr(col(vecCol), 0, nPlanes, dim).as("bucket"))
 
-  /** IVF (inverted-file) approximate top-k: cluster the corpus with
-    * seeded k-means (deterministic), then for each query probe only the
-    * `nProbe` nearest cluster lists instead of the full corpus — the
-    * classic coarse-quantizer ANN layout. At 100 TB the cluster
-    * assignment is a narrow map over the corpus, the probe-list join is
-    * an equi-join on the centroid id, and per-query work drops by
-    * ~nlist/nProbe versus brute force.
+  /** Fitted IVF coarse quantizer: the centroid table, held as plain data
+    * (cluster id → centroid components) so it is persistable — write
+    * `toDF` to parquet, reload with `fromDF`, and search with a years-old
+    * quantizer without refitting (the round-1 wart: `ivfTopK` refit
+    * k-means on every call, the wrong shape for repeated search).
+    *
+    * Assignment is a pure Column expression over centroid LITERALS
+    * (nLists × dim doubles, plan-time constants like the LSH planes):
+    * argmin over −2·v·cᵢ + ‖cᵢ‖² — ‖v‖² is constant per row and cannot
+    * change the argmin, so it is dropped. No MLlib model object needed at
+    * search time.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+  final case class IvfModel(centroids: Seq[(Int, Seq[Double])]) {
+    /** Cluster id of the nearest centroid (squared-L2, ties → lowest id). */
+    def assignExpr(v: Column): Column = {
+      val entries = centroids.map { case (i, c) =>
+        val cNormSq = c.map(x => x * x).sum
+        struct(
+          (lit(cNormSq) - lit(2.0) * dot(v.cast("array<double>"), typedLit(c))).as("d"),
+          lit(i).as("cluster"))
+      }
+      array_min(array(entries: _*)).getField("cluster")
+    }
 
-    val asVec = corpus.select(col(idCol), col(vecCol),
-      array_to_vector(col(vecCol).cast("array<double>")).as("__v"))
+    def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      centroids.toDF("cluster", "cvec")
+    }
+  }
+
+  object IvfModel {
+    /** Rehydrate from a persisted (cluster, cvec) frame. */
+    def fromDF(df: DataFrame): IvfModel =
+      IvfModel(df.select("cluster", "cvec").collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1))
+  }
+
+  /** Fit the IVF quantizer: seeded k-means over the corpus, centroids
+    * collected to the driver (nLists × dim doubles — a fixed-size scalar
+    * extraction, never data-sized). Fit once, search many.
+    */
+  def fitIvf(corpus: DataFrame, vecCol: String, nLists: Int = 16,
+      seed: Long = 42L, maxIter: Int = 8): IvfModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val asVec = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("__v"))
     // few iterations suffice: the quantizer only needs stable-enough cells,
     // not converged centroids (correctness is governed by nProbe)
-    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8).setFeaturesCol("__v")
+    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("__v")
     val model = km.fit(asVec)
-    val assigned = model.transform(asVec)
-      .select(col(idCol).as("nid"), col(vecCol).as("nv"),
-        col(km.getPredictionCol).as("cluster"), normSq(col(vecCol)).as("nc"))
+    IvfModel(model.clusterCenters.zipWithIndex.toSeq.map { case (c, i) => (i, c.toArray.toSeq) })
+  }
+
+  /** IVF (inverted-file) approximate top-k with a PREFIT quantizer: for
+    * each query probe only the `nProbe` nearest cluster lists instead of
+    * the full corpus — the classic coarse-quantizer ANN layout. At 100 TB
+    * the cluster assignment is a narrow map over the corpus (centroid
+    * literals, no shuffle), the probe-list join is an equi-join on the
+    * centroid id, and per-query work drops by ~nLists/nProbe versus brute
+    * force.
+    */
+  def ivfSearch(model: IvfModel, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val assigned = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      model.assignExpr(col(vecCol)).as("cluster"), normSq(col(vecCol)).as("nc"))
 
     // centroid table is tiny (nLists rows) — broadcast to rank per query
-    val centroids = model.clusterCenters.zipWithIndex.toSeq.map { case (c, i) =>
-      (i, c.toArray.toSeq)
-    }
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val cdf = centroids.toDF("cluster", "cvec")
+    val cdf = model.toDF(corpus.sparkSession)
 
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       normSq(col(vecCol)).as("nq"))
@@ -179,6 +217,13 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos_raw").as("cos_sim"),
         col("rnk").cast("long").as("rnk"))
   }
+
+  /** Convenience fit-then-search (the oracle query's shape). Production
+    * callers should `fitIvf` once and `ivfSearch` per query batch.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame =
+    ivfSearch(fitIvf(corpus, vecCol, nLists, seed), queries, corpus, idCol, vecCol, k, nProbe)
 
   /** Approximate near-neighbor pairs: `nTables` independent LSH tables
     * (candidate = same bucket in ANY table — recall 1-(1-p^k)^L like

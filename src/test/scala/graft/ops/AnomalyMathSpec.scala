@@ -20,6 +20,19 @@ class AnomalyMathSpec extends SparkSpec {
     assert(out.head == 5.0) // sqrt(9 + 16)
   }
 
+  test("scaledTagAnomaly is |y-yhat| / (max(y)-min(y)), fitted on y only") {
+    // y in [0, 10] -> range 10; |y-yhat|=2 everywhere -> scaled 0.2
+    val df = Seq((0.0, 2.0), (10.0, 8.0), (5.0, 3.0)).toDF("y", "yh")
+    val out = AnomalyMath.scaledTagAnomaly(df, Seq("y" -> "yh"))
+      .select("y_anomaly_scaled").as[Double].collect()
+    assert(out.forall(v => math.abs(v - 0.2) < 1e-12))
+    // constant y -> null, not a divide-by-zero crash
+    val const = Seq((1.0, 5.0)).toDF("y", "yh")
+    val row = AnomalyMath.scaledTagAnomaly(const, Seq("y" -> "yh"))
+      .select("y_anomaly_scaled").collect().head
+    assert(row.isNullAt(0))
+  }
+
   test("anomaly properties: non-negative, zero iff e=0 (scalacheck)") {
     val gen = Gen.chooseNum(-1e100, 1e100)
     val prop = Prop.forAll(gen, gen) { (y: Double, yh: Double) =>

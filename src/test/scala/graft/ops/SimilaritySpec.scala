@@ -71,6 +71,26 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("IVF fit/search split: prefit quantizer reproduces ivfTopK, survives persistence") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val oneShot = rows(Similarity.ivfTopK(queries, e, "vec_id", "embedding", 10,
+      nLists = 8, nProbe = 4))
+    val model = Similarity.fitIvf(e, "embedding", nLists = 8)
+    // same quantizer -> bit-identical search, twice, with NO refit
+    val s1 = rows(Similarity.ivfSearch(model, queries, e, "vec_id", "embedding", 10, nProbe = 4))
+    val s2 = rows(Similarity.ivfSearch(model, queries, e, "vec_id", "embedding", 10, nProbe = 4))
+    assert(s1 == oneShot && s2 == oneShot)
+    // persistence round-trip: centroid table -> parquet -> reload -> same results
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString + "/centroids"
+    model.toDF(spark).write.mode("overwrite").parquet(path)
+    val reloaded = Similarity.IvfModel.fromDF(spark.read.parquet(path))
+    assert(reloaded == model)
+    assert(rows(Similarity.ivfSearch(reloaded, queries, e, "vec_id", "embedding", 10, nProbe = 4)) == oneShot)
+  }
+
   test("LSH recall: bucketed pairs recover most high-cosine pairs on real data") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.35)
