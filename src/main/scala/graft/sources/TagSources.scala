@@ -27,6 +27,15 @@ object TagSources {
     StructField("ts", TimestampType, nullable = true),
     StructField("value", DoubleType, nullable = true)))
 
+  /** Existence via Hadoop FileSystem, not java.io.File — the path may live
+    * on any supported filesystem (object store, HDFS), and the session's
+    * Hadoop conf carries the credentials/scheme mapping.
+    */
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
   /** Per-tag/per-year parquet layout: `dir/{tag}_{year}.parquet`, each file
     * holding (ts, value). All requested files go into a single multi-path
     * scan; the tag comes back out of the file name.
@@ -34,7 +43,7 @@ object TagSources {
   def readTagParquet(spark: SparkSession, dir: String, tags: Seq[String],
       years: Seq[Int]): DataFrame = {
     val paths = for (t <- tags; y <- years) yield s"$dir/${t}_$y.parquet"
-    val existing = paths.filter(p => new java.io.File(p).exists())
+    val existing = paths.filter(p => pathExists(spark, p))
     if (existing.isEmpty) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         csvSchema.add("tag", StringType))
@@ -51,7 +60,7 @@ object TagSources {
   def readTagCsv(spark: SparkSession, pathsByTag: Map[String, Seq[String]],
       sep: String = ";"): DataFrame = {
     val perTag = pathsByTag.toSeq.sortBy(_._1).flatMap { case (tag, paths) =>
-      val existing = paths.filter(p => new java.io.File(p).exists())
+      val existing = paths.filter(p => pathExists(spark, p))
       if (existing.isEmpty) None
       else Some(
         spark.read.option("sep", sep).schema(csvSchema).csv(existing: _*)

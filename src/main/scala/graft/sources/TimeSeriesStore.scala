@@ -36,13 +36,16 @@ trait TimeSeriesWriter {
   def write(df: DataFrame): Unit
 }
 
-/** InfluxDB-backed reader/writer — INTERFACE STUB (phase 6): this
+/** InfluxDB-backed reader/writer — OPTIONAL INTERFACE STUB: this
   * environment has no network egress and no Influx client jar, so the
-  * methods are unimplemented. The constructor captures the full connection
-  * contract; an implementation maps `loadSeries` to one
-  * `SELECT value FROM <measurement> WHERE time >= … AND time < … AND tag
-  * =~ …` per partition bound, and `write` to line-protocol batches per
-  * executor partition.
+  * methods are unimplemented. The contract itself is REAL and proven
+  * twice over: `ParquetLakeStore` (lake files) and `JdbcTimeSeriesStore`
+  * (partition-parallel predicate-pushdown reads against an embedded
+  * Derby, the offline stand-in for any server-side store). An Influx
+  * implementation maps `loadSeries` to one `SELECT value FROM
+  * <measurement> WHERE time >= … AND time < … AND tag =~ …` per partition
+  * bound — exactly `JdbcTimeSeriesStore`'s predicate shape — and `write`
+  * to line-protocol batches per executor partition.
   */
 class InfluxStore(url: String, database: String, measurement: String,
     user: Option[String] = None, password: Option[String] = None)
@@ -74,11 +77,17 @@ class ParquetLakeStore(dir: String) extends TimeSeriesReader with TimeSeriesWrit
       .select("ts", "tag", "value")
   }
 
-  override def canHandleTag(tag: String): Boolean =
-    new java.io.File(dir).listFiles() match {
-      case null => false
-      case files => files.exists(_.getName.startsWith(s"${tag}_"))
-    }
+  override def canHandleTag(tag: String): Boolean = {
+    // Hadoop FileSystem, not java.io.File: works on object stores too
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(conf)
+    fs.exists(base) &&
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(base, s"${tag}_*")))
+        .exists(_.nonEmpty)
+  }
 
   override def write(df: DataFrame): Unit =
     df.write.mode("append").parquet(s"$dir/_out")

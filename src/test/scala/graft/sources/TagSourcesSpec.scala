@@ -40,6 +40,30 @@ class TagSourcesSpec extends SparkSpec {
     assert(out.agg(sum("value")).head().getDouble(0) == 4.0)
   }
 
+  test("CSV and parquet twins of the same series parse to identical frames") {
+    val dir = tmpDir()
+    // same series in both formats: fractional seconds, negative and
+    // missing values — a `;`-parse bug (wrong sep, schema drift, locale
+    // decimal) would break the equality
+    val rows = Seq(
+      ("2024-05-01 00:00:00", Some(1.25)),
+      ("2024-05-01 00:10:00.5", Some(-3.5)),
+      ("2024-05-01 00:20:00", None),
+      ("2024-05-01 00:30:00", Some(1e6)))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/twin.csv"),
+      rows.map { case (t, v) => s"$t;${v.map(_.toString).getOrElse("")}" }.mkString("\n"))
+    rows.toDF("s", "value")
+      .select(to_timestamp(col("s")).as("ts"), col("value"))
+      .write.parquet(s"$dir/TW_2024.parquet")
+
+    val fromCsv = TagSources.readTagCsv(spark, Map("TW" -> Seq(s"$dir/twin.csv")))
+      .select("ts", "value", "tag")
+    val fromParquet = TagSources.readTagParquet(spark, dir, Seq("TW"), Seq(2024))
+      .select("ts", "value", "tag")
+    assert(fromCsv.schema == fromParquet.schema)
+    assert(fromCsv.exceptAll(fromParquet).isEmpty && fromParquet.exceptAll(fromCsv).isEmpty)
+  }
+
   test("readIrocCsv filters to requested tags at the scan") {
     val dir = tmpDir()
     Files.writeString(java.nio.file.Paths.get(s"$dir/iroc.csv"),
