@@ -179,21 +179,39 @@ object Dedup {
       threshold, shingleN, maxDocFreq)
 
   /** Exact n-gram Jaccard over candidate pairs that share at least one
-    * shingle: |A∩B| / (|A|+|B|-|A∩B|) >= threshold. The shared-shingle
-    * join IS the candidate filter — pairs with nothing in common are never
-    * materialized (at scale, pair generation should go through
-    * minhashLshPairs first; this operator is the exact re-scorer).
+    * shingle: |A∩B| / (|A|+|B|-|A∪B|... i.e. |A|+|B|-|A∩B|) >= threshold.
+    *
+    * Plan: ONE shuffle groups docs per shingle, ordered pairs explode
+    * map-side, and a second shuffle counts co-occurrences — the
+    * self-join formulation would shuffle the shingle table twice AND
+    * recompute its subtree per consumer. The `maxDocFreq` cap is a free
+    * filter on the group size (no separate hot-list pass): a group of df
+    * docs explodes into df·(df−1)/2 pairs, so dropping df > cap groups
+    * bounds the blowup at cap²/2 per shingle. Groups are materialized
+    * before the filter (collect_list then drop) — fine up to ~1e5-df
+    * shingles; for adversarial corpora lower the cap, the aggregation
+    * spills but the pair explosion never happens.
+    *
+    * At scale, pair generation should go through minhashLshPairs first;
+    * this operator is the exact baseline / re-scorer.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val d = shingleTable(docs, idCol, textCol, shingleN, dedupe = true, maxDocFreq)
-    val sz = d.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = d.as("a")
-    val b = d.as("b")
-    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
+    val d = shingleTable(docs, idCol, textCol, shingleN)
+    val grouped = d.groupBy("s")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= maxDocFreq)
+    // all ordered pairs (ds[i], ds[j]) with i < j, built inside codegen
+    val pairs = grouped.select(explode(flatten(
+        transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - 1), y =>
+            struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    val inter = pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    // per-doc set size over the SAME capped universe the pairs came from
+    val sz = grouped.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
     val jac = col("i") * lit(1.0) / (col("na") + col("nb") - col("i"))
     inter
       .join(sz.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
