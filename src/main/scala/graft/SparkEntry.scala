@@ -564,6 +564,24 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** Spark-only: trainable one-step-ahead AR forecast per tag (the
+    * KerasLSTMForecast analogue) — per-tag univariate models on the keyed
+    * long format, scored with |y − ŷ| per bucket. Windows partition by
+    * event_type; no global sort.
+    */
+  private def q_ml_ar_forecast(s: SparkSession, dir: String): DataFrame = {
+    val long = longResampled(s, dir)
+    val perTag = Seq("click", "view", "purchase").map { t =>
+      val series = long.filter(col("event_type") === t)
+      val m = graft.ml.Forecast.fit(series, Seq("v"), lb = 6, "bucket", Seq("event_type"))
+      m.forecast(series, "bucket", Seq("event_type"))
+        .select(col("bucket"), col("event_type"),
+          round(col("v"), 6).as("v"), round(col("v_hat"), 6).as("v_hat"),
+          round(col("v_anomaly"), 6).as("abs_err"))
+    }
+    perTag.reduce(_ unionByName _).orderBy("bucket", "event_type")
+  }
+
   private def q_multimodal_features(s: SparkSession, dir: String): DataFrame = {
     val media = graft.multimodal.Multimodal.fromText(
       T(s, dir, "documents"), "doc_id", "text")
@@ -632,6 +650,7 @@ object SparkEntry {
     "stream_session" -> (q_stream_session _),
     "stream_score" -> (q_stream_score _),
     "ml_pca_anomaly" -> (q_ml_pca_anomaly _),
+    "ml_ar_forecast" -> (q_ml_ar_forecast _),
     "multimodal_features" -> (q_multimodal_features _)
   )
 

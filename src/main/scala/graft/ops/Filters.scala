@@ -26,13 +26,35 @@ object Filters {
 
   /** pandas-eval → SQL: `&`→AND, `|`→OR, `~`→NOT, backticks kept (valid in
     * Spark SQL identifiers), `==` kept (valid SQL equality in Spark).
+    *
+    * Single-pass scanner, not a string replace: operators inside 'single'/
+    * "double" string literals and backticked identifiers are untouched
+    * (`` name == 'a&b' `` must not become `name == 'a AND b'`), with
+    * backslash escapes honored inside quotes. `&&`/`||` (accepted by some
+    * pandas versions) collapse to one AND/OR.
     */
   private[graft] def translatePandasExpr(e: String): String = {
-    // Replace single & | ~ that are not part of && / || (pandas uses single).
-    e.replaceAll("&&", "&").replaceAll("\\|\\|", "|")
-      .replace("&", " AND ")
-      .replace("|", " OR ")
-      .replace("~", " NOT ")
+    val out = new StringBuilder
+    var i = 0
+    var quote: Char = 0 // 0 = outside any literal; otherwise ' " or `
+    while (i < e.length) {
+      val c = e.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && quote != '`' && i + 1 < e.length) {
+          out.append(c).append(e.charAt(i + 1)); i += 2
+        } else {
+          if (c == quote) quote = 0
+          out.append(c); i += 1
+        }
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; out.append(c); i += 1
+        case '&' => out.append(" AND "); i += (if (i + 1 < e.length && e.charAt(i + 1) == '&') 2 else 1)
+        case '|' => out.append(" OR "); i += (if (i + 1 < e.length && e.charAt(i + 1) == '|') 2 else 1)
+        case '~' => out.append(" NOT "); i += 1
+        case _ => out.append(c); i += 1
+      }
+    }
+    out.toString
   }
 
   /** Keep rows with `from <= ts < to`; the reference requires tz-aware

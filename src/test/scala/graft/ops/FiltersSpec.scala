@@ -14,6 +14,19 @@ class FiltersSpec extends SparkSpec {
     assert(!sql.contains("&") && !sql.contains("|") && !sql.contains("~"))
   }
 
+  test("translatePandasExpr leaves operators inside string literals intact") {
+    val sql = Filters.translatePandasExpr("`name` == 'a&b|c~d' & `v` > 1")
+    assert(sql.contains("'a&b|c~d'"), sql)
+    assert(sql.contains(" AND "), sql)
+    // && / || collapse to a single AND / OR
+    assert(Filters.translatePandasExpr("`a` > 0 && `b` < 1 || `c` == 2")
+      == "`a` > 0  AND  `b` < 1  OR  `c` == 2")
+    // end-to-end: the literal survives and matches
+    val df = Seq(("a&b|c~d", 2.0), ("x", 5.0)).toDF("name", "v")
+    val out = Filters.rowFilter(df, "`name` == 'a&b|c~d' & `v` > 1")
+    assert(out.count() == 1)
+  }
+
   test("rowFilter applies a pandas-style expression") {
     val df = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("k", "v")
     val out = Filters.rowFilter(df, "`v` > 10 & `k` < 3").select("k").as[Int].collect()
