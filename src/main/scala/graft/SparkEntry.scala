@@ -571,15 +571,12 @@ object SparkEntry {
     */
   private def q_ml_ar_forecast(s: SparkSession, dir: String): DataFrame = {
     val long = longResampled(s, dir)
-    val perTag = Seq("click", "view", "purchase").map { t =>
-      val series = long.filter(col("event_type") === t)
-      val m = graft.ml.Forecast.fit(series, Seq("v"), lb = 6, "bucket", Seq("event_type"))
-      m.forecast(series, "bucket", Seq("event_type"))
-        .select(col("bucket"), col("event_type"),
-          round(col("v"), 6).as("v"), round(col("v_hat"), 6).as("v_hat"),
-          round(col("v_anomaly"), 6).as("abs_err"))
-    }
-    perTag.reduce(_ unionByName _).orderBy("bucket", "event_type")
+    val m = graft.ml.Forecast.fitPerKey(long, "event_type", "v", lb = 6, "bucket")
+    m.forecast(long, "bucket")
+      .select(col("bucket"), col("event_type"),
+        round(col("v"), 6).as("v"), round(col("v_hat"), 6).as("v_hat"),
+        round(col("v_anomaly"), 6).as("abs_err"))
+      .orderBy("bucket", "event_type")
   }
 
   private def q_multimodal_features(s: SparkSession, dir: String): DataFrame = {

@@ -70,4 +70,49 @@ object Forecast {
     }
     ForecastModel(lb, featureCols, models)
   }
+
+  /** Per-key univariate AR models over a keyed LONG frame — the fleet
+    * shape (one model per machine/tag, like the reference's per-machine
+    * builds). The sequence frame is built ONCE for all keys (one keyed
+    * window pass, cached across the per-key fits); scoring is a single
+    * pass with the key's coefficients selected by a CASE over key
+    * literals. The per-key fit loop is driver-sequenced like
+    * `ModelBuilder.buildAll` — each fit is a distributed MLlib job.
+    */
+  final case class KeyedForecastModel(lb: Int, keyCol: String, valueCol: String,
+      coefs: Seq[(String, Seq[Double], Double)]) {
+
+    def forecast(frame: DataFrame, orderCol: String): DataFrame = {
+      val seqs = Sequences.forecastTarget(frame, Seq(valueCol), lb, orderCol, Seq(keyCol))
+        .withColumn("__x", flatten(col("x_sequence")))
+      val pred = coefs.foldLeft(lit(null).cast("double")) { case (acc, (k, w, b)) =>
+        when(col(keyCol) === k,
+          graft.ops.Similarity.dot(col("__x").cast("array<double>"), typedLit(w)) + lit(b))
+          .otherwise(acc)
+      }
+      seqs.withColumn(s"${valueCol}_hat", pred)
+        .withColumn(s"${valueCol}_anomaly",
+          graft.ops.AnomalyMath.tagAnomaly(element_at(col("y"), 1), col(s"${valueCol}_hat")))
+        .drop("x_sequence", "y", "__x")
+    }
+  }
+
+  def fitPerKey(frame: DataFrame, keyCol: String, valueCol: String, lb: Int,
+      orderCol: String, regParam: Double = 1e-6): KeyedForecastModel = {
+    val seqs = Sequences.forecastTarget(frame, Seq(valueCol), lb, orderCol, Seq(keyCol))
+      .select(col(keyCol),
+        array_to_vector(flatten(col("x_sequence")).cast("array<double>")).as("features"),
+        element_at(col("y"), 1).as("label"))
+      .na.drop()
+      .cache() // reused by every per-key fit; released below
+    try {
+      val keys = seqs.select(keyCol).distinct().collect().map(_.getString(0)).sorted
+      val models = keys.toSeq.map { k =>
+        val lr = new LinearRegression().setSolver("normal").setRegParam(regParam)
+        val m = lr.fit(seqs.filter(col(keyCol) === k))
+        (k, m.coefficients.toArray.toSeq, m.intercept)
+      }
+      KeyedForecastModel(lb, keyCol, valueCol, models)
+    } finally seqs.unpersist()
+  }
 }

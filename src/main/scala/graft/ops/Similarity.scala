@@ -108,12 +108,19 @@ object Similarity {
   }
 
   /** LSH bucket for one table: the `nPlanes` sign bits of dot products
-    * against constant hyperplanes, packed into a long.
+    * against constant hyperplanes, packed into a long. Uses the native
+    * codegen DotProduct (primitive loop) — the `aggregate(zip_with(...))`
+    * form allocates an intermediate array and dispatches a lambda per
+    * element, ×nPlanes×nTables per row; same sequential fold, same bits.
+    *
+    * `v` MUST already be `array<double>` and should be a MATERIALIZED
+    * column, not an expression: every plane references it, so an inline
+    * `cast` would re-run per plane per row (the round-1 lambda-capture
+    * trap in its cast form).
     */
   private def bucketExpr(v: Column, table: Int, nPlanes: Int, dim: Int): Column =
     (0 until nPlanes).map { p =>
-      val plane = typedLit(planeVector(table, p, dim))
-      val d = aggregate(zip_with(v, plane, (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
+      val d = dot(v, typedLit(planeVector(table, p, dim)))
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -122,7 +129,9 @@ object Similarity {
     */
   def hyperplaneBuckets(vecs: DataFrame, idCol: String, vecCol: String,
       nPlanes: Int = 8, dim: Int = 64): DataFrame =
-    vecs.select(col(idCol), col(vecCol), bucketExpr(col(vecCol), 0, nPlanes, dim).as("bucket"))
+    vecs
+      .withColumn("__vd", col(vecCol).cast("array<double>")) // cast ONCE per row
+      .select(col(idCol), col(vecCol), bucketExpr(col("__vd"), 0, nPlanes, dim).as("bucket"))
 
   /** Fitted IVF coarse quantizer: the centroid table, held as plain data
     * (cluster id → centroid components) so it is persistable — write
@@ -233,21 +242,29 @@ object Similarity {
     */
   def lshCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int = 8, nTables: Int = 8, dim: Int = 64): DataFrame = {
-    val withN = vecs.select(col(idCol), col(vecCol), normSq(col(vecCol)).as("nsq"))
-    val tb = withN.select(col(idCol), col(vecCol), col("nsq"),
+    // Bucket stage carries IDS ONLY: the band equi-join and the
+    // pair-dedup distinct shuffle skinny (id, tbl, bucket) rows, never the
+    // vectors — at 100 TB the arrays would dominate both exchanges.
+    // Vectors re-attach afterwards via two id equi-joins for the exact
+    // re-score (the minhashLshPairs → jaccardRescore shape).
+    val withVd = vecs.select(col(idCol), col(vecCol),
+      col(vecCol).cast("array<double>").as("__vd")) // cast ONCE per row for all tables×planes
+    val tb = withVd.select(col(idCol),
       explode(array((0 until nTables).map(t =>
-        struct(lit(t).as("tbl"), bucketExpr(col(vecCol), t, nPlanes, dim).as("bucket"))): _*)).as("b"))
-      .select(col(idCol), col(vecCol), col("nsq"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
-    val a = tb.select(col("tbl"), col("bucket"), col(idCol).as("vec_a"),
-      col(vecCol).as("va"), col("nsq").as("naa"))
+        struct(lit(t).as("tbl"), bucketExpr(col("__vd"), t, nPlanes, dim).as("bucket"))): _*)).as("b"))
+      .select(col(idCol), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+    val a = tb.select(col("tbl"), col("bucket"), col(idCol).as("vec_a"))
     val b = tb.select(col("tbl").as("tbl_b"), col("bucket").as("bucket_b"),
-      col(idCol).as("vec_b"), col(vecCol).as("vb"), col("nsq").as("nbb"))
-    val cand = a.join(b,
+      col(idCol).as("vec_b"))
+    val candIds = a.join(b,
         col("tbl") === col("tbl_b") && col("bucket") === col("bucket_b") &&
           col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b", "va", "vb", "naa", "nbb")
+      .select("vec_a", "vec_b")
       .distinct() // a pair can collide in several tables; score it once
-    cand
+    val withN = vecs.select(col(idCol), col(vecCol), normSq(col(vecCol)).as("nsq"))
+    candIds
+      .join(withN.select(col(idCol).as("vec_a"), col(vecCol).as("va"), col("nsq").as("naa")), "vec_a")
+      .join(withN.select(col(idCol).as("vec_b"), col(vecCol).as("vb"), col("nsq").as("nbb")), "vec_b")
       .withColumn("cos_raw",
         dot(col("va"), col("vb")) / sqrt(nullif(col("naa") * col("nbb"), lit(0.0))))
       .filter(col("cos_raw") >= threshold)

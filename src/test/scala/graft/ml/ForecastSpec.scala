@@ -40,6 +40,18 @@ class ForecastSpec extends SparkSpec {
     assert(maxErr < 1.0, s"max |y-yhat| = $maxErr")
   }
 
+  test("fitPerKey: one model per key, each exact on its own linear series") {
+    val a = (1 to 30).map(t => ("a", t.toLong, 2.0 * t))
+    val b = (1 to 30).map(t => ("b", t.toLong, 5.0 * t + 7))
+    val df = (a ++ b).toDF("key", "t", "v")
+    val m = Forecast.fitPerKey(df, "key", "v", lb = 3, "t")
+    assert(m.coefs.map(_._1) == Seq("a", "b"))
+    val scored = m.forecast(df, "t")
+    val maxErr = scored.groupBy("key").agg(max(col("v_anomaly")).as("e"))
+      .select("e").as[Double].collect().max
+    assert(maxErr < 1e-6, s"max per-key |y-yhat| = $maxErr")
+  }
+
   test("X is strictly before y — no target leakage in the training layout") {
     val df = (1 to 10).map(t => ("m1", t.toLong, t * 1.0)).toDF("key", "t", "v")
     val seqs = Sequences.forecastTarget(df, Seq("v"), lb = 2, "t", Seq("key"))
