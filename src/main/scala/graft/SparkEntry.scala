@@ -83,6 +83,14 @@ object SparkEntry {
   private def q_scan_parquet(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem").orderBy("l_orderkey", "l_linenumber")
 
+  /** RandomDataProvider analogue: md5-derived uniforms — deterministic AND
+    * cross-engine portable, so even the "random" source is oracle-checked.
+    */
+  private def q_scan_random(s: SparkSession, dir: String): DataFrame =
+    graft.sources.TagSources.randomSeries(s, Seq("click", "view"), 1000L,
+        startEpochSec = 1704067200L, stepSeconds = 600L)
+      .orderBy("tag", "i")
+
   // ---------------------------------------------------------------------
   // §2.2 projections / filters
   // ---------------------------------------------------------------------
@@ -593,6 +601,7 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_parquet" -> (q_scan_parquet _),
+    "scan_random" -> (q_scan_random _),
     "proj_tags" -> (q_proj_tags _),
     "filter_rowexpr" -> (q_filter_rowexpr _),
     "filter_timerange" -> (q_filter_timerange _),
@@ -745,6 +754,15 @@ object SparkEntry {
         |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
         |  CAST(l_shipdate AS TIMESTAMP) AS l_shipdate
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_random" ->
+      """WITH t AS (SELECT unnest(['click','view']) AS tag),
+        |     i AS (SELECT range AS i FROM range(0, 1000)),
+        |     g AS (SELECT tag, i FROM t CROSS JOIN i)
+        |SELECT tag, i,
+        |  make_timestamp((1704067200 + i * 600) * 1000000) AS ts,
+        |  CAST(('0x'||substr(md5(tag||'#'||CAST(i AS VARCHAR)),1,15)) AS BIGINT)
+        |    / 1152921504606846976.0 AS value
+        |FROM g ORDER BY tag, i""".stripMargin,
     "proj_tags" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

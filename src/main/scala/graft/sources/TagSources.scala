@@ -85,6 +85,25 @@ object TagSources {
       .select("ts", "value", "tag")
   }
 
+  /** RandomDataProvider analogue (`data_provider/providers.py::
+    * RandomDataProvider`): a deterministic pseudo-random series per tag for
+    * tests and load generation. Values are md5-derived uniforms in [0, 1)
+    * — portable determinism (identical in any engine computing the same
+    * md5 arithmetic; the same trick as the LSH hyperplanes), unlike
+    * `rand(seed)` whose stream is engine-private. Generated distributed
+    * (`spark.range`), never on the driver.
+    */
+  def randomSeries(spark: SparkSession, tags: Seq[String], n: Long,
+      startEpochSec: Long, stepSeconds: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).toDF("i")
+      .crossJoin(broadcast(tags.toDF("tag")))
+      .select(col("tag"), col("i"),
+        expr(s"timestamp_micros((${startEpochSec}L + i * ${stepSeconds}L) * 1000000L)").as("ts"),
+        (conv(substring(md5(concat_ws("#", col("tag"), col("i"))), 1, 15), 16, 10)
+          .cast("long").cast("double") / lit(1152921504606846976.0)).as("value")) // 2^60
+  }
+
   /** Tags from the request list that yielded no rows — the dataset-metadata
     * "missing tags" report (anti-join semantics, distributed).
     */

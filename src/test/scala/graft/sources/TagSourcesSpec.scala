@@ -72,6 +72,20 @@ class TagSourcesSpec extends SparkSpec {
     assert(out.select("tag").as[String].collect().sorted.toSeq == Seq("T1", "T3"))
   }
 
+  test("randomSeries is deterministic, uniform-ish, distributed") {
+    val a = TagSources.randomSeries(spark, Seq("t1", "t2"), 500L, 1704067200L, 60L)
+    val b = TagSources.randomSeries(spark, Seq("t1", "t2"), 500L, 1704067200L, 60L)
+    assert(a.count() == 1000)
+    assert(a.exceptAll(b).isEmpty) // same call -> identical rows
+    val stats = a.agg(min("value"), max("value"), avg("value"))
+      .as[(Double, Double, Double)].collect().head
+    assert(stats._1 >= 0.0 && stats._2 < 1.0)
+    assert(math.abs(stats._3 - 0.5) < 0.05, s"mean ${stats._3}") // uniform-ish
+    // values differ across tags at the same index
+    val byTag = a.filter(col("i") === 0).select("value").as[Double].collect()
+    assert(byTag.distinct.length == 2)
+  }
+
   test("ParquetLakeStore implements the TimeSeriesReader contract") {
     val dir = tmpDir()
     Seq(("2024-03-01 00:00:00", 7.0)).toDF("s", "value")
