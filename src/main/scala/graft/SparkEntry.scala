@@ -482,6 +482,15 @@ object SparkEntry {
     Dedup.nearDuplicates(docsWithDups(s, dir), "doc_id", "text", 0.6)
       .orderBy("doc_a", "doc_b")
 
+  /** Canonical-doc assignment: connected components over the LSH near-dup
+    * pair graph — every doc in a duplicate cluster maps to the cluster's
+    * min id (keep-one-per-cluster dedup).
+    */
+  private def q_dedup_clusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(
+        Dedup.minhashLshPairs(docsWithDups(s, dir), "doc_id", "text"))
+      .orderBy("doc_id")
+
   private def q_dedup_embed_cosine(s: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
       .orderBy("vec_a", "vec_b")
@@ -643,6 +652,7 @@ object SparkEntry {
     "dedup_simhash" -> (q_dedup_simhash _),
     "dedup_ngram_jaccard" -> (q_dedup_ngram_jaccard _),
     "dedup_near_duplicates" -> (q_dedup_near_duplicates _),
+    "dedup_clusters" -> (q_dedup_clusters _),
     "dedup_embed_cosine" -> (q_dedup_embed_cosine _),
     "simsearch_topk" -> (q_simsearch_topk _),
     "simsearch_lsh" -> (q_simsearch_lsh _),
@@ -1016,6 +1026,22 @@ object SparkEntry {
          |h AS (SELECT doc_id, CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h FROM w)
          |SELECT doc_id, $simhashBitsSql AS simhash
          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $docsWithDupsSql,
+         |${shingleCte("all_docs")},
+         |$minhashBlCtes,
+         |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM bl a JOIN bl b ON a.band = b.band AND a.bh = b.bh
+         |       AND a.doc_id < b.doc_id),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |n AS (SELECT DISTINCT src AS id FROM e),
+         |reach(node, label) AS (
+         |  SELECT id, id FROM n
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node)
+         |SELECT node AS doc_id, min(label) AS canonical_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH ${shingleCte("documents")},
          |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 20),

@@ -57,7 +57,9 @@ object PcaAnomaly {
     val pc = pcaModel.pc // d x k, column-major principal components
     val d = pc.numRows
     val k = pc.numCols
-    val transformed = model.pipeline.transform(df)
+    // withScore first: the per-tag frame also carries the total
+    // anomaly_score (the serving response needs both in one pass)
+    val transformed = withScore(model.pipeline.transform(df))
     val x = vector_to_array(col(PipelineFactory.ScaledCol))
     val z = vector_to_array(col("pca_features"))
     val withErr = tags.zipWithIndex.foldLeft(transformed) { case (acc, (tag, j)) =>

@@ -168,9 +168,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
   }
 
-  /** The end-to-end near-dup pipeline at scale: LSH candidates → exact
-    * re-score.
+  /** Duplicate-cluster assignment: connected components of the near-dup
+    * pair graph by min-label propagation — the canonical step AFTER pair
+    * generation in a training-data dedup pipeline (each doc maps to the
+    * smallest doc id reachable through duplicate pairs; keep one doc per
+    * cluster).
+    *
+    * Spark-first iterative shape (the GraphX/Pregel pattern without the
+    * GraphX dependency): labels start as own id; each round takes the min
+    * of neighbor labels (one equi-join + one groupBy min per round) and
+    * stops at fixpoint. The min label travels one hop per round, so
+    * rounds ≤ graph diameter — near-dup clusters are shallow (dups of
+    * dups), so this converges in a handful of rounds; `maxIter` bounds
+    * pathological chains. Per-round `localCheckpoint` truncates the plan
+    * lineage (iterative joins otherwise stack exponentially deep plans).
     */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    // labels only ever DECREASE, so the fixpoint test is one scalar per
+    // round: the label sum stops changing exactly when no label moved.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id2")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 20, bands: Int = 5, shingleN: Int = 3,
       maxDocFreq: Int = Int.MaxValue): DataFrame =

@@ -1,0 +1,48 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ServeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val model: PcaAnomalyModel = {
+    // training manifold: t3 ≈ t1 + t2 (rank 2), so k=2 reconstructs it
+    val train = (1 to 200).map { i =>
+      val a = math.sin(i / 10.0) * 10; val b = math.cos(i / 7.0) * 5
+      (a, b, a + b)
+    }.toDF("t1", "t2", "t3")
+    PcaAnomaly.fit(train, Seq("t1", "t2", "t3"), k = 2, pctl = 0.99)
+  }
+
+  test("scoreRequest parses records, scores, and flags the off-manifold row") {
+    val json =
+      """[{"ts":"2024-01-01T00:00:00Z","t1":5.0,"t2":3.0,"t3":8.0},
+        |{"ts":"2024-01-01T00:10:00Z","t1":5.0,"t2":3.0,"t3":80.0}]""".stripMargin
+    val out = Serve.scoreRequest(spark, model, json, Seq("t1", "t2", "t3"))
+    val rows = out.orderBy("ts").collect()
+    assert(rows.length == 2)
+    val onManifold = rows(0)
+    val outlier = rows(1)
+    assert(!onManifold.getAs[Boolean]("anomalous"))
+    assert(outlier.getAs[Boolean]("anomalous"))
+    // per-tag decomposition localizes the broken tag
+    assert(outlier.getAs[Double]("tag_anomaly_t3") > outlier.getAs[Double]("tag_anomaly_t1"))
+  }
+
+  test("missing tags drop instead of crashing; unknown fields are ignored") {
+    val json = """[{"t1":1.0,"t2":2.0,"junk":"x"},{"t1":1.0}]"""
+    val out = Serve.scoreRequest(spark, model, json, Seq("t1", "t2", "t3"))
+    assert(out.count() == 0) // both rows miss at least one tag
+    val parsed = Serve.parseRequest(spark, json, Seq("t1", "t2", "t3"))
+    assert(parsed.count() == 2 && !parsed.columns.contains("junk"))
+  }
+
+  test("JSON response round-trips the scored fields") {
+    val json = """[{"ts":"2024-01-01T00:00:00Z","t1":5.0,"t2":3.0,"t3":8.0}]"""
+    val resp = Serve.toJsonResponse(
+      Serve.scoreRequest(spark, model, json, Seq("t1", "t2", "t3")))
+    assert(resp.startsWith("[") && resp.contains("anomaly_score")
+      && resp.contains("tag_anomaly_t3"))
+  }
+}

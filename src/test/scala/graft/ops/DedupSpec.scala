@@ -57,6 +57,23 @@ class DedupSpec extends SparkSpec {
     assert(viaLsh.contains((1L, 2L)))
   }
 
+  test("duplicateClusters assigns every node the component-min canonical id") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {7,9}, isolated pair {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 9L -> 7L, 20L -> 20L, 21L -> 20L))
+    // a long chain still converges (min travels one hop per round)
+    val chain = (1L to 15L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("doc_a", "doc_b")
+    val chainOut = Dedup.duplicateClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainOut.values.forall(_ == 1L))
+  }
+
   test("maxDocFreq drops corpus-boilerplate shingles before pair generation") {
     import spark.implicits._
     // "x y z" appears in every doc (df=4) + each doc has a unique tail
