@@ -86,6 +86,15 @@ object AnomalyMath {
   def threshold(scores: Column, p: Double = 0.99): Column =
     percentile(scores, lit(p))
 
+  /** The 100 TB swap-in for `threshold`: `percentile_approx` with bounded
+    * accuracy — single-pass, fixed memory, mergeable across partitions,
+    * no global sort of the score column. `accuracy` trades memory for
+    * rank error (≤ 1/accuracy of the rank). Same API, documented trade;
+    * the exact form stays for oracle hash-match at test scale.
+    */
+  def thresholdApprox(scores: Column, p: Double = 0.99, accuracy: Int = 10000): Column =
+    percentile_approx(scores, lit(p), lit(accuracy))
+
   /** Rolling smoothing of an anomaly series (later gordo versions smooth
     * the scores before thresholding): trailing mean over `k` rows.
     */

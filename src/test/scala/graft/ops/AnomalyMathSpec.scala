@@ -62,6 +62,16 @@ class AnomalyMathSpec extends SparkSpec {
     assert(math.abs(out - 99.01) < 1e-9) // linear interpolation percentile
   }
 
+  test("thresholdApprox tracks the exact percentile within rank tolerance") {
+    val df = (1 to 10000).map(_.toDouble).toDF("v")
+    val (exact, approx) = df.agg(
+        AnomalyMath.threshold(col("v"), 0.99).as("e"),
+        AnomalyMath.thresholdApprox(col("v"), 0.99).as("a"))
+      .as[(Double, Double)].collect().head
+    // rank error <= n/accuracy = 1 rank here
+    assert(math.abs(approx - exact) <= 2.0, s"exact=$exact approx=$approx")
+  }
+
   test("smooth is a trailing mean over k rows") {
     val df = Seq((1L, 2.0), (2L, 4.0), (3L, 6.0)).toDF("k", "v")
     val out = df.select(
