@@ -193,7 +193,9 @@ object Dedup {
     // labels only ever DECREASE, so the fixpoint test is one scalar per
     // round: the label sum stops changing exactly when no label moved.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      // sum over zero rows is null — an empty pair set must not NPE
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

@@ -89,4 +89,35 @@ class EdgeCasesSpec extends SparkSpec {
       .as[Timestamp].collect().toSeq
     assert(buckets == Seq(ts("2024-03-10 23:50:00"), ts("2024-03-11 00:00:00")))
   }
+
+  test("densify on an empty long frame yields an empty grid, keyed ffill no-ops") {
+    val empty = Seq.empty[(Timestamp, String, Option[Double])].toDF("bucket", "k", "v")
+    val dense = Timeseries.densify(empty, "bucket", "k", Seq("a", "b"))
+    assert(dense.columns.toSeq == Seq("bucket", "k", "v"))
+    assert(dense.count() == 0)
+    assert(Timeseries.ffill(dense, Seq("v"), Seq("k"), "bucket").count() == 0)
+  }
+
+  test("duplicateClusters of an empty pair set is empty; self-contained pair is its own cluster") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.duplicateClusters(empty).count() == 0)
+    val one = Seq((42L, 7L)).toDF("doc_a", "doc_b") // unordered pair still converges
+    val out = Dedup.duplicateClusters(one).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(42L -> 7L, 7L -> 7L))
+  }
+
+  test("ngramJaccardPairs on single-doc and empty corpora returns no pairs") {
+    val one = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(one, "doc_id", "text", 0.1).count() == 0)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(empty, "doc_id", "text", 0.1).count() == 0)
+  }
+
+  test("randomSeries with n=0 or no tags is empty but schema-stable") {
+    val noRows = graft.sources.TagSources.randomSeries(spark, Seq("a"), 0L, 0L, 60L)
+    assert(noRows.columns.toSeq == Seq("tag", "i", "ts", "value"))
+    assert(noRows.count() == 0)
+    assert(graft.sources.TagSources.randomSeries(spark, Seq.empty, 10L, 0L, 60L).count() == 0)
+  }
 }
