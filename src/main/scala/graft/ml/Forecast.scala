@@ -99,20 +99,67 @@ object Forecast {
 
   def fitPerKey(frame: DataFrame, keyCol: String, valueCol: String, lb: Int,
       orderCol: String, regParam: Double = 1e-6): KeyedForecastModel = {
+    // The normal equations are PLAIN SUMS, so one groupBy(key) aggregation
+    // computes every machine's XᵀX and Xᵀy simultaneously — the whole
+    // fleet trains in ONE shuffle (MLlib would schedule one fit job per
+    // machine: gordo's N-pod problem re-created inside Spark). The driver
+    // then solves a (lb+1)×(lb+1) system per key — O(machines) scalars
+    // pulled back, same class as ModelBuilder's fold metadata.
     val seqs = Sequences.forecastTarget(frame, Seq(valueCol), lb, orderCol, Seq(keyCol))
-      .select(col(keyCol),
-        array_to_vector(flatten(col("x_sequence")).cast("array<double>")).as("features"),
-        element_at(col("y"), 1).as("label"))
+      .select(col(keyCol).as("__k"),
+        flatten(col("x_sequence")).cast("array<double>").as("__x"),
+        element_at(col("y"), 1).as("__y"))
       .na.drop()
-      .cache() // reused by every per-key fit; released below
-    try {
-      val keys = seqs.select(keyCol).distinct().collect().map(_.getString(0)).sorted
-      val models = keys.toSeq.map { k =>
-        val lr = new LinearRegression().setSolver("normal").setRegParam(regParam)
-        val m = lr.fit(seqs.filter(col(keyCol) === k))
-        (k, m.coefficients.toArray.toSeq, m.intercept)
+    def x(i: Int) = element_at(col("__x"), i + 1)
+    val aggs =
+      (for (i <- 0 until lb; j <- i until lb) yield sum(x(i) * x(j)).as(s"m_${i}_$j")) ++
+        (0 until lb).map(i => sum(x(i)).as(s"sx_$i")) ++
+        (0 until lb).map(i => sum(x(i) * col("__y")).as(s"sxy_$i")) ++
+        Seq(sum(col("__y")).as("sy"), count(lit(1)).cast("double").as("n"))
+    val perKey = seqs.groupBy("__k").agg(aggs.head, aggs.tail: _*).collect()
+    val models = perKey.toSeq.map { r =>
+      val d = lb + 1
+      val m = Array.ofDim[Double](d, d)
+      val v = new Array[Double](d)
+      for (i <- 0 until lb; j <- i until lb) {
+        val s = r.getAs[Double](s"m_${i}_$j"); m(i)(j) = s; m(j)(i) = s
       }
-      KeyedForecastModel(lb, keyCol, valueCol, models)
-    } finally seqs.unpersist()
+      for (i <- 0 until lb) {
+        m(i)(lb) = r.getAs[Double](s"sx_$i"); m(lb)(i) = m(i)(lb)
+        v(i) = r.getAs[Double](s"sxy_$i")
+        m(i)(i) += regParam // ridge on the lag terms, not the intercept
+      }
+      m(lb)(lb) = r.getAs[Double]("n")
+      v(lb) = r.getAs[Double]("sy")
+      val w = solve(m, v)
+      (r.getString(0), w.take(lb).toSeq, w(lb))
+    }.sortBy(_._1)
+    KeyedForecastModel(lb, keyCol, valueCol, models)
+  }
+
+  /** In-place Gaussian elimination with partial pivoting — the systems are
+    * (lb+1)×(lb+1), driver-side, deterministic.
+    */
+  private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val n = b.length
+    for (p <- 0 until n) {
+      var best = p
+      for (r <- p + 1 until n) if (math.abs(a(r)(p)) > math.abs(a(best)(p))) best = r
+      val tmpRow = a(p); a(p) = a(best); a(best) = tmpRow
+      val tmpB = b(p); b(p) = b(best); b(best) = tmpB
+      require(math.abs(a(p)(p)) > 1e-300, "singular normal-equation matrix")
+      for (r <- p + 1 until n) {
+        val f = a(r)(p) / a(p)(p)
+        for (c <- p until n) a(r)(c) -= f * a(p)(c)
+        b(r) -= f * b(p)
+      }
+    }
+    val w = new Array[Double](n)
+    for (p <- n - 1 to 0 by -1) {
+      var s = b(p)
+      for (c <- p + 1 until n) s -= a(p)(c) * w(c)
+      w(p) = s / a(p)(p)
+    }
+    w
   }
 }

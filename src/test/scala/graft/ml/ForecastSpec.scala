@@ -52,6 +52,25 @@ class ForecastSpec extends SparkSpec {
     assert(maxErr < 1e-6, s"max per-key |y-yhat| = $maxErr")
   }
 
+  test("fitPerKey normal-equations solve agrees with the MLlib solver") {
+    // noisy-ish but well-conditioned series: deterministic pseudo-noise
+    val df = (1 to 60).map { t =>
+      ("m1", t.toLong, 3.0 * t + math.sin(t * 0.7) * 5)
+    }.toDF("key", "t", "v")
+    val mllib = Forecast.fit(df, Seq("v"), lb = 3, "t", Seq("key"))
+    val closed = Forecast.fitPerKey(df, "key", "v", lb = 3, "t")
+    // lag features are near-collinear, so coefficient VECTORS are
+    // ill-conditioned (the two solvers regularize slightly differently);
+    // the fitted PREDICTIONS are the well-conditioned comparison
+    val pM = mllib.forecast(df, "t", Seq("key"))
+      .select(col("t"), col("v_hat").as("hm"))
+    val pC = closed.forecast(df, "t")
+      .select(col("t").as("t2"), col("v_hat").as("hc"))
+    val maxDiff = pM.join(pC, pM("t") === pC("t2"))
+      .agg(max(abs(col("hm") - col("hc")))).as[Double].collect().head
+    assert(maxDiff < 1e-3, s"max |mllib - closed-form| prediction diff = $maxDiff")
+  }
+
   test("X is strictly before y — no target leakage in the training layout") {
     val df = (1 to 10).map(t => ("m1", t.toLong, t * 1.0)).toDF("key", "t", "v")
     val seqs = Sequences.forecastTarget(df, Seq("v"), lb = 2, "t", Seq("key"))
