@@ -187,8 +187,11 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed with min(id, min direct neighbor): the self-loop union makes one
+    // groupBy produce what round 1 of propagation would — one fewer round
+    var labels = edges
+      .unionByName(edges.select(col("src"), col("src").as("dst"))) // self-loops
+      .groupBy(col("dst").as("id")).agg(min(col("src")).as("label"))
       .localCheckpoint()
     // labels only ever DECREASE, so the fixpoint test is one scalar per
     // round: the label sum stops changing exactly when no label moved.

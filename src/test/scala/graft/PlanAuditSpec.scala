@@ -37,6 +37,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(multi.contains("BroadcastHashJoin"))
   }
 
+  test("text queries prune the documents scan to the columns they touch") {
+    val plan = planOf("text_tokens")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    assert(!read.contains("lang"), s"documents scan reads unused columns: $read")
+  }
+
   test("no shipped query windows over a single partition (100 TB scale audit)") {
     // A WindowExec with an empty partitionSpec forces ALL rows through one
     // Exchange SinglePartition — correct at sf0.01, a scale-killer at 100×.
