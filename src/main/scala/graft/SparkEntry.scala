@@ -193,6 +193,25 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Interval join: each click pairs with the same user's views in the
+    * trailing 10 minutes — the batch form of `Streams.intervalJoin` (the
+    * streaming variant is parity-spec'd against this exact expression).
+    */
+  private def q_join_interval(s: SparkSession, dir: String): DataFrame = {
+    val ev = E(s, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vuser"),
+        col("ts").as("vts"), col("value").as("vvalue"))
+    c.join(v, col("user_id") === col("vuser") &&
+        col("vts") >= col("cts") - expr("INTERVAL 10 MINUTES") &&
+        col("vts") <= col("cts"))
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        round(col("vvalue"), 6).as("view_value"))
+      .orderBy("click_id", "view_id")
+  }
+
   private def q_win_smooth_time(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(unix_seconds(col("ts")))
@@ -623,6 +642,7 @@ object SparkEntry {
     "join_semi" -> (q_join_semi _),
     "join_anti" -> (q_join_anti _),
     "join_asof" -> (q_join_asof _),
+    "join_interval" -> (q_join_interval _),
     "win_smooth_time" -> (q_win_smooth_time _),
     "agg_resample_mean" -> (q_agg_resample_mean _),
     "agg_resample_multi" -> (q_agg_resample_multi _),
@@ -840,6 +860,16 @@ object SparkEntry {
         |SELECT l.event_id, l.user_id, l.value, round(r.vv, 6) AS asof_view
         |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.t >= r.t
         |ORDER BY event_id""".stripMargin,
+    "join_interval" ->
+      """SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
+        |  round(v.value, 6) AS view_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) t
+        |      FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) t, value
+        |      FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        |  AND v.t >= c.t - INTERVAL 10 MINUTE AND v.t <= c.t
+        |ORDER BY click_id, view_id""".stripMargin,
     "win_smooth_time" ->
       """SELECT event_id, user_id,
         |  round(avg(value) OVER (PARTITION BY user_id

@@ -50,6 +50,24 @@ object Streams {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col(keyCol), col("n_events"))
 
+  /** Stream-stream interval join: each left event pairs with right events
+    * of the same key whose timestamp falls in `[leftTs − lag, leftTs]`.
+    * Both sides are watermarked — Spark derives the state retention bound
+    * from the watermark + the interval condition, so join state is
+    * GC'd and never grows unboundedly (THE requirement for a stream-stream
+    * join at scale). Batch-compatible: on static frames the same
+    * expression is a plain equi-join with a range predicate.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, lag: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lag") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs"))
+  }
+
   /** Exactly-once readings: drop duplicate ids arriving within the
     * watermark horizon (at-least-once source → effectively-once sink).
     */

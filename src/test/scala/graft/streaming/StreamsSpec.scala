@@ -52,6 +52,44 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    implicit val sq = spark.sqlContext
+    val clicks = Seq(
+      (1L, "u1", ts("2024-01-01 00:10:00")),
+      (2L, "u1", ts("2024-01-01 00:30:00")),
+      (3L, "u2", ts("2024-01-01 00:10:00")))
+    val views = Seq(
+      (11L, "u1", ts("2024-01-01 00:05:00")), // within 10m of click 1
+      (12L, "u1", ts("2024-01-01 00:29:00")), // within 10m of click 2
+      (13L, "u1", ts("2024-01-01 00:45:00")), // after every click
+      (14L, "u2", ts("2024-01-01 00:01:00"))) // within 10m of click 3
+    val memC = MemoryStream[(Long, String, Timestamp)]
+    val memV = MemoryStream[(Long, String, Timestamp)]
+    val joined = Streams.intervalJoin(
+      memC.toDF.toDF("click_id", "user_id", "cts"),
+      memV.toDF.toDF("view_id", "user_id", "vts"),
+      "user_id", "cts", "vts", "10 MINUTES", "30 minutes")
+      .select(col("click_id"), col("view_id"))
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      memC.addData(clicks); memV.addData(views.take(2))
+      q.processAllAvailable()
+      memV.addData(views.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ij_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Streams.intervalJoin(
+      clicks.toDF("click_id", "user_id", "cts"),
+      views.toDF("view_id", "user_id", "vts"),
+      "user_id", "cts", "vts", "10 MINUTES", "30 minutes")
+      .select(col("click_id"), col("view_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == Set((1L, 11L), (2L, 12L), (3L, 14L)))
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("stream dedup drops duplicate event ids within the watermark") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
