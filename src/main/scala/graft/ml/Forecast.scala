@@ -95,6 +95,28 @@ object Forecast {
           graft.ops.AnomalyMath.tagAnomaly(element_at(col("y"), 1), col(s"${valueCol}_hat")))
         .drop("x_sequence", "y", "__x")
     }
+
+    /** Persistable coefficient table (one row per key + model params). */
+    def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      coefs.toDF("tag", "w", "b")
+        .withColumn("lb", lit(lb))
+        .withColumn("key_col", lit(keyCol))
+        .withColumn("value_col", lit(valueCol))
+    }
+  }
+
+  object KeyedForecastModel {
+    /** Rehydrate from a persisted coefficient frame. */
+    def fromDF(df: DataFrame): KeyedForecastModel = {
+      val rows = df.select("tag", "w", "b", "lb", "key_col", "value_col").collect()
+      require(rows.nonEmpty, "empty forecast model frame")
+      val h = rows.head
+      KeyedForecastModel(h.getAs[Int]("lb"), h.getAs[String]("key_col"),
+        h.getAs[String]("value_col"),
+        rows.toSeq.map(r => (r.getString(0), r.getSeq[Double](1), r.getDouble(2)))
+          .sortBy(_._1))
+    }
   }
 
   def fitPerKey(frame: DataFrame, keyCol: String, valueCol: String, lb: Int,

@@ -105,6 +105,72 @@ object ModelBuilder {
       Files.readString(Paths.get(path, "metadata.json")))
   }
 
+  case class ForecastBuildResult(path: String,
+      model: Forecast.KeyedForecastModel, metadata: String)
+
+  /** Config-driven FORECAST build (`model.type: "ar_forecast"`) — same
+    * lifecycle as `build` but for the trainable per-tag forecaster: keyed
+    * long resample → expanding-window CV (per-fold fleet fit + strictly
+    * later validation MAE) → final one-shuffle fleet fit → coefficient
+    * table + metadata under `outDir/<name>/`, registry-cached.
+    *
+    * Config: `{ "name": ..., "dataset": {"tags": [...], "resolution":
+    * "10 minutes"}, "model": {"type": "ar_forecast", "lookback": 6},
+    * "evaluation": {"n_splits": 3} }`
+    */
+  def buildForecast(spark: SparkSession, configJson: String, longDf: DataFrame,
+      outDir: String): ForecastBuildResult = {
+    val cfg = parse(configJson)
+    val name = cfg.getOrElse("name", "machine").toString
+    val registry = DiskRegistry(s"$outDir/registry")
+    val ds = obj(cfg, "dataset")
+    val tags = strList(ds, "tags")
+    val resolution = ds.getOrElse("resolution", "10 minutes").toString
+    val tsCol = ds.getOrElse("ts_col", "ts").toString
+    val tagCol = ds.getOrElse("tag_col", "tag").toString
+    val valueCol = ds.getOrElse("value_col", "value").toString
+    val model = obj(cfg, "model")
+    val lb = intOf(model, "lookback", 6)
+    val nSplits = intOf(obj(cfg, "evaluation"), "n_splits", 3)
+
+    val long = longDf
+      .filter(col(tagCol).isin(tags: _*))
+      .groupBy(Timeseries.bucket(col(tsCol), resolution).as("bucket"), col(tagCol))
+      .agg(avg(col(valueCol)).as("v"))
+
+    val path = registry.getOrBuild(configJson) {
+      val foldMeta = TimeSeriesCV.folds(long, "bucket", nSplits).zipWithIndex.map {
+        case ((train, valid), i) =>
+          val m = Forecast.fitPerKey(train, tagCol, "v", lb, "bucket")
+          val stats = m.forecast(valid, "bucket").agg(
+            count(lit(1)).as("n"),
+            avg(col("v_anomaly")).as("mean_abs_err"),
+            max(col("v_anomaly")).as("max_abs_err")).head()
+          s"""{"fold": $i, "val_rows": ${stats.getLong(0)},
+             | "val_mean_abs_err": ${stats.getAs[Double]("mean_abs_err")},
+             | "val_max_abs_err": ${stats.getAs[Double]("max_abs_err")}}""".stripMargin
+            .replaceAll("\n", "")
+      }
+      val finalModel = Forecast.fitPerKey(long, tagCol, "v", lb, "bucket")
+      val dir = Paths.get(outDir, name)
+      Files.createDirectories(dir)
+      finalModel.toDF(spark).write.mode("overwrite").parquet(dir.resolve("model").toString)
+      val metadata =
+        s"""{"name": "$name",
+           | "tags": [${tags.map("\"" + _ + "\"").mkString(", ")}],
+           | "model": {"type": "ar_forecast", "lookback": $lb},
+           | "cv": [${foldMeta.mkString(", ")}],
+           | "config_key": "${registry.key(configJson)}"}""".stripMargin
+      Files.writeString(dir.resolve("metadata.json"), metadata)
+      dir.toString
+    }
+
+    val reloaded = Forecast.KeyedForecastModel.fromDF(
+      spark.read.parquet(Paths.get(path, "model").toString))
+    ForecastBuildResult(path, reloaded,
+      Files.readString(Paths.get(path, "metadata.json")))
+  }
+
   /** Fleet build — the workflow-generator analogue (SURVEY.md §3.1: one
     * Argo pod per machine, thousands of machines). Here each machine is a
     * sequence of Spark jobs inside ONE session; the registry dedupes

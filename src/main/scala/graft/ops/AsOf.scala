@@ -35,9 +35,13 @@ object AsOf {
     * @param valueCols right columns to carry; emitted as `asof_<name>`
     * @param inner     drop left rows with no preceding right row (ASOF
     *                  JOIN semantics); false keeps them with nulls
+    * @param tolerance pandas `merge_asof(tolerance=...)` analogue: an
+    *                  interval string (e.g. "5 MINUTES"); a match older
+    *                  than `left.ts − tolerance` is treated as no match
     */
   def join(left: DataFrame, right: DataFrame, tsCol: String, keyCols: Seq[String],
-      valueCols: Seq[String], inner: Boolean = true): DataFrame = {
+      valueCols: Seq[String], inner: Boolean = true,
+      tolerance: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     // side: right=0 sorts before left=1 at equal ts -> >= semantics
     val l = left
@@ -55,11 +59,24 @@ object AsOf {
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
-      .select(col("*") +: valueCols.map(c =>
-        last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+      .withColumn("__rts", when(col("__side") === 0, col(tsCol)))
+      .select(col("*") +: (valueCols.map(c =>
+        last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c")) :+
+        last(col("__rts"), ignoreNulls = true).over(w).as("__asof_ts")): _*)
       .filter(col("__side") === 1)
-      .drop("__side")
+    val masked = tolerance match {
+      case Some(tol) =>
+        // same window pass carries the matched right TIMESTAMP; a stale
+        // match nulls out here, then the `inner` drop applies as usual
+        val within = col("__asof_ts") >= col(tsCol) - expr(s"INTERVAL $tol")
+        valueCols.foldLeft(carried) { (d, c) =>
+          d.withColumn(s"asof_$c", when(within, col(s"asof_$c")))
+        }
+      case None => carried
+    }
+    val out = masked
+      .drop("__side", "__rts", "__asof_ts")
       .drop(valueCols.map(c => s"__r_$c"): _*)
-    if (inner) carried.na.drop("any", valueCols.map(c => s"asof_$c")) else carried
+    if (inner) out.na.drop("any", valueCols.map(c => s"asof_$c")) else out
   }
 }

@@ -35,6 +35,32 @@ class ModelBuilderSpec extends SparkSpec {
     assert(n > 0 && flagged < n) // 0.95 pctl threshold: some but not all flagged
   }
 
+  test("buildForecast trains the per-tag fleet, persists coefficients, CV on later data") {
+    val out = java.nio.file.Files.createTempDirectory("graft-fbuild").toString
+    val fconfig =
+      """{"name": "events-forecast",
+        |  "dataset": {"tags": ["click", "view"], "resolution": "1 hour",
+        |              "tag_col": "event_type", "value_col": "value"},
+        |  "model": {"type": "ar_forecast", "lookback": 4},
+        |  "evaluation": {"n_splits": 2}}""".stripMargin
+    val result = ModelBuilder.buildForecast(spark, fconfig, events, out)
+    assert(result.model.coefs.map(_._1).sorted == Seq("click", "view"))
+    assert(result.model.lb == 4)
+    assert(result.metadata.contains("\"type\": \"ar_forecast\""))
+    assert(result.metadata.contains("val_mean_abs_err"))
+    // the persisted coefficient table round-trips into a scoring model
+    val scored = result.model.forecast(
+      events.filter(col("event_type").isin("click", "view"))
+        .groupBy(graft.ops.Timeseries.bucket(col("ts"), "1 hour").as("bucket"),
+          col("event_type"))
+        .agg(avg(col("value")).as("v")),
+      "bucket")
+    assert(scored.count() > 0 && scored.columns.contains("v_hat"))
+    // second build of the same config is a registry hit
+    val again = ModelBuilder.buildForecast(spark, fconfig, events, out)
+    assert(again.path == result.path)
+  }
+
   test("buildAll isolates per-machine failures and dedupes via the registry") {
     val out = java.nio.file.Files.createTempDirectory("graft-fleet").toString
     val bad = """{"name": "broken", "dataset": {"tags": "not-a-list"}}"""

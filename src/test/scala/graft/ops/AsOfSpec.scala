@@ -38,6 +38,18 @@ class AsOfSpec extends SparkSpec {
     assert(out(3).isNullAt(out(3).fieldIndex("asof_state")))
   }
 
+  test("tolerance rejects matches older than the interval (merge_asof parity)") {
+    // id 3 at 00:30 would match the 00:20 right row; 5-minute tolerance
+    // makes that match stale. ids 1 and 2 match within 5 minutes.
+    val out = AsOf.join(left, right, "ts", Seq("k"), Seq("state"),
+      tolerance = Some("5 MINUTES")).orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+    val outer = AsOf.join(left, right, "ts", Seq("k"), Seq("state"),
+      inner = false, tolerance = Some("5 MINUTES")).orderBy("id").collect()
+    assert(outer.length == 4)
+    assert(outer(2).isNullAt(outer(2).fieldIndex("asof_state"))) // stale -> null
+  }
+
   test("asof join is a single shuffle (plan invariant)") {
     val out = AsOf.join(left, right, "ts", Seq("k"), Seq("state"))
     val plan = out.queryExecution.explainString(
