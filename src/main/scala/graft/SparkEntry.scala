@@ -564,6 +564,25 @@ object SparkEntry {
     TextAnalysis.fingerprint(T(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** PII-mask / digit-fold / whitespace-collapse scrub over documents. */
+  private def q_text_scrub(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.scrub(col("text"), Seq(
+          "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+" -> "<EMAIL>",
+          "[0-9]+" -> "<NUM>",
+          "\\s+" -> " ")).as("scrubbed"))
+      .orderBy("doc_id")
+
+  /** Deterministic hash-stratified sample: downsample dominant strata,
+    * keep the tail — membership is a pure function of doc_id.
+    */
+  private def q_sample_stratified(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.stratifiedSample(T(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.25)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------------
   // Spark-only module queries (no SQL oracle — driver records rows-only):
   // the streaming transforms run in batch replay mode (same code path the
@@ -680,6 +699,8 @@ object SparkEntry {
     "text_quality" -> (q_text_quality _),
     "text_tokens" -> (q_text_tokens _),
     "text_fingerprint" -> (q_text_fingerprint _),
+    "text_scrub" -> (q_text_scrub _),
+    "sample_stratified" -> (q_sample_stratified _),
     "simsearch_ivf" -> (q_simsearch_ivf _),
     "win_interpolate" -> (q_win_interpolate _),
     "stream_resample" -> (q_stream_resample _),
@@ -1138,6 +1159,18 @@ object SparkEntry {
          |  md5(array_to_string(list_sort(list_distinct(
          |    string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g'),
+        |    '\s+', ' ', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000
+        |  < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 1000000 ELSE 250000 END
+        |ORDER BY doc_id""".stripMargin,
     "win_ffill" ->
       s"""WITH $denseGridCte
          |SELECT bucket, event_type,

@@ -13,6 +13,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextAnalysis {
 
+  /** Text scrub/normalization for training-data hygiene: ordered
+    * (pattern → replacement) regex rewrites, e.g. PII masking (emails,
+    * phone numbers → placeholder tokens), digit folding, whitespace
+    * collapse. Pure `regexp_replace` chain — codegen'd, no shuffle, and
+    * mirrored 1:1 by SQL `regexp_replace(..., 'g')`.
+    */
+  def scrub(text: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(text) { case (c, (pattern, replacement)) =>
+      regexp_replace(c, pattern, replacement)
+    }
+
   import Dedup.words
 
   /** Deterministic language-ID by hashed word voting: each token votes for
