@@ -37,6 +37,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(multi.contains("BroadcastHashJoin"))
   }
 
+  test("join_interval stays a keyed join — never a nested-loop range join") {
+    val plan = planOf("join_interval")
+    // equi-join on the key with the interval as residual condition: any of
+    // the keyed strategies is fine (broadcast at tiny SF, SMJ at scale)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), s"expected a keyed join:\n$plan")
+    assert(!plan.contains("NestedLoop"), s"range condition degraded the join:\n$plan")
+  }
+
   test("text queries prune the documents scan to the columns they touch") {
     val plan = planOf("text_tokens")
     val read = plan.linesIterator.find(_.contains("ReadSchema")).get
