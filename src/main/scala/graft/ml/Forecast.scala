@@ -132,6 +132,10 @@ object Forecast {
         flatten(col("x_sequence")).cast("array<double>").as("__x"),
         element_at(col("y"), 1).as("__y"))
       .na.drop()
+      // na.drop only catches a NULL array; a gap-null ELEMENT (what
+      // densify produces) would silently skip some moment sums while
+      // count still counts the row — an inconsistent XᵀX. Drop the row.
+      .filter(!exists(col("__x"), x => x.isNull))
     def x(i: Int) = element_at(col("__x"), i + 1)
     val aggs =
       (for (i <- 0 until lb; j <- i until lb) yield sum(x(i) * x(j)).as(s"m_${i}_$j")) ++

@@ -83,7 +83,9 @@ object ModelBuilder {
       }
 
       val finalModel = PcaAnomaly.fit(wide, tags, k, pctl)
-      val dir = Paths.get(outDir, name)
+      // artifact dir carries the config key: two configs sharing a `name`
+      // must not overwrite (and then serve) each other's artifacts
+      val dir = Paths.get(outDir, s"$name-${registry.key(configJson).take(8)}")
       Files.createDirectories(dir)
       finalModel.pipeline.write.overwrite().save(dir.resolve("model").toString)
       val metadata =
@@ -152,7 +154,11 @@ object ModelBuilder {
             .replaceAll("\n", "")
       }
       val finalModel = Forecast.fitPerKey(long, tagCol, "v", lb, "bucket")
-      val dir = Paths.get(outDir, name)
+      // fail BEFORE anything is written/registered: an empty model (too
+      // few buckets per tag for the lookback) must not poison the cache
+      require(finalModel.coefs.nonEmpty,
+        s"no tag had enough buckets for lookback=$lb — nothing to fit")
+      val dir = Paths.get(outDir, s"$name-${registry.key(configJson).take(8)}")
       Files.createDirectories(dir)
       finalModel.toDF(spark).write.mode("overwrite").parquet(dir.resolve("model").toString)
       val metadata =

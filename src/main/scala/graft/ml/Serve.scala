@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   *
   * Contract notes mirrored from the reference: records parse against an
   * EXPLICIT schema (no inference scan — a request must not cost two
-  * passes), unknown fields are ignored, missing tags surface as nulls and
-  * score as anomalous-null rather than crashing, and the response carries
-  * the total anomaly, the threshold verdict, and per-tag error columns.
+  * passes), unknown fields are ignored, every record returns exactly one
+  * response row in payload order (`req_idx`) — records missing a tag come
+  * back with NULL scores/verdict rather than disappearing — and the
+  * response carries the total anomaly, the threshold verdict, and per-tag
+  * error columns.
   */
 object Serve {
 
@@ -25,24 +27,38 @@ object Serve {
     StructType(StructField(tsCol, TimestampType, nullable = true) +:
       tags.map(t => StructField(t, DoubleType, nullable = true)))
 
-  /** Parse a JSON-array payload ("[{...}, {...}]") into the X frame. */
+  /** Parse a JSON-array payload ("[{...}, {...}]") into the X frame;
+    * `req_idx` is the record's position in the payload, so the response
+    * stays row-aligned with the request.
+    */
   def parseRequest(spark: SparkSession, json: String, tags: Seq[String],
       tsCol: String = "ts"): DataFrame = {
     import spark.implicits._
     spark.createDataset(Seq(json)).toDF("__body")
-      .select(explode(from_json(col("__body"), ArrayType(requestSchema(tags, tsCol)))).as("r"))
-      .select(col("r.*"))
+      .select(posexplode(from_json(col("__body"), ArrayType(requestSchema(tags, tsCol))))
+        .as(Seq("req_idx", "r")))
+      .select(col("req_idx").cast("long").as("req_idx"), col("r.*"))
   }
 
   /** Score a request payload: total anomaly + threshold verdict + per-tag
-    * decomposition — the reference's prediction frame columns.
+    * decomposition — the reference's prediction frame columns. Every
+    * request record produces exactly one response row in payload order:
+    * records missing a tag come back with NULL scores/verdict (they cannot
+    * be scored) instead of silently disappearing and breaking the
+    * request↔response row correspondence.
     */
   def scoreRequest(spark: SparkSession, model: PcaAnomalyModel, json: String,
       tags: Seq[String], tsCol: String = "ts"): DataFrame = {
-    val x = parseRequest(spark, json, tags, tsCol).na.drop("any", tags)
-    val scored = PcaAnomaly.perTagScores(model, x, tags)
-    scored
+    val x = parseRequest(spark, json, tags, tsCol)
+    val complete = x.na.drop("any", tags)
+    val scored = PcaAnomaly.perTagScores(model, complete, tags)
       .withColumn("anomalous", col("anomaly_score") > lit(model.threshold))
+    val unscorable = x.join(complete.select("req_idx"), Seq("req_idx"), "left_anti")
+      .withColumn("anomaly_score", lit(null).cast("double"))
+    val unscoredAll = tags.foldLeft(unscorable) { (d, t) =>
+      d.withColumn(s"tag_anomaly_$t", lit(null).cast("double"))
+    }.withColumn("anomalous", lit(null).cast("boolean"))
+    scored.unionByName(unscoredAll).orderBy("req_idx")
   }
 
   /** Response as a JSON-lines string (what the HTTP shim would write). */

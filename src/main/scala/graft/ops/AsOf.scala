@@ -58,25 +58,29 @@ object AsOf {
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The matched timestamp must be tracked PER VALUE COLUMN: last(value,
+    // ignoreNulls) skips null-valued right rows, so gating every column on
+    // the latest right row's timestamp would let a stale value through
+    // whenever a newer right row carries a null in that column.
     val carried = l.unionByName(r)
-      .withColumn("__rts", when(col("__side") === 0, col(tsCol)))
-      .select(col("*") +: (valueCols.map(c =>
-        last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c")) :+
-        last(col("__rts"), ignoreNulls = true).over(w).as("__asof_ts")): _*)
+      .select(col("*") +: valueCols.flatMap(c => Seq(
+        last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c"),
+        last(when(col("__side") === 0 && col(s"__r_$c").isNotNull, col(tsCol)),
+          ignoreNulls = true).over(w).as(s"__asof_ts_$c"))): _*)
       .filter(col("__side") === 1)
     val masked = tolerance match {
       case Some(tol) =>
-        // same window pass carries the matched right TIMESTAMP; a stale
-        // match nulls out here, then the `inner` drop applies as usual
-        val within = col("__asof_ts") >= col(tsCol) - expr(s"INTERVAL $tol")
+        // same window pass carried each column's matched timestamp; a
+        // stale match nulls out here, then the `inner` drop applies
         valueCols.foldLeft(carried) { (d, c) =>
+          val within = col(s"__asof_ts_$c") >= col(tsCol) - expr(s"INTERVAL $tol")
           d.withColumn(s"asof_$c", when(within, col(s"asof_$c")))
         }
       case None => carried
     }
     val out = masked
-      .drop("__side", "__rts", "__asof_ts")
-      .drop(valueCols.map(c => s"__r_$c"): _*)
+      .drop("__side")
+      .drop(valueCols.flatMap(c => Seq(s"__r_$c", s"__asof_ts_$c")): _*)
     if (inner) out.na.drop("any", valueCols.map(c => s"asof_$c")) else out
   }
 }

@@ -214,6 +214,12 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // never return silently-split components: a chain longer than maxIter
+    // would emit several canonical ids for ONE cluster and a dedup
+    // pipeline would silently keep extra duplicates
+    require(converged,
+      s"duplicateClusters did not converge in $maxIter rounds — a component's " +
+        "diameter exceeds maxIter; raise maxIter for deep duplicate chains")
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,

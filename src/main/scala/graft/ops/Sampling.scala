@@ -39,6 +39,8 @@ object Sampling {
     */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
       fractions: Map[String, Double], defaultFraction: Double = 0.0): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0 && f <= 1, s"fractions must be in [0,1], got $f"))
     val threshold = fractions.toSeq.sortBy(_._1)
       .foldLeft(lit((defaultFraction * Buckets).toLong)) { case (acc, (stratum, f)) =>
         when(col(strataCol) === stratum, lit((f * Buckets).toLong)).otherwise(acc)

@@ -31,7 +31,10 @@ class JdbcTimeSeriesStore(url: String, table: String,
 
   require(timeSlicesPerTag >= 1, "timeSlicesPerTag must be >= 1")
 
-  private def sqlLit(t: Timestamp): String = s"TIMESTAMP('${t.toString}')"
+  // JDBC escape syntax: every conformant driver (Derby, PostgreSQL, ...)
+  // rewrites {ts '...'} to its native timestamp literal — the
+  // Derby-specific TIMESTAMP('...') function form would fail elsewhere
+  private def sqlLit(t: Timestamp): String = s"{ts '${t.toString}'}"
 
   /** [from, to) split into `timeSlicesPerTag` half-open micro-ranges. */
   private[sources] def timeSlices(from: Timestamp, to: Timestamp): Seq[(Timestamp, Timestamp)] = {

@@ -63,9 +63,12 @@ object Streams {
     val l = left.withWatermark(leftTs, watermark).alias("l")
     val r = right.withWatermark(rightTs, watermark).alias("r")
     l.join(r,
-      col(s"l.$keyCol") === col(s"r.$keyCol") &&
-        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lag") &&
-        col(s"r.$rightTs") <= col(s"l.$leftTs"))
+        col(s"l.$keyCol") === col(s"r.$keyCol") &&
+          col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lag") &&
+          col(s"r.$rightTs") <= col(s"l.$leftTs"))
+      // one key column out, not two identically-named ones — a downstream
+      // select/groupBy on the key must not hit AMBIGUOUS_REFERENCE
+      .drop(col(s"r.$keyCol"))
   }
 
   /** Exactly-once readings: drop duplicate ids arriving within the

@@ -30,12 +30,20 @@ class ServeSpec extends SparkSpec {
     assert(outlier.getAs[Double]("tag_anomaly_t3") > outlier.getAs[Double]("tag_anomaly_t1"))
   }
 
-  test("missing tags drop instead of crashing; unknown fields are ignored") {
-    val json = """[{"t1":1.0,"t2":2.0,"junk":"x"},{"t1":1.0}]"""
+  test("every record answers in payload order; missing tags score null") {
+    val json =
+      """[{"t1":5.0,"t2":3.0,"t3":8.0},
+        |{"t1":1.0},
+        |{"t1":5.0,"t2":3.0,"t3":8.0}]""".stripMargin
     val out = Serve.scoreRequest(spark, model, json, Seq("t1", "t2", "t3"))
-    assert(out.count() == 0) // both rows miss at least one tag
-    val parsed = Serve.parseRequest(spark, json, Seq("t1", "t2", "t3"))
-    assert(parsed.count() == 2 && !parsed.columns.contains("junk"))
+    val rows = out.collect()
+    assert(rows.length == 3) // request-response row correspondence holds
+    assert(rows.map(_.getAs[Long]("req_idx")).toSeq == Seq(0L, 1L, 2L))
+    assert(!rows(0).isNullAt(rows(0).fieldIndex("anomaly_score")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("anomaly_score")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("anomalous")))
+    val parsed = Serve.parseRequest(spark, """[{"t1":1.0,"junk":"x"}]""", Seq("t1", "t2", "t3"))
+    assert(parsed.count() == 1 && !parsed.columns.contains("junk"))
   }
 
   test("JSON response round-trips the scored fields") {

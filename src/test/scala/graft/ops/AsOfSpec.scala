@@ -50,6 +50,22 @@ class AsOfSpec extends SparkSpec {
     assert(outer(2).isNullAt(outer(2).fieldIndex("asof_state"))) // stale -> null
   }
 
+  test("tolerance gates on the matched VALUE's timestamp, not the latest right row") {
+    // right has a fresh row whose value is NULL: the carried value comes
+    // from the stale 00:00 row and must be rejected by a 5-min tolerance,
+    // even though a (null-valued) right row exists at 00:09
+    val l2 = Seq((1L, 10L, ts("2024-01-01 00:10:00"))).toDF("id", "k", "ts")
+    val r2 = Seq(
+      (10L, ts("2024-01-01 00:00:00"), Some(1.0)),
+      (10L, ts("2024-01-01 00:09:00"), Option.empty[Double])).toDF("k", "ts", "state")
+    val out = AsOf.join(l2, r2, "ts", Seq("k"), Seq("state"),
+      inner = false, tolerance = Some("5 MINUTES")).collect()
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("asof_state")))
+    // without tolerance the stale value is carried (ignoreNulls semantics)
+    val loose = AsOf.join(l2, r2, "ts", Seq("k"), Seq("state"), inner = false).collect()
+    assert(loose.head.getAs[Double]("asof_state") == 1.0)
+  }
+
   test("asof join is a single shuffle (plan invariant)") {
     val out = AsOf.join(left, right, "ts", Seq("k"), Seq("state"))
     val plan = out.queryExecution.explainString(
