@@ -55,4 +55,30 @@ class PropertiesSpec extends SparkSpec {
       wide.filter(col("a").isNull || col("b").isNull).count() == 0
     }, n = 10)
   }
+
+  test("duplicateClusters equals union-find components on random pair graphs") {
+    // local union-find reference with path compression
+    def components(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val pairGen = for {
+      a <- Gen.choose(1L, 25L); b <- Gen.choose(1L, 25L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    check(Prop.forAll(Gen.nonEmptyListOf(pairGen)) { pairs =>
+      val got = Dedup.duplicateClusters(pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-by-min keeps the smaller root on every merge, so the final
+      // root IS the component minimum — directly comparable
+      got == components(pairs)
+    }, n = 8)
+  }
 }
