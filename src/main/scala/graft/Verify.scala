@@ -7,13 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // keep the INT96 timestamp default: readers see tz-NAIVE values,
-      // matching the DuckDB oracle's TIMESTAMP; TIMESTAMP_MICROS would
-      // surface as tz-aware (isAdjustedToUTC) and break naive compares
+    // canonical graft session (AQE, UTC, extensions, nanosAsLong) — the
+    // correctness gate runs the same config a deployment would.
+    // Keep the INT96 timestamp write default: readers see tz-NAIVE values,
+    // matching the DuckDB oracle's TIMESTAMP; TIMESTAMP_MICROS would
+    // surface as tz-aware (isAdjustedToUTC) and break naive compares.
+    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
