@@ -212,6 +212,23 @@ object SparkEntry {
       .orderBy("click_id", "view_id")
   }
 
+  /** As-of with tolerance: matches staler than 30 minutes are rejected
+    * (pandas merge_asof tolerance semantics; oracle = ASOF JOIN + a
+    * staleness filter, which is equivalent for the inner form).
+    */
+  private def q_join_asof_tol(s: SparkSession, dir: String): DataFrame = {
+    val ev = E(s, dir)
+    val l = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val r = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(avg(col("value")).as("vv"))
+    graft.ops.AsOf.join(l, r, "ts", Seq("user_id"), Seq("vv"),
+        tolerance = Some("30 MINUTES"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(col("asof_vv"), 6).as("asof_view"))
+      .orderBy("event_id")
+  }
+
   private def q_win_smooth_time(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(unix_seconds(col("ts")))
@@ -661,6 +678,7 @@ object SparkEntry {
     "join_semi" -> (q_join_semi _),
     "join_anti" -> (q_join_anti _),
     "join_asof" -> (q_join_asof _),
+    "join_asof_tol" -> (q_join_asof_tol _),
     "join_interval" -> (q_join_interval _),
     "win_smooth_time" -> (q_win_smooth_time _),
     "agg_resample_mean" -> (q_agg_resample_mean _),
@@ -880,6 +898,17 @@ object SparkEntry {
         |           FROM events WHERE event_type = 'view' GROUP BY 1, 2)
         |SELECT l.event_id, l.user_id, l.value, round(r.vv, 6) AS asof_view
         |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.t >= r.t
+        |ORDER BY event_id""".stripMargin,
+    "join_asof_tol" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) t, value
+        |           FROM events WHERE event_type = 'click'),
+        |     r AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, avg(value) AS vv
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |     a AS MATERIALIZED (
+        |       SELECT l.event_id, l.user_id, l.value, l.t AS lt, r.t AS rt, r.vv
+        |       FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.t >= r.t)
+        |SELECT event_id, user_id, value, round(vv, 6) AS asof_view
+        |FROM a WHERE rt >= lt - INTERVAL 30 MINUTE
         |ORDER BY event_id""".stripMargin,
     "join_interval" ->
       """SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
