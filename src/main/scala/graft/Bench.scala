@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,20 +16,27 @@ object Bench {
     // the steady-state run is the throughput number. Cold totals are still
     // reported as "cold_total" for transparency.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      // a broken query must surface, not get timed as a fast success
+      def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val cold = once()
-      val warm = once()
-      (name, cold, warm)
+      val (cold, okCold) = once()
+      val (warm, okWarm) = once()
+      (name, cold, warm, okCold && okWarm)
     }
-    val qs = results.map { case (k, _, w) => s"\"" + k + "\":" + w }
+    val qs = results.map { case (k, _, w, _) => s"\"" + k + "\":" + w }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,""" +
+      s""""failed":[${failed.mkString(",")}],"queries":$qs,"sf":"$sfDir"}""")
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Local stand-in for the driver's t1 smoke: run `SparkEntry.entry` on
   * sf0.001 and require rows > 0.

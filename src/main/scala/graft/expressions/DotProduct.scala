@@ -14,8 +14,10 @@ import org.apache.spark.sql.types._
   * similarity/dedup-by-embedding operator, where the fold runs O(n²)
   * times (pairs) × O(dim).
   *
-  * Null contract matches the functional form: a null array, or any null
-  * element, yields null.
+  * Null contract matches the functional form: a null array, any null
+  * element, or a LENGTH MISMATCH yields null (zip_with pads the shorter
+  * array with nulls, so the functional fold is null there too — a
+  * truncated embedding must not produce a plausible prefix similarity).
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -39,7 +41,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     val y = b.asInstanceOf[ArrayData]
     val lt = elemType(left)
     val rt = elemType(right)
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -68,13 +71,17 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val getL = CodeGenerator.getValue(a, elemType(left), i)
       val getR = CodeGenerator.getValue(b, elemType(right), i)
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += ((double)($getL)) * ((double)($getR));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double)($getL)) * ((double)($getR));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

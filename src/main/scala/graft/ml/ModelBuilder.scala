@@ -76,9 +76,9 @@ object ModelBuilder {
           count(lit(1)).as("n"),
           avg(col("anomaly_score")).as("mean_score"),
           max(col("anomaly_score")).as("max_score")).head()
-        s"""{"fold": $i, "threshold": ${m.threshold}, "val_rows": ${stats.getLong(0)},
-           | "val_mean_score": ${stats.getAs[Double]("mean_score")},
-           | "val_max_score": ${stats.getAs[Double]("max_score")}}""".stripMargin
+        s"""{"fold": $i, "threshold": ${jnum(m.threshold)}, "val_rows": ${stats.getLong(0)},
+           | "val_mean_score": ${jnum(stats.getAs[Double]("mean_score"))},
+           | "val_max_score": ${jnum(stats.getAs[Double]("max_score"))}}""".stripMargin
           .replaceAll("\n", "")
       }
 
@@ -89,10 +89,10 @@ object ModelBuilder {
       Files.createDirectories(dir)
       finalModel.pipeline.write.overwrite().save(dir.resolve("model").toString)
       val metadata =
-        s"""{"name": "$name",
-           | "tags": [${tags.map("\"" + _ + "\"").mkString(", ")}],
+        s"""{"name": ${jstr(name)},
+           | "tags": [${tags.map(jstr).mkString(", ")}],
            | "rows": ${wide.count()},
-           | "model": {"type": "pca_anomaly", "k": $k, "threshold": ${finalModel.threshold},
+           | "model": {"type": "pca_anomaly", "k": $k, "threshold": ${jnum(finalModel.threshold)},
            |           "threshold_pctl": $pctl},
            | "cv": [${foldMeta.mkString(", ")}],
            | "config_key": "${registry.key(configJson)}"}""".stripMargin
@@ -149,8 +149,8 @@ object ModelBuilder {
             avg(col("v_anomaly")).as("mean_abs_err"),
             max(col("v_anomaly")).as("max_abs_err")).head()
           s"""{"fold": $i, "val_rows": ${stats.getLong(0)},
-             | "val_mean_abs_err": ${stats.getAs[Double]("mean_abs_err")},
-             | "val_max_abs_err": ${stats.getAs[Double]("max_abs_err")}}""".stripMargin
+             | "val_mean_abs_err": ${jnum(stats.getAs[Double]("mean_abs_err"))},
+             | "val_max_abs_err": ${jnum(stats.getAs[Double]("max_abs_err"))}}""".stripMargin
             .replaceAll("\n", "")
       }
       val finalModel = Forecast.fitPerKey(long, tagCol, "v", lb, "bucket")
@@ -162,8 +162,8 @@ object ModelBuilder {
       Files.createDirectories(dir)
       finalModel.toDF(spark).write.mode("overwrite").parquet(dir.resolve("model").toString)
       val metadata =
-        s"""{"name": "$name",
-           | "tags": [${tags.map("\"" + _ + "\"").mkString(", ")}],
+        s"""{"name": ${jstr(name)},
+           | "tags": [${tags.map(jstr).mkString(", ")}],
            | "model": {"type": "ar_forecast", "lookback": $lb},
            | "cv": [${foldMeta.mkString(", ")}],
            | "config_key": "${registry.key(configJson)}"}""".stripMargin
@@ -200,6 +200,26 @@ object ModelBuilder {
     val (wide, _) = dataset(longDf, parse(cfg))
     result.model.anomaly(wide)
   }
+
+  // -- metadata JSON emission ---------------------------------------------
+
+  /** JSON string literal with full escaping — a machine name containing a
+    * quote must not produce an unparseable metadata.json AFTER the
+    * artifact is already registered.
+    */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** JSON number: NaN/Infinity (possible in degenerate CV stats) → null. */
+  private def jnum(d: Double): String =
+    if (d.isNaN || d.isInfinite) "null" else d.toString
 
   // -- config plumbing ----------------------------------------------------
 

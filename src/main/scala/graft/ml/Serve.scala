@@ -34,9 +34,14 @@ object Serve {
   def parseRequest(spark: SparkSession, json: String, tags: Seq[String],
       tsCol: String = "ts"): DataFrame = {
     import spark.implicits._
-    spark.createDataset(Seq(json)).toDF("__body")
-      .select(posexplode(from_json(col("__body"), ArrayType(requestSchema(tags, tsCol))))
-        .as(Seq("req_idx", "r")))
+    val arr = spark.createDataset(Seq(json)).toDF("__body")
+      .select(col("__body"),
+        from_json(col("__body"), ArrayType(requestSchema(tags, tsCol))).as("__arr"))
+    // malformed JSON parses to null — that must be a request ERROR, not an
+    // empty 200-style success that silently drops the whole payload
+    val bad = arr.filter(col("__arr").isNull && length(trim(col("__body"))) > 0).count() > 0
+    require(!bad, "malformed JSON request payload")
+    arr.select(posexplode(col("__arr")).as(Seq("req_idx", "r")))
       .select(col("req_idx").cast("long").as("req_idx"), col("r.*"))
   }
 

@@ -23,6 +23,10 @@ object TimeSeriesCV {
     val row = df.agg(
       percentile(unix_micros(col(tsCol)), lit(fracs.toArray)).as("cuts")
     ).head()
+    // percentile over zero rows (or all-null ts) is null — fail with a
+    // clear message instead of an opaque NPE deep inside a build
+    require(!row.isNullAt(0),
+      s"cannot compute CV cutpoints: no non-null '$tsCol' rows in the dataset")
     row.getSeq[Double](0).map(us => new java.sql.Timestamp(us.toLong / 1000L))
   }
 

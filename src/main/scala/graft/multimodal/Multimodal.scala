@@ -44,7 +44,11 @@ object Multimodal {
     if (bytes == null) return null
     val md = MessageDigest.getInstance("MD5")
     Array.tabulate(dim) { i =>
-      val h = md.digest(bytes ++ Array(i.toByte))
+      // update(bytes); update(i) == md5(bytes ++ [i]) with ZERO copies —
+      // `bytes ++ Array(i.toByte)` would copy the whole payload per dim
+      md.update(bytes)
+      md.update(i.toByte)
+      val h = md.digest() // digest() resets for the next iteration
       // first 4 bytes → uint → [0,1)
       val u = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
       (u.toDouble / (1L << 32)).toFloat

@@ -23,10 +23,8 @@ object Scalers {
     * same frame). Columns get suffix `_scaled`.
     */
   def minMax(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val bounds = df.agg(
-      cols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))).head,
-      cols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))).tail: _*
-    )
+    val exprs = cols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val bounds = df.agg(exprs.head, exprs.tail: _*)
     val joined = df.crossJoin(broadcast(bounds))
     val out = cols.foldLeft(joined) { (d, c) =>
       // nullif: a constant column scales to null, not a DIVIDE_BY_ZERO
@@ -39,10 +37,8 @@ object Scalers {
 
   /** (x - mean) / stddev_samp — StandardScaler analogue. */
   def standard(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val stats = df.agg(
-      cols.flatMap(c => Seq(avg(col(c)).as(s"__avg_$c"), stddev_samp(col(c)).as(s"__std_$c"))).head,
-      cols.flatMap(c => Seq(avg(col(c)).as(s"__avg_$c"), stddev_samp(col(c)).as(s"__std_$c"))).tail: _*
-    )
+    val exprs = cols.flatMap(c => Seq(avg(col(c)).as(s"__avg_$c"), stddev_samp(col(c)).as(s"__std_$c")))
+    val stats = df.agg(exprs.head, exprs.tail: _*)
     val joined = df.crossJoin(broadcast(stats))
     val out = cols.foldLeft(joined) { (d, c) =>
       d.withColumn(s"${c}_scaled",

@@ -24,7 +24,9 @@ object Skew {
     */
   def saltedStats(df: DataFrame, keyCols: Seq[String], valueCol: String,
       salts: Int = 16): DataFrame = {
-    val keyed = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    // monotonically_increasing_id already embeds the partition id
+    // (partitionId << 33), so it alone cycles 0..salts-1 evenly per task
+    val keyed = df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts)))
     val partial = keyed
       .groupBy((keyCols :+ "__salt").map(col): _*)
       .agg(
@@ -48,7 +50,7 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int = 16): DataFrame = {
     val bigSalted = big.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts)))
     val smallReplicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1)))).withColumn("__salt", col("__salt").cast("long"))
     bigSalted.join(smallReplicated, Seq(key, "__salt")).drop("__salt")

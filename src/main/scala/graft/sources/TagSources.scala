@@ -48,10 +48,17 @@ object TagSources {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         csvSchema.add("tag", StringType))
     }
+    // input_file_name() is a percent-encoded URI: "pump 01" arrives as
+    // "pump%2001" and would silently match nothing downstream. Decode via
+    // url_decode, protecting literal '+' first (URI paths keep '+' as-is,
+    // but url_decode applies the form rule '+'→space). The greedy ".*/"
+    // pins the match to the LAST path segment of that shape — an ancestor
+    // directory named like a tag file can't hijack the extraction; the
+    // stem itself isn't end-anchored because {tag}_{year}.parquet may be a
+    // directory of part files.
+    val decoded = url_decode(regexp_replace(input_file_name(), "\\+", "%2B"))
     spark.read.parquet(existing: _*)
-      // not end-anchored: {tag}_{year}.parquet may be a single file or a
-      // directory of part files
-      .withColumn("tag", regexp_extract(input_file_name(), "([^/]+)_\\d{4}\\.parquet", 1))
+      .withColumn("tag", regexp_extract(decoded, ".*/([^/]+)_\\d{4}\\.parquet", 1))
   }
 
   /** NcsReader CSV branch: `;`-separated (ts, value) per-tag files with an

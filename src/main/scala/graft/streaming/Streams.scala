@@ -95,7 +95,10 @@ object Streams {
         (tag: String, it: Iterator[Reading],
          state: org.apache.spark.sql.streaming.GroupState[TagStats]) =>
           var s = state.getOption.getOrElse(TagStats(0L, 0.0, 0.0))
-          val out = it.toSeq.sortBy(_.ts.getTime).map { r =>
+          // full sub-millisecond precision + value tiebreak: getTime alone
+          // is millis, so µs-apart readings would process in arrival order
+          // and the prequential scores would differ run to run
+          val out = it.toSeq.sortBy(r => (r.ts.getTime, r.ts.getNanos, r.value)).map { r =>
             val z =
               if (s.n >= 2) {
                 val std = math.sqrt(s.m2 / (s.n - 1))

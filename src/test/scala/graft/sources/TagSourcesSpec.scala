@@ -40,6 +40,19 @@ class TagSourcesSpec extends SparkSpec {
     assert(out.agg(sum("value")).head().getDouble(0) == 4.0)
   }
 
+  test("tags with spaces and '+' survive the input_file_name URI encoding") {
+    val dir = tmpDir()
+    Seq(("2024-01-01 00:00:00", 1.0)).toDF("s", "value")
+      .select(to_timestamp(col("s")).as("ts"), col("value"))
+      .write.parquet(s"$dir/pump 01_2024.parquet")
+    Seq(("2024-01-01 00:00:00", 2.0)).toDF("s", "value")
+      .select(to_timestamp(col("s")).as("ts"), col("value"))
+      .write.parquet(s"$dir/a+b_2024.parquet")
+    val out = TagSources.readTagParquet(spark, dir, Seq("pump 01", "a+b"), Seq(2024))
+    val tags = out.select("tag").as[String].collect().sorted.toSeq
+    assert(tags == Seq("a+b", "pump 01"), tags.toString) // not "pump%2001" / "a b"
+  }
+
   test("CSV and parquet twins of the same series parse to identical frames") {
     val dir = tmpDir()
     // same series in both formats: fractional seconds, negative and
@@ -60,7 +73,10 @@ class TagSourcesSpec extends SparkSpec {
       .select("ts", "value", "tag")
     val fromParquet = TagSources.readTagParquet(spark, dir, Seq("TW"), Seq(2024))
       .select("ts", "value", "tag")
-    assert(fromCsv.schema == fromParquet.schema)
+    // names + types must match; nullability flags are planner metadata
+    // (url_decode marks the parquet path's tag nullable, lit() does not)
+    assert(fromCsv.schema.map(f => (f.name, f.dataType))
+      == fromParquet.schema.map(f => (f.name, f.dataType)))
     assert(fromCsv.exceptAll(fromParquet).isEmpty && fromParquet.exceptAll(fromCsv).isEmpty)
   }
 
