@@ -126,7 +126,11 @@ object Forecast {
     // fleet trains in ONE shuffle (MLlib would schedule one fit job per
     // machine: gordo's N-pod problem re-created inside Spark). The driver
     // then solves a (lb+1)×(lb+1) system per key — O(machines) scalars
-    // pulled back, same class as ModelBuilder's fold metadata.
+    // pulled back, same class as ModelBuilder's fold metadata. Sized for
+    // fleets of thousands of machines (gordo's reality); at MILLIONS of
+    // keys, move `solve` into a mapGroups over the aggregated rows and
+    // score by joining the coefficient table instead of CASE literals —
+    // same math, no driver collect.
     val seqs = Sequences.forecastTarget(frame, Seq(valueCol), lb, orderCol, Seq(keyCol))
       .select(col(keyCol).as("__k"),
         flatten(col("x_sequence")).cast("array<double>").as("__x"),
