@@ -537,8 +537,11 @@ object SparkEntry {
       .orderBy("qid", "rnk")
   }
 
-  /** Spark-only (no oracle): LSH-bucketed approximate near-dup pairs — the
-    * 100 TB path; recall vs the brute-force baseline is unit-tested.
+  /** LSH-bucketed approximate near-dup pairs — the 100 TB path. The
+    * hyperplanes are md5-derived plan-time constants, so the oracle
+    * inlines the IDENTICAL plane literals and reproduces the exact
+    * buckets (round 2: upgraded from spark-only to oracle-checked);
+    * recall vs the brute-force baseline is additionally unit-tested.
     */
   private def q_simsearch_lsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshCosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
@@ -609,6 +612,8 @@ object SparkEntry {
   private def q_stream_resample(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.resample(E(s, dir), "ts", "event_type", "value",
         "10 minutes", "20 minutes")
+      .select(col("bucket"), col("event_type"),
+        round(col("avg_value"), 6).as("avg_value"), col("n"))
       .orderBy("bucket", "event_type")
 
   private def q_stream_session(s: SparkSession, dir: String): DataFrame =
@@ -798,6 +803,44 @@ object SparkEntry {
       |      CROSS JOIN (SELECT unnest(['click','view','purchase']) AS event_type) t),
       |d AS (SELECT g.bucket, g.event_type, l.v
       |      FROM g LEFT JOIN l USING (bucket, event_type))""".stripMargin
+
+  /** LSH oracle: the hyperplanes are deterministic md5-derived driver
+    * constants (Similarity.planeVector), so the SQL embeds the SAME
+    * literals the Spark plan does — bucket bits, candidate pairs, and
+    * re-scores are then bit-identical. Mirrors `lshCosinePairs`
+    * (8 tables × 8 planes, dim 64, threshold 0.3).
+    */
+  private def lshOracleSql: String = {
+    val (nTables, nPlanes, dim) = (8, 8, 64)
+    def planeLit(t: Int, p: Int): String =
+      Similarity.planeVector(t, p, dim).map(_.toString).mkString("[", ", ", "]")
+    def bucketSql(t: Int): String = (0 until nPlanes).map { p =>
+      s"(CASE WHEN ${dotSql("vd", planeLit(t, p))} >= 0 THEN (${1L << p})::BIGINT ELSE 0 END)"
+    }.mkString(" + ")
+    val bucketCols = (0 until nTables).map(t => s"${bucketSql(t)} AS bk$t").mkString(", ")
+    val blUnion = (0 until nTables)
+      .map(t => s"SELECT vec_id, $t AS tbl, bk$t AS bucket FROM b")
+      .mkString(" UNION ALL ")
+    s"""WITH v AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+       |b AS (SELECT vec_id, $bucketCols FROM v),
+       |bl AS ($blUnion),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+       |         FROM bl a JOIN bl b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+       |          AND a.vec_id < b2.vec_id),
+       |n AS (SELECT vec_id, ${normSqSql("embedding")} AS nsq FROM embeddings),
+       |sc AS (SELECT c.vec_a, c.vec_b,
+       |         ${dotSql("ea.embedding", "eb.embedding")} AS dot,
+       |         na.nsq AS naa, nb.nsq AS nbb
+       |       FROM cand c
+       |       JOIN embeddings ea ON ea.vec_id = c.vec_a
+       |       JOIN embeddings eb ON eb.vec_id = c.vec_b
+       |       JOIN n na ON na.vec_id = c.vec_a
+       |       JOIN n nb ON nb.vec_id = c.vec_b)
+       |SELECT vec_a, vec_b, round(dot / sqrt(naa * nbb), 6) AS cos_sim
+       |FROM sc WHERE dot / sqrt(naa * nbb) >= 0.3
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   private val bucket10m = "time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))"
   private val bucket1h = "time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))"
@@ -1141,6 +1184,7 @@ object SparkEntry {
          | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
          |SELECT va AS vec_a, vb AS vec_b, dot/sqrt(naa*nbb) AS cos_sim
          |FROM dots WHERE dot/sqrt(naa*nbb) >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "simsearch_lsh" -> lshOracleSql,
     "simsearch_topk" ->
       s"""WITH dots AS (
          | SELECT q.vec_id AS qid, c.vec_id AS nid,
@@ -1188,6 +1232,29 @@ object SparkEntry {
          |  md5(array_to_string(list_sort(list_distinct(
          |    string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "stream_resample" ->
+      s"""SELECT $bucket10m AS bucket, event_type,
+         |  round(avg(value), 6) AS avg_value, count(*) AS n
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_session" ->
+      """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) t FROM events),
+        |m AS (SELECT user_id, t,
+        |        -- session_window merges only when the next event is
+        |        -- STRICTLY inside [prev, prev+gap): new session at >= gap
+        |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+        |               >= INTERVAL 30 MINUTE OR
+        |             lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |        THEN 1 ELSE 0 END AS new_s
+        |      FROM o),
+        |s AS (SELECT user_id, t,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM m)
+        |SELECT min(t) AS session_start,
+        |  max(t) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "text_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(text,

@@ -98,7 +98,7 @@ object Similarity {
     * without RNG state. Materialized ONCE on the driver — the md5s are
     * plan-time constants, never per-row work.
     */
-  private[ops] def planeVector(t: Int, p: Int, dim: Int): Seq[Double] = {
+  private[graft] def planeVector(t: Int, p: Int, dim: Int): Seq[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until dim).map { d =>
       val hex = md.digest(s"t${t}p$p#$d".getBytes("UTF-8"))
