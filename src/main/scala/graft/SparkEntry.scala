@@ -389,10 +389,15 @@ object SparkEntry {
         col("event_type"), col("value"))
       .orderBy("ts_us", "event_id")
 
+  /** (l_orderkey, l_linenumber) is NOT unique at sf0.1+, and Spark plans
+    * orderBy+limit as a top-K heap (TakeOrdered) whose tie order differs
+    * from DuckDB's sort — ordering by EVERY emitted column makes the
+    * result deterministic up to fully-identical rows, which hash equal.
+    */
   private def q_limit_head(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
       .limit(100)
 
   private def q_setop_union_years(s: SparkSession, dir: String): DataFrame = {
@@ -1055,7 +1060,7 @@ object SparkEntry {
         |FROM events ORDER BY ts_us, event_id""".stripMargin,
     "limit_head" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100""".stripMargin,
     "setop_union_years" ->
       """SELECT event_id, event_type, value FROM events WHERE event_type = 'click'
         |UNION ALL
