@@ -66,6 +66,20 @@ class AsOfSpec extends SparkSpec {
     assert(loose.head.getAs[Double]("asof_state") == 1.0)
   }
 
+  test("tolerance gates each value column independently") {
+    // state refreshes at 00:09 but temp's newest value is the stale 00:00
+    // row — with a 5-min tolerance, asof_state survives, asof_temp nulls
+    val l2 = Seq((1L, 10L, ts("2024-01-01 00:10:00"))).toDF("id", "k", "ts")
+    val r2 = Seq(
+      (10L, ts("2024-01-01 00:00:00"), Some(1.0), Some(50.0)),
+      (10L, ts("2024-01-01 00:09:00"), Some(2.0), Option.empty[Double]))
+      .toDF("k", "ts", "state", "temp")
+    val out = AsOf.join(l2, r2, "ts", Seq("k"), Seq("state", "temp"),
+      inner = false, tolerance = Some("5 MINUTES")).collect().head
+    assert(out.getAs[Double]("asof_state") == 2.0)
+    assert(out.isNullAt(out.fieldIndex("asof_temp")))
+  }
+
   test("asof join is a single shuffle (plan invariant)") {
     val out = AsOf.join(left, right, "ts", Seq("k"), Seq("state"))
     val plan = out.queryExecution.explainString(
