@@ -115,9 +115,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 20, bands: Int = 5, shingleN: Int = 3,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val bl = lshBands(
-      minhashSignatures(
-        shingleTable(docs, idCol, textCol, shingleN, dedupe = false, maxDocFreq), k), k, bands)
+    val bl = bandTable(docs, idCol, textCol, k, bands, shingleN, maxDocFreq)
     val a = bl.as("a")
     val b = bl.as("b")
     a.join(b,
@@ -156,7 +154,12 @@ object Dedup {
   def jaccardRescore(docs: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, threshold: Double, shingleN: Int = 3,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val sets = shingleTable(docs, idCol, textCol, shingleN, dedupe = false, maxDocFreq)
+    // only docs that appear in a candidate pair need a shingle set —
+    // after LSH pruning that is a small fraction of the corpus
+    val docsInPairs = pairs.select(col("doc_a").as(idCol))
+      .unionByName(pairs.select(col("doc_b").as(idCol))).distinct()
+    val needed = docs.join(docsInPairs, Seq(idCol), "left_semi")
+    val sets = shingleTable(needed, idCol, textCol, shingleN, dedupe = false, maxDocFreq)
       .groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
     val jac = col("i") * lit(1.0) / (col("na") + col("nb") - col("i"))
     pairs
@@ -166,6 +169,46 @@ object Dedup {
       .withColumn("na", size(col("sa"))).withColumn("nb", size(col("sb")))
       .filter(jac >= threshold)
       .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+  }
+
+  /** Persistable LSH band table `(doc_id, band, bh)` for a corpus batch —
+    * write it once, reuse it for every later incremental batch.
+    */
+  def bandTable(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, bands: Int = 5, shingleN: Int = 3,
+      maxDocFreq: Int = Int.MaxValue): DataFrame =
+    lshBands(minhashSignatures(
+      shingleTable(docs, idCol, textCol, shingleN, dedupe = false, maxDocFreq), k), k, bands)
+
+  /** INCREMENTAL near-dup for a growing corpus (the daily-crawl shape):
+    * band only the NEW batch, join it against the persisted band table ∪
+    * its own bands, and re-score just the candidate pairs that involve a
+    * new doc. Cost scales with |new batch| × collision rate — the
+    * existing corpus is touched only through the (band, bh) equi-join and
+    * the re-score's semi-joined shingle sets, never re-processed.
+    *
+    * @param allDocs existing ∪ new docs (re-score needs both sides' text)
+    * @param existingBands persisted `bandTable` of the existing corpus
+    * @param newDocs the newly arrived batch
+    * @return near-dup pairs involving at least one new doc; union with the
+    *         existing corpus's own pairs for the full picture. Persist
+    *         `bandTable(newDocs)` ∪ existingBands as the next state.
+    */
+  def incrementalNearDuplicates(allDocs: DataFrame, existingBands: DataFrame,
+      newDocs: DataFrame, idCol: String, textCol: String, threshold: Double,
+      k: Int = 20, bands: Int = 5, shingleN: Int = 3,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val newBands = bandTable(newDocs, idCol, textCol, k, bands, shingleN, maxDocFreq)
+    val unionBands = existingBands.unionByName(newBands)
+    val a = newBands.as("a")
+    val b = unionBands.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    jaccardRescore(allDocs, idCol, textCol, cand, threshold, shingleN, maxDocFreq)
   }
 
   /** Duplicate-cluster assignment: connected components of the near-dup
