@@ -150,19 +150,30 @@ object Dedup {
     * this joins each pair to its two shingle sets (collect_set per doc —
     * one shuffle) and computes exact |A∩B|/|A∪B| with array intersection.
     * Cost is O(candidates), never O(n²).
+    *
+    * Shingle sets are built ONLY for docs that appear in a candidate pair
+    * (semi-join): on a 100 TB corpus with a small near-dup fraction the
+    * alternative — collect_set over EVERY document — re-tokenizes the
+    * whole corpus to score a sliver of it. The candidate materialization
+    * this requires costs ~1 s of fixed overhead at toy scale; it is the
+    * difference between O(candidates) and O(corpus) at real scale.
     */
   def jaccardRescore(docs: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, threshold: Double, shingleN: Int = 3,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    // Candidates are SMALL after LSH pruning and referenced three times
+    // below (the pair join + both sides of the semi-join): materialize
+    // once so the generation pipeline behind them runs exactly once.
+    val p = pairs.localCheckpoint()
     // only docs that appear in a candidate pair need a shingle set —
     // after LSH pruning that is a small fraction of the corpus
-    val docsInPairs = pairs.select(col("doc_a").as(idCol))
-      .unionByName(pairs.select(col("doc_b").as(idCol))).distinct()
+    val docsInPairs = p.select(col("doc_a").as(idCol))
+      .unionByName(p.select(col("doc_b").as(idCol))).distinct()
     val needed = docs.join(docsInPairs, Seq(idCol), "left_semi")
     val sets = shingleTable(needed, idCol, textCol, shingleN, dedupe = false, maxDocFreq)
       .groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
     val jac = col("i") * lit(1.0) / (col("na") + col("nb") - col("i"))
-    pairs
+    p
       .join(sets.select(col("doc_id"), col("ss").as("sa")), col("doc_a") === col("doc_id")).drop("doc_id")
       .join(sets.select(col("doc_id"), col("ss").as("sb")), col("doc_b") === col("doc_id")).drop("doc_id")
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
