@@ -91,6 +91,21 @@ object SparkEntry {
         startEpochSec = 1704067200L, stepSeconds = 600L)
       .orderBy("tag", "i")
 
+  /** Influx line-protocol round trip: events → line protocol text → parse
+    * back to the long format. Proves the forwarder's wire codec
+    * (escaping, ns timestamps, double text round-trip) against the
+    * identity oracle — every byte that would cross the wire is rendered
+    * and re-parsed inside the plan.
+    */
+  private def q_sink_influx_lines(s: SparkSession, dir: String): DataFrame = {
+    val long = E(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("ts"), col("event_type").as("tag"), col("value"))
+    graft.sources.LineProtocol.parseLines(
+        graft.sources.LineProtocol.toLines(long, "events"), "events")
+      .orderBy("ts", "tag", "value")
+  }
+
   // ---------------------------------------------------------------------
   // §2.2 projections / filters
   // ---------------------------------------------------------------------
@@ -676,6 +691,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_parquet" -> (q_scan_parquet _),
     "scan_random" -> (q_scan_random _),
+    "sink_influx_lines" -> (q_sink_influx_lines _),
     "proj_tags" -> (q_proj_tags _),
     "filter_rowexpr" -> (q_filter_rowexpr _),
     "filter_timerange" -> (q_filter_timerange _),
@@ -880,6 +896,10 @@ object SparkEntry {
         |  CAST(('0x'||substr(md5(tag||'#'||CAST(i AS VARCHAR)),1,15)) AS BIGINT)
         |    / 1152921504606846976.0 AS value
         |FROM g ORDER BY tag, i""".stripMargin,
+    "sink_influx_lines" ->
+      """SELECT CAST(ts AS TIMESTAMP) AS ts, event_type AS tag, value
+        |FROM events WHERE value IS NOT NULL
+        |ORDER BY ts, tag, value""".stripMargin,
     "proj_tags" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -39,13 +39,16 @@ trait TimeSeriesWriter {
 /** InfluxDB-backed reader/writer — OPTIONAL INTERFACE STUB: this
   * environment has no network egress and no Influx client jar, so the
   * methods are unimplemented. The contract itself is REAL and proven
-  * twice over: `ParquetLakeStore` (lake files) and `JdbcTimeSeriesStore`
+  * three times over: `ParquetLakeStore` (lake files), `JdbcTimeSeriesStore`
   * (partition-parallel predicate-pushdown reads against an embedded
-  * Derby, the offline stand-in for any server-side store). An Influx
+  * Derby, the offline stand-in for any server-side store), and
+  * `InfluxLineStore` (the actual Influx WIRE FORMAT — `LineProtocol`
+  * renders/parses every byte that would cross the wire, oracle-checked
+  * via the `sink_influx_lines` round-trip query). An Influx
   * implementation maps `loadSeries` to one `SELECT value FROM
   * <measurement> WHERE time >= … AND time < … AND tag =~ …` per partition
   * bound — exactly `JdbcTimeSeriesStore`'s predicate shape — and `write`
-  * to line-protocol batches per executor partition.
+  * to `LineProtocol.toLines` batches POSTed per executor partition.
   */
 class InfluxStore(url: String, database: String, measurement: String,
     user: Option[String] = None, password: Option[String] = None)
