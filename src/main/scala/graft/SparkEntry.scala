@@ -685,6 +685,30 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** REAL image decode, oracle-checked: each document gets a deterministic
+    * 4×4 RGB PNG (pixel = md5 digest byte, MediaCodec.digestPng), the
+    * header probe re-derives width/height from the actual PNG bytes, and
+    * extractFeatures runs the real javax.imageio decode. Because pixel
+    * (x,y) IS digest byte 4y+x, the decoded luminance grid is computable
+    * in plain SQL — DuckDB re-derives every feature from md5(text) and
+    * mirrors the Rec.601 double math + float truncation bit for bit.
+    */
+  private def q_multimodal_decode(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromDigestPng(
+      T(s, dir, "documents"), "doc_id", "text")
+    val probed = graft.multimodal.Multimodal.probeMeta(media, "bytes")
+    val feats = graft.multimodal.Multimodal.extractFeatures(probed, "bytes", dim = 16)
+    feats.select(
+      col("media_id").as("doc_id"),
+      col("meta.width").cast("long").as("w"),
+      col("meta.height").cast("long").as("h"),
+      round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+      round(element_at(col("features"), 6).cast("double"), 6).as("f5"),
+      round(element_at(col("features"), 11).cast("double"), 6).as("f10"),
+      round(element_at(col("features"), 16).cast("double"), 6).as("f15"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // The contract maps
   // ---------------------------------------------------------------------
@@ -752,7 +776,8 @@ object SparkEntry {
     "stream_score" -> (q_stream_score _),
     "ml_pca_anomaly" -> (q_ml_pca_anomaly _),
     "ml_ar_forecast" -> (q_ml_ar_forecast _),
-    "multimodal_features" -> (q_multimodal_features _)
+    "multimodal_features" -> (q_multimodal_features _),
+    "multimodal_decode" -> (q_multimodal_decode _)
   )
 
   // Shared oracle fragments
@@ -1318,6 +1343,22 @@ object SparkEntry {
          |             WHEN v_prev IS NOT NULL AND v_next IS NOT NULL
          |             THEN v_prev + (v_next - v_prev) * (t - t_prev) / (t_next - t_prev)
          |        END, 6) AS v_interp
-         |FROM w ORDER BY bucket, event_type""".stripMargin
+         |FROM w ORDER BY bucket, event_type""".stripMargin,
+    // Real PNG decode twin: pixel (x,y) of the 4×4 digest image is md5
+    // byte 4y+x, so the decoded Rec.601 luminance is re-derivable from
+    // md5(text) alone. The float truncation is mirrored with CAST(... AS
+    // REAL) so both engines round to the same float32 before round(_, 6).
+    "multimodal_decode" -> {
+      def f(idx: Int) =
+        s"round(CAST(CAST((CAST(0.299 AS DOUBLE) * v$idx + CAST(0.587 AS DOUBLE) * v$idx" +
+          s" + CAST(0.114 AS DOUBLE) * v$idx) / 255.0 AS REAL) AS DOUBLE), 6) AS f$idx"
+      def v(idx: Int) = // hex chars 2*idx+1 .. 2*idx+2 of the digest
+        s"CAST(('0x'||substr(hx, ${2 * idx + 1}, 2)) AS INT) AS v$idx"
+      s"""WITH d AS (SELECT doc_id, md5(text) AS hx FROM documents),
+         |b AS (SELECT doc_id, ${v(0)}, ${v(5)}, ${v(10)}, ${v(15)} FROM d)
+         |SELECT doc_id, CAST(4 AS BIGINT) AS w, CAST(4 AS BIGINT) AS h,
+         |  ${f(0)}, ${f(5)}, ${f(10)}, ${f(15)}
+         |FROM b ORDER BY doc_id""".stripMargin
+    }
   )
 }

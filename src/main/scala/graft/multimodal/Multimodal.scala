@@ -11,13 +11,16 @@ import org.apache.spark.sql.types._
   * typed metadata, plus the decode / feature-extract / frame-sample
   * plumbing a training-data pipeline needs.
   *
-  * North-star extension (the reference is sensor-only). The DECODE STEP IS
-  * A STUB — no image/audio codecs exist in this container, so
-  * `fakeDecode` derives a deterministic feature vector from the bytes'
-  * md5. Everything around it is the real Spark shape: schema, partition
-  * mapping, bounded-size batch iteration (the JVM analogue of Arrow
-  * record-batch processing in mapInPandas), and a narrow no-shuffle plan.
-  * Swapping in a real codec changes only the function body.
+  * North-star extension (the reference is sensor-only). Decode is REAL
+  * for every format the JDK itself ships a codec for — PNG/JPEG/BMP/GIF
+  * via `javax.imageio`, WAV/AIFF PCM via `javax.sound.sampled` (see
+  * [[MediaCodec]]) — dispatched by magic-byte sniff inside the bounded
+  * batch loop. Payloads no JDK codec accepts (video, webp, mp3, plain
+  * text) fall back to `fakeDecode`, a deterministic md5-derived vector,
+  * so the pipeline shape stays total and testable. The Spark side is a
+  * narrow no-shuffle plan: schema, partition mapping, bounded-size batch
+  * iteration (the JVM analogue of Arrow record-batch processing in
+  * mapInPandas).
   */
 object Multimodal {
 
@@ -36,9 +39,22 @@ object Multimodal {
     )), nullable = true)
   ))
 
-  /** STUB decode: a deterministic `dim`-dim feature vector from the md5 of
-    * the payload (each float in [0, 1)). Replace with a real
-    * codec+model; signature and determinism contract stay.
+  /** Dispatching decode: real codec when the JDK has one for the sniffed
+    * format, md5 fallback otherwise. A payload that sniffs as media but
+    * fails its codec (truncated file) also falls back rather than
+    * poisoning the batch — corrupt rows are a fact of 100 TB corpora.
+    */
+  private[multimodal] def decode(bytes: Array[Byte], dim: Int): Array[Float] = {
+    if (bytes == null) return null
+    val real =
+      if (MediaCodec.isImage(bytes)) MediaCodec.imageFeatures(bytes, dim)
+      else if (MediaCodec.isWav(bytes)) MediaCodec.wavFeatures(bytes, dim)
+      else null
+    if (real != null) real else fakeDecode(bytes, dim)
+  }
+
+  /** FALLBACK decode for non-media payloads: a deterministic `dim`-dim
+    * feature vector from the md5 of the payload (each float in [0, 1)).
     */
   private[multimodal] def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     if (bytes == null) return null
@@ -68,9 +84,10 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // a real decoder would decode `batch` in one vectorized call here
+        // the batch bound is the decoder's memory contract: at most
+        // `batchSize` decoded frames live at once
         batch.map { r =>
-          val feats = fakeDecode(r.getAs[Array[Byte]](idx), dim)
+          val feats = decode(r.getAs[Array[Byte]](idx), dim)
           Row.fromSeq(r.toSeq :+ feats)
         }
       }
@@ -97,6 +114,67 @@ object Multimodal {
           (col(s"$metaCol.height") * scale).cast("int").as("height"),
           col(s"$metaCol.duration_ms").as("duration_ms"),
           col(s"$metaCol.format").as("format"))))
+
+  /** Probe INTRINSIC metadata from the payload bytes (header-only — no
+    * pixel decode): fills width/height/duration_ms/format in the typed
+    * meta struct from what the bytes actually are, overriding whatever
+    * the ingest claimed. Unknown formats keep the existing meta.
+    * Partition-local mapPartitions, no shuffle.
+    */
+  def probeMeta(df: DataFrame, bytesCol: String, metaCol: String = "meta"): DataFrame = {
+    val enc = RowEncoder.encoderFor(df.schema)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    val mIdx = df.schema.fieldIndex(metaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        MediaCodec.probe(r.getAs[Array[Byte]](bIdx)) match {
+          case Some((w, h, dur, fmt)) =>
+            val meta = Row(w.orNull, h.orNull, dur.orNull, fmt)
+            Row.fromSeq(r.toSeq.updated(mIdx, meta))
+          case None => r
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL payload resize for image rows: decode → bilinear scale →
+    * re-encode PNG, meta re-probed from the new bytes. Non-image payloads
+    * pass through untouched. Bounded batches like `extractFeatures`.
+    */
+  def resizePayload(df: DataFrame, bytesCol: String, scale: Double,
+      batchSize: Int = 64): DataFrame = {
+    val enc = RowEncoder.encoderFor(df.schema)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        if (bytes == null || !MediaCodec.isImage(bytes)) r
+        else {
+          val resized = MediaCodec.resizeImage(bytes, scale)
+          if (resized == null) r else Row.fromSeq(r.toSeq.updated(bIdx, resized))
+        }
+      })
+    }(enc)
+  }
+
+  /** Render a REAL 4×4 PNG per row from the md5 of a text column (see
+    * [[MediaCodec.digestPng]]) — gives any text corpus a deterministic
+    * image twin so the real decode path can be exercised (and
+    * oracle-checked) without binary fixtures in the lake.
+    */
+  def fromDigestPng(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val outSchema = mediaSchema
+    val enc = RowEncoder.encoderFor(outSchema)
+    val iIdx = df.schema.fieldIndex(idCol)
+    val tIdx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = MediaCodec.digestPng(r.getString(tIdx))
+        Row(r.getAs[Number](iIdx).longValue(), "image", bytes,
+          Row(4, 4, null, "image/png"))
+      }
+    }(enc)
+  }
 
   /** Build a media frame from any table with an id and a string payload —
     * lets the documents fixture stand in for a binary corpus in tests and
