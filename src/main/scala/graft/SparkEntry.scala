@@ -661,6 +661,23 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** Spark-only: NONLINEAR trainable autoencoder (KerasAutoEncoder
+    * analogue) — random tanh encoder + ridge-trained decoder fitted in
+    * one shuffle-free aggregation pass; scoring is coefficient-literal
+    * column math. MLlib percentile + solve make it non-SQL-expressible.
+    */
+  private def q_ml_autoencoder(s: SparkSession, dir: String): DataFrame = {
+    val wide = Timeseries.align(E(s, dir), "ts", "event_type", "value",
+      Seq("click", "view", "purchase"), "1 hour")
+      .na.drop("any", Seq("click", "view", "purchase"))
+    val model = graft.ml.AutoEncoder.fit(wide, Seq("click", "view", "purchase"),
+      hidden = 16)
+    model.anomaly(wide)
+      .select(col("bucket"), round(col("anomaly_score"), 6).as("anomaly_score"),
+        col("anomalous"))
+      .orderBy("bucket")
+  }
+
   /** Spark-only: trainable one-step-ahead AR forecast per tag (the
     * KerasLSTMForecast analogue) — per-tag univariate models on the keyed
     * long format, scored with |y − ŷ| per bucket. Windows partition by
@@ -775,6 +792,7 @@ object SparkEntry {
     "stream_session" -> (q_stream_session _),
     "stream_score" -> (q_stream_score _),
     "ml_pca_anomaly" -> (q_ml_pca_anomaly _),
+    "ml_autoencoder" -> (q_ml_autoencoder _),
     "ml_ar_forecast" -> (q_ml_ar_forecast _),
     "multimodal_features" -> (q_multimodal_features _),
     "multimodal_decode" -> (q_multimodal_decode _)

@@ -1,0 +1,155 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** NONLINEAR trainable autoencoder — the closest Spark-native analogue of
+  * the reference's `model/models.py::KerasAutoEncoder` (public repo; mount
+  * empty, SURVEY.md §0) that trains in ONE distributed pass.
+  *
+  * Architecture: random-feature encoder + ridge-trained linear decoder
+  * (the extreme-learning-machine / random-kitchen-sinks construction,
+  * Rahimi & Recht 2007; Huang et al. 2006 — published methods):
+  *
+  *   z = tanh(W x_std + b)         W, b fixed from a seed (not trained)
+  *   x̂_std = Bᵀ [z; 1]             B trained: ridge least squares
+  *
+  * Why this shape instead of SGD backprop: the ridge solution is a pure
+  * function of the sufficient statistics HᵀH and HᵀX (H = [z; 1] row
+  * matrix), which are PLAIN SUMS — Spark computes them in one
+  * shuffle-free global aggregation (map-side partial agg; the final
+  * exchange moves 32 partial rows, not data). A gradient loop would
+  * schedule one job per epoch over the full set. At 100 TB the fit cost
+  * is one scan; driver work is an (h+1)×(h+1) solve per output column.
+  *
+  * Scoring is coefficient-literal column math (standardize → h tanh
+  * features → d reconstructions → error) — whole-stage codegen, no MLlib
+  * object, no shuffle. The nonlinear encoder captures curved manifolds
+  * that `PcaAnomaly`'s linear subspace cannot (spec'd on a sine
+  * manifold).
+  */
+object AutoEncoder {
+
+  /** Deterministic Gaussian-ish weights from a seed (Box-Muller over a
+    * SplittableRandom — stable across JVMs, unlike util.Random's shuffle
+    * internals).
+    */
+  private def randn(seed: Long, n: Int): Array[Double] = {
+    val r = new java.util.SplittableRandom(seed)
+    Array.fill(n) {
+      val u1 = math.max(r.nextDouble(), 1e-12); val u2 = r.nextDouble()
+      math.sqrt(-2.0 * math.log(u1)) * math.cos(2 * math.Pi * u2)
+    }
+  }
+
+  case class RfaeModel(tags: Seq[String], means: Array[Double], stds: Array[Double],
+      w: Array[Array[Double]], b: Array[Double], // h×d, h
+      beta: Array[Array[Double]], // (h+1)×d — last row = intercept
+      threshold: Double) {
+
+    private def h = b.length
+
+    /** Standardized-input columns, hidden columns, reconstructions, and
+      * the L2 reconstruction error — each layer MATERIALIZED as projected
+      * columns before the next references it (an expression referenced h
+      * or d times would otherwise re-evaluate that many times per row).
+      */
+    private def withLayers(df: DataFrame): DataFrame = {
+      val xs = df.select(col("*") +: tags.zipWithIndex.map { case (t, j) =>
+        ((col(t) - lit(means(j))) / lit(stds(j))).as(s"__xs$j")
+      }: _*)
+      val hid = xs.select(col("*") +: (0 until h).map { i =>
+        tanh((0 until tags.length).map(j => col(s"__xs$j") * lit(w(i)(j)))
+          .reduce(_ + _) + lit(b(i))).as(s"__z$i")
+      }: _*)
+      hid.select(col("*") +: tags.indices.map { j =>
+        ((0 until h).map(i => col(s"__z$i") * lit(beta(i)(j))).reduce(_ + _)
+          + lit(beta(h)(j))).as(s"__xhat$j")
+      }: _*)
+    }
+
+    /** Score = √Σ_d (x_std − x̂_std)² plus per-tag |x_std − x̂_std|
+      * decomposition (`tag_anomaly_<tag>`), layer scratch dropped.
+      */
+    def score(df: DataFrame): DataFrame = {
+      val layered = withLayers(df)
+      val perTag = tags.zipWithIndex.map { case (t, j) =>
+        abs(col(s"__xs$j") - col(s"__xhat$j")).as(s"tag_anomaly_$t")
+      }
+      val total = sqrt(tags.indices.map(j =>
+        (col(s"__xs$j") - col(s"__xhat$j")) * (col(s"__xs$j") - col(s"__xhat$j")))
+        .reduce(_ + _)).as("anomaly_score")
+      val scratch = (0 until tags.length).map(j => s"__xs$j") ++
+        (0 until h).map(i => s"__z$i") ++ tags.indices.map(j => s"__xhat$j")
+      layered.select((col("*") +: (perTag :+ total)): _*)
+        .drop(scratch: _*)
+    }
+
+    def anomaly(df: DataFrame): DataFrame =
+      score(df).withColumn("anomalous", col("anomaly_score") > lit(threshold))
+  }
+
+  /** Fit: two scans (mean/std, then the H statistics), one small driver
+    * solve. `hidden` sets encoder width; agg state is O(hidden²) doubles
+    * per partition — 32 → ~4.5 KB, far under any executor budget.
+    */
+  def fit(train: DataFrame, tags: Seq[String], hidden: Int = 16,
+      ridge: Double = 1e-3, pctl: Double = 0.99, seed: Long = 42L): RfaeModel = {
+    require(tags.nonEmpty && hidden > 0)
+    val d = tags.length
+
+    // pass 1: standardization stats (population std, floor against
+    // constant columns)
+    val statRow = train.na.drop("any", tags).agg(
+      tags.flatMap(t => Seq(avg(col(t)).as(s"m_$t"),
+        stddev_pop(col(t)).as(s"s_$t"))).head,
+      tags.flatMap(t => Seq(avg(col(t)).as(s"m_$t"),
+        stddev_pop(col(t)).as(s"s_$t"))).tail: _*).head()
+    val means = tags.map(t => statRow.getAs[Double](s"m_$t")).toArray
+    val stds = tags.map { t =>
+      val s = statRow.getAs[Double](s"s_$t"); if (s < 1e-12) 1.0 else s
+    }.toArray
+
+    // fixed random encoder: rows scaled by 1/√d so tanh stays in its
+    // responsive range for standardized inputs
+    val flat = randn(seed, hidden * d)
+    val w = Array.tabulate(hidden, d)((i, j) => flat(i * d + j) / math.sqrt(d.toDouble))
+    val b = randn(seed + 1, hidden).map(_ * 0.5)
+
+    // pass 2: sufficient statistics over H = [z; 1].
+    // Materialize xs then z as projections (not nested expressions) so
+    // each is evaluated once per row.
+    val clean = train.na.drop("any", tags)
+    val xs = clean.select(tags.zipWithIndex.map { case (t, j) =>
+      ((col(t) - lit(means(j))) / lit(stds(j))).as(s"__xs$j")
+    }: _*)
+    val hidCols = xs.select(col("*") +: (0 until hidden).map { i =>
+      tanh((0 until d).map(j => col(s"__xs$j") * lit(w(i)(j))).reduce(_ + _)
+        + lit(b(i))).as(s"__z$i")
+    }: _*)
+    def hCol(i: Int): Column = if (i < hidden) col(s"__z$i") else lit(1.0)
+    val hh = for (i <- 0 to hidden; j <- i to hidden)
+      yield sum(hCol(i) * hCol(j)).as(s"hh_${i}_$j")
+    val hx = for (i <- 0 to hidden; j <- 0 until d)
+      yield sum(hCol(i) * col(s"__xs$j")).as(s"hx_${i}_$j")
+    val stats = hidCols.agg((hh ++ hx).head, (hh ++ hx).tail: _*).head()
+
+    val m = Array.ofDim[Double](hidden + 1, hidden + 1)
+    for (i <- 0 to hidden; j <- i to hidden) {
+      val v = stats.getAs[Double](s"hh_${i}_$j"); m(i)(j) = v; m(j)(i) = v
+    }
+    for (i <- 0 until hidden) m(i)(i) += ridge // no ridge on the intercept
+    val beta = Array.ofDim[Double](hidden + 1, d)
+    for (j <- 0 until d) {
+      val rhs = Array.tabulate(hidden + 1)(i => stats.getAs[Double](s"hx_${i}_$j"))
+      // solve mutates in place — copy per output column
+      val sol = Forecast.solve(m.map(_.clone()), rhs)
+      for (i <- 0 to hidden) beta(i)(j) = sol(i)
+    }
+
+    val prelim = RfaeModel(tags, means, stds, w, b, beta, Double.NaN)
+    val thr = prelim.score(clean)
+      .agg(percentile(col("anomaly_score"), lit(pctl))).head().getDouble(0)
+    prelim.copy(threshold = thr)
+  }
+}

@@ -170,7 +170,7 @@ object Forecast {
   /** In-place Gaussian elimination with partial pivoting — the systems are
     * (lb+1)×(lb+1), driver-side, deterministic.
     */
-  private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+  private[ml] def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
     val n = b.length
     for (p <- 0 until n) {
       var best = p

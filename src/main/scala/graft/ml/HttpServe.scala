@@ -1,0 +1,81 @@
+package graft.ml
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.SparkSession
+
+/** HTTP layer over [[Serve]] — the reference's prediction endpoint
+  * (`server/views/base.py::BaseModelView.post`, public repo; mount empty,
+  * SURVEY.md §0) on the JDK's built-in `com.sun.net.httpserver` — no
+  * external framework, so it runs in this offline environment and in any
+  * JVM deployment.
+  *
+  * Routes (mirroring the reference's view surface):
+  *   - `GET  /healthz`            → `{"status":"ok"}` liveness probe
+  *   - `GET  /metadata`           → model metadata (tags, threshold)
+  *   - `POST /prediction`         → [[Serve.scoreRequest]] over the JSON
+  *     body; 400 with an error JSON on malformed payloads
+  *
+  * Serving-path notes: requests are scored through the same Spark plan as
+  * batch scoring (one engine, no drift between train/serve math), the
+  * request parse uses the EXPLICIT schema (no inference scan), and the
+  * handler pool is bounded — Spark's scheduler serializes fairly across
+  * the handler threads. For throughput-critical single-row serving a
+  * deployment would put the coefficient math behind a local evaluator;
+  * that evaluator exists (`Forecast`/`PcaAnomaly` scoring is plain
+  * column arithmetic) but the request path here deliberately exercises
+  * the full plan, which is the correctness-critical surface.
+  */
+class PredictionServer(spark: SparkSession, model: PcaAnomalyModel,
+    tags: Seq[String], port: Int = 0, nThreads: Int = 4) {
+
+  private val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val pool = Executors.newFixedThreadPool(nThreads)
+
+  /** Bound port — useful when constructed with port 0 (ephemeral). */
+  def boundPort: Int = server.getAddress.getPort
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def jsonError(msg: String): String =
+    "{\"error\":" + Serve.jsonString(msg) + "}"
+
+  server.createContext("/healthz", (ex: HttpExchange) =>
+    respond(ex, 200, "{\"status\":\"ok\"}"))
+
+  server.createContext("/metadata", (ex: HttpExchange) =>
+    respond(ex, 200,
+      "{\"tags\":[" + tags.map(Serve.jsonString).mkString(",") +
+        s"""],"threshold":${model.threshold}}"""))
+
+  server.createContext("/prediction", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "POST") respond(ex, 405, jsonError("POST only"))
+    else {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      try {
+        val out = Serve.scoreRequest(spark, model, body, tags)
+        respond(ex, 200, Serve.toJsonResponse(out))
+      } catch {
+        // client-caused failures (malformed JSON, empty body) are 400s;
+        // anything else is a real 500 — do not mask engine bugs as
+        // client errors
+        case e: IllegalArgumentException => respond(ex, 400, jsonError(e.getMessage))
+        case e: Exception => respond(ex, 500, jsonError(e.toString))
+      }
+    }
+  })
+
+  def start(): PredictionServer = { server.setExecutor(pool); server.start(); this }
+
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
+}

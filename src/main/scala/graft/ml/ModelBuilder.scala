@@ -207,15 +207,7 @@ object ModelBuilder {
     * quote must not produce an unparseable metadata.json AFTER the
     * artifact is already registered.
     */
-  private def jstr(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  private def jstr(s: String): String = Serve.jsonString(s)
 
   /** JSON number: NaN/Infinity (possible in degenerate CV stats) → null. */
   private def jnum(d: Double): String =

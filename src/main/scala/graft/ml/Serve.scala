@@ -66,7 +66,21 @@ object Serve {
     scored.unionByName(unscoredAll).orderBy("req_idx")
   }
 
-  /** Response as a JSON-lines string (what the HTTP shim would write). */
+  /** Response as a JSON array string (what [[PredictionServer]] writes). */
   def toJsonResponse(response: DataFrame): String =
     response.toJSON.collect().mkString("[", ",", "]")
+
+  /** JSON string literal with full escaping — shared by the HTTP layer
+    * and ModelBuilder's metadata.json (a tag name containing a quote must
+    * not produce unparseable output).
+    */
+  def jsonString(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }

@@ -1,0 +1,72 @@
+package graft.ml
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import graft.SparkSpec
+
+/** End-to-end HTTP serving: a real socket on loopback, a real POST, the
+  * real Spark scoring plan behind it.
+  */
+class HttpServeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val model: PcaAnomalyModel = {
+    val train = (1 to 200).map { i =>
+      val a = math.sin(i / 10.0) * 10; val b = math.cos(i / 7.0) * 5
+      (a, b, a + b)
+    }.toDF("t1", "t2", "t3")
+    PcaAnomaly.fit(train, Seq("t1", "t2", "t3"), k = 2, pctl = 0.99)
+  }
+
+  private lazy val server =
+    new PredictionServer(spark, model, Seq("t1", "t2", "t3")).start()
+
+  override def afterAll(): Unit = {
+    try server.stop() finally super.afterAll()
+  }
+
+  private def http(method: String, path: String, body: Option[String] = None):
+      (Int, String) = {
+    val conn = URI.create(s"http://127.0.0.1:${server.boundPort}$path")
+      .toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try os.write(b.getBytes(StandardCharsets.UTF_8)) finally os.close()
+    }
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val text = try new String(is.readAllBytes(), StandardCharsets.UTF_8)
+    finally is.close()
+    (code, text)
+  }
+
+  test("healthz and metadata respond") {
+    assert(http("GET", "/healthz") == (200, "{\"status\":\"ok\"}"))
+    val (code, meta) = http("GET", "/metadata")
+    assert(code == 200)
+    assert(meta.contains("\"t1\"") && meta.contains("\"threshold\":"))
+  }
+
+  test("POST /prediction scores a payload through the real plan") {
+    val payload =
+      """[{"t1":5.0,"t2":3.0,"t3":8.0},{"t1":5.0,"t2":3.0,"t3":80.0}]"""
+    val (code, body) = http("POST", "/prediction", Some(payload))
+    assert(code == 200, body)
+    // response stays row-aligned with the request: req_idx 0 normal, 1 not
+    assert(body.contains("\"req_idx\":0") && body.contains("\"req_idx\":1"))
+    assert(body.contains("\"anomalous\":false") && body.contains("\"anomalous\":true"))
+  }
+
+  test("malformed JSON is a 400 with an error body, not a 500") {
+    val (code, body) = http("POST", "/prediction", Some("this is not json"))
+    assert(code == 400)
+    assert(body.contains("\"error\""))
+  }
+
+  test("GET on the prediction route is a 405") {
+    assert(http("GET", "/prediction")._1 == 405)
+  }
+}
