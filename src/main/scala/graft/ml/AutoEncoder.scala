@@ -30,17 +30,7 @@ import org.apache.spark.sql.functions._
   */
 object AutoEncoder {
 
-  /** Deterministic Gaussian-ish weights from a seed (Box-Muller over a
-    * SplittableRandom — stable across JVMs, unlike util.Random's shuffle
-    * internals).
-    */
-  private def randn(seed: Long, n: Int): Array[Double] = {
-    val r = new java.util.SplittableRandom(seed)
-    Array.fill(n) {
-      val u1 = math.max(r.nextDouble(), 1e-12); val u2 = r.nextDouble()
-      math.sqrt(-2.0 * math.log(u1)) * math.cos(2 * math.Pi * u2)
-    }
-  }
+  import RandomFeatures.randn
 
   case class RfaeModel(tags: Seq[String], means: Array[Double], stds: Array[Double],
       w: Array[Array[Double]], b: Array[Double], // h×d, h
@@ -127,25 +117,8 @@ object AutoEncoder {
       tanh((0 until d).map(j => col(s"__xs$j") * lit(w(i)(j))).reduce(_ + _)
         + lit(b(i))).as(s"__z$i")
     }: _*)
-    def hCol(i: Int): Column = if (i < hidden) col(s"__z$i") else lit(1.0)
-    val hh = for (i <- 0 to hidden; j <- i to hidden)
-      yield sum(hCol(i) * hCol(j)).as(s"hh_${i}_$j")
-    val hx = for (i <- 0 to hidden; j <- 0 until d)
-      yield sum(hCol(i) * col(s"__xs$j")).as(s"hx_${i}_$j")
-    val stats = hidCols.agg((hh ++ hx).head, (hh ++ hx).tail: _*).head()
-
-    val m = Array.ofDim[Double](hidden + 1, hidden + 1)
-    for (i <- 0 to hidden; j <- i to hidden) {
-      val v = stats.getAs[Double](s"hh_${i}_$j"); m(i)(j) = v; m(j)(i) = v
-    }
-    for (i <- 0 until hidden) m(i)(i) += ridge // no ridge on the intercept
-    val beta = Array.ofDim[Double](hidden + 1, d)
-    for (j <- 0 until d) {
-      val rhs = Array.tabulate(hidden + 1)(i => stats.getAs[Double](s"hx_${i}_$j"))
-      // solve mutates in place — copy per output column
-      val sol = Forecast.solve(m.map(_.clone()), rhs)
-      for (i <- 0 to hidden) beta(i)(j) = sol(i)
-    }
+    val beta = RandomFeatures.ridgeBeta(hidCols, hidden,
+      (0 until d).map(j => s"__xs$j"), ridge)
 
     val prelim = RfaeModel(tags, means, stds, w, b, beta, Double.NaN)
     val thr = prelim.score(clean)
