@@ -66,4 +66,27 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"global-window queries: ${offenders.mkString(", ")}")
   }
+
+  test("sink_influx_lines is a narrow scan→codec→sort plan") {
+    val plan = planOf("sink_influx_lines")
+    // format+parse must stay row-local column expressions: the ONLY
+    // exchange is the sink-side determinism sort
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"codec round trip introduced a shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("mapPartitions"))
+  }
+
+  test("multimodal_decode shuffles only for the sink sort") {
+    val plan = planOf("multimodal_decode")
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"decode pipeline must be partition-local:\n$plan")
+  }
+
+  test("autoencoder scoring stays shuffle-free column math") {
+    import spark.implicits._
+    val train = (1 to 50).map(i => (i * 1.0, i * 2.0)).toDF("a", "b")
+    val m = graft.ml.AutoEncoder.fit(train, Seq("a", "b"), hidden = 4)
+    val plan = m.score(train).queryExecution.explainString(FormattedMode)
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+  }
 }
