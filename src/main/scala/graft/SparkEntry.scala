@@ -604,6 +604,13 @@ object SparkEntry {
     TextAnalysis.fingerprint(T(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Corpus vocabulary audit: top-10 terms per language by document
+    * frequency (terms ≥ 3 chars), rank ties on the term.
+    */
+  private def q_text_topterms(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTerms(T(s, dir, "documents"), "lang", "text", k = 10)
+      .orderBy("lang", "rnk")
+
   /** PII-mask / digit-fold / whitespace-collapse scrub over documents. */
   private def q_text_scrub(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
@@ -785,6 +792,7 @@ object SparkEntry {
     "text_tokens" -> (q_text_tokens _),
     "text_fingerprint" -> (q_text_fingerprint _),
     "text_scrub" -> (q_text_scrub _),
+    "text_topterms" -> (q_text_topterms _),
     "sample_stratified" -> (q_sample_stratified _),
     "simsearch_ivf" -> (q_simsearch_ivf _),
     "win_interpolate" -> (q_win_interpolate _),
@@ -1323,6 +1331,17 @@ object SparkEntry {
         |  user_id, count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "text_topterms" ->
+      """WITH w AS (SELECT lang,
+        |    unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS term
+        |  FROM documents),
+        |f AS (SELECT lang, term, count(*) AS doc_freq FROM w
+        |      WHERE length(term) >= 3 GROUP BY 1, 2),
+        |r AS (SELECT lang, term, doc_freq,
+        |        row_number() OVER (PARTITION BY lang ORDER BY doc_freq DESC, term) AS rnk
+        |      FROM f)
+        |SELECT lang, term, doc_freq, rnk FROM r WHERE rnk <= 10
+        |ORDER BY lang, rnk""".stripMargin,
     "text_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(text,

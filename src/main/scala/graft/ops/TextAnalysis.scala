@@ -90,4 +90,30 @@ object TextAnalysis {
     docs.select(
       col(idCol).as("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(words(col(textCol)))))).as("fingerprint"))
+
+  /** Corpus reporting: top-k terms per group (language) by DOCUMENT
+    * frequency — the vocabulary audit a curation pipeline runs before and
+    * after filtering. `array_distinct` before the explode makes the count
+    * a document frequency, not a term frequency, and bounds each doc's
+    * contribution to any term at 1 (a single spammy doc cannot promote a
+    * term).
+    *
+    * Scale shape: explode → one hash-agg on (group, term) with map-side
+    * partial counts, then the top-k window runs on the AGGREGATED
+    * vocabulary (|langs| × |vocab| rows, not corpus rows) — the window's
+    * per-group partition is fine because vocabularies are ≪ corpus size.
+    * Rank ties break on the term for cross-engine determinism.
+    */
+  def topTerms(docs: DataFrame, groupCol: String, textCol: String,
+      k: Int = 10, minTermLen: Int = 3): DataFrame = {
+    val terms = docs.select(col(groupCol).as("grp"),
+        explode(array_distinct(words(col(textCol)))).as("term"))
+      .filter(length(col("term")) >= minTermLen)
+    val df = terms.groupBy("grp", "term").agg(count(lit(1)).as("doc_freq"))
+    df.withColumn("rnk", row_number().over(
+        Window.partitionBy("grp").orderBy(col("doc_freq").desc, col("term"))))
+      .filter(col("rnk") <= k)
+      .select(col("grp").as(groupCol), col("term"), col("doc_freq"),
+        col("rnk").cast("long").as("rnk"))
+  }
 }

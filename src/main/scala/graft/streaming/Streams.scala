@@ -71,6 +71,22 @@ object Streams {
       .drop(col(s"r.$keyCol"))
   }
 
+  /** Streaming ingest of an Influx line-protocol spool: `readStream.text`
+    * over the watched directory → `LineProtocol.parseLines` → the
+    * canonical `(ts, tag, value)` long format, ready for the watermarked
+    * transforms above. This is the streaming twin of
+    * `sources.InfluxLineStore.loadSeries`: a forwarder POSTing line
+    * protocol produces byte-identical text, so wire-to-frame is the SAME
+    * codec in both engines — parse stays row-local column expressions and
+    * the incremental plan shuffles only at the downstream aggregation.
+    */
+  def readLineProtocol(spark: org.apache.spark.sql.SparkSession, dir: String,
+      measurement: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.LineProtocol.parseLines(
+      spark.readStream.text(dir).as[String], measurement)
+  }
+
   /** Exactly-once readings: drop duplicate ids arriving within the
     * watermark horizon (at-least-once source → effectively-once sink).
     */

@@ -40,6 +40,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 
+  test("topTerms ranks by document frequency, not term frequency") {
+    val corpus = Seq(
+      (1L, "en", "spam spam spam spam unique"),
+      (2L, "en", "word unique other"),
+      (3L, "en", "word unique extra"),
+      (4L, "de", "wort wort hallo")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.topTerms(corpus, "lang", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val en = out.filter(_._1 == "en")
+    // "unique" appears in 3 docs (df=3) and wins despite "spam" having the
+    // highest raw term frequency (df=1)
+    assert(en.head == (("en", "unique", 3L, 1L)))
+    assert(en(1) == (("en", "word", 2L, 2L)))
+    val de = out.filter(_._1 == "de")
+    assert(de.map(_._2).toSet == Set("wort", "hallo"))
+    assert(de.forall(_._3 == 1L)) // df counts docs, one doc each
+  }
+
   test("langId emits one deterministic prediction per doc from the lang set") {
     val out = TextAnalysis.langId(docs, "doc_id", "text").collect()
     assert(out.length == 2)

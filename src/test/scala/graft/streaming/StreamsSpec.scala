@@ -121,6 +121,37 @@ class StreamsSpec extends SparkSpec {
     assert(out(2).getAs[Long]("user_id") == 2L)
   }
 
+  test("line-protocol spool streams through the same codec as batch") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lp-stream").toString
+    val (in, out, chk) = (s"$root/in", s"$root/out", s"$root/chk")
+    val store = new graft.sources.InfluxLineStore(in, "sensors")
+    // a forwarder's first POST batch lands as spool text
+    store.write(readings.take(3).toDF.select(col("ts"), col("tag"), col("value")))
+    val parsed = Streams.readLineProtocol(spark, in, "sensors")
+    assert(parsed.isStreaming)
+    val q = Streams.resample(parsed, "ts", "tag", "value", "10 minutes", "0 seconds")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", chk).outputMode("append").start()
+    val sentinel = Reading("a", ts("2024-01-01 02:00:00"), 0.0)
+    try {
+      q.processAllAvailable()
+      store.write(readings.drop(3).toDF.select(col("ts"), col("tag"), col("value")))
+      q.processAllAvailable()
+      store.write(Seq(sentinel).toDF.select(col("ts"), col("tag"), col("value")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // every emitted window must match the batch replay over the SAME spool
+    val batchParsed = graft.sources.LineProtocol.parseLines(
+      spark.read.textFile(in), "sensors")
+    val batch = Streams.resample(batchParsed, "ts", "tag", "value",
+      "10 minutes", "0 seconds")
+    val key = (r: org.apache.spark.sql.Row) => (r.getTimestamp(0), r.getString(1))
+    val batchMap = batch.collect().map(r => key(r) -> (r.getDouble(2), r.getLong(3))).toMap
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(batchMap(key(r)) == ((r.getDouble(2), r.getLong(3)))))
+  }
+
   test("file-source pipeline: readStream parquet -> resample -> parquet sink with checkpoint") {
     val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val (in, out, chk) = (s"$root/in", s"$root/out", s"$root/chk")
