@@ -88,17 +88,8 @@ object AutoEncoder {
     require(tags.nonEmpty && hidden > 0)
     val d = tags.length
 
-    // pass 1: standardization stats (population std, floor against
-    // constant columns)
-    val statRow = train.na.drop("any", tags).agg(
-      tags.flatMap(t => Seq(avg(col(t)).as(s"m_$t"),
-        stddev_pop(col(t)).as(s"s_$t"))).head,
-      tags.flatMap(t => Seq(avg(col(t)).as(s"m_$t"),
-        stddev_pop(col(t)).as(s"s_$t"))).tail: _*).head()
-    val means = tags.map(t => statRow.getAs[Double](s"m_$t")).toArray
-    val stds = tags.map { t =>
-      val s = statRow.getAs[Double](s"s_$t"); if (s < 1e-12) 1.0 else s
-    }.toArray
+    // pass 1: standardization stats
+    val (means, stds) = RandomFeatures.standardStats(train.na.drop("any", tags), tags)
 
     // fixed random encoder: rows scaled by 1/√d so tanh stays in its
     // responsive range for standardized inputs

@@ -278,15 +278,8 @@ object Forecast {
     // per-feature standardization stats from the source frame (stationary
     // series ⇒ per-lag-position stats equal per-feature stats, so d
     // numbers cover all lb·d positions)
-    val statRow = frame.na.drop("any", featureCols).agg(
-      featureCols.flatMap(t => Seq(avg(col(t)).as(s"m_$t"),
-        stddev_pop(col(t)).as(s"s_$t"))).head,
-      featureCols.flatMap(t => Seq(avg(col(t)).as(s"m_$t"),
-        stddev_pop(col(t)).as(s"s_$t"))).tail: _*).head()
-    val means = featureCols.map(t => statRow.getAs[Double](s"m_$t")).toArray
-    val stds = featureCols.map { t =>
-      val s = statRow.getAs[Double](s"s_$t"); if (s < 1e-12) 1.0 else s
-    }.toArray
+    val (means, stds) =
+      RandomFeatures.standardStats(frame.na.drop("any", featureCols), featureCols)
 
     val flat = RandomFeatures.randn(seed, hidden * lb * d)
     val w = Array.tabulate(hidden, lb * d)((i, p) =>

@@ -62,7 +62,11 @@ class PredictionServer(spark: SparkSession, model: PcaAnomalyModel,
     if (ex.getRequestMethod != "POST") respond(ex, 405, jsonError("POST only"))
     else {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-      try {
+      // Serve.parseRequest treats a blank payload as zero records; at the
+      // HTTP boundary an empty POST is a client bug and must be a 400,
+      // not a silent 200 "[]"
+      if (body.trim.isEmpty) respond(ex, 400, jsonError("empty request body"))
+      else try {
         val out = Serve.scoreRequest(spark, model, body, tags)
         respond(ex, 200, Serve.toJsonResponse(out))
       } catch {

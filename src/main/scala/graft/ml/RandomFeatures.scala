@@ -22,6 +22,21 @@ private[ml] object RandomFeatures {
     }
   }
 
+  /** Per-column mean / population-std in one aggregation, with a floor
+    * against constant columns (std < 1e-12 → 1.0 so standardization is a
+    * no-op instead of a divide-by-zero).
+    */
+  def standardStats(df: DataFrame, cols: Seq[String]): (Array[Double], Array[Double]) = {
+    val aggCols = cols.flatMap(t => Seq(avg(col(t)).as(s"m_$t"),
+      stddev_pop(col(t)).as(s"s_$t")))
+    val statRow = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val means = cols.map(t => statRow.getAs[Double](s"m_$t")).toArray
+    val stds = cols.map { t =>
+      val s = statRow.getAs[Double](s"s_$t"); if (s < 1e-12) 1.0 else s
+    }.toArray
+    (means, stds)
+  }
+
   /** Ridge solution B of `[z; 1] B ≈ targets` from ONE shuffle-free
     * aggregation. `hidCols` must already carry materialized `__z0 ..
     * __z{hidden-1}` columns plus the target columns. Sufficient
@@ -37,7 +52,8 @@ private[ml] object RandomFeatures {
       yield sum(hCol(i) * hCol(j)).as(s"hh_${i}_$j")
     val hx = for (i <- 0 to hidden; j <- targetCols.indices)
       yield sum(hCol(i) * col(targetCols(j))).as(s"hx_${i}_$j")
-    val stats = hidCols.agg((hh ++ hx).head, (hh ++ hx).tail: _*).head()
+    val allAggs = hh ++ hx
+    val stats = hidCols.agg(allAggs.head, allAggs.tail: _*).head()
 
     val m = Array.ofDim[Double](hidden + 1, hidden + 1)
     for (i <- 0 to hidden; j <- i to hidden) {

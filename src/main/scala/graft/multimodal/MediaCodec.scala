@@ -19,6 +19,11 @@ import javax.sound.sampled.AudioSystem
   */
 object MediaCodec {
 
+  // ImageIO's default stream cache is FILE-backed: every decode/encode
+  // would create and delete a temp file — pure overhead for byte-array
+  // payloads that are already in memory. Executor-wide, set once.
+  ImageIO.setUseCache(false)
+
   /** Cheap content sniff by magic bytes — runs before any codec is
     * touched, so non-media payloads never pay a decode attempt.
     */
@@ -46,8 +51,12 @@ object MediaCodec {
     * Returns null if no ImageIO reader accepts the bytes.
     */
   def imageFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
-    if (img == null) return null
+    // a magic-byte collision (text starting "BM"/"GIF8") or a truncated
+    // file must fall back, not fail the task — corrupt rows are a fact of
+    // 100 TB corpora; decode errors surface as null → caller's fallback
+    val img = try ImageIO.read(new ByteArrayInputStream(bytes))
+    catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) return null
     val g = math.ceil(math.sqrt(dim.toDouble)).toInt
     val rows = (dim + g - 1) / g
     Array.tabulate(dim) { i =>
@@ -101,18 +110,22 @@ object MediaCodec {
   def probe(bytes: Array[Byte]): Option[(Option[Int], Option[Int], Option[Long], String)] =
     sniff(bytes) match {
       case f if f.startsWith("image/") =>
-        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        // header parse of a magic-byte-colliding payload throws — treat
+        // as unprobeable, same as the decode fallback
         try {
-          val readers = ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) None
-          else {
-            val r = readers.next()
-            try {
-              r.setInput(iis)
-              Some((Some(r.getWidth(0)), Some(r.getHeight(0)), None, f))
-            } finally r.dispose()
-          }
-        } finally iis.close()
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+          try {
+            val readers = ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) None
+            else {
+              val r = readers.next()
+              try {
+                r.setInput(iis)
+                Some((Some(r.getWidth(0)), Some(r.getHeight(0)), None, f))
+              } finally r.dispose()
+            }
+          } finally iis.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
       case "audio/wav" =>
         try {
           val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
@@ -128,8 +141,9 @@ object MediaCodec {
     * redraw, re-encode as PNG. Returns null if the bytes don't decode.
     */
   def resizeImage(bytes: Array[Byte], scale: Double): Array[Byte] = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
-    if (img == null) return null
+    val img = try ImageIO.read(new ByteArrayInputStream(bytes))
+    catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) return null
     val w = math.max(1, (img.getWidth * scale).toInt)
     val h = math.max(1, (img.getHeight * scale).toInt)
     val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)

@@ -165,13 +165,18 @@ object Multimodal {
   def fromDigestPng(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val outSchema = mediaSchema
     val enc = RowEncoder.encoderFor(outSchema)
-    val iIdx = df.schema.fieldIndex(idCol)
-    val tIdx = df.schema.fieldIndex(textCol)
-    df.mapPartitions { rows =>
+    val src = df.na.drop("any", Seq(idCol)) // media_id is non-nullable
+    val iIdx = src.schema.fieldIndex(idCol)
+    val tIdx = src.schema.fieldIndex(textCol)
+    src.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = MediaCodec.digestPng(r.getString(tIdx))
-        Row(r.getAs[Number](iIdx).longValue(), "image", bytes,
-          Row(4, 4, null, "image/png"))
+        // null text → null payload + meta (the fromText convention);
+        // extractFeatures passes null bytes through as null features
+        if (r.isNullAt(tIdx))
+          Row(r.getAs[Number](iIdx).longValue(), "image", null, null)
+        else
+          Row(r.getAs[Number](iIdx).longValue(), "image",
+            MediaCodec.digestPng(r.getString(tIdx)), Row(4, 4, null, "image/png"))
       }
     }(enc)
   }

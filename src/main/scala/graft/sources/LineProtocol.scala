@@ -65,11 +65,16 @@ object LineProtocol {
       .withColumn("__ns", regexp_extract(col("line"), rx, 3))
       .filter(col("__ns") =!= "")
       .select(
-        // integer `div`, not `/`: ns-since-epoch (~1.7e18) exceeds double's
-        // 2^53 exact range, so float division drifts by ±1 µs
-        expr("timestamp_micros(CAST(__ns AS BIGINT) div 1000)").as("ts"),
+        // try_cast, not cast: under Spark 4's default ANSI mode a
+        // regex-matching but unparseable field (value=nope, >19-digit
+        // timestamp) would otherwise crash the job — and a poisoned spool
+        // file would crash a streaming reader on every restart. integer
+        // `div`, not `/`: ns-since-epoch (~1.7e18) exceeds double's 2^53
+        // exact range, so float division drifts by ±1 µs.
+        expr("timestamp_micros(try_cast(__ns AS BIGINT) div 1000)").as("ts"),
         regexp_replace(col("__tag_raw"), "\\\\([\\\\,= ])", "$1").as("tag"),
-        col("__val").cast("double").as("value"))
+        expr("try_cast(__val AS DOUBLE)").as("value"))
+      .filter(col("ts").isNotNull && col("value").isNotNull)
   }
 }
 

@@ -66,6 +66,12 @@ class HttpServeSpec extends SparkSpec {
     assert(body.contains("\"error\""))
   }
 
+  test("empty POST body is a 400, not a silent empty 200") {
+    val (code, body) = http("POST", "/prediction", Some("   "))
+    assert(code == 400)
+    assert(body.contains("empty request body"))
+  }
+
   test("GET on the prediction route is a 405") {
     assert(http("GET", "/prediction")._1 == 405)
   }

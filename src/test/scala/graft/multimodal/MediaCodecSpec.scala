@@ -100,6 +100,30 @@ class MediaCodecSpec extends SparkSpec {
     assert(w.contains(32) && h.contains(16))
   }
 
+  test("magic-byte collisions and truncated files fall back, never throw") {
+    // UTF-8 text that sniffs as BMP/GIF — the codec must not crash the task
+    val bmpish = "BM this is actually a sentence about bitmaps.".getBytes("UTF-8")
+    assert(MediaCodec.sniff(bmpish) == "image/bmp")
+    assert(MediaCodec.imageFeatures(bmpish, 4) == null)
+    assert(MediaCodec.probe(bmpish).isEmpty)
+    assert(MediaCodec.resizeImage(bmpish, 0.5) == null)
+    val truncated = gradientPng(16, 16).take(30) // valid magic, cut body
+    assert(MediaCodec.imageFeatures(truncated, 4) == null)
+    // and the dispatching decode lands on the deterministic fallback
+    assert(Multimodal.decode(bmpish, 4).toSeq == Multimodal.fakeDecode(bmpish, 4).toSeq)
+  }
+
+  test("fromDigestPng tolerates null text and drops null ids") {
+    val docs = Seq((1L, "ok"), (2L, null)).toDF("doc_id", "text")
+    val out = Multimodal.fromDigestPng(docs, "doc_id", "text").orderBy("media_id").collect()
+    assert(out.length == 2)
+    assert(out(1).isNullAt(out(1).fieldIndex("bytes")))
+    val feats = Multimodal.extractFeatures(
+      Multimodal.fromDigestPng(docs, "doc_id", "text"), "bytes", dim = 4)
+      .orderBy("media_id").collect()
+    assert(feats(1).isNullAt(feats(1).fieldIndex("features")))
+  }
+
   test("Multimodal.decode dispatches real codecs with fake fallback") {
     val png = gradientPng(8, 8)
     assert(Multimodal.decode(png, 4).toSeq ==

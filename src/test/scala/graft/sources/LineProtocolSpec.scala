@@ -51,6 +51,11 @@ class LineProtocolSpec extends SparkSpec {
       "m1,tag=a value=1.0 1704067200000000000",
       "other,tag=a value=9.0 1704067200000000000",
       "garbage line",
+      // regex-matching but unparseable fields: under ANSI mode a plain
+      // cast here would crash the job (and permanently poison a
+      // streaming spool) instead of dropping the line
+      "m1,tag=bad value=nope 1704067200000000000",
+      "m1,tag=bad value=1.0 99999999999999999999999",
       "m1,tag=b value=2.0 1704067800000000000"))
     val out = LineProtocol.parseLines(mixed, "m1").orderBy("ts").collect()
     assert(out.length === 2)
