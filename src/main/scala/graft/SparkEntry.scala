@@ -604,6 +604,24 @@ object SparkEntry {
     TextAnalysis.fingerprint(T(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** TRAINED language-ID — Cavnar-Trenkle ranked n-gram profiles with
+    * integer out-of-place distance (the published method; integer ranks
+    * make train+classify bit-identical across engines, which a
+    * log-probability model could not guarantee). Self-classification over
+    * the corpus; the fixture's text is language-independent so
+    * predictions are noise BY CONSTRUCTION — the oracle checks that both
+    * engines derive the identical trained model and distances. Quality on
+    * separable data is spec'd (≥95% held-out accuracy, TextAnalysisSpec).
+    */
+  private def q_text_langid_trained(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val profiles = TextAnalysis.langProfiles(docs, "lang", "text", k = 100)
+    TextAnalysis.classifyLang(docs, "doc_id", "text", profiles, k = 100)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("lang_pred"), col("dist"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus vocabulary audit: top-10 terms per language by document
     * frequency (terms ≥ 3 chars), rank ties on the term.
     */
@@ -793,6 +811,7 @@ object SparkEntry {
     "text_fingerprint" -> (q_text_fingerprint _),
     "text_scrub" -> (q_text_scrub _),
     "text_topterms" -> (q_text_topterms _),
+    "text_langid_trained" -> (q_text_langid_trained _),
     "sample_stratified" -> (q_sample_stratified _),
     "simsearch_ivf" -> (q_simsearch_ivf _),
     "win_interpolate" -> (q_win_interpolate _),
@@ -1331,6 +1350,33 @@ object SparkEntry {
         |  user_id, count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "text_langid_trained" ->
+      """WITH lt AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+        |cg AS (SELECT doc_id, lang,
+        |         unnest(list_transform(range(1, length(t) - 1), i -> substr(t, i, 3))) AS g
+        |       FROM lt),
+        |lgc AS (SELECT lang, g, count(*) AS c FROM cg GROUP BY 1, 2),
+        |lr AS (SELECT lang, g, rnk FROM (
+        |         SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rnk
+        |         FROM lgc) WHERE rnk <= 100),
+        |dgc AS (SELECT doc_id, g, count(*) AS c FROM cg GROUP BY 1, 2),
+        |dr AS (SELECT doc_id, g, drnk FROM (
+        |         SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS drnk
+        |         FROM dgc) WHERE drnk <= 100),
+        |m AS (SELECT d.doc_id, l.lang, sum(abs(d.drnk - l.rnk)) AS ms, count(*) AS mc
+        |      FROM dr d JOIN lr l USING (g) GROUP BY 1, 2),
+        |dk AS (SELECT doc_id, count(*) AS dk FROM dr GROUP BY 1),
+        |pairs AS (SELECT dk.doc_id, dk.dk, langs.lang
+        |          FROM dk CROSS JOIN (SELECT DISTINCT lang FROM lr) langs),
+        |dist AS (SELECT p.doc_id, p.lang,
+        |           coalesce(m.ms, 0) + 100 * (p.dk - coalesce(m.mc, 0)) AS dist
+        |         FROM pairs p LEFT JOIN m ON m.doc_id = p.doc_id AND m.lang = p.lang),
+        |pred AS (SELECT doc_id, lang AS lang_pred, dist,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+        |         FROM dist)
+        |SELECT d.doc_id, d.lang, p.lang_pred, p.dist
+        |FROM pred p JOIN documents d USING (doc_id) WHERE p.rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "text_topterms" ->
       """WITH w AS (SELECT lang,
         |    unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS term

@@ -91,6 +91,118 @@ object TextAnalysis {
       col(idCol).as("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(words(col(textCol)))))).as("fingerprint"))
 
+  /** Character n-grams from a MATERIALIZED single-char array column
+    * (`split(lower(text), "")`), 1-based positions to mirror the oracle
+    * SQL; texts shorter than n yield an empty array.
+    *
+    * Why an array argument and not the string: `substr(text, i, n)` on
+    * Spark's UTF8String re-scans bytes from position 0 to find the char
+    * offset, making per-position extraction O(len²) per document (4 s
+    * just to explode the sf0.1 corpus); `element_at` on a split array is
+    * O(1). The column must be PROJECTED by the caller — an inline
+    * `split(...)` would re-evaluate once per lambda element.
+    */
+  def charGrams(chars: Column, n: Int = 3): Column =
+    when(size(chars) >= n,
+      transform(sequence(lit(1), size(chars) - (n - 1)),
+        i => concat((0 until n).map(o => element_at(chars, i + lit(o))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Char n-grams as ROWS `(key, g)` — the form both langid passes
+    * consume. Generator + window, no higher-order functions: HOF lambdas
+    * (`transform`) evaluate INTERPRETED per element (~µs each — 4 s just
+    * to gram the sf0.1 corpus), while posexplode and lead/concat stay in
+    * codegen'd/batch operators.
+    *
+    * The lead window partitions by a per-ROW id, never by `keyExpr`: a
+    * non-unique key (the language, in training) would interleave
+    * positions from different documents — grams stitched across document
+    * boundaries, in nondeterministic tie order. The id's value never
+    * reaches the output, so monotonically_increasing_id's
+    * partition-layout dependence is harmless: only doc-local adjacency
+    * matters.
+    */
+  private def gramRows(docs: DataFrame, keyExpr: Column, textCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy("__rid").orderBy("__p")
+    docs.withColumn("__rid", monotonically_increasing_id())
+      .select(col("__rid"), keyExpr.as("__key"),
+        posexplode(split(lower(col(textCol)), "")).as(Seq("__p", "__c")))
+      .withColumn("g", concat(col("__c") +:
+        (1 until n).map(o => lead(col("__c"), o).over(w)): _*))
+      .filter(col("g").isNotNull && length(col("g")) === n)
+      .select(col("__key"), col("g"))
+  }
+
+  /** TRAINED language identification — Cavnar-Trenkle n-gram text
+    * categorization (published method: per-class ranked n-gram profiles,
+    * out-of-place distance). Deliberately the RANK variant, not naive
+    * Bayes: every score is integer arithmetic (ranks, counts, |Δrank|
+    * sums), so classification is bit-identical across engines and the
+    * whole train+classify pipeline oracle-checks — a log-probability
+    * model would hang cross-engine equality on `ln` ulp agreement.
+    *
+    * `langProfiles` = one groupBy + a per-language rank window over the
+    * AGGREGATED gram table (|langs|·|grams| rows). The profile is tiny
+    * (k rows per language) — broadcast it.
+    */
+  def langProfiles(docs: DataFrame, langCol: String, textCol: String,
+      k: Int = 200, n: Int = 3): DataFrame = {
+    val grams = gramRows(docs, col(langCol), textCol, n)
+      .select(col("__key").as("lang"), col("g"))
+    grams.groupBy("lang", "g").agg(count(lit(1)).as("c"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("g"))))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("g"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Classify by out-of-place distance against ranked profiles: each doc
+    * builds its own top-k gram ranking, matched grams cost |rank_doc −
+    * rank_lang|, unmatched cost the penalty k. Ties break on the
+    * language name. Scale shape: doc ranks = one groupBy + per-doc
+    * window; the candidate space is doc-profile × langs (≤ k·|langs|
+    * rows per doc) via a broadcast join of the profiles — never a
+    * corpus×corpus product. Docs shorter than n chars have no grams and
+    * are absent from the output (unclassifiable).
+    */
+  def classifyLang(docs: DataFrame, idCol: String, textCol: String,
+      profiles: DataFrame, k: Int = 200, n: Int = 3): DataFrame = {
+    // The profile IS the fitted model: ≤ k·|langs| rows. Materialize it
+    // ONCE into a local relation (the IvfModel-centroid pattern) —
+    // leaving it as a plan would re-run the train subtree (corpus-wide
+    // explode→agg→rank) for every reference below, and this O(model)
+    // collect is the same class as every fitted model in graft.ml.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prof = profiles.select("lang", "g", "rnk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    require(prof.nonEmpty, "empty language profile table")
+    val profLocal = prof.toDF("lang", "g", "rnk")
+    val langsLocal = prof.map(_._1).distinct.sorted.toDF("lang")
+    val grams = gramRows(docs, col(idCol), textCol, n)
+      .select(col("__key").as("doc_id"), col("g"))
+    val docRank = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .withColumn("drnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("c").desc, col("g"))))
+      .filter(col("drnk") <= k)
+      .select(col("doc_id"), col("g"), col("drnk").cast("long").as("drnk"))
+    // dist = Σ over doc-profile grams of (|Δrank| if the language ranks
+    // the gram, else the penalty k) — computed in ONE pass: doc profile ×
+    // |langs| candidates (a broadcast cross join, ≤ k·|langs| rows per
+    // doc), left-join the broadcast profiles, aggregate the coalesce.
+    // Splitting into matched/doc-size branches would re-evaluate the
+    // explode→agg→rank subtree once per branch.
+    val dist = docRank.crossJoin(broadcast(langsLocal))
+      .join(broadcast(profLocal), Seq("g", "lang"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(sum(coalesce(abs(col("drnk") - col("rnk")), lit(k.toLong))).as("dist"))
+    dist.withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("dist"), col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("lang_pred"), col("dist"))
+  }
+
   /** Corpus reporting: top-k terms per group (language) by DOCUMENT
     * frequency — the vocabulary audit a curation pipeline runs before and
     * after filtering. `array_distinct` before the explode makes the count

@@ -40,6 +40,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 
+  test("Cavnar-Trenkle profiles classify held-out synthetic languages") {
+    // four synthetic languages with disjoint alphabets — the documents
+    // fixture's text is language-independent, so quality is proven here
+    // on genuinely separable data
+    val alphabets = Seq(
+      "la" -> ("bcd", "ae"), "lb" -> ("fgh", "io"),
+      "lc" -> ("klm", "uy"), "ld" -> ("pqr", "ei"))
+    def mkDocs(seed: Long, perLang: Int, idBase: Long) = {
+      val r = new java.util.SplittableRandom(seed)
+      alphabets.zipWithIndex.flatMap { case ((lang, (cons, vows)), li) =>
+        (0 until perLang).map { d =>
+          val words = Seq.fill(12 + r.nextInt(12)) {
+            Seq.fill(2 + r.nextInt(2)) {
+              s"${cons(r.nextInt(cons.length))}${vows(r.nextInt(vows.length))}"
+            }.mkString
+          }
+          (idBase + li * perLang + d, lang, words.mkString(" "))
+        }
+      }.toDF("doc_id", "lang", "text")
+    }
+    val train = mkDocs(seed = 1L, perLang = 40, idBase = 0L)
+    val test = mkDocs(seed = 2L, perLang = 10, idBase = 1000L)
+    val profiles = TextAnalysis.langProfiles(train, "lang", "text", k = 100)
+    val pred = TextAnalysis.classifyLang(test, "doc_id", "text", profiles, k = 100)
+      .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val (hits, total) = (pred.filter(col("lang_pred") === col("lang")).count(),
+      pred.count())
+    assert(total == 40L)
+    assert(hits >= 38L, s"accuracy ${hits.toDouble / total} below 0.95")
+    // integer distances: rerunning classification is bit-identical
+    val again = TextAnalysis.classifyLang(test, "doc_id", "text", profiles, k = 100)
+    assert(pred.select("doc_id", "lang_pred", "dist").orderBy("doc_id").collect().toSeq ==
+      again.select("doc_id", "lang_pred", "dist").orderBy("doc_id").collect().toSeq)
+  }
+
+  test("charGrams yields 1-based trigrams and empty below length n") {
+    val out = Seq(("abcd", 1), ("ab", 2)).toDF("t", "i")
+      .select(col("i"), split(lower(col("t")), "").as("ch"))
+      .select(col("i"), TextAnalysis.charGrams(col("ch")).as("g"))
+      .orderBy("i").collect()
+    assert(out(0).getSeq[String](1) == Seq("abc", "bcd"))
+    assert(out(1).getSeq[String](1) == Seq.empty)
+  }
+
   test("topTerms ranks by document frequency, not term frequency") {
     val corpus = Seq(
       (1L, "en", "spam spam spam spam unique"),
