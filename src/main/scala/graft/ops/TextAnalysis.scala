@@ -91,28 +91,13 @@ object TextAnalysis {
       col(idCol).as("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(words(col(textCol)))))).as("fingerprint"))
 
-  /** Character n-grams from a MATERIALIZED single-char array column
-    * (`split(lower(text), "")`), 1-based positions to mirror the oracle
-    * SQL; texts shorter than n yield an empty array.
-    *
-    * Why an array argument and not the string: `substr(text, i, n)` on
-    * Spark's UTF8String re-scans bytes from position 0 to find the char
-    * offset, making per-position extraction O(len²) per document (4 s
-    * just to explode the sf0.1 corpus); `element_at` on a split array is
-    * O(1). The column must be PROJECTED by the caller — an inline
-    * `split(...)` would re-evaluate once per lambda element.
-    */
-  def charGrams(chars: Column, n: Int = 3): Column =
-    when(size(chars) >= n,
-      transform(sequence(lit(1), size(chars) - (n - 1)),
-        i => concat((0 until n).map(o => element_at(chars, i + lit(o))): _*)))
-      .otherwise(array().cast("array<string>"))
-
   /** Char n-grams as ROWS `(key, g)` — the form both langid passes
-    * consume. Generator + window, no higher-order functions: HOF lambdas
-    * (`transform`) evaluate INTERPRETED per element (~µs each — 4 s just
-    * to gram the sf0.1 corpus), while posexplode and lead/concat stay in
-    * codegen'd/batch operators.
+    * consume. Generator + window, no higher-order functions, after two
+    * discarded designs: per-position `substr(text, i, n)` re-scans
+    * UTF8String bytes from offset 0 (O(len²) per doc), and an
+    * array+`transform` HOF evaluates its lambda INTERPRETED per element
+    * (~µs each — 4 s just to gram the sf0.1 corpus); posexplode and
+    * lead/concat stay in codegen'd/batch operators.
     *
     * The lead window partitions by a per-ROW id, never by `keyExpr`: a
     * non-unique key (the language, in training) would interleave

@@ -114,9 +114,14 @@ class MediaCodecSpec extends SparkSpec {
   }
 
   test("fromDigestPng tolerates null text and drops null ids") {
-    val docs = Seq((1L, "ok"), (2L, null)).toDF("doc_id", "text")
+    // boxed Long column so the id is genuinely nullable
+    val docs = Seq[(java.lang.Long, String)](
+      (java.lang.Long.valueOf(1L), "ok"),
+      (java.lang.Long.valueOf(2L), null),
+      (null, "no id — must be dropped")).toDF("doc_id", "text")
     val out = Multimodal.fromDigestPng(docs, "doc_id", "text").orderBy("media_id").collect()
     assert(out.length == 2)
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
     assert(out(1).isNullAt(out(1).fieldIndex("bytes")))
     val feats = Multimodal.extractFeatures(
       Multimodal.fromDigestPng(docs, "doc_id", "text"), "bytes", dim = 4)

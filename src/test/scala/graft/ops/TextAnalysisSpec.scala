@@ -75,13 +75,12 @@ class TextAnalysisSpec extends SparkSpec {
       again.select("doc_id", "lang_pred", "dist").orderBy("doc_id").collect().toSeq)
   }
 
-  test("charGrams yields 1-based trigrams and empty below length n") {
-    val out = Seq(("abcd", 1), ("ab", 2)).toDF("t", "i")
-      .select(col("i"), split(lower(col("t")), "").as("ch"))
-      .select(col("i"), TextAnalysis.charGrams(col("ch")).as("g"))
-      .orderBy("i").collect()
-    assert(out(0).getSeq[String](1) == Seq("abc", "bcd"))
-    assert(out(1).getSeq[String](1) == Seq.empty)
+  test("language profiles gram exactly: L-2 trigrams, short texts none") {
+    // "abcd" → abc, bcd (each once); "ab" → no grams
+    val corpus = Seq((1L, "x", "abcd"), (2L, "x", "ab")).toDF("doc_id", "lang", "text")
+    val prof = TextAnalysis.langProfiles(corpus, "lang", "text", k = 10)
+      .orderBy("rnk").collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(prof.toSeq == Seq(("abc", 1L), ("bcd", 2L)))
   }
 
   test("topTerms ranks by document frequency, not term frequency") {
