@@ -622,6 +622,35 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** End-to-end curation pipeline composed from the individual operators:
+    * scrub → quality gate (word count + stopword ratio) → exact dedup
+    * (keep the canonical min-id doc per normalized scrubbed text) →
+    * deterministic stratified downsampling — ONE lazy plan, oracle-
+    * mirrored stage by stage. The composition is the point: a real
+    * training-data run chains exactly these stages, and the only
+    * shuffles are the dedup groupBy and the quality/dedup id joins —
+    * scrub, gate, and sample all stay scan-local projections/filters.
+    */
+  private def q_pipeline_curation(s: SparkSession, dir: String): DataFrame = {
+    val scrubbed = T(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      TextAnalysis.scrub(col("text"), Seq(
+        "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+" -> "<EMAIL>",
+        "[0-9]+" -> "<NUM>",
+        "\\s+" -> " ")).as("scrubbed"))
+    val quality = TextAnalysis.qualityScore(scrubbed, "doc_id", "scrubbed")
+      .filter(col("n_words") >= 8 && col("stopword_ratio") <= 0.4)
+      .select("doc_id", "n_words")
+    val kept = scrubbed.join(quality, Seq("doc_id"))
+    val canon = Dedup.exact(kept, "doc_id", "scrubbed")
+      .select(col("canonical_id").as("doc_id"))
+    val deduped = kept.join(canon, Seq("doc_id"))
+    graft.ops.Sampling.stratifiedSample(deduped, "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.25)
+      .select(col("doc_id"), col("lang"), col("n_words"), col("scrubbed"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus vocabulary audit: top-10 terms per language by document
     * frequency (terms ≥ 3 chars), rank ties on the term.
     */
@@ -813,6 +842,7 @@ object SparkEntry {
     "text_topterms" -> (q_text_topterms _),
     "text_langid_trained" -> (q_text_langid_trained _),
     "sample_stratified" -> (q_sample_stratified _),
+    "pipeline_curation" -> (q_pipeline_curation _),
     "simsearch_ivf" -> (q_simsearch_ivf _),
     "win_interpolate" -> (q_win_interpolate _),
     "stream_resample" -> (q_stream_resample _),
@@ -1395,6 +1425,29 @@ object SparkEntry {
         |    '[0-9]+', '<NUM>', 'g'),
         |    '\s+', ' ', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipeline_curation" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+        |      '[0-9]+', '<NUM>', 'g'),
+        |      '\s+', ' ', 'g') AS scrubbed
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |        len(string_split_regex(lower(trim(scrubbed)), '\s+')) AS n_words,
+        |        round(len(list_filter(string_split_regex(lower(trim(scrubbed)), '\s+'),
+        |          w -> w IN ('the','a','of','to','and'))) * 1.0
+        |          / len(string_split_regex(lower(trim(scrubbed)), '\s+')), 6) AS swr
+        |      FROM s),
+        |k AS (SELECT s.doc_id, s.lang, s.scrubbed, q.n_words
+        |      FROM s JOIN q USING (doc_id)
+        |      WHERE q.n_words >= 8 AND q.swr <= 0.4),
+        |c AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY md5(lower(trim(scrubbed)))),
+        |d AS (SELECT k.* FROM k JOIN c USING (doc_id))
+        |SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words, scrubbed
+        |FROM d
+        |WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000
+        |  < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 1000000 ELSE 250000 END
+        |ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000
