@@ -77,6 +77,48 @@ object AutoEncoder {
 
     def anomaly(df: DataFrame): DataFrame =
       score(df).withColumn("anomalous", col("anomaly_score") > lit(threshold))
+
+    /** Persistable form: one row per hidden unit carrying that unit's
+      * encoder row and decoder row, plus the scalar/per-tag parameters as
+      * repeated columns — flat enough for parquet, exact for doubles.
+      * Row h (index == hidden) holds the decoder intercept with a null
+      * encoder row.
+      */
+    def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      (0 to h).map { i =>
+        (i,
+          if (i < h) Some(w(i).toSeq) else None,
+          if (i < h) Some(b(i)) else None,
+          beta(i).toSeq)
+      }.toDF("unit", "w", "b", "beta")
+        .withColumn("tags", typedLit(tags))
+        .withColumn("means", typedLit(means.toSeq))
+        .withColumn("stds", typedLit(stds.toSeq))
+        .withColumn("threshold", lit(threshold))
+    }
+  }
+
+  object RfaeModel {
+    /** Rehydrate from a persisted frame — scoring with the result is
+      * bit-identical to the in-memory model (exact double round trip).
+      */
+    def fromDF(df: DataFrame): RfaeModel = {
+      val rows = df.select("unit", "w", "b", "beta", "tags", "means", "stds", "threshold")
+        .collect().sortBy(_.getInt(0))
+      require(rows.length >= 2, "model frame needs >= 1 hidden unit + intercept row")
+      val head = rows.head
+      val tags = head.getSeq[String](4)
+      val hidden = rows.length - 1
+      RfaeModel(
+        tags,
+        head.getSeq[Double](5).toArray,
+        head.getSeq[Double](6).toArray,
+        rows.take(hidden).map(_.getSeq[Double](1).toArray).toArray,
+        rows.take(hidden).map(_.getDouble(2)).toArray,
+        rows.map(_.getSeq[Double](3).toArray).toArray,
+        head.getDouble(7))
+    }
   }
 
   /** Fit: two scans (mean/std, then the H statistics), one small driver

@@ -80,6 +80,18 @@ class AutoEncoderSpec extends SparkSpec {
     assert(a.beta.flatten.toSeq != c.beta.flatten.toSeq)
   }
 
+  test("model round-trips through parquet and scores bit-identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rfae").toString
+    model.toDF(spark).write.parquet(s"$dir/model")
+    val back = AutoEncoder.RfaeModel.fromDF(spark.read.parquet(s"$dir/model"))
+    assert(back.tags == model.tags && back.threshold == model.threshold)
+    assert(back.beta.flatten.toSeq == model.beta.flatten.toSeq)
+    assert(back.w.flatten.toSeq == model.w.flatten.toSeq)
+    val a = model.score(train).select("anomaly_score").collect().map(_.getDouble(0))
+    val b = back.score(train).select("anomaly_score").collect().map(_.getDouble(0))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("scoring plan is narrow: no shuffle, no MLlib transformer") {
     val plan = model.score(train).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
