@@ -35,7 +35,13 @@ object AutoEncoder {
   case class RfaeModel(tags: Seq[String], means: Array[Double], stds: Array[Double],
       w: Array[Array[Double]], b: Array[Double], // h×d, h
       beta: Array[Array[Double]], // (h+1)×d — last row = intercept
-      threshold: Double) {
+      threshold: Double) extends TagAnomalyScorer {
+
+    override def scoreWithTags(df: DataFrame, requestTags: Seq[String]): DataFrame = {
+      require(requestTags == tags,
+        s"model was fitted on tags $tags, request asked for $requestTags")
+      score(df)
+    }
 
     private def h = b.length
 

@@ -30,7 +30,7 @@ import org.apache.spark.sql.SparkSession
   * column arithmetic) but the request path here deliberately exercises
   * the full plan, which is the correctness-critical surface.
   */
-class PredictionServer(spark: SparkSession, model: PcaAnomalyModel,
+class PredictionServer(spark: SparkSession, model: TagAnomalyScorer,
     tags: Seq[String], port: Int = 0, nThreads: Int = 4) {
 
   private val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)

@@ -177,6 +177,70 @@ object ModelBuilder {
       Files.readString(Paths.get(path, "metadata.json")))
   }
 
+  case class AutoEncoderBuildResult(path: String,
+      model: AutoEncoder.RfaeModel, metadata: String)
+
+  /** Config-driven NONLINEAR autoencoder build (`model.type:
+    * "autoencoder"`) — the same lifecycle as `build` with
+    * [[AutoEncoder]] in place of the PCA pipeline: dataset →
+    * expanding-window CV (per-fold fit + strictly-later validation score
+    * stats) → final one-pass ridge fit → persisted coefficient frame +
+    * metadata, registry-cached.
+    *
+    * Config: `{ "name": ..., "dataset": {...}, "model": {"type":
+    * "autoencoder", "hidden": 16, "ridge": 1e-3, "threshold_pctl":
+    * 0.99, "seed": 42}, "evaluation": {"n_splits": 3} }`
+    */
+  def buildAutoEncoder(spark: SparkSession, configJson: String, longDf: DataFrame,
+      outDir: String): AutoEncoderBuildResult = {
+    val cfg = parse(configJson)
+    val name = cfg.getOrElse("name", "machine").toString
+    val registry = DiskRegistry(s"$outDir/registry")
+
+    val path = registry.getOrBuild(configJson) {
+      val (wide, tags) = dataset(longDf, cfg)
+      val model = obj(cfg, "model")
+      val hidden = intOf(model, "hidden", 16)
+      val ridge = model.get("ridge").map(_.toString.toDouble).getOrElse(1e-3)
+      val pctl = model.get("threshold_pctl").map(_.toString.toDouble).getOrElse(0.99)
+      val seed = model.get("seed").map(_.toString.toLong).getOrElse(42L)
+      val nSplits = intOf(obj(cfg, "evaluation"), "n_splits", 3)
+
+      val foldMeta = TimeSeriesCV.folds(wide, "bucket", nSplits).zipWithIndex.map {
+        case ((train, valid), i) =>
+          val m = AutoEncoder.fit(train, tags, hidden, ridge, pctl, seed)
+          val stats = m.score(valid.na.drop("any", tags)).agg(
+            count(lit(1)).as("n"),
+            avg(col("anomaly_score")).as("mean_score"),
+            max(col("anomaly_score")).as("max_score")).head()
+          s"""{"fold": $i, "threshold": ${jnum(m.threshold)}, "val_rows": ${stats.getLong(0)},
+             | "val_mean_score": ${jnum(stats.getAs[Double]("mean_score"))},
+             | "val_max_score": ${jnum(stats.getAs[Double]("max_score"))}}""".stripMargin
+            .replaceAll("\n", "")
+      }
+
+      val finalModel = AutoEncoder.fit(wide, tags, hidden, ridge, pctl, seed)
+      val dir = Paths.get(outDir, s"$name-${registry.key(configJson).take(8)}")
+      Files.createDirectories(dir)
+      finalModel.toDF(spark).write.mode("overwrite")
+        .parquet(dir.resolve("model").toString)
+      val metadata =
+        s"""{"name": ${jstr(name)},
+           | "tags": [${tags.map(jstr).mkString(", ")}],
+           | "model": {"type": "autoencoder", "hidden": $hidden, "ridge": $ridge,
+           |           "threshold": ${jnum(finalModel.threshold)}, "threshold_pctl": $pctl},
+           | "cv": [${foldMeta.mkString(", ")}],
+           | "config_key": "${registry.key(configJson)}"}""".stripMargin
+      Files.writeString(dir.resolve("metadata.json"), metadata)
+      dir.toString
+    }
+
+    val reloaded = AutoEncoder.RfaeModel.fromDF(
+      spark.read.parquet(Paths.get(path, "model").toString))
+    AutoEncoderBuildResult(path, reloaded,
+      Files.readString(Paths.get(path, "metadata.json")))
+  }
+
   /** Fleet build — the workflow-generator analogue (SURVEY.md §3.1: one
     * Argo pod per machine, thousands of machines). Here each machine is a
     * sequence of Spark jobs inside ONE session; the registry dedupes

@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
   * the training-fold scores (default 0.99; the exact reference value is
   * unverifiable offline — kept as a parameter).
   */
-case class PcaAnomalyModel(pipeline: PipelineModel, threshold: Double) {
+case class PcaAnomalyModel(pipeline: PipelineModel, threshold: Double)
+  extends TagAnomalyScorer {
+
+  override def scoreWithTags(df: DataFrame, tags: Seq[String]): DataFrame =
+    PcaAnomaly.perTagScores(this, df, tags)
 
   /** Score = sqrt(max(0, ||x_scaled||² − ||z||²)) per row. */
   def score(df: DataFrame): DataFrame =

@@ -20,6 +20,18 @@ import org.apache.spark.sql.types._
   * response carries the total anomaly, the threshold verdict, and per-tag
   * error columns.
   */
+/** Anything servable: per-tag + total anomaly scoring with a fitted
+  * threshold. Both anomaly models implement it, so the request path and
+  * the HTTP layer are model-agnostic — the reference swaps model classes
+  * under one server the same way.
+  */
+trait TagAnomalyScorer {
+  def threshold: Double
+
+  /** Add `anomaly_score` and `tag_anomaly_<tag>` columns for `tags`. */
+  def scoreWithTags(df: DataFrame, tags: Seq[String]): DataFrame
+}
+
 object Serve {
 
   /** Explicit request schema: optional `ts` + one double per tag. */
@@ -52,11 +64,11 @@ object Serve {
     * be scored) instead of silently disappearing and breaking the
     * request↔response row correspondence.
     */
-  def scoreRequest(spark: SparkSession, model: PcaAnomalyModel, json: String,
+  def scoreRequest(spark: SparkSession, model: TagAnomalyScorer, json: String,
       tags: Seq[String], tsCol: String = "ts"): DataFrame = {
     val x = parseRequest(spark, json, tags, tsCol)
     val complete = x.na.drop("any", tags)
-    val scored = PcaAnomaly.perTagScores(model, complete, tags)
+    val scored = model.scoreWithTags(complete, tags)
       .withColumn("anomalous", col("anomaly_score") > lit(model.threshold))
     val unscorable = x.join(complete.select("req_idx"), Seq("req_idx"), "left_anti")
       .withColumn("anomaly_score", lit(null).cast("double"))

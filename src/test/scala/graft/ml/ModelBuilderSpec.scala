@@ -61,6 +61,33 @@ class ModelBuilderSpec extends SparkSpec {
     assert(again.path == result.path)
   }
 
+  test("buildAutoEncoder persists the nonlinear model and reloads it exactly") {
+    val out = java.nio.file.Files.createTempDirectory("graft-aebuild").toString
+    val aconfig =
+      """{"name": "events-rfae",
+        |  "dataset": {"tags": ["click", "view", "purchase"],
+        |              "resolution": "1 hour",
+        |              "tag_col": "event_type", "value_col": "value"},
+        |  "model": {"type": "autoencoder", "hidden": 8, "threshold_pctl": 0.95,
+        |            "seed": 7},
+        |  "evaluation": {"n_splits": 2}}""".stripMargin
+    val result = ModelBuilder.buildAutoEncoder(spark, aconfig, events, out)
+    assert(result.metadata.contains("\"type\": \"autoencoder\""))
+    assert(result.metadata.contains("val_mean_score"))
+    assert(result.model.threshold > 0)
+    // reloaded model == a direct fit with the same config on the same data
+    val (wide, tags) = ModelBuilder.dataset(events,
+      Map("dataset" -> Map(
+        "tags" -> Seq("click", "view", "purchase"), "resolution" -> "1 hour",
+        "tag_col" -> "event_type", "value_col" -> "value")))
+    val direct = AutoEncoder.fit(wide, tags, hidden = 8, pctl = 0.95, seed = 7L)
+    assert(result.model.beta.flatten.toSeq == direct.beta.flatten.toSeq)
+    assert(result.model.threshold == direct.threshold)
+    // second build of the same config is a registry hit
+    val again = ModelBuilder.buildAutoEncoder(spark, aconfig, events, out)
+    assert(again.path == result.path)
+  }
+
   test("buildAll isolates per-machine failures and dedupes via the registry") {
     val out = java.nio.file.Files.createTempDirectory("graft-fleet").toString
     val bad = """{"name": "broken", "dataset": {"tags": "not-a-list"}}"""

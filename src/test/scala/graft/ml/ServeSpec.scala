@@ -15,6 +15,24 @@ class ServeSpec extends SparkSpec {
     PcaAnomaly.fit(train, Seq("t1", "t2", "t3"), k = 2, pctl = 0.99)
   }
 
+  test("the nonlinear autoencoder serves through the same request path") {
+    val train = (1 to 200).map { i =>
+      val a = math.sin(i / 10.0) * 10; val b = math.cos(i / 7.0) * 5
+      (a, b, a + b)
+    }.toDF("t1", "t2", "t3")
+    val rfae = AutoEncoder.fit(train, Seq("t1", "t2", "t3"), hidden = 16, pctl = 0.99)
+    // the nonlinear model learns the 1-D TRAJECTORY, not PCA's plane —
+    // an "on-manifold" probe must be an actual trajectory point
+    val (a, b) = (math.sin(3.0) * 10, math.cos(30.0 / 7) * 5)
+    val json =
+      s"""[{"t1":$a,"t2":$b,"t3":${a + b}},{"t1":$a,"t2":$b,"t3":${a + b + 50}}]"""
+    val rows = Serve.scoreRequest(spark, rfae, json, Seq("t1", "t2", "t3"))
+      .orderBy("req_idx").collect()
+    assert(!rows(0).getAs[Boolean]("anomalous"))
+    assert(rows(1).getAs[Boolean]("anomalous"))
+    assert(rows(1).getAs[Double]("tag_anomaly_t3") > rows(1).getAs[Double]("tag_anomaly_t1"))
+  }
+
   test("scoreRequest parses records, scores, and flags the off-manifold row") {
     val json =
       """[{"ts":"2024-01-01T00:00:00Z","t1":5.0,"t2":3.0,"t3":8.0},
