@@ -622,6 +622,19 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing for training batches: whitespace token counts →
+    * 512-token context windows across 8 independent md5-sharded streams.
+    * All-integer (shard, bin, offset) assignment, stable under any
+    * cluster layout.
+    */
+  private def q_sample_pack(s: SparkSession, dir: String): DataFrame = {
+    val toks = T(s, dir, "documents")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+    graft.ops.Sampling.packSequences(toks, "doc_id", "n_tokens",
+        budgetTokens = 512L, shards = 8)
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation pipeline composed from the individual operators:
     * scrub → quality gate (word count + stopword ratio) → exact dedup
     * (keep the canonical min-id doc per normalized scrubbed text) →
@@ -843,6 +856,7 @@ object SparkEntry {
     "text_langid_trained" -> (q_text_langid_trained _),
     "sample_stratified" -> (q_sample_stratified _),
     "pipeline_curation" -> (q_pipeline_curation _),
+    "sample_pack" -> (q_sample_pack _),
     "simsearch_ivf" -> (q_simsearch_ivf _),
     "win_interpolate" -> (q_win_interpolate _),
     "stream_resample" -> (q_stream_resample _),
@@ -1425,6 +1439,20 @@ object SparkEntry {
         |    '[0-9]+', '<NUM>', 'g'),
         |    '\s+', ' ', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |      % 1000000 % 8 AS shard
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+        |      FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  strt // 512 AS bin, strt % 512 AS offset,
+        |  (strt + n_tokens - 1) // 512 AS end_bin
+        |FROM c ORDER BY doc_id""".stripMargin,
     "pipeline_curation" ->
       """WITH s AS (SELECT doc_id, lang,
         |    regexp_replace(regexp_replace(regexp_replace(text,

@@ -47,4 +47,34 @@ object Sampling {
       }
     df.filter(hashBucket(col(idCol)) < threshold)
   }
+
+  /** Sequence packing for LLM training batches: assign each document a
+    * (shard, bin, offset) so documents concatenate into fixed
+    * `budgetTokens` context windows — contiguous fill in id order, a doc
+    * starting in the bin where its cumulative-token start position lands
+    * (the standard "pack then split at window boundaries" layout; a doc
+    * may straddle into the next bin, recorded by `end_bin`).
+    *
+    * Scale shape: packing is inherently sequential, so the corpus is cut
+    * into `shards` INDEPENDENT streams by deterministic md5 bucket and
+    * each shard packs under its own cumulative-sum window — parallelism
+    * = shards, no global sort, and the same doc always lands in the same
+    * (shard, bin) regardless of cluster layout. All-integer arithmetic,
+    * mirrored 1:1 in SQL.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      budgetTokens: Long, shards: Int): DataFrame = {
+    require(budgetTokens > 0 && shards > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(idCol)
+    df.select(col(idCol), col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(hashBucket(col(idCol)), lit(shards.toLong)))
+      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        // integer `div` (not `/` + cast): token cumsums are exact longs
+        // and must stay exact past double's 2^53 at extreme corpus sizes
+        expr(s"__start div ${budgetTokens}L").as("bin"),
+        pmod(col("__start"), lit(budgetTokens)).as("offset"),
+        expr(s"(__start + n_tokens - 1L) div ${budgetTokens}L").as("end_bin"))
+  }
 }

@@ -43,4 +43,33 @@ class SamplingSpec extends SparkSpec {
       "\\s+" -> " ")).as("s")).as[String].collect().head
     assert(out == "contact <EMAIL> or call <NUM> <NUM>", out)
   }
+
+  test("packSequences fills windows contiguously per shard") {
+    val docs = Seq((1L, 300L), (2L, 300L), (3L, 100L), (4L, 600L))
+      .toDF("doc_id", "n_tokens")
+    // one shard: packing order is plain id order
+    val out = Sampling.packSequences(docs, "doc_id", "n_tokens",
+        budgetTokens = 512L, shards = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("bin"), r.getAs[Long]("offset"),
+        r.getAs[Long]("end_bin")))
+    // starts: 0, 300, 600, 700
+    assert(out(0) == ((1L, 0L, 0L, 0L)))     // 0..299 in bin 0
+    assert(out(1) == ((2L, 0L, 300L, 1L)))   // 300..599 straddles into bin 1
+    assert(out(2) == ((3L, 1L, 88L, 1L)))    // 600..699 inside bin 1
+    assert(out(3) == ((4L, 1L, 188L, 2L)))   // 700..1299 ends in bin 2
+  }
+
+  test("packSequences shard assignment is deterministic and partition-independent") {
+    val docs = (1L to 200L).map(i => (i, 50L + i % 7)).toDF("doc_id", "n_tokens")
+    val a = Sampling.packSequences(docs, "doc_id", "n_tokens", 512L, 8)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = Sampling.packSequences(docs.repartition(13), "doc_id", "n_tokens", 512L, 8)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // every shard's bins fill from 0 without a leading gap
+    a.groupBy(_(1)).values.foreach { rows =>
+      assert(rows.map(_(3).asInstanceOf[Long]).min == 0L)
+    }
+  }
 }
