@@ -651,10 +651,12 @@ object SparkEntry {
         "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+" -> "<EMAIL>",
         "[0-9]+" -> "<NUM>",
         "\\s+" -> " ")).as("scrubbed"))
-    val quality = TextAnalysis.qualityScore(scrubbed, "doc_id", "scrubbed")
+    // pass-through metrics: the gate filters in place — joining the
+    // metric frame back on doc_id would shuffle and re-evaluate the scrub
+    val kept = TextAnalysis.qualityScore(scrubbed, "doc_id", "scrubbed",
+        passThrough = true)
       .filter(col("n_words") >= 8 && col("stopword_ratio") <= 0.4)
-      .select("doc_id", "n_words")
-    val kept = scrubbed.join(quality, Seq("doc_id"))
+      .select("doc_id", "lang", "scrubbed", "n_words")
     val canon = Dedup.exact(kept, "doc_id", "scrubbed")
       .select(col("canonical_id").as("doc_id"))
     val deduped = kept.join(canon, Seq("doc_id"))
@@ -1451,7 +1453,7 @@ object SparkEntry {
         |      FROM t)
         |SELECT doc_id, shard, n_tokens,
         |  strt // 512 AS bin, strt % 512 AS offset,
-        |  (strt + n_tokens - 1) // 512 AS end_bin
+        |  (strt + greatest(n_tokens, 1) - 1) // 512 AS end_bin
         |FROM c ORDER BY doc_id""".stripMargin,
     "pipeline_curation" ->
       """WITH s AS (SELECT doc_id, lang,

@@ -38,8 +38,12 @@ object AutoEncoder {
       threshold: Double) extends TagAnomalyScorer {
 
     override def scoreWithTags(df: DataFrame, requestTags: Seq[String]): DataFrame = {
-      require(requestTags == tags,
-        s"model was fitted on tags $tags, request asked for $requestTags")
+      // IllegalSTATEException, not require: a serving surface wired with
+      // the wrong tag list is a deployment bug — the HTTP layer maps it
+      // to 500, never to a client-blaming 400
+      if (requestTags != tags)
+        throw new IllegalStateException(
+          s"model was fitted on tags $tags, serving surface configured for $requestTags")
       score(df)
     }
 

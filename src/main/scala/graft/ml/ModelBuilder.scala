@@ -61,8 +61,11 @@ object ModelBuilder {
     val cfg = parse(configJson)
     val name = cfg.getOrElse("name", "machine").toString
     val registry = DiskRegistry(s"$outDir/registry")
+    // the registry key carries the BUILDER kind: the same config routed
+    // through a different builder must never hit this builder's artifact
+    val regKey = s"pca_anomaly\n$configJson"
 
-    val path = registry.getOrBuild(configJson) {
+    val path = registry.getOrBuild(regKey) {
       val (wide, tags) = dataset(longDf, cfg)
       val model = obj(cfg, "model")
       val k = intOf(model, "k", 2)
@@ -77,15 +80,15 @@ object ModelBuilder {
           avg(col("anomaly_score")).as("mean_score"),
           max(col("anomaly_score")).as("max_score")).head()
         s"""{"fold": $i, "threshold": ${jnum(m.threshold)}, "val_rows": ${stats.getLong(0)},
-           | "val_mean_score": ${jnum(stats.getAs[Double]("mean_score"))},
-           | "val_max_score": ${jnum(stats.getAs[Double]("max_score"))}}""".stripMargin
+           | "val_mean_score": ${jnumAt(stats, "mean_score")},
+           | "val_max_score": ${jnumAt(stats, "max_score")}}""".stripMargin
           .replaceAll("\n", "")
       }
 
       val finalModel = PcaAnomaly.fit(wide, tags, k, pctl)
       // artifact dir carries the config key: two configs sharing a `name`
       // must not overwrite (and then serve) each other's artifacts
-      val dir = Paths.get(outDir, s"$name-${registry.key(configJson).take(8)}")
+      val dir = Paths.get(outDir, s"$name-${registry.key(regKey).take(8)}")
       Files.createDirectories(dir)
       finalModel.pipeline.write.overwrite().save(dir.resolve("model").toString)
       val metadata =
@@ -95,7 +98,7 @@ object ModelBuilder {
            | "model": {"type": "pca_anomaly", "k": $k, "threshold": ${jnum(finalModel.threshold)},
            |           "threshold_pctl": $pctl},
            | "cv": [${foldMeta.mkString(", ")}],
-           | "config_key": "${registry.key(configJson)}"}""".stripMargin
+           | "config_key": "${registry.key(regKey)}"}""".stripMargin
       Files.writeString(dir.resolve("metadata.json"), metadata)
       Files.writeString(dir.resolve("threshold.txt"), finalModel.threshold.toString)
       dir.toString
@@ -134,13 +137,14 @@ object ModelBuilder {
     val model = obj(cfg, "model")
     val lb = intOf(model, "lookback", 6)
     val nSplits = intOf(obj(cfg, "evaluation"), "n_splits", 3)
+    val regKey = s"ar_forecast\n$configJson"
 
     val long = longDf
       .filter(col(tagCol).isin(tags: _*))
       .groupBy(Timeseries.bucket(col(tsCol), resolution).as("bucket"), col(tagCol))
       .agg(avg(col(valueCol)).as("v"))
 
-    val path = registry.getOrBuild(configJson) {
+    val path = registry.getOrBuild(regKey) {
       val foldMeta = TimeSeriesCV.folds(long, "bucket", nSplits).zipWithIndex.map {
         case ((train, valid), i) =>
           val m = Forecast.fitPerKey(train, tagCol, "v", lb, "bucket")
@@ -149,8 +153,8 @@ object ModelBuilder {
             avg(col("v_anomaly")).as("mean_abs_err"),
             max(col("v_anomaly")).as("max_abs_err")).head()
           s"""{"fold": $i, "val_rows": ${stats.getLong(0)},
-             | "val_mean_abs_err": ${jnum(stats.getAs[Double]("mean_abs_err"))},
-             | "val_max_abs_err": ${jnum(stats.getAs[Double]("max_abs_err"))}}""".stripMargin
+             | "val_mean_abs_err": ${jnumAt(stats, "mean_abs_err")},
+             | "val_max_abs_err": ${jnumAt(stats, "max_abs_err")}}""".stripMargin
             .replaceAll("\n", "")
       }
       val finalModel = Forecast.fitPerKey(long, tagCol, "v", lb, "bucket")
@@ -158,7 +162,7 @@ object ModelBuilder {
       // few buckets per tag for the lookback) must not poison the cache
       require(finalModel.coefs.nonEmpty,
         s"no tag had enough buckets for lookback=$lb — nothing to fit")
-      val dir = Paths.get(outDir, s"$name-${registry.key(configJson).take(8)}")
+      val dir = Paths.get(outDir, s"$name-${registry.key(regKey).take(8)}")
       Files.createDirectories(dir)
       finalModel.toDF(spark).write.mode("overwrite").parquet(dir.resolve("model").toString)
       val metadata =
@@ -166,7 +170,7 @@ object ModelBuilder {
            | "tags": [${tags.map(jstr).mkString(", ")}],
            | "model": {"type": "ar_forecast", "lookback": $lb},
            | "cv": [${foldMeta.mkString(", ")}],
-           | "config_key": "${registry.key(configJson)}"}""".stripMargin
+           | "config_key": "${registry.key(regKey)}"}""".stripMargin
       Files.writeString(dir.resolve("metadata.json"), metadata)
       dir.toString
     }
@@ -196,8 +200,9 @@ object ModelBuilder {
     val cfg = parse(configJson)
     val name = cfg.getOrElse("name", "machine").toString
     val registry = DiskRegistry(s"$outDir/registry")
+    val regKey = s"autoencoder\n$configJson"
 
-    val path = registry.getOrBuild(configJson) {
+    val path = registry.getOrBuild(regKey) {
       val (wide, tags) = dataset(longDf, cfg)
       val model = obj(cfg, "model")
       val hidden = intOf(model, "hidden", 16)
@@ -214,13 +219,13 @@ object ModelBuilder {
             avg(col("anomaly_score")).as("mean_score"),
             max(col("anomaly_score")).as("max_score")).head()
           s"""{"fold": $i, "threshold": ${jnum(m.threshold)}, "val_rows": ${stats.getLong(0)},
-             | "val_mean_score": ${jnum(stats.getAs[Double]("mean_score"))},
-             | "val_max_score": ${jnum(stats.getAs[Double]("max_score"))}}""".stripMargin
+             | "val_mean_score": ${jnumAt(stats, "mean_score")},
+             | "val_max_score": ${jnumAt(stats, "max_score")}}""".stripMargin
             .replaceAll("\n", "")
       }
 
       val finalModel = AutoEncoder.fit(wide, tags, hidden, ridge, pctl, seed)
-      val dir = Paths.get(outDir, s"$name-${registry.key(configJson).take(8)}")
+      val dir = Paths.get(outDir, s"$name-${registry.key(regKey).take(8)}")
       Files.createDirectories(dir)
       finalModel.toDF(spark).write.mode("overwrite")
         .parquet(dir.resolve("model").toString)
@@ -230,7 +235,7 @@ object ModelBuilder {
            | "model": {"type": "autoencoder", "hidden": $hidden, "ridge": $ridge,
            |           "threshold": ${jnum(finalModel.threshold)}, "threshold_pctl": $pctl},
            | "cv": [${foldMeta.mkString(", ")}],
-           | "config_key": "${registry.key(configJson)}"}""".stripMargin
+           | "config_key": "${registry.key(regKey)}"}""".stripMargin
       Files.writeString(dir.resolve("metadata.json"), metadata)
       dir.toString
     }
@@ -276,6 +281,13 @@ object ModelBuilder {
   /** JSON number: NaN/Infinity (possible in degenerate CV stats) → null. */
   private def jnum(d: Double): String =
     if (d.isNaN || d.isInfinite) "null" else d.toString
+
+  /** Aggregate field → JSON number; SQL NULL (empty validation fold) →
+    * JSON null. `getAs[Double]` alone would unbox NULL to 0.0 and record
+    * a fabricated score.
+    */
+  private def jnumAt(r: org.apache.spark.sql.Row, field: String): String =
+    if (r.isNullAt(r.fieldIndex(field))) "null" else jnum(r.getAs[Double](field))
 
   // -- config plumbing ----------------------------------------------------
 

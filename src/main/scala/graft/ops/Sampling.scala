@@ -65,16 +65,24 @@ object Sampling {
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
       budgetTokens: Long, shards: Int): DataFrame = {
     require(budgetTokens > 0 && shards > 0)
+    // explicit ROWS frame: the orderBy default is a RANGE frame, which
+    // makes duplicate-id rows PEERS — both would read the sum including
+    // each other and overlap in the window. ROWS matches the SQL mirror.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     df.select(col(idCol), col(tokensCol).cast("long").as("n_tokens"))
       .withColumn("shard", pmod(hashBucket(col(idCol)), lit(shards.toLong)))
       .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col(idCol), col("shard"), col("n_tokens"),
         // integer `div` (not `/` + cast): token cumsums are exact longs
-        // and must stay exact past double's 2^53 at extreme corpus sizes
+        // and must stay exact past double's 2^53 at extreme corpus sizes.
+        // greatest(n_tokens, 1): an empty doc ends in the bin it starts
+        // in — and never feeds -1 into `div`, whose truncation-toward-
+        // zero would diverge from SQL floor division.
         expr(s"__start div ${budgetTokens}L").as("bin"),
         pmod(col("__start"), lit(budgetTokens)).as("offset"),
-        expr(s"(__start + n_tokens - 1L) div ${budgetTokens}L").as("end_bin"))
+        expr(s"(__start + greatest(n_tokens, 1L) - 1L) div ${budgetTokens}L").as("end_bin"))
   }
 }

@@ -51,25 +51,36 @@ object TextAnalysis {
 
   /** Quality metrics in one narrow projection: word count, distinct word
     * count, stopword ratio, type-token ratio, average word length.
+    * `passThrough = true` keeps every input column alongside the metrics
+    * (no id rename) — a downstream gate then filters in place instead of
+    * joining the metrics back on the id (an avoidable shuffle AND a
+    * second evaluation of whatever produced the text).
     */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String,
-      stopwords: Seq[String] = Seq("the", "a", "of", "to", "and")): DataFrame = {
+      stopwords: Seq[String] = Seq("the", "a", "of", "to", "and"),
+      passThrough: Boolean = false): DataFrame = {
     // project the tokenization once — the expression is referenced five
     // times below and would otherwise re-split per reference
-    val projected = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
-      words(col(textCol)).as("__ws"))
+    val carried =
+      if (passThrough) docs.select(col("*"), col(textCol).as("__text"),
+        words(col(textCol)).as("__ws"))
+      else docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        words(col(textCol)).as("__ws"))
     val ws = col("__ws")
     val nWords = size(ws)
     val nDistinct = size(array_distinct(ws))
     val nStop = size(filter(ws, w => w.isInCollection(stopwords)))
-    projected.select(
-      col("doc_id"),
+    val metrics = Seq(
       nWords.cast("long").as("n_words"),
       nDistinct.cast("long").as("n_distinct"),
       round(nStop * lit(1.0) / nWords, 6).as("stopword_ratio"),
       round(nDistinct * lit(1.0) / nWords, 6).as("ttr"),
       round(length(regexp_replace(col("__text"), " ", "")) * lit(1.0) / nWords, 6)
         .as("avg_word_len"))
+    if (passThrough)
+      carried.select(col("*") +: metrics: _*).drop("__text", "__ws")
+    else
+      carried.select(col("doc_id") +: metrics: _*)
   }
 
   /** Token counts: plain whitespace tokens and a BPE-ish regex token class
