@@ -557,6 +557,20 @@ object SparkEntry {
       .orderBy("qid", "rnk")
   }
 
+  /** Spark-only: top-k through an int8-quantized corpus — the
+    * storage-scale ANN path (4× smaller vectors; recall vs float spec'd
+    * in SimilaritySpec). Float rounding inside quantization is not
+    * portable enough for a hash-exact oracle.
+    */
+  private def q_simsearch_int8(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    val dq = Similarity.quantizeInt8(e, "embedding")
+      .select(col("vec_id"),
+        Similarity.dequantizeInt8(col("codes"), col("qscale")).as("embedding"))
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), dq, "vec_id", "embedding", 5)
+      .orderBy("qid", "rnk")
+  }
+
   /** LSH-bucketed approximate near-dup pairs — the 100 TB path. The
     * hyperplanes are md5-derived plan-time constants, so the oracle
     * inlines the IDENTICAL plane literals and reproduces the exact
@@ -849,6 +863,7 @@ object SparkEntry {
     "dedup_embed_cosine" -> (q_dedup_embed_cosine _),
     "simsearch_topk" -> (q_simsearch_topk _),
     "simsearch_lsh" -> (q_simsearch_lsh _),
+    "simsearch_int8" -> (q_simsearch_int8 _),
     "text_langid" -> (q_text_langid _),
     "text_quality" -> (q_text_quality _),
     "text_tokens" -> (q_text_tokens _),

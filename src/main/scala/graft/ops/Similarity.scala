@@ -93,6 +93,29 @@ object Similarity {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Int8 embedding quantization — the standard storage/bandwidth path
+    * for vector corpora at scale (4× smaller than float32, and the form
+    * ANN systems keep in memory). Symmetric per-vector scheme:
+    * `qscale = max|x| / 127`, `code_i = round(x_i / qscale)` as a byte;
+    * dequantization is `code_i · qscale`, so per-element error is ≤
+    * qscale/2 (spec'd, plus top-k recall through the quantized corpus).
+    * All-zero vectors get scale 1 and all-zero codes. Pure column
+    * expressions, partition-local; quantization is a storage-time op,
+    * not a hot query path, so the per-element lambdas are acceptable.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String, codesCol: String = "codes",
+      scaleCol: String = "qscale"): DataFrame =
+    df.withColumn(scaleCol,
+        when(array_max(transform(col(vecCol), x => abs(x))) === 0.0f, lit(1.0f))
+          .otherwise(array_max(transform(col(vecCol), x => abs(x))) / 127.0f)
+          .cast("float"))
+      .withColumn(codesCol,
+        transform(col(vecCol), x => round(x / col(scaleCol)).cast("byte")))
+
+  /** Reconstruct a float vector from int8 codes + scale. */
+  def dequantizeInt8(codes: Column, scale: Column): Column =
+    transform(codes, c => (c.cast("float") * scale).cast("float"))
+
   /** Deterministic pseudo-random hyperplane for (table t, plane p): each
     * component is md5-derived, uniform in [-1, 1), reproducible everywhere
     * without RNG state. Materialized ONCE on the driver — the md5s are

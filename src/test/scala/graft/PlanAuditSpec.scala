@@ -82,6 +82,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 1, s"decode pipeline must be partition-local:\n$plan")
   }
 
+  test("sample_pack windows per shard — never a single global sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = SparkEntry.queries("sample_pack")(spark, dir).queryExecution.sparkPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "packing cumsum must partition by shard")
+  }
+
+  test("pipeline_curation shuffles only for dedup, its id join, and the sink sort") {
+    val plan = planOf("pipeline_curation")
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    // dedup groupBy + canonical-id join sides + final sort; the quality
+    // gate must NOT contribute (pass-through scoring, no metric join)
+    assert(exchanges <= 4, s"curation pipeline gained a shuffle:\n$plan")
+  }
+
   test("autoencoder scoring stays shuffle-free column math") {
     import spark.implicits._
     val train = (1 to 50).map(i => (i * 1.0, i * 2.0)).toDF("a", "b")

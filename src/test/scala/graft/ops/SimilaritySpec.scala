@@ -91,6 +91,37 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(Similarity.ivfSearch(reloaded, queries, e, "vec_id", "embedding", 10, nProbe = 4)) == oneShot)
   }
 
+  test("int8 quantization: bounded error, byte storage, top-k survives") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val quant = Similarity.quantizeInt8(e, "embedding")
+    // storage: codes really are bytes (4x smaller than float32)
+    val codesType = quant.schema("codes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    assert(codesType == org.apache.spark.sql.types.ByteType)
+    // per-element reconstruction error <= qscale/2 (+ float eps)
+    val maxRelErr = quant
+      .withColumn("dq", Similarity.dequantizeInt8(col("codes"), col("qscale")))
+      .select(max(expr(
+        "aggregate(zip_with(embedding, dq, (a, b) -> abs(a - b)), 0.0F, (acc, x) -> greatest(acc, x)) / qscale")))
+      .head().getDouble(0)
+    assert(maxRelErr <= 0.5 + 1e-4, s"max |x - dq| / qscale = $maxRelErr")
+    // all-zero vectors: scale 1, all-zero codes, no NaNs
+    val zero = Seq((99999L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val zq = Similarity.quantizeInt8(zero, "embedding").collect().head
+    assert(zq.getAs[Float]("qscale") == 1.0f)
+    assert(zq.getSeq[Byte](zq.fieldIndex("codes")).forall(_ == 0))
+    // search through the quantized corpus keeps most of the true top-k
+    val queries = e.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dequantCorpus = quant
+      .select(col("vec_id"), Similarity.dequantizeInt8(col("codes"), col("qscale")).as("embedding"))
+    val viaInt8 = Similarity.bruteForceTopK(queries, dequantCorpus, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & viaInt8).size.toDouble / exact.size
+    assert(recall >= 0.8, s"top-k recall through int8 = $recall")
+  }
+
   test("LSH recall: bucketed pairs recover most high-cosine pairs on real data") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.35)
