@@ -60,6 +60,33 @@ class SamplingSpec extends SparkSpec {
     assert(out(3) == ((4L, 1L, 188L, 2L)))   // 700..1299 ends in bin 2
   }
 
+  test("packSequences invariants hold for arbitrary token distributions") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rowsGen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 5000L), Gen.choose(0L, 900L)))
+      .map(_.groupBy(_._1).map { case (id, vs) => (id, vs.head._2) }.toSeq)
+    val p = Prop.forAll(rowsGen) { rows =>
+      val out = Sampling.packSequences(rows.toDF("doc_id", "n_tokens"),
+          "doc_id", "n_tokens", budgetTokens = 512L, shards = 4)
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("shard"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("bin"),
+          r.getAs[Long]("offset"), r.getAs[Long]("end_bin")))
+      out.groupBy(_._2).values.forall { shardRows =>
+        val ordered = shardRows.sortBy(_._1)
+        // local replay of the contiguous fill
+        var start = 0L
+        ordered.forall { case (_, _, n, bin, offset, endBin) =>
+          val ok = bin == start / 512 && offset == start % 512 &&
+            offset >= 0 && offset < 512 &&
+            endBin == (start + math.max(n, 1) - 1) / 512 && endBin >= bin
+          start += n
+          ok
+        }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("packSequences shard assignment is deterministic and partition-independent") {
     val docs = (1L to 200L).map(i => (i, 50L + i % 7)).toDF("doc_id", "n_tokens")
     val a = Sampling.packSequences(docs, "doc_id", "n_tokens", 512L, 8)
