@@ -289,25 +289,38 @@ object SparkEntry {
         round(col("l_extendedprice_scaled"), 6).as("price_scaled"))
       .orderBy("l_orderkey", "l_linenumber")
 
-  private def q_agg_metrics(s: SparkSession, dir: String): DataFrame = {
-    // "predicted-by-mean": yhat = per-group mean; MAE / RMSE / R2 /
-    // explained_variance of that. gmean is an exact decimal sum ÷ count so
-    // the per-row error e is bit-identical on both engines; the metrics
-    // themselves follow AnomalyMath's decimal-sum discipline.
-    val li = T(s, dir, "lineitem")
-    val means = li.groupBy("l_returnflag")
-      .agg((dsum(col("l_extendedprice")) / count(lit(1))).as("gmean"))
-    val m = AnomalyMath.metricExprs(col("l_extendedprice"), col("gmean"))
-    li.join(broadcast(means), "l_returnflag")
-      .groupBy("l_returnflag")
-      .agg(m.head, m.tail: _*)
-      .select(col("l_returnflag"),
-        round(col("mae"), 6).as("mae"),
-        round(col("rmse"), 6).as("rmse"),
-        round(col("r2"), 6).as("r2"),
-        round(col("explained_variance"), 6).as("explained_variance"))
+  private def q_agg_metrics(s: SparkSession, dir: String): DataFrame =
+    // Metrics of the naive "1000-per-unit" price model (ŷ = 1000·quantity)
+    // against the actual price — a per-row fixed-point-exact predictor, so
+    // every sufficient statistic is an integer sum bounded under 2^53 and
+    // the output is the RAW double of one shared IEEE op sequence
+    // (round-2/3 lessons: round(x, 6), double→decimal casts of derived
+    // values, AND >2^53 wide-decimal→double casts are all engine
+    // sensitive; sub-2^53 integer sums reassembled in doubles are not).
+    AnomalyMath.fixedPointMetrics(T(s, dir, "lineitem"), "l_returnflag",
+        col("l_extendedprice"), col("l_quantity") * 1000)
       .orderBy("l_returnflag")
-  }
+
+  /** Round-3 staged diagnostics for the agg_metrics driver gate: stage 1 =
+    * the y-side integer sums, stage 2 = the error-side integer sums — all
+    * BIGINT, so any engine divergence is visible pre-double. Temporary —
+    * delete once CORRECTNESS_r3 is green.
+    */
+  private def q_agg_metrics_d1(s: SparkSession, dir: String): DataFrame =
+    AnomalyMath.fixedPointMetricsStats(T(s, dir, "lineitem"), "l_returnflag",
+        col("l_extendedprice"), col("l_quantity") * 1000)
+      .select(col("l_returnflag"), col("__n").cast("long").as("n"),
+        col("__s_y").as("s_y"), col("__s_yq").as("s_yq"),
+        col("__s_yr").as("s_yr"))
+      .orderBy("l_returnflag")
+
+  private def q_agg_metrics_d2(s: SparkSession, dir: String): DataFrame =
+    AnomalyMath.fixedPointMetricsStats(T(s, dir, "lineitem"), "l_returnflag",
+        col("l_extendedprice"), col("l_quantity") * 1000)
+      .select(col("l_returnflag"), col("__s_ae").as("s_ae"),
+        col("__s_e").as("s_e"), col("__s_eq").as("s_eq"),
+        col("__s_er").as("s_er"))
+      .orderBy("l_returnflag")
 
   private def q_agg_threshold_pctl(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
@@ -649,6 +662,42 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Round-3 staged diagnostics for the sample_pack / text_langid_trained
+    * driver gates: each stage re-derives one intermediate of the parent
+    * query with driver-proven constructs so a divergence localizes.
+    * Temporary — delete once CORRECTNESS_r3 is green.
+    */
+  private def q_sample_pack_d1(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.packSequences(
+        T(s, dir, "documents").select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens")),
+        "doc_id", "n_tokens", budgetTokens = 512L, shards = 8)
+      .select("doc_id", "n_tokens", "shard")
+      .orderBy("doc_id")
+
+  private def q_sample_pack_d2(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.packSequences(
+        T(s, dir, "documents").select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens")),
+        "doc_id", "n_tokens", budgetTokens = 512L, shards = 8)
+      .select(col("doc_id"),
+        (col("bin") * lit(512L) + col("offset")).as("strt"))
+      .orderBy("doc_id")
+
+  private def q_text_langid_d1(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gramStats(T(s, dir, "documents"), "lang", "text")
+      .orderBy("lang")
+
+  private def q_text_langid_d2(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langProfiles(T(s, dir, "documents"), "lang", "text", k = 100)
+      .orderBy("lang", "rnk")
+
+  private def q_text_langid_d3(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.docGramRanks(T(s, dir, "documents"), "doc_id", "text", k = 100)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dk"), sum(col("drnk")).as("sum_drnk"))
+      .orderBy("doc_id")
+
   /** End-to-end curation pipeline composed from the individual operators:
     * scrub → quality gate (word count + stopword ratio) → exact dedup
     * (keep the canonical min-id doc per normalized scrubbed text) →
@@ -835,6 +884,8 @@ object SparkEntry {
     "agg_resample_multi" -> (q_agg_resample_multi _),
     "agg_scaler_fit" -> (q_agg_scaler_fit _),
     "agg_metrics" -> (q_agg_metrics _),
+    "agg_metrics_d1" -> (q_agg_metrics_d1 _),
+    "agg_metrics_d2" -> (q_agg_metrics_d2 _),
     "agg_threshold_pctl" -> (q_agg_threshold_pctl _),
     "agg_distinct" -> (q_agg_distinct _),
     "agg_grouping_sets" -> (q_agg_grouping_sets _),
@@ -871,9 +922,14 @@ object SparkEntry {
     "text_scrub" -> (q_text_scrub _),
     "text_topterms" -> (q_text_topterms _),
     "text_langid_trained" -> (q_text_langid_trained _),
+    "text_langid_d1" -> (q_text_langid_d1 _),
+    "text_langid_d2" -> (q_text_langid_d2 _),
+    "text_langid_d3" -> (q_text_langid_d3 _),
     "sample_stratified" -> (q_sample_stratified _),
     "pipeline_curation" -> (q_pipeline_curation _),
     "sample_pack" -> (q_sample_pack _),
+    "sample_pack_d1" -> (q_sample_pack_d1 _),
+    "sample_pack_d2" -> (q_sample_pack_d2 _),
     "simsearch_ivf" -> (q_simsearch_ivf _),
     "win_interpolate" -> (q_win_interpolate _),
     "stream_resample" -> (q_stream_resample _),
@@ -887,6 +943,49 @@ object SparkEntry {
   )
 
   // Shared oracle fragments
+
+  /** Mirror of AnomalyMath.fixedPointMetricsStats over lineitem with
+    * ŷ = 1000·l_quantity: k_y/k_e are exact cents-integers (BIGINT), and
+    * the squares are split q/r by 10^8 so every sum stays under 2^53 —
+    * the bound below which every engine's int→double conversion is exact
+    * (above it, wide-decimal→double rounding is engine-specific). The
+    * CAST(SUM(..) AS BIGINT)s also keep the output off HUGEINT, whose
+    * Python float64 round-trip hash-mismatches Spark's BIGINT.
+    */
+  private val metricsStatsCte =
+    """k AS (SELECT l_returnflag,
+      |        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS ky,
+      |        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |          - CAST(CAST(l_quantity * 1000 AS DECIMAL(18,2)) * 100 AS BIGINT) AS ke
+      |      FROM lineitem),
+      |a AS (SELECT l_returnflag, count(*) AS n,
+      |        CAST(SUM(abs(ke)) AS BIGINT) AS s_ae,
+      |        CAST(SUM(ke) AS BIGINT) AS s_e,
+      |        CAST(SUM(ke * ke // 100000000) AS BIGINT) AS s_eq,
+      |        CAST(SUM(ke * ke % 100000000) AS BIGINT) AS s_er,
+      |        CAST(SUM(ky) AS BIGINT) AS s_y,
+      |        CAST(SUM(ky * ky // 100000000) AS BIGINT) AS s_yq,
+      |        CAST(SUM(ky * ky % 100000000) AS BIGINT) AS s_yr
+      |      FROM k GROUP BY 1)""".stripMargin
+
+  /** Shared trigram/profile CTE prefix of the trained-langid oracle and
+    * its staged diagnostics: lowered text → char trigrams → per-lang
+    * top-100 profile (`lr`) and per-doc top-100 ranks (`dr`).
+    */
+  private val langidGramCtes =
+    """lt AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+      |cg AS (SELECT doc_id, lang,
+      |         unnest(list_transform(range(1, length(t) - 1), i -> substr(t, i, 3))) AS g
+      |       FROM lt),
+      |lgc AS (SELECT lang, g, count(*) AS c FROM cg GROUP BY 1, 2),
+      |lr AS (SELECT lang, g, rnk FROM (
+      |         SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rnk
+      |         FROM lgc) WHERE rnk <= 100),
+      |dgc AS (SELECT doc_id, g, count(*) AS c FROM cg GROUP BY 1, 2),
+      |dr AS (SELECT doc_id, g, drnk FROM (
+      |         SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS drnk
+      |         FROM dgc) WHERE drnk <= 100)""".stripMargin
+
   private val docsWithDupsSql =
     """all_docs AS (
       |  SELECT doc_id, text FROM documents
@@ -1141,28 +1240,34 @@ object SparkEntry {
         |       round((l_extendedprice - mn) / (mx - mn), 6) AS price_scaled
         |FROM lineitem, b ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "agg_metrics" ->
-      """WITH m AS (SELECT l_returnflag,
-        |             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
-        |               / count(*) AS gmean
-        |           FROM lineitem GROUP BY 1),
-        |     j AS (SELECT l.l_returnflag, l_extendedprice AS y,
-        |             l_extendedprice - gmean AS e
-        |           FROM lineitem l JOIN m USING (l_returnflag)),
-        |     a AS (SELECT l_returnflag,
-        |             CAST(count(*) AS DOUBLE) AS n,
-        |             CAST(SUM(CAST(abs(e) AS DECIMAL(28,6))) AS DOUBLE) AS s_abs_e,
-        |             CAST(SUM(CAST(e AS DECIMAL(28,6))) AS DOUBLE) AS s_e,
-        |             CAST(SUM(CAST(e * e AS DECIMAL(28,6))) AS DOUBLE) AS s_e2,
-        |             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS s_y,
-        |             CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS s_y2
-        |           FROM j GROUP BY 1)
-        |SELECT l_returnflag,
-        |  round(s_abs_e / n, 6) AS mae,
-        |  round(sqrt(s_e2 / n), 6) AS rmse,
-        |  round(1 - (s_e2 / n) / nullif(s_y2 / n - (s_y / n) * (s_y / n), 0), 6) AS r2,
-        |  round(1 - (s_e2 / n - (s_e / n) * (s_e / n))
-        |          / nullif(s_y2 / n - (s_y / n) * (s_y / n), 0), 6) AS explained_variance
-        |FROM a ORDER BY l_returnflag""".stripMargin,
+      s"""WITH $metricsStatsCte,
+         |f AS (SELECT l_returnflag, CAST(n AS DOUBLE) AS nd,
+         |        CAST(s_ae AS DOUBLE) / 100.0 AS sae,
+         |        CAST(s_e AS DOUBLE) / 100.0 AS se,
+         |        CAST(s_eq AS DOUBLE) * 10000.0
+         |          + CAST(s_er AS DOUBLE) / 10000.0 AS se2,
+         |        CAST(s_y AS DOUBLE) / 100.0 AS sy,
+         |        CAST(s_yq AS DOUBLE) * 10000.0
+         |          + CAST(s_yr AS DOUBLE) / 10000.0 AS sy2
+         |      FROM a),
+         |g AS (SELECT l_returnflag,
+         |        sae / nd AS mae,
+         |        se2 / nd AS mse,
+         |        sy2 / nd - (sy / nd) * (sy / nd) AS vy,
+         |        se / nd AS me
+         |      FROM f)
+         |SELECT l_returnflag, mae, sqrt(mse) AS rmse,
+         |  1 - mse / nullif(vy, 0) AS r2,
+         |  1 - (mse - me * me) / nullif(vy, 0) AS explained_variance
+         |FROM g ORDER BY l_returnflag""".stripMargin,
+    "agg_metrics_d1" ->
+      s"""WITH $metricsStatsCte
+         |SELECT l_returnflag, n, s_y, s_yq, s_yr
+         |FROM a ORDER BY l_returnflag""".stripMargin,
+    "agg_metrics_d2" ->
+      s"""WITH $metricsStatsCte
+         |SELECT l_returnflag, s_ae, s_e, s_eq, s_er
+         |FROM a ORDER BY l_returnflag""".stripMargin,
     "agg_threshold_pctl" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.99), 6) AS thr_p99,
@@ -1412,32 +1517,35 @@ object SparkEntry {
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
     "text_langid_trained" ->
-      """WITH lt AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
-        |cg AS (SELECT doc_id, lang,
-        |         unnest(list_transform(range(1, length(t) - 1), i -> substr(t, i, 3))) AS g
-        |       FROM lt),
-        |lgc AS (SELECT lang, g, count(*) AS c FROM cg GROUP BY 1, 2),
-        |lr AS (SELECT lang, g, rnk FROM (
-        |         SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rnk
-        |         FROM lgc) WHERE rnk <= 100),
-        |dgc AS (SELECT doc_id, g, count(*) AS c FROM cg GROUP BY 1, 2),
-        |dr AS (SELECT doc_id, g, drnk FROM (
-        |         SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS drnk
-        |         FROM dgc) WHERE drnk <= 100),
-        |m AS (SELECT d.doc_id, l.lang, sum(abs(d.drnk - l.rnk)) AS ms, count(*) AS mc
-        |      FROM dr d JOIN lr l USING (g) GROUP BY 1, 2),
-        |dk AS (SELECT doc_id, count(*) AS dk FROM dr GROUP BY 1),
-        |pairs AS (SELECT dk.doc_id, dk.dk, langs.lang
-        |          FROM dk CROSS JOIN (SELECT DISTINCT lang FROM lr) langs),
-        |dist AS (SELECT p.doc_id, p.lang,
-        |           coalesce(m.ms, 0) + 100 * (p.dk - coalesce(m.mc, 0)) AS dist
-        |         FROM pairs p LEFT JOIN m ON m.doc_id = p.doc_id AND m.lang = p.lang),
-        |pred AS (SELECT doc_id, lang AS lang_pred, dist,
-        |           row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
-        |         FROM dist)
-        |SELECT d.doc_id, d.lang, p.lang_pred, p.dist
-        |FROM pred p JOIN documents d USING (doc_id) WHERE p.rn = 1
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH $langidGramCtes,
+         |-- CAST: sum(BIGINT) is HUGEINT → float64 in Python → driver hash
+         |-- mismatch vs Spark's BIGINT despite equal values (round-2 FAIL)
+         |m AS (SELECT d.doc_id, l.lang,
+         |        CAST(sum(abs(d.drnk - l.rnk)) AS BIGINT) AS ms, count(*) AS mc
+         |      FROM dr d JOIN lr l USING (g) GROUP BY 1, 2),
+         |dk AS (SELECT doc_id, count(*) AS dk FROM dr GROUP BY 1),
+         |pairs AS (SELECT dk.doc_id, dk.dk, langs.lang
+         |          FROM dk CROSS JOIN (SELECT DISTINCT lang FROM lr) langs),
+         |dist AS (SELECT p.doc_id, p.lang,
+         |           coalesce(m.ms, 0) + 100 * (p.dk - coalesce(m.mc, 0)) AS dist
+         |         FROM pairs p LEFT JOIN m ON m.doc_id = p.doc_id AND m.lang = p.lang),
+         |pred AS (SELECT doc_id, lang AS lang_pred, dist,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+         |         FROM dist)
+         |SELECT d.doc_id, d.lang, p.lang_pred, p.dist
+         |FROM pred p JOIN documents d USING (doc_id) WHERE p.rn = 1
+         |ORDER BY doc_id""".stripMargin,
+    "text_langid_d1" ->
+      s"""WITH $langidGramCtes
+         |SELECT lang, count(*) AS n_grams, count(DISTINCT g) AS n_distinct
+         |FROM cg GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_langid_d2" ->
+      s"""WITH $langidGramCtes
+         |SELECT lang, g, rnk FROM lr ORDER BY lang, rnk""".stripMargin,
+    "text_langid_d3" ->
+      s"""WITH $langidGramCtes
+         |SELECT doc_id, count(*) AS dk, CAST(sum(drnk) AS BIGINT) AS sum_drnk
+         |FROM dr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_topterms" ->
       """WITH w AS (SELECT lang,
         |    unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS term
@@ -1463,13 +1571,35 @@ object SparkEntry {
         |      % 1000000 % 8 AS shard
         |  FROM documents),
         |c AS (SELECT doc_id, shard, n_tokens,
-        |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+        |        -- CAST: an uncast integer window sum is HUGEINT, which
+        |        -- round-trips to Python as float64 and hash-mismatches the
+        |        -- Spark BIGINT even when every value is equal (round-2
+        |        -- driver FAIL — the values were never wrong)
+        |        CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          - n_tokens AS BIGINT) AS strt
         |      FROM t)
         |SELECT doc_id, shard, n_tokens,
         |  strt // 512 AS bin, strt % 512 AS offset,
         |  (strt + greatest(n_tokens, 1) - 1) // 512 AS end_bin
         |FROM c ORDER BY doc_id""".stripMargin,
+    "sample_pack_d1" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |    % 1000000 % 8 AS shard
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_pack_d2" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |      % 1000000 % 8 AS shard
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - n_tokens AS BIGINT) AS strt
+        |FROM t ORDER BY doc_id""".stripMargin,
     "pipeline_curation" ->
       """WITH s AS (SELECT doc_id, lang,
         |    regexp_replace(regexp_replace(regexp_replace(text,

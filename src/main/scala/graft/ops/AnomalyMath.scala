@@ -51,30 +51,94 @@ object AnomalyMath {
   /** Per-group regression metrics of col `y` against prediction `yHat`:
     * mae, rmse, r2 = 1 - MSE/Var(y), and explained_variance =
     * 1 - Var(e)/Var(y) (sklearn's explained_variance_score, the reference's
-    * CV scorer). Aggregate expressions only.
-    *
-    * Every raw sum goes through DECIMAL(28,6) — exact and summation-order
-    * independent, so partial/final aggregation in Spark and single-threaded
-    * DuckDB produce bit-identical doubles; the derived metrics are then the
-    * same short sequence of IEEE double ops on both engines. A raw
-    * `avg(e*e)` double aggregate is NOT order-stable and flips the 6th
-    * rounded decimal between engines (round-1 agg_metrics failure).
+    * CV scorer). Aggregate expressions only, full double precision — no
+    * quantization floor, so small-magnitude residuals (standardized data,
+    * well-fit models at ~1e-8) keep their value. The trade: double sums are
+    * not summation-order stable, so results can drift by ulps across
+    * partition layouts or engines — fine for a metrics API, not for an
+    * exact cross-engine compare (for that see [[fixedPointMetrics]],
+    * which is bit-stable by construction for fixed-point-exact inputs).
     */
   def metricExprs(y: Column, yHat: Column): Seq[Column] = {
     val e = y - yHat
-    // e ~ 1e5, e² ~ 1e10, × 1e8 rows ~ 1e18 — DECIMAL(28,6) holds 1e22.
-    def dsum(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
     val n = count(lit(1)).cast("double")
-    val mse = dsum(e * e) / n
-    val varY = dsum(y * y) / n - (dsum(y) / n) * (dsum(y) / n)
-    val varE = dsum(e * e) / n - (dsum(e) / n) * (dsum(e) / n)
+    val mse = sum(e * e) / n
+    val varY = sum(y * y) / n - (sum(y) / n) * (sum(y) / n)
+    val varE = mse - (sum(e) / n) * (sum(e) / n)
     Seq(
-      (dsum(abs(e)) / n).as("mae"),
+      (sum(abs(e)) / n).as("mae"),
       sqrt(mse).as("rmse"),
       // nullif: constant y yields null r2 instead of an ANSI crash
       (lit(1.0) - mse / nullif(varY, lit(0.0))).as("r2"),
       (lit(1.0) - varE / nullif(varY, lit(0.0))).as("explained_variance")
     )
+  }
+
+  /** mae / rmse / r2 / explained_variance of a fixed-point-exact predictor,
+    * bit-identical across engines, partition layouts, and summation orders.
+    *
+    * Preconditions: y and ŷ are both exactly representable at `scale`
+    * decimal places (prices, counts, integer-derived predictions). Then
+    * k = value·10^scale is an exact integer, and every sufficient
+    * statistic is an INTEGER sum: Σ|k_e|, Σk_e, Σk_y and the SPLIT square
+    * sums Σ(k²div 10^8) / Σ(k²mod 10^8). The split is the load-bearing
+    * trick: a single Σk² crosses 2^53 at realistic scale, and engines
+    * disagree on how to round a >2^53 wide-decimal into a double (one
+    * converts the unscaled int128 then divides — two roundings — another
+    * parses correctly-rounded). Splitting keeps EVERY number that ever
+    * becomes a double below 2^53, where int→double is exact and the
+    * reassembly (q·10^8 + r)/10^(2·scale) is the same two IEEE ops on any
+    * engine. Valid while each group's Σ(k² div 1e8) < 2^53 — |k| ≤ 1e7
+    * holds to ~1e9 rows per group; beyond that, widen the split constant.
+    *
+    * One hash-aggregate with map-side partial sums over long columns —
+    * the cheapest possible 100 TB shape (no second scan, no join).
+    */
+  def fixedPointMetrics(df: DataFrame, groupCol: String, y: Column,
+      yHat: Column, scale: Int = 2): DataFrame = {
+    val stats = fixedPointMetricsStats(df, groupCol, y, yHat, scale)
+    // reassembly + metrics: a short fixed IEEE op sequence mirrored
+    // verbatim in the oracle SQL — do not reassociate
+    val k = math.pow(10, scale) // exact for small integer powers
+    val hi = math.pow(10, 8 - 2 * scale)
+    val lo = math.pow(10, 2 * scale)
+    val nD = col("__n").cast("double")
+    val sae = col("__s_ae").cast("double") / k
+    val se = col("__s_e").cast("double") / k
+    val se2 = col("__s_eq").cast("double") * hi + col("__s_er").cast("double") / lo
+    val sy = col("__s_y").cast("double") / k
+    val sy2 = col("__s_yq").cast("double") * hi + col("__s_yr").cast("double") / lo
+    val mse = se2 / nD
+    val vy = sy2 / nD - (sy / nD) * (sy / nD)
+    val me = se / nD
+    stats.select(col(groupCol),
+      (sae / nD).as("mae"),
+      sqrt(mse).as("rmse"),
+      // nullif: constant y yields null r2 instead of an ANSI crash
+      (lit(1.0) - mse / nullif(vy, lit(0.0))).as("r2"),
+      (lit(1.0) - (mse - me * me) / nullif(vy, lit(0.0))).as("explained_variance"))
+  }
+
+  /** The integer sufficient statistics behind [[fixedPointMetrics]]: per
+    * group `__n` plus the seven long sums (Σ|k_e|, Σk_e, split Σk_e²,
+    * Σk_y, split Σk_y²) with k = value·10^scale. Exposed so staged
+    * cross-engine diagnostics can compare each stage pre-double.
+    */
+  def fixedPointMetricsStats(df: DataFrame, groupCol: String, y: Column,
+      yHat: Column, scale: Int = 2): DataFrame = {
+    val mul = math.pow(10, scale).toLong
+    val ky = (y.cast(s"decimal(18,$scale)") * mul).cast("long")
+    val kh = (yHat.cast(s"decimal(18,$scale)") * mul).cast("long")
+    df.select(col(groupCol), ky.as("__ky"), (ky - kh).as("__ke"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("__n"),
+        sum(abs(col("__ke"))).as("__s_ae"),
+        sum(col("__ke")).as("__s_e"),
+        sum(expr("__ke * __ke div 100000000L")).as("__s_eq"),
+        sum(expr("__ke * __ke % 100000000L")).as("__s_er"),
+        sum(col("__ky")).as("__s_y"),
+        sum(expr("__ky * __ky div 100000000L")).as("__s_yq"),
+        sum(expr("__ky * __ky % 100000000L")).as("__s_yr"))
   }
 
   /** Anomaly thresholds = exact percentile of scores per group (the

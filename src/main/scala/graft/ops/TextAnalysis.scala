@@ -153,6 +153,31 @@ object TextAnalysis {
       .select(col("lang"), col("g"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Corpus-level char-gram statistics per key (language or doc) — the
+    * audit/diagnostic view of the gram stage: total and distinct trigram
+    * counts per key.
+    */
+  def gramStats(docs: DataFrame, keyCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    gramRows(docs, col(keyCol), textCol, n)
+      .groupBy(col("__key").as(keyCol))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("g")).as("n_distinct"))
+
+  /** Per-document top-k gram ranking — the classify-side half of the
+    * Cavnar-Trenkle model, exposed for staged diagnostics and reuse by
+    * [[classifyLang]]: one groupBy + per-doc rank window, ties on the gram.
+    */
+  def docGramRanks(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 200, n: Int = 3): DataFrame =
+    gramRows(docs, col(idCol), textCol, n)
+      .select(col("__key").as("doc_id"), col("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .withColumn("drnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("c").desc, col("g"))))
+      .filter(col("drnk") <= k)
+      .select(col("doc_id"), col("g"), col("drnk").cast("long").as("drnk"))
+
   /** Classify by out-of-place distance against ranked profiles: each doc
     * builds its own top-k gram ranking, matched grams cost |rank_doc −
     * rank_lang|, unmatched cost the penalty k. Ties break on the
@@ -176,13 +201,7 @@ object TextAnalysis {
     require(prof.nonEmpty, "empty language profile table")
     val profLocal = prof.toDF("lang", "g", "rnk")
     val langsLocal = prof.map(_._1).distinct.sorted.toDF("lang")
-    val grams = gramRows(docs, col(idCol), textCol, n)
-      .select(col("__key").as("doc_id"), col("g"))
-    val docRank = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .withColumn("drnk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("c").desc, col("g"))))
-      .filter(col("drnk") <= k)
-      .select(col("doc_id"), col("g"), col("drnk").cast("long").as("drnk"))
+    val docRank = docGramRanks(docs, idCol, textCol, k, n)
     // dist = Σ over doc-profile grams of (|Δrank| if the language ranks
     // the gram, else the penalty k) — computed in ONE pass: doc profile ×
     // |langs| candidates (a broadcast cross join, ≤ k·|langs| rows per
