@@ -67,6 +67,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"global-window queries: ${offenders.mkString(", ")}")
   }
 
+  test("multi-reference dedup plans dedupe their shared subtrees via exchange reuse") {
+    // ngram: grouped shingle table feeds the pair explosion AND both size
+    // joins; lsh: the band table feeds both sides of the candidate
+    // self-join. AQE's runtime exchange reuse must fold these to ONE
+    // computation each — if this breaks, the shingle subtree runs 2-3×
+    // and the round-2 bench regression returns. Reuse only shows in the
+    // EXECUTED adaptive plan, so run the query first.
+    for (name <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val executed = df.queryExecution.executedPlan.toString
+      assert(executed.contains("ReusedExchange"), s"$name: ${executed.take(4000)}")
+    }
+  }
+
   test("sink_influx_lines is a narrow scan→codec→sort plan") {
     val plan = planOf("sink_influx_lines")
     // format+parse must stay row-local column expressions: the ONLY

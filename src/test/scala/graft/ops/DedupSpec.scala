@@ -108,6 +108,30 @@ class DedupSpec extends SparkSpec {
     assert(!Dedup.ngramJaccardPairs(boiler, "doc_id", "text", 0.1).isEmpty)
   }
 
+  test("duplicateClusters works with string doc ids (lexicographic min label)") {
+    import spark.implicits._
+    val pairs = Seq(("docB", "docA"), ("docB", "docC"), ("z1", "z2"))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA",
+      "z1" -> "z1", "z2" -> "z1"))
+  }
+
+  test("the DEFAULT df cap is finite and engages without being asked for") {
+    import spark.implicits._
+    assert(Dedup.DefaultMaxDocFreq < Int.MaxValue)
+    // one boilerplate shingle shared by cap+1 docs: the default-capped run
+    // must refuse to explode it into ~cap²/2 pairs
+    val n = Dedup.DefaultMaxDocFreq + 1
+    val boiler = (1 to n).map(i => (i.toLong, "x y z")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(boiler, "doc_id", "text", 0.1).isEmpty)
+    assert(Dedup.shingleTable(boiler, "doc_id", "text").isEmpty)
+    // and the explicit opt-out still explodes
+    assert(!Dedup.ngramJaccardPairs(boiler, "doc_id", "text", 0.1,
+      maxDocFreq = Int.MaxValue).isEmpty)
+  }
+
   test("ngram jaccard scores the near dup high and excludes disjoint docs") {
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
