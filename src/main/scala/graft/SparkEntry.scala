@@ -106,6 +106,31 @@ object SparkEntry {
       .orderBy("ts", "tag", "value")
   }
 
+  /** The FULL Influx client↔server leg over a live loopback socket:
+    * events → `InfluxStore.write` (line-protocol POST batches from
+    * executor partitions) → [[graft.sources.InfluxEmulator]] (the real
+    * HTTP API surface, in-process) → `InfluxStore.loadSeries` (per-tag
+    * InfluxQL GETs, `from_json` response parse) — oracle-checked against
+    * a plain time+tag-bounded SELECT. The localCheckpoint materializes
+    * the result so the server can stop before the driver consumes the
+    * frame.
+    */
+  private def q_scan_influx_http(s: SparkSession, dir: String): DataFrame = {
+    val em = new graft.sources.InfluxEmulator().start()
+    try {
+      val store = new graft.sources.InfluxStore(
+        s"http://127.0.0.1:${em.boundPort}", "graft", "events")
+      store.write(E(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("ts"), col("event_type").as("tag"), col("value")))
+      store.loadSeries(s, Seq("click", "view", "purchase"),
+          java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+        .orderBy("ts", "tag", "value")
+        .localCheckpoint()
+    } finally em.stop()
+  }
+
   // ---------------------------------------------------------------------
   // §2.2 projections / filters
   // ---------------------------------------------------------------------
@@ -865,6 +890,7 @@ object SparkEntry {
     "scan_parquet" -> (q_scan_parquet _),
     "scan_random" -> (q_scan_random _),
     "sink_influx_lines" -> (q_sink_influx_lines _),
+    "scan_influx_http" -> (q_scan_influx_http _),
     "proj_tags" -> (q_proj_tags _),
     "filter_rowexpr" -> (q_filter_rowexpr _),
     "filter_timerange" -> (q_filter_timerange _),
@@ -1129,6 +1155,13 @@ object SparkEntry {
     "sink_influx_lines" ->
       """SELECT CAST(ts AS TIMESTAMP) AS ts, event_type AS tag, value
         |FROM events WHERE value IS NOT NULL
+        |ORDER BY ts, tag, value""".stripMargin,
+    "scan_influx_http" ->
+      """SELECT CAST(ts AS TIMESTAMP) AS ts, event_type AS tag, value
+        |FROM events WHERE value IS NOT NULL
+        |  AND event_type IN ('click', 'view', 'purchase')
+        |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20'
         |ORDER BY ts, tag, value""".stripMargin,
     "proj_tags" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
