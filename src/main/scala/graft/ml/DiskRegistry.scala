@@ -38,6 +38,20 @@ class DiskRegistry(root: Path) {
       Files.writeString(entry(key(config)), artifact)
       artifact
     }
+
+  /** Enumerate registered builds as (config key, artifact path), key-
+    * sorted — the watchman/status surface reads this.
+    */
+  def entries: Seq[(String, String)] = {
+    val stream = Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => p.getFileName.toString -> Files.readString(p).trim)
+        .toSeq.sortBy(_._1)
+    } finally stream.close()
+  }
 }
 
 object DiskRegistry {

@@ -19,6 +19,11 @@ import org.apache.spark.sql.SparkSession
   *   - `GET  /metadata`           → model metadata (tags, threshold)
   *   - `POST /prediction`         → [[Serve.scoreRequest]] over the JSON
   *     body; 400 with an error JSON on malformed payloads
+  *   - `GET  /models`             → the watchman/status surface
+  *     (`watchman/server.py` analogue): every build in the attached
+  *     [[DiskRegistry]] with its artifact path and metadata.json
+  *     (thresholds live inside the metadata); 404 when the server was
+  *     started without a registry
   *
   * Serving-path notes: requests are scored through the same Spark plan as
   * batch scoring (one engine, no drift between train/serve math), the
@@ -31,7 +36,8 @@ import org.apache.spark.sql.SparkSession
   * the full plan, which is the correctness-critical surface.
   */
 class PredictionServer(spark: SparkSession, model: TagAnomalyScorer,
-    tags: Seq[String], port: Int = 0, nThreads: Int = 4) {
+    tags: Seq[String], port: Int = 0, nThreads: Int = 4,
+    registry: Option[DiskRegistry] = None) {
 
   private val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val pool = Executors.newFixedThreadPool(nThreads)
@@ -57,6 +63,26 @@ class PredictionServer(spark: SparkSession, model: TagAnomalyScorer,
     respond(ex, 200,
       "{\"tags\":[" + tags.map(Serve.jsonString).mkString(",") +
         s"""],"threshold":${model.threshold}}"""))
+
+  server.createContext("/models", (ex: HttpExchange) =>
+    registry match {
+      case None => respond(ex, 404, jsonError("no registry attached"))
+      case Some(reg) =>
+        try {
+          val items = reg.entries.map { case (k, path) =>
+            // metadata.json is already JSON — embed it verbatim
+            val metaFile = java.nio.file.Paths.get(path, "metadata.json")
+            val meta =
+              if (java.nio.file.Files.isReadable(metaFile))
+                java.nio.file.Files.readString(metaFile)
+              else "null"
+            s"""{"config_key": ${Serve.jsonString(k)}, "path": ${Serve.jsonString(path)}, "metadata": $meta}"""
+          }
+          respond(ex, 200, "{\"models\": [" + items.mkString(", ") + "]}")
+        } catch {
+          case e: Exception => respond(ex, 500, jsonError(e.toString))
+        }
+    })
 
   server.createContext("/prediction", (ex: HttpExchange) => {
     if (ex.getRequestMethod != "POST") respond(ex, 405, jsonError("POST only"))

@@ -72,6 +72,37 @@ class HttpServeSpec extends SparkSpec {
     assert(body.contains("empty request body"))
   }
 
+  test("GET /models without a registry is a 404; with one it enumerates builds") {
+    // serverless default: no registry attached
+    val (code0, body0) = http("GET", "/models")
+    assert(code0 == 404 && body0.contains("no registry"))
+
+    // a real registry with one fleet build behind a fresh server
+    val out = java.nio.file.Files.createTempDirectory("graft-watchman").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val fleet = WorkflowGenerator.buildFleet(spark,
+      """{"defaults": {"dataset": {"resolution": "1 hour",
+        |              "tag_col": "event_type", "value_col": "value"},
+        |              "evaluation": {"n_splits": 2}},
+        | "machines": [{"name": "w1", "dataset": {"tags": ["click", "view"]},
+        |               "model": {"type": "pca_anomaly", "k": 1,
+        |                         "threshold_pctl": 0.95}}]}""".stripMargin,
+      events, out)
+    assert(fleet.failed.isEmpty)
+    val watch = new PredictionServer(spark, model, Seq("t1", "t2", "t3"),
+      registry = Some(DiskRegistry(s"$out/registry"))).start()
+    try {
+      val conn = URI.create(s"http://127.0.0.1:${watch.boundPort}/models")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      val body = new String(conn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      assert(conn.getResponseCode == 200)
+      assert(body.contains("\"config_key\"") && body.contains("\"w1\""))
+      assert(body.contains("\"threshold\"")) // from the embedded metadata.json
+    } finally watch.stop()
+  }
+
   test("GET on the prediction route is a 405") {
     assert(http("GET", "/prediction")._1 == 405)
   }

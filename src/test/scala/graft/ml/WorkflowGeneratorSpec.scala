@@ -1,0 +1,93 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WorkflowGeneratorSpec extends SparkSpec {
+
+  private def events = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private val fleetConfig =
+    """{"defaults": {
+      |   "dataset": {"resolution": "1 hour",
+      |               "tag_col": "event_type", "value_col": "value"},
+      |   "evaluation": {"n_splits": 2}},
+      | "machines": [
+      |   {"name": "m-pca",
+      |    "dataset": {"tags": ["click", "view", "purchase"]},
+      |    "model": {"type": "pca_anomaly", "k": 2, "threshold_pctl": 0.95}},
+      |   {"name": "m-forecast",
+      |    "dataset": {"tags": ["click", "view"]},
+      |    "model": {"type": "ar_forecast", "lookback": 4}},
+      |   {"name": "m-rfae",
+      |    "dataset": {"tags": ["click", "view", "purchase"]},
+      |    "model": {"type": "autoencoder", "hidden": 8, "threshold_pctl": 0.95}}
+      | ]}""".stripMargin
+
+  test("normalize merges defaults under machine overrides, machine wins") {
+    val norm = WorkflowGenerator.normalize(
+      """{"defaults": {"dataset": {"resolution": "1 hour", "tags": ["x"]},
+        |              "evaluation": {"n_splits": 9}},
+        | "machines": [{"name": "a", "dataset": {"tags": ["click"]},
+        |               "model": {"type": "ar_forecast"}}]}""".stripMargin)
+    assert(norm.map(n => (n._1, n._2)) == Seq(("a", "ar_forecast")))
+    val cfg = norm.head._3
+    assert(cfg.contains("\"tags\":[\"click\"]"))      // machine override won
+    assert(cfg.contains("\"resolution\":\"1 hour\"")) // default survived
+    assert(cfg.contains("\"n_splits\":9"))            // untouched default block
+  }
+
+  test("buildFleet builds 3 machines across 3 model types; rebuild is all cache hits") {
+    val out = java.nio.file.Files.createTempDirectory("graft-fleet").toString
+    val r = WorkflowGenerator.buildFleet(spark, fleetConfig, events, out)
+    assert(r.failed.isEmpty, r.failed.map(_._2).mkString("; "))
+    assert(r.built.map(a => a.name -> a.modelType).toMap == Map(
+      "m-pca" -> "pca_anomaly", "m-forecast" -> "ar_forecast",
+      "m-rfae" -> "autoencoder"))
+    r.built.foreach(a => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(a.path, "metadata.json"))))
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(r.manifestPath))
+    assert(manifest.contains("\"m-pca\"") && manifest.contains("\"built\""))
+
+    // rebuild with an EMPTY frame: every machine must be a registry hit
+    // that does no Spark work — building from zero rows would throw
+    val empty = events.filter(lit(false))
+    val again = WorkflowGenerator.buildFleet(spark, fleetConfig, empty, out)
+    assert(again.failed.isEmpty)
+    assert(again.built.map(a => a.name -> a.path).toMap ==
+      r.built.map(a => a.name -> a.path).toMap)
+  }
+
+  test("a broken machine fails alone; the fleet and manifest carry on") {
+    val out = java.nio.file.Files.createTempDirectory("graft-fleet2").toString
+    val cfg =
+      """{"defaults": {"dataset": {"resolution": "1 hour",
+        |              "tag_col": "event_type", "value_col": "value"},
+        |              "evaluation": {"n_splits": 2}},
+        | "machines": [
+        |   {"name": "ok", "dataset": {"tags": ["click", "view"]},
+        |    "model": {"type": "pca_anomaly", "k": 1}},
+        |   {"name": "broken", "dataset": {"tags": ["click"]},
+        |    "model": {"type": "no_such_builder"}}]}""".stripMargin
+    val r = WorkflowGenerator.buildFleet(spark, cfg, events, out)
+    assert(r.built.map(_.name) == Seq("ok"))
+    assert(r.failed.map(_._1) == Seq("broken"))
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(r.manifestPath))
+    assert(manifest.contains("\"failed\"") && manifest.contains("no_such_builder"))
+  }
+
+  test("duplicate machine names are rejected up front") {
+    intercept[IllegalArgumentException] {
+      WorkflowGenerator.buildFleet(spark,
+        """{"machines": [{"name": "a", "dataset": {"tags": ["click"]}},
+          |              {"name": "a", "dataset": {"tags": ["view"]}}]}""".stripMargin,
+        events, java.nio.file.Files.createTempDirectory("graft-fleet3").toString)
+    }
+  }
+}
