@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   * before left rows at equal timestamps, so an exactly-simultaneous right
   * row matches (`>=` semantics, like DuckDB ASOF JOIN).
   *
+  * Matching is ROW-level — pandas `merge_asof` / DuckDB ASOF JOIN
+  * semantics: the latest preceding right ROW wins and its values carry
+  * through unchanged, nulls included (a null-valued right row replaces an
+  * older match rather than being skipped). For per-column
+  * last-OBSERVATION-carried-forward semantics use `Timeseries.ffill`.
+  * `inner` drops left rows with NO matching row (none precedes, or the
+  * match is older than `tolerance`) — a matched row with null values is
+  * still a match and is kept.
+  *
   * Right timestamps should be unique per key (pre-aggregate if not); with
   * duplicates the latest row in (ts, input order) wins, which is
   * deterministic only if the caller makes it so.
@@ -58,29 +67,37 @@ object AsOf {
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // The matched timestamp must be tracked PER VALUE COLUMN: last(value,
-    // ignoreNulls) skips null-valued right rows, so gating every column on
-    // the latest right row's timestamp would let a stale value through
-    // whenever a newer right row carries a null in that column.
+    // ROW-level matching (pandas merge_asof / DuckDB ASOF JOIN semantics):
+    // the latest right ROW wins and its values come through as-is — nulls
+    // included. Carrying the whole row as one struct makes that exact (a
+    // struct of null fields is itself non-null, so a null-valued right row
+    // still REPLACES an older match instead of being skipped the way a
+    // per-column last(value, ignoreNulls) would skip it) and costs two
+    // window expressions total instead of two per value column.
+    val rightRow = when(col("__side") === 0,
+      struct(valueCols.map(c => col(s"__r_$c")): _*))
     val carried = l.unionByName(r)
-      .select(col("*") +: valueCols.flatMap(c => Seq(
-        last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c"),
-        last(when(col("__side") === 0 && col(s"__r_$c").isNotNull, col(tsCol)),
-          ignoreNulls = true).over(w).as(s"__asof_ts_$c"))): _*)
+      .withColumn("__asof_row", last(rightRow, ignoreNulls = true).over(w))
+      .withColumn("__asof_ts",
+        last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-    val masked = tolerance match {
+    // a match exists if any right row precedes (and, with tolerance, is
+    // fresh enough); an EXISTING match with null values is still a match —
+    // `inner` keeps the row and the null rides through, like the oracle
+    val matched = tolerance match {
       case Some(tol) =>
-        // same window pass carried each column's matched timestamp; a
-        // stale match nulls out here, then the `inner` drop applies
-        valueCols.foldLeft(carried) { (d, c) =>
-          val within = col(s"__asof_ts_$c") >= col(tsCol) - expr(s"INTERVAL $tol")
-          d.withColumn(s"asof_$c", when(within, col(s"asof_$c")))
-        }
-      case None => carried
+        col("__asof_row").isNotNull &&
+          col("__asof_ts") >= col(tsCol) - expr(s"INTERVAL $tol")
+      case None => col("__asof_row").isNotNull
     }
-    val out = masked
-      .drop("__side")
-      .drop(valueCols.flatMap(c => Seq(s"__r_$c", s"__asof_ts_$c")): _*)
-    if (inner) out.na.drop("any", valueCols.map(c => s"asof_$c")) else out
+    val withVals = carried
+      .withColumn("__matched", matched)
+      .select(col("*") +: valueCols.map(c =>
+        when(col("__matched"), col("__asof_row").getField(s"__r_$c"))
+          .as(s"asof_$c")): _*)
+    val out = (if (inner) withVals.filter(col("__matched")) else withVals)
+      .drop("__side", "__asof_row", "__asof_ts", "__matched")
+      .drop(valueCols.map(c => s"__r_$c"): _*)
+    out
   }
 }

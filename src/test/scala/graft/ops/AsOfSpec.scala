@@ -50,25 +50,26 @@ class AsOfSpec extends SparkSpec {
     assert(outer(2).isNullAt(outer(2).fieldIndex("asof_state"))) // stale -> null
   }
 
-  test("tolerance gates on the matched VALUE's timestamp, not the latest right row") {
-    // right has a fresh row whose value is NULL: the carried value comes
-    // from the stale 00:00 row and must be rejected by a 5-min tolerance,
-    // even though a (null-valued) right row exists at 00:09
+  test("row-level semantics: a newer null-valued right row REPLACES an older match") {
+    // merge_asof / DuckDB ASOF JOIN parity: the latest right ROW wins;
+    // its null value rides through instead of an older non-null value
+    // being carried (which would be ffill, not an as-of join)
     val l2 = Seq((1L, 10L, ts("2024-01-01 00:10:00"))).toDF("id", "k", "ts")
     val r2 = Seq(
       (10L, ts("2024-01-01 00:00:00"), Some(1.0)),
       (10L, ts("2024-01-01 00:09:00"), Option.empty[Double])).toDF("k", "ts", "state")
-    val out = AsOf.join(l2, r2, "ts", Seq("k"), Seq("state"),
-      inner = false, tolerance = Some("5 MINUTES")).collect()
-    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("asof_state")))
-    // without tolerance the stale value is carried (ignoreNulls semantics)
     val loose = AsOf.join(l2, r2, "ts", Seq("k"), Seq("state"), inner = false).collect()
-    assert(loose.head.getAs[Double]("asof_state") == 1.0)
+    assert(loose.length == 1 && loose.head.isNullAt(loose.head.fieldIndex("asof_state")))
+    // a matched row with a null VALUE is still a match — inner keeps it
+    val inner = AsOf.join(l2, r2, "ts", Seq("k"), Seq("state")).collect()
+    assert(inner.length == 1 && inner.head.isNullAt(inner.head.fieldIndex("asof_state")))
+    // and tolerance gates on that matched ROW's timestamp (00:09 — fresh)
+    val tol = AsOf.join(l2, r2, "ts", Seq("k"), Seq("state"),
+      tolerance = Some("5 MINUTES")).collect()
+    assert(tol.length == 1 && tol.head.isNullAt(tol.head.fieldIndex("asof_state")))
   }
 
-  test("tolerance gates each value column independently") {
-    // state refreshes at 00:09 but temp's newest value is the stale 00:00
-    // row — with a 5-min tolerance, asof_state survives, asof_temp nulls
+  test("all value columns come from the SAME matched row, nulls included") {
     val l2 = Seq((1L, 10L, ts("2024-01-01 00:10:00"))).toDF("id", "k", "ts")
     val r2 = Seq(
       (10L, ts("2024-01-01 00:00:00"), Some(1.0), Some(50.0)),
@@ -76,8 +77,8 @@ class AsOfSpec extends SparkSpec {
       .toDF("k", "ts", "state", "temp")
     val out = AsOf.join(l2, r2, "ts", Seq("k"), Seq("state", "temp"),
       inner = false, tolerance = Some("5 MINUTES")).collect().head
-    assert(out.getAs[Double]("asof_state") == 2.0)
-    assert(out.isNullAt(out.fieldIndex("asof_temp")))
+    assert(out.getAs[Double]("asof_state") == 2.0)   // from the 00:09 row
+    assert(out.isNullAt(out.fieldIndex("asof_temp"))) // 00:09's temp IS null
   }
 
   test("asof join is a single shuffle (plan invariant)") {

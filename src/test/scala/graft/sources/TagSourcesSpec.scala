@@ -116,14 +116,17 @@ class TagSourcesSpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
-  test("InfluxStore stub declares itself unimplemented, not wrong") {
-    val store = new InfluxStore("http://example", "db", "m")
-    val e = intercept[UnsupportedOperationException] {
+  test("InfluxStore is a real transport: an unreachable server is an IO error, not a stub") {
+    // the round-2 stub threw UnsupportedOperationException; the real HTTP
+    // client surfaces the network failure when the read materializes
+    // (full live-socket behavior is covered by InfluxStoreSpec)
+    val store = new InfluxStore("http://127.0.0.1:1", "db", "m")
+    val e = intercept[org.apache.spark.SparkException] {
       store.loadSeries(spark, Seq("T1"),
         java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
-        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00")).collect()
     }
-    assert(e.getMessage.contains("stub"))
+    assert(!e.toString.contains("UnsupportedOperation"))
   }
 
   test("missingTags reports requested tags that yielded no rows") {
