@@ -36,11 +36,14 @@ object MediaCodec {
     else if (at(0) == 'B' && at(1) == 'M') "image/bmp"
     else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
       at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') "audio/wav"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+      at(8) == 'A' && at(9) == 'V' && at(10) == 'I' && at(11) == ' ') "video/avi"
     else "unknown"
   }
 
   def isImage(bytes: Array[Byte]): Boolean = sniff(bytes).startsWith("image/")
   def isWav(bytes: Array[Byte]): Boolean = sniff(bytes) == "audio/wav"
+  def isAvi(bytes: Array[Byte]): Boolean = sniff(bytes) == "video/avi"
 
   /** Decode an image and sample a `dim`-point luminance grid in [0, 1]:
     * point i sits at the center of cell (i % g, i / g) of a g×rows grid
@@ -56,6 +59,13 @@ object MediaCodec {
     // 100 TB corpora; decode errors surface as null → caller's fallback
     val img = try ImageIO.read(new ByteArrayInputStream(bytes))
     catch { case scala.util.control.NonFatal(_) => null }
+    gridLuminance(img, dim)
+  }
+
+  /** The shared luminance-grid sampler behind image, animated-image, and
+    * video-frame features.
+    */
+  private def gridLuminance(img: BufferedImage, dim: Int): Array[Float] = {
     if (img == null || img.getWidth == 0 || img.getHeight == 0) return null
     val g = math.ceil(math.sqrt(dim.toDouble)).toInt
     val rows = (dim + g - 1) / g
@@ -103,6 +113,135 @@ object MediaCodec {
     } finally in.close()
   }
 
+  // -- video: MJPEG-AVI on pure JVM code ----------------------------------
+  // The AVI container is a public RIFF format simple enough to walk by
+  // hand, and MJPEG frames are plain JPEGs — so the JDK's own JPEG codec
+  // turns "video decode" into container parsing + the proven image path.
+  // This retires the video leg of the round-2 "no JDK codec" fallback for
+  // the one video format that needs no external codec at all.
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    if (off < 0 || off + 4 > b.length) -1L
+    else ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    if (off < 0 || off + 4 > b.length) ""
+    else new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Extract the compressed video frames ('##dc'/'##db' chunks inside the
+    * 'movi' LIST) of an AVI payload. Bounds-checked at every step: a
+    * truncated or malformed container yields the frames parsed so far
+    * rather than an exception — corrupt rows must not fail the task.
+    */
+  def aviFrames(bytes: Array[Byte]): Vector[Array[Byte]] = {
+    if (!isAvi(bytes)) return Vector.empty
+    val out = Vector.newBuilder[Array[Byte]]
+    val riffEnd = math.min(bytes.length.toLong, 8L + le32(bytes, 4))
+    var o = 12L
+    while (o + 8 <= riffEnd) {
+      val id = fourcc(bytes, o.toInt)
+      val size = le32(bytes, o.toInt + 4)
+      if (size < 0) return out.result()
+      if (id == "LIST" && fourcc(bytes, o.toInt + 8) == "movi") {
+        val listEnd = math.min(riffEnd, o + 8 + size)
+        var c = o + 12
+        while (c + 8 <= listEnd) {
+          val cid = fourcc(bytes, c.toInt)
+          val csz = le32(bytes, c.toInt + 4)
+          if (csz < 0 || c + 8 + csz > listEnd) return out.result()
+          if ((cid.endsWith("dc") || cid.endsWith("db")) && csz > 0)
+            out += java.util.Arrays.copyOfRange(bytes, (c + 8).toInt, (c + 8 + csz).toInt)
+          c += 8 + csz + (csz & 1)
+        }
+      }
+      o += 8 + size + (size & 1)
+    }
+    out.result()
+  }
+
+  /** Video features: sample up to `maxFrames` frames evenly across the
+    * AVI, decode each through the image path, and average the per-cell
+    * luminance grids — a deterministic clip-level embedding. Returns null
+    * if the container yields no decodable frame.
+    */
+  def videoFeatures(bytes: Array[Byte], dim: Int, maxFrames: Int = 8): Array[Float] = {
+    val frames = aviFrames(bytes)
+    if (frames.isEmpty) return null
+    val n = math.min(maxFrames, frames.size)
+    val sampled = (0 until n).map(i => frames((i.toLong * frames.size / n).toInt))
+    val decoded = sampled.flatMap(f => Option(imageFeatures(f, dim)))
+    if (decoded.isEmpty) return null
+    Array.tabulate(dim)(j => (decoded.map(_(j).toDouble).sum / decoded.size).toFloat)
+  }
+
+  /** Frame features for ANIMATED images (multi-frame GIF): same even
+    * sampling + luminance-grid average, via ImageIO's multi-image reader.
+    * Single-frame images degrade to `imageFeatures`.
+    */
+  def gifFrameFeatures(bytes: Array[Byte], dim: Int, maxFrames: Int = 8): Array[Float] =
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val total = r.getNumImages(true)
+          if (total <= 0) return null
+          val n = math.min(maxFrames, total)
+          val sums = new Array[Double](dim)
+          var used = 0
+          for (i <- 0 until n) {
+            val img = r.read((i.toLong * total / n).toInt)
+            val f = gridLuminance(img, dim)
+            if (f != null) { var j = 0; while (j < dim) { sums(j) += f(j); j += 1 }; used += 1 }
+          }
+          if (used == 0) null else Array.tabulate(dim)(j => (sums(j) / used).toFloat)
+        } finally r.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Minimal MJPEG-AVI writer (RIFF/hdrl/movi, 'MJPG' fourcc) — gives
+    * tests and fixtures real video payloads that any standard player or
+    * this parser can consume. `frames` are JPEG-encoded images.
+    */
+  def buildMjpegAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+      fps: Int): Array[Byte] = {
+    require(frames.nonEmpty && fps > 0)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      bos.write(id.getBytes("US-ASCII")); writeLe32(bos, body.length)
+      bos.write(body); if ((body.length & 1) == 1) bos.write(0)
+      bos.toByteArray
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    def dwords(vs: Int*): Array[Byte] = {
+      val bos = new ByteArrayOutputStream(); vs.foreach(writeLe32(bos, _)); bos.toByteArray
+    }
+    val avih = chunk("avih", dwords(1000000 / fps, 0, 0, 0, frames.size, 0, 1, 0,
+      width, height, 0, 0, 0, 0))
+    val strh = chunk("strh", "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+      dwords(0, 0, 0, 1, fps, 0, frames.size, 0, -1, 0) ++
+      Array[Byte](0, 0, 0, 0) ++ dwords((width << 16) | 0, (height << 16) | 0))
+    val strf = chunk("strf", dwords(40, width, height, (24 << 16) | 1) ++
+      "MJPG".getBytes("US-ASCII") ++ dwords(0, 0, 0, 0, 0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi",
+      frames.toArray.flatMap(f => chunk("00dc", f)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val bos = new ByteArrayOutputStream()
+    bos.write("RIFF".getBytes("US-ASCII")); writeLe32(bos, body.length); bos.write(body)
+    bos.toByteArray
+  }
+
+  private def writeLe32(bos: ByteArrayOutputStream, v: Int): Unit = {
+    bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+    bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+  }
+
   /** Probe intrinsic metadata without a full pixel decode: images via the
     * ImageIO reader header (width/height/format), WAV via frame count /
     * frame rate (duration). Unknown formats return null.
@@ -134,8 +273,36 @@ object MediaCodec {
             Some((None, None, Some(ms), "audio/wav"))
           } finally in.close()
         } catch { case _: Exception => None }
+      case "video/avi" =>
+        // header-only: walk to the 'avih' main header (width dword 8,
+        // height dword 9; duration = µs/frame × total frames)
+        aviMainHeader(bytes).map { h =>
+          (Some(h(8).toInt), Some(h(9).toInt),
+            Some(h(0) * h(4) / 1000L), "video/avi")
+        }
       case _ => None
     }
+
+  /** The 14 dwords of the 'avih' chunk, or None if the container is
+    * malformed before it.
+    */
+  private def aviMainHeader(bytes: Array[Byte]): Option[Array[Long]] = {
+    val riffEnd = math.min(bytes.length.toLong, 8L + le32(bytes, 4))
+    var o = 12L
+    while (o + 8 <= riffEnd) {
+      val id = fourcc(bytes, o.toInt)
+      val size = le32(bytes, o.toInt + 4)
+      if (size < 0) return None
+      if (id == "LIST" && fourcc(bytes, o.toInt + 8) == "hdrl") {
+        val inner = o + 12
+        if (fourcc(bytes, inner.toInt) == "avih" && inner + 8 + 56 <= riffEnd)
+          return Some(Array.tabulate(14)(i => le32(bytes, (inner + 8 + 4L * i).toInt)))
+        return None
+      }
+      o += 8 + size + (size & 1)
+    }
+    None
+  }
 
   /** Real payload resize: decode, scale by `scale` (min 1×1), bilinear
     * redraw, re-encode as PNG. Returns null if the bytes don't decode.

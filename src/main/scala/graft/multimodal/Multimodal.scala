@@ -13,14 +13,15 @@ import org.apache.spark.sql.types._
   *
   * North-star extension (the reference is sensor-only). Decode is REAL
   * for every format the JDK itself ships a codec for — PNG/JPEG/BMP/GIF
-  * via `javax.imageio`, WAV/AIFF PCM via `javax.sound.sampled` (see
-  * [[MediaCodec]]) — dispatched by magic-byte sniff inside the bounded
-  * batch loop. Payloads no JDK codec accepts (video, webp, mp3, plain
-  * text) fall back to `fakeDecode`, a deterministic md5-derived vector,
-  * so the pipeline shape stays total and testable. The Spark side is a
-  * narrow no-shuffle plan: schema, partition mapping, bounded-size batch
-  * iteration (the JVM analogue of Arrow record-batch processing in
-  * mapInPandas).
+  * via `javax.imageio`, WAV/AIFF PCM via `javax.sound.sampled`, and
+  * MJPEG-AVI video via hand-walked RIFF container parsing over the JDK
+  * JPEG codec (see [[MediaCodec]]) — dispatched by magic-byte sniff
+  * inside the bounded batch loop. Payloads with no JVM-expressible codec
+  * (compressed video codecs, webp, mp3, plain text) fall back to
+  * `fakeDecode`, a deterministic md5-derived vector, so the pipeline
+  * shape stays total and testable. The Spark side is a narrow no-shuffle
+  * plan: schema, partition mapping, bounded-size batch iteration (the
+  * JVM analogue of Arrow record-batch processing in mapInPandas).
   */
 object Multimodal {
 
@@ -49,6 +50,7 @@ object Multimodal {
     val real =
       if (MediaCodec.isImage(bytes)) MediaCodec.imageFeatures(bytes, dim)
       else if (MediaCodec.isWav(bytes)) MediaCodec.wavFeatures(bytes, dim)
+      else if (MediaCodec.isAvi(bytes)) MediaCodec.videoFeatures(bytes, dim)
       else null
     if (real != null) real else fakeDecode(bytes, dim)
   }

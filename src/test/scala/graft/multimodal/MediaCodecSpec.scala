@@ -129,6 +129,69 @@ class MediaCodecSpec extends SparkSpec {
     assert(feats(1).isNullAt(feats(1).fieldIndex("features")))
   }
 
+  /** Solid-gray JPEG frame at luminance v. */
+  private def grayJpeg(w: Int, h: Int, v: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("MJPEG-AVI round trip: build → sniff → frames → features → probe") {
+    val frames = Seq(grayJpeg(16, 8, 0), grayJpeg(16, 8, 128), grayJpeg(16, 8, 255))
+    val avi = MediaCodec.buildMjpegAvi(frames, 16, 8, fps = 10)
+    assert(MediaCodec.sniff(avi) == "video/avi")
+
+    val back = MediaCodec.aviFrames(avi)
+    assert(back.size == 3)
+    assert(back.zip(frames).forall { case (a, b) => a.sameElements(b) })
+
+    // gray v decodes to ~v/255 luminance in every cell (JPEG is lossy —
+    // generous tolerance); 3-frame average ≈ (0 + 128/255 + 1) / 3
+    val f = MediaCodec.videoFeatures(avi, dim = 4)
+    assert(f != null && f.length == 4)
+    val expected = (0.0 + 128.0 / 255 + 1.0) / 3
+    assert(f.forall(v => math.abs(v - expected) < 0.05), f.toSeq)
+
+    val Some((w, h, dur, fmt)) = MediaCodec.probe(avi)
+    assert(w.contains(16) && h.contains(8) && fmt == "video/avi")
+    assert(dur.contains(300L)) // 3 frames at 10 fps
+
+    // malformed container: truncation falls back, never throws
+    assert(MediaCodec.aviFrames(avi.take(40)).isEmpty)
+    assert(MediaCodec.videoFeatures(avi.take(40), 4) == null)
+  }
+
+  test("frame sampling bounds the decode cost of long videos") {
+    val frames = (0 until 20).map(i => grayJpeg(8, 8, i * 12))
+    val avi = MediaCodec.buildMjpegAvi(frames, 8, 8, fps = 5)
+    // maxFrames=4 samples evenly; average of frames 0,5,10,15 ≈ mean gray
+    val f = MediaCodec.videoFeatures(avi, dim = 4, maxFrames = 4)
+    val expected = Seq(0, 5, 10, 15).map(_ * 12 / 255.0).sum / 4
+    assert(f.forall(v => math.abs(v - expected) < 0.05), f.toSeq)
+  }
+
+  test("animated GIF frames feed the same grid sampler") {
+    // ImageIO writes multi-frame GIFs through the sequence API
+    val w = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    for (v <- Seq(0, 255)) {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 8; y <- 0 until 8) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    w.endWriteSequence(); ios.close(); w.dispose()
+    val gif = bos.toByteArray
+    assert(MediaCodec.sniff(gif) == "image/gif")
+    val f = MediaCodec.gifFrameFeatures(gif, dim = 4)
+    // two frames, black then white → average ≈ 0.5 everywhere
+    assert(f != null && f.forall(v => math.abs(v - 0.5) < 0.02), f.toSeq)
+  }
+
   test("Multimodal.decode dispatches real codecs with fake fallback") {
     val png = gradientPng(8, 8)
     assert(Multimodal.decode(png, 4).toSeq ==
@@ -136,6 +199,9 @@ class MediaCodecSpec extends SparkSpec {
     val wav = halfLoudWav(256)
     assert(Multimodal.decode(wav, 4).toSeq ==
       MediaCodec.wavFeatures(wav, 4).toSeq)
+    val avi = MediaCodec.buildMjpegAvi(Seq(grayJpeg(8, 8, 128)), 8, 8, fps = 1)
+    assert(Multimodal.decode(avi, 4).toSeq ==
+      MediaCodec.videoFeatures(avi, 4).toSeq)
     val txt = "plain text".getBytes("UTF-8")
     assert(Multimodal.decode(txt, 4).toSeq ==
       Multimodal.fakeDecode(txt, 4).toSeq)
