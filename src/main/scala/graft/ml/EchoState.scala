@@ -68,6 +68,49 @@ object EchoState {
       }
       spark.createDataFrame(rows, StructType(outFields))
     }
+
+    /** Persist as one parquet-able frame: a row per reservoir unit
+      * (input weights, recurrent row, bias, readout row) + an intercept
+      * row, with the scalar config as constant columns. Exact double
+      * round trip — rehydrated scoring is bit-identical.
+      */
+    def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      (0 to reservoir).map { i =>
+        (i,
+          if (i < reservoir) Some(wIn(i).toSeq) else None,
+          if (i < reservoir) Some(wRes(i).toSeq) else None,
+          if (i < reservoir) Some(b(i)) else None,
+          beta(i).toSeq)
+      }.toDF("unit", "w_in", "w_res", "b", "beta")
+        .withColumn("features", typedLit(featureCols))
+        .withColumn("means", typedLit(means.toSeq))
+        .withColumn("stds", typedLit(stds.toSeq))
+        .withColumn("leak", lit(leak))
+        .withColumn("washout", lit(washout))
+    }
+  }
+
+  object EsnModel {
+    def fromDF(df: DataFrame): EsnModel = {
+      val rows = df.select("unit", "w_in", "w_res", "b", "beta",
+        "features", "means", "stds", "leak", "washout")
+        .collect().sortBy(_.getInt(0))
+      require(rows.length >= 2, "model frame needs >= 1 reservoir unit + intercept row")
+      val head = rows.head
+      val r = rows.length - 1
+      EsnModel(
+        head.getSeq[String](5),
+        r,
+        head.getDouble(8),
+        head.getInt(9),
+        head.getSeq[Double](6).toArray,
+        head.getSeq[Double](7).toArray,
+        rows.take(r).map(_.getSeq[Double](1).toArray).toArray,
+        rows.take(r).map(_.getSeq[Double](2).toArray).toArray,
+        rows.take(r).map(_.getDouble(3)).toArray,
+        rows.map(_.getSeq[Double](4).toArray).toArray)
+    }
   }
 
   /** Fit: state scan → ridge readout. `reservoir` is the state size R,

@@ -181,6 +181,89 @@ object ModelBuilder {
       Files.readString(Paths.get(path, "metadata.json")))
   }
 
+  case class EsnBuildResult(path: String,
+      model: EchoState.EsnModel, metadata: String)
+
+  /** Config-driven RECURRENT forecast build (`model.type: "esn_forecast"`)
+    * — the same lifecycle as `buildForecast` with the [[EchoState]]
+    * reservoir in place of the linear per-tag AR fleet: keyed long
+    * resample → expanding-window CV (per-fold reservoir fit + strictly
+    * later validation MAE — the validation scan restarts the state from
+    * zero, so the first `washout` validation steps carry the same
+    * transient the fit excludes) → final fit → persisted reservoir frame
+    * + metadata, registry-cached.
+    *
+    * Config: `{ "name": ..., "dataset": {"tags": [...], "resolution":
+    * "10 minutes"}, "model": {"type": "esn_forecast", "reservoir": 64,
+    * "spectral_radius": 0.9, "leak": 0.5, "washout": 10, "input_scale":
+    * 0.5, "ridge": 1e-4}, "evaluation": {"n_splits": 3} }`
+    */
+  def buildEsn(spark: SparkSession, configJson: String, longDf: DataFrame,
+      outDir: String): EsnBuildResult = {
+    val cfg = parse(configJson)
+    val name = cfg.getOrElse("name", "machine").toString
+    val registry = DiskRegistry(s"$outDir/registry")
+    val ds = obj(cfg, "dataset")
+    val tags = strList(ds, "tags")
+    val resolution = ds.getOrElse("resolution", "10 minutes").toString
+    val tsCol = ds.getOrElse("ts_col", "ts").toString
+    val tagCol = ds.getOrElse("tag_col", "tag").toString
+    val valueCol = ds.getOrElse("value_col", "value").toString
+    val model = obj(cfg, "model")
+    val reservoir = intOf(model, "reservoir", 64)
+    val rho = model.get("spectral_radius").map(_.toString.toDouble).getOrElse(0.9)
+    val leak = model.get("leak").map(_.toString.toDouble).getOrElse(0.5)
+    val washout = intOf(model, "washout", 10)
+    val inScale = model.get("input_scale").map(_.toString.toDouble).getOrElse(0.5)
+    val ridge = model.get("ridge").map(_.toString.toDouble).getOrElse(1e-4)
+    val nSplits = intOf(obj(cfg, "evaluation"), "n_splits", 3)
+    val regKey = s"esn_forecast\n$configJson"
+
+    val long = longDf
+      .filter(col(tagCol).isin(tags: _*))
+      .groupBy(Timeseries.bucket(col(tsCol), resolution).as("bucket"), col(tagCol))
+      .agg(avg(col(valueCol)).as("v"))
+
+    def fitOn(frame: DataFrame) = EchoState.fit(frame, Seq("v"), "bucket",
+      Seq(tagCol), reservoir = reservoir, ridge = ridge, spectralRadius = rho,
+      leak = leak, washout = washout, inputScale = inScale)
+
+    val path = registry.getOrBuild(regKey) {
+      val foldMeta = TimeSeriesCV.folds(long, "bucket", nSplits).zipWithIndex.map {
+        case ((train, valid), i) =>
+          val m = fitOn(train)
+          val stats = m.forecast(valid, "bucket", Seq(tagCol)).agg(
+            count(lit(1)).as("n"),
+            avg(col("v_anomaly")).as("mean_abs_err"),
+            max(col("v_anomaly")).as("max_abs_err")).head()
+          s"""{"fold": $i, "val_rows": ${stats.getLong(0)},
+             | "val_mean_abs_err": ${jnumAt(stats, "mean_abs_err")},
+             | "val_max_abs_err": ${jnumAt(stats, "max_abs_err")}}""".stripMargin
+            .replaceAll("\n", "")
+      }
+      val finalModel = fitOn(long)
+      val dir = Paths.get(outDir, s"$name-${registry.key(regKey).take(8)}")
+      Files.createDirectories(dir)
+      finalModel.toDF(spark).write.mode("overwrite")
+        .parquet(dir.resolve("model").toString)
+      val metadata =
+        s"""{"name": ${jstr(name)},
+           | "tags": [${tags.map(jstr).mkString(", ")}],
+           | "model": {"type": "esn_forecast", "reservoir": $reservoir,
+           |           "spectral_radius": $rho, "leak": $leak,
+           |           "washout": $washout, "input_scale": $inScale},
+           | "cv": [${foldMeta.mkString(", ")}],
+           | "config_key": "${registry.key(regKey)}"}""".stripMargin
+      Files.writeString(dir.resolve("metadata.json"), metadata)
+      dir.toString
+    }
+
+    val reloaded = EchoState.EsnModel.fromDF(
+      spark.read.parquet(Paths.get(path, "model").toString))
+    EsnBuildResult(path, reloaded,
+      Files.readString(Paths.get(path, "metadata.json")))
+  }
+
   case class AutoEncoderBuildResult(path: String,
       model: AutoEncoder.RfaeModel, metadata: String)
 

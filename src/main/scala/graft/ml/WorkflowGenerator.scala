@@ -16,8 +16,9 @@ import org.json4s.jackson.JsonMethods
   *
   * Where the reference renders an Argo pod per machine, here each machine
   * is a sequence of Spark jobs inside ONE session, routed to the builder
-  * its `model.type` names (`pca_anomaly` | `ar_forecast` | `autoencoder`
-  * — the three [[ModelBuilder]] lifecycles). The content-addressed
+  * its `model.type` names (`pca_anomaly` | `ar_forecast` | `esn_forecast`
+  * | `autoencoder` — the four [[ModelBuilder]] lifecycles). The
+  * content-addressed
   * [[DiskRegistry]] dedupes across the fleet AND across runs: a rebuild
   * of an unchanged machine is a cache hit that does no Spark work, and a
   * failed machine lands in the error list without sinking the fleet (the
@@ -96,6 +97,9 @@ object WorkflowGenerator {
             MachineArtifact(name, mtype, r.path, r.metadata)
           case "ar_forecast" =>
             val r = ModelBuilder.buildForecast(spark, cfg, longDf, outDir)
+            MachineArtifact(name, mtype, r.path, r.metadata)
+          case "esn_forecast" =>
+            val r = ModelBuilder.buildEsn(spark, cfg, longDf, outDir)
             MachineArtifact(name, mtype, r.path, r.metadata)
           case "autoencoder" =>
             val r = ModelBuilder.buildAutoEncoder(spark, cfg, longDf, outDir)

@@ -72,6 +72,33 @@ class EchoStateSpec extends SparkSpec {
     assert(byKey("k") == byKey("k2"))
   }
 
+  test("buildEsn lifecycle: persist, registry-hit rebuild, bit-exact reload") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val out = java.nio.file.Files.createTempDirectory("graft-esn").toString
+    val cfg =
+      """{"name": "esn-events",
+        |  "dataset": {"tags": ["click", "view"], "resolution": "1 hour",
+        |              "tag_col": "event_type", "value_col": "value"},
+        |  "model": {"type": "esn_forecast", "reservoir": 16, "washout": 4},
+        |  "evaluation": {"n_splits": 2}}""".stripMargin
+    val r = ModelBuilder.buildEsn(spark, cfg, events, out)
+    assert(r.metadata.contains("\"type\": \"esn_forecast\""))
+    assert(r.metadata.contains("val_mean_abs_err"))
+    assert(r.model.reservoir == 16 && r.model.featureCols == Seq("v"))
+
+    // reload is bit-exact
+    val reloaded = EchoState.EsnModel.fromDF(
+      spark.read.parquet(java.nio.file.Paths.get(r.path, "model").toString))
+    assert(reloaded.beta.flatten.toSeq == r.model.beta.flatten.toSeq)
+    assert(reloaded.wRes.flatten.toSeq == r.model.wRes.flatten.toSeq)
+
+    // rebuild against an empty frame: only a registry hit can succeed
+    val again = ModelBuilder.buildEsn(spark, cfg, events.filter(lit(false)), out)
+    assert(again.path == r.path)
+  }
+
   test("spectral radius scaling holds the echo-state property") {
     val raw = Array.tabulate(16, 16)((i, j) =>
       RandomFeatures.randn(5L, 256)(i * 16 + j))

@@ -23,6 +23,9 @@ class WorkflowGeneratorSpec extends SparkSpec {
       |   {"name": "m-forecast",
       |    "dataset": {"tags": ["click", "view"]},
       |    "model": {"type": "ar_forecast", "lookback": 4}},
+      |   {"name": "m-esn",
+      |    "dataset": {"tags": ["click", "view"]},
+      |    "model": {"type": "esn_forecast", "reservoir": 16, "washout": 4}},
       |   {"name": "m-rfae",
       |    "dataset": {"tags": ["click", "view", "purchase"]},
       |    "model": {"type": "autoencoder", "hidden": 8, "threshold_pctl": 0.95}}
@@ -41,13 +44,13 @@ class WorkflowGeneratorSpec extends SparkSpec {
     assert(cfg.contains("\"n_splits\":9"))            // untouched default block
   }
 
-  test("buildFleet builds 3 machines across 3 model types; rebuild is all cache hits") {
+  test("buildFleet builds 4 machines across all 4 model types; rebuild is all cache hits") {
     val out = java.nio.file.Files.createTempDirectory("graft-fleet").toString
     val r = WorkflowGenerator.buildFleet(spark, fleetConfig, events, out)
     assert(r.failed.isEmpty, r.failed.map(_._2).mkString("; "))
     assert(r.built.map(a => a.name -> a.modelType).toMap == Map(
       "m-pca" -> "pca_anomaly", "m-forecast" -> "ar_forecast",
-      "m-rfae" -> "autoencoder"))
+      "m-esn" -> "esn_forecast", "m-rfae" -> "autoencoder"))
     r.built.foreach(a => assert(
       java.nio.file.Files.exists(java.nio.file.Paths.get(a.path, "metadata.json"))))
     val manifest = java.nio.file.Files.readString(
