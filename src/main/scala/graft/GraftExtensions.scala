@@ -25,5 +25,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, s"graft_dot takes 2 arguments, got ${children.length}")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_tdigest_quantile"),
+      new ExpressionInfo(classOf[graft.expressions.TDigestQuantile].getName,
+        "graft_tdigest_quantile"),
+      (children: Seq[Expression]) => children.length match {
+        case 2 => new graft.expressions.TDigestQuantile(children.head, children(1))
+        case 3 => graft.expressions.TDigestQuantile(children.head, children(1), children(2))
+        case other => throw new IllegalArgumentException(
+          s"graft_tdigest_quantile takes 2 or 3 arguments, got $other")
+      }))
   }
 }

@@ -354,6 +354,19 @@ object SparkEntry {
         round(AnomalyMath.threshold(col("l_extendedprice"), 0.95), 6).as("thr_p95"))
       .orderBy("l_returnflag")
 
+  /** Spark-only (sketch values depend on partial-aggregation merge order,
+    * so they are not hash-portable): the native t-digest
+    * TypedImperativeAggregate next to the exact percentile it
+    * approximates — the streaming/100 TB threshold path. Accuracy is
+    * spec'd (TDigestSpec: <1% rank error, tails tighter, streaming use).
+    */
+  private def q_agg_threshold_sketch(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(AnomalyMath.thresholdSketch(col("l_extendedprice"), 0.99).as("thr_sketch"),
+        AnomalyMath.threshold(col("l_extendedprice"), 0.99).as("thr_exact"))
+      .orderBy("l_returnflag")
+
   private def q_agg_distinct(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
       .groupBy("l_returnflag")
@@ -910,6 +923,7 @@ object SparkEntry {
     "agg_resample_multi" -> (q_agg_resample_multi _),
     "agg_scaler_fit" -> (q_agg_scaler_fit _),
     "agg_metrics" -> (q_agg_metrics _),
+    "agg_threshold_sketch" -> (q_agg_threshold_sketch _),
     "agg_metrics_d1" -> (q_agg_metrics_d1 _),
     "agg_metrics_d2" -> (q_agg_metrics_d2 _),
     "agg_threshold_pctl" -> (q_agg_threshold_pctl _),

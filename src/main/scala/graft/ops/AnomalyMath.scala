@@ -159,6 +159,23 @@ object AnomalyMath {
   def thresholdApprox(scores: Column, p: Double = 0.99, accuracy: Int = 10000): Column =
     percentile_approx(scores, lit(p), lit(accuracy))
 
+  /** The STREAMING threshold: a native t-digest TypedImperativeAggregate
+    * (graft.expressions.TDigestQuantile) — constant memory, mergeable
+    * partial sketches, tail-accurate by construction (t-digest centroids
+    * shrink toward the extremes, where anomaly thresholds live), and
+    * legal inside Structured Streaming aggregations where the exact
+    * sort-based `percentile` is not. `compression` trades memory
+    * (O(compression) centroids) for rank accuracy.
+    */
+  def thresholdSketch(scores: Column, p: Double = 0.99,
+      compression: Double = 100.0): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    Bridge.column(graft.expressions.TDigestQuantile(
+      Bridge.expression(scores.cast("double")), Literal(p), Literal(compression))
+      .toAggregateExpression())
+  }
+
   /** Rolling smoothing of an anomaly series (later gordo versions smooth
     * the scores before thresholding): trailing mean over `k` rows.
     */
