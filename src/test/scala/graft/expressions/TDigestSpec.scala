@@ -71,9 +71,12 @@ class TDigestSpec extends SparkSpec {
   }
 
   test("registered as SQL and usable in a STREAMING aggregation") {
-    org.apache.spark.sql.graft.Bridge.registerFunctions(spark)
-    sample.take(1000).toDF("v").createOrReplaceTempView("tdq_t")
-    val viaSql = spark.sql(
+    // newSession: registry isolation, like GraftExtensionsSpec
+    val s = spark.newSession()
+    org.apache.spark.sql.graft.Bridge.registerFunctions(s)
+    s.createDataFrame(sample.take(1000).map(Tuple1(_))).toDF("v")
+      .createOrReplaceTempView("tdq_t")
+    val viaSql = s.sql(
       "SELECT graft_tdigest_quantile(v, 0.5) FROM tdq_t").head().getDouble(0)
     assert(math.abs(rankOf(viaSql) - 0.5) < 0.05)
 
