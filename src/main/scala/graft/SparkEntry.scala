@@ -794,6 +794,65 @@ object SparkEntry {
       .orderBy("doc_id")
 
   // ---------------------------------------------------------------------
+  // Round-3 session-2 additions: drift detection, robust outlier scoring,
+  // repetition quality gates, semantic dedup, PII pseudonymization.
+  // ---------------------------------------------------------------------
+
+  /** Two-sided CUSUM drift detection per sensor stream (Page's test via
+    * the running-min closed form — see AnomalyMath.cusum). Decimal-exact
+    * windows make the running sums bit-stable across engines.
+    */
+  private def q_win_cusum(s: SparkSession, dir: String): DataFrame =
+    AnomalyMath.cusum(E(s, dir), "value", Seq("event_type"),
+        Seq(col("ts"), col("event_id")), target = 50.0, slack = 5.0, h = 200.0)
+      // round(_, 6) is lossless (every CUSUM value is a scale-6 grid
+      // point) and papers over DuckDB's reciprocal-multiply DECIMAL→
+      // DOUBLE cast, which is off by an ulp from the correctly-rounded
+      // Spark/IEEE-division result
+      .select(col("event_id"), col("event_type"),
+        round(col("cusum_up"), 6).as("cusum_up"),
+        round(col("cusum_dn"), 6).as("cusum_dn"),
+        col("alarm_up"), col("alarm_dn"))
+      .orderBy("event_id")
+
+  /** MAD-based robust outlier score per sensor stream — the z-score whose
+    * scale estimate outliers cannot drag (50% breakdown).
+    */
+  private def q_agg_robust_zscore(s: SparkSession, dir: String): DataFrame =
+    AnomalyMath.robustZScore(E(s, dir), "value", Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        round(col("robust_z"), 6).as("robust_z"))
+      .orderBy("event_id")
+
+  /** Gopher-style repetition signals (top-/duplicate-n-gram fractions for
+    * n=2,3) — the repetition quality gate of a training-data pipeline.
+    */
+  private def q_text_repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(T(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** PII pseudonymization over the customer dimension: stable md5
+    * pseudonyms (joinable, irreversible), digit masking, and
+    * k-anonymity-style numeric generalization.
+    */
+  private def q_text_pii_mask(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pseudonymize(T(s, dir, "customer"),
+        hashCols = Seq("c_name"), maskCols = Seq("c_name"),
+        generalizeCols = Seq(("c_acctbal", 100.0)))
+      .select("c_custkey", "c_name_pseud", "c_name_masked", "c_acctbal_bucket")
+      .orderBy("c_custkey")
+
+  /** SemDeDup-style semantic dedup over embeddings: deterministic seed
+    * clusters bound the quadratic pair search; keep = min-id canonical
+    * per duplicate pair. Production swaps seeds for fitIvf centroids
+    * (same downstream stages — spec'd equivalent in SimilaritySpec).
+    */
+  private def q_dedup_semantic(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(T(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, nSeeds = 8)
+      .orderBy("vec_id")
+
+  // ---------------------------------------------------------------------
   // Spark-only module queries (no SQL oracle — driver records rows-only):
   // the streaming transforms run in batch replay mode (same code path the
   // incremental plans use), ML and multimodal drive their whole pipelines.
@@ -810,6 +869,26 @@ object SparkEntry {
     graft.streaming.Streams.sessionize(E(s, dir), "ts", "user_id",
         "30 minutes", "20 minutes")
       .orderBy("user_id", "session_start")
+
+  /** Streaming CUSUM in batch replay — bit-identical to the batch closed
+    * form (exact micro-unit state), so it carries a full oracle. Ties on
+    * (tag, ts, value) are exact duplicate readings whose outputs form the
+    * same multiset under any processing order; cusum_up in the final sort
+    * makes the sequence deterministic for hashing.
+    */
+  private def q_stream_cusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val readings = E(s, dir)
+      .select(col("event_type").as("tag"), col("ts"), col("value"))
+      .as[graft.streaming.Reading]
+    graft.streaming.Streams.cusumOnline(readings, target = 50.0, slack = 5.0,
+        h = 200.0)
+      .toDF()
+      // same lossless grid rounding as win_cusum (DuckDB cast ulp)
+      .withColumn("cusum_up", round(col("cusum_up"), 6))
+      .withColumn("cusum_dn", round(col("cusum_dn"), 6))
+      .orderBy("tag", "ts", "value", "cusum_up")
+  }
 
   private def q_stream_score(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -972,6 +1051,12 @@ object SparkEntry {
     "sample_pack_d2" -> (q_sample_pack_d2 _),
     "simsearch_ivf" -> (q_simsearch_ivf _),
     "win_interpolate" -> (q_win_interpolate _),
+    "win_cusum" -> (q_win_cusum _),
+    "stream_cusum" -> (q_stream_cusum _),
+    "agg_robust_zscore" -> (q_agg_robust_zscore _),
+    "text_repetition" -> (q_text_repetition _),
+    "text_pii_mask" -> (q_text_pii_mask _),
+    "dedup_semantic" -> (q_dedup_semantic _),
     "stream_resample" -> (q_stream_resample _),
     "stream_session" -> (q_stream_session _),
     "stream_score" -> (q_stream_score _),
@@ -1702,6 +1787,122 @@ object SparkEntry {
          |             THEN v_prev + (v_next - v_prev) * (t - t_prev) / (t_next - t_prev)
          |        END, 6) AS v_interp
          |FROM w ORDER BY bucket, event_type""".stripMargin,
+    // CUSUM: deviations quantized to DECIMAL(18,6) once, then EVERY window
+    // aggregate stays decimal — running sums are exact scaled integers, so
+    // segment-tree vs sequential window evaluation cannot diverge. Cast to
+    // DOUBLE only at the output (exact below 2^53 scaled).
+    "win_cusum" ->
+      """WITH e AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+        |    CAST(value AS DECIMAL(18,6)) - CAST(55.0 AS DECIMAL(18,6)) AS dev_up,
+        |    CAST(45.0 AS DECIMAL(18,6)) - CAST(value AS DECIMAL(18,6)) AS dev_dn
+        |  FROM events),
+        |c AS (SELECT event_id, event_type, t,
+        |    sum(dev_up) OVER w AS cu, sum(dev_dn) OVER w AS cd
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT event_id, event_type,
+        |    cu - least(CAST(0 AS DECIMAL(18,6)), min(cu) OVER w) AS up,
+        |    cd - least(CAST(0 AS DECIMAL(18,6)), min(cd) OVER w) AS dn
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type,
+        |  round(CAST(up AS DOUBLE), 6) AS cusum_up,
+        |  round(CAST(dn AS DOUBLE), 6) AS cusum_dn,
+        |  CAST(up > CAST(200.0 AS DECIMAL(18,6)) AS INT) AS alarm_up,
+        |  CAST(dn > CAST(200.0 AS DECIMAL(18,6)) AS INT) AS alarm_dn
+        |FROM m ORDER BY event_id""".stripMargin,
+    // Streaming CUSUM (batch replay): the same decimal-exact closed form,
+    // keyed by tag and ordered by (ts, value) — the processing order the
+    // stateful operator sorts each group by. Exact (tag, ts, value)
+    // duplicates yield the same output multiset under either order;
+    // cusum_up in the final sort pins the sequence.
+    "stream_cusum" ->
+      """WITH e AS (SELECT event_type AS tag, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CAST(value AS DECIMAL(18,6)) - CAST(55.0 AS DECIMAL(18,6)) AS dev_up,
+        |    CAST(45.0 AS DECIMAL(18,6)) - CAST(value AS DECIMAL(18,6)) AS dev_dn
+        |  FROM events),
+        |c AS (SELECT tag, ts, value,
+        |    sum(dev_up) OVER w AS cu, sum(dev_dn) OVER w AS cd
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY tag ORDER BY ts, value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT tag, ts, value,
+        |    cu - least(CAST(0 AS DECIMAL(18,6)), min(cu) OVER w) AS up,
+        |    cd - least(CAST(0 AS DECIMAL(18,6)), min(cd) OVER w) AS dn
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY tag ORDER BY ts, value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT tag, ts, value,
+        |  round(CAST(up AS DOUBLE), 6) AS cusum_up,
+        |  round(CAST(dn AS DOUBLE), 6) AS cusum_dn,
+        |  CAST(up > CAST(200.0 AS DECIMAL(18,6)) AS INT) AS alarm_up,
+        |  CAST(dn > CAST(200.0 AS DECIMAL(18,6)) AS INT) AS alarm_dn
+        |FROM m ORDER BY tag, ts, value, cusum_up""".stripMargin,
+    "agg_robust_zscore" ->
+      """WITH o AS (SELECT event_id, event_type, value FROM events),
+        |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |        FROM o GROUP BY 1),
+        |mad AS (SELECT e.event_type,
+        |          quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |        FROM o e JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |  round(0.6745 * (e.value - m.med) / NULLIF(d.mad, 0), 6) AS robust_z
+        |FROM o e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |g2 AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i]||' '||ws[i+1])) AS g
+        |  FROM w WHERE len(ws) >= 2),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |m2 AS (SELECT doc_id,
+        |    round(max(c) * 1.0 / sum(c), 6) AS top2_frac,
+        |    round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+        |      AS dup2_frac
+        |  FROM c2 GROUP BY 1),
+        |g3 AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS g
+        |  FROM w WHERE len(ws) >= 3),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+        |m3 AS (SELECT doc_id,
+        |    round(max(c) * 1.0 / sum(c), 6) AS top3_frac,
+        |    round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+        |      AS dup3_frac
+        |  FROM c3 GROUP BY 1)
+        |SELECT m2.doc_id, top2_frac, dup2_frac, top3_frac, dup3_frac
+        |FROM m2 JOIN m3 ON m2.doc_id = m3.doc_id ORDER BY m2.doc_id""".stripMargin,
+    "text_pii_mask" ->
+      """SELECT c_custkey, md5(c_name) AS c_name_pseud,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS c_name_masked,
+        |  floor(c_acctbal / 100.0) * 100.0 AS c_acctbal_bucket
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH s AS (SELECT vec_id AS seed_id, embedding AS sv
+         |  FROM embeddings ORDER BY vec_id LIMIT 8),
+         |sc AS (SELECT e.vec_id, s.seed_id,
+         |    ${dotSql("e.embedding", "s.sv")}
+         |      / sqrt(${normSqSql("e.embedding")} * ${normSqSql("s.sv")}) AS scos
+         |  FROM embeddings e, s),
+         |asg AS (SELECT vec_id, seed_id AS cluster FROM (
+         |    SELECT vec_id, seed_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY scos DESC, seed_id) AS rn
+         |    FROM sc) WHERE rn = 1),
+         |pr AS (SELECT y.vec_id AS vb,
+         |    ${dotSql("ea.embedding", "eb.embedding")}
+         |      / sqrt(${normSqSql("ea.embedding")} * ${normSqSql("eb.embedding")}) AS cos
+         |  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = x.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = y.vec_id),
+         |dr AS (SELECT DISTINCT vb FROM pr WHERE cos >= 0.4)
+         |SELECT a.vec_id, a.cluster,
+         |  CASE WHEN d.vb IS NULL THEN 1 ELSE 0 END AS keep
+         |FROM asg a LEFT JOIN dr d ON a.vec_id = d.vb
+         |ORDER BY a.vec_id""".stripMargin,
     // Real PNG decode twin: pixel (x,y) of the 4×4 digest image is md5
     // byte 4y+x, so the decoded Rec.601 luminance is re-derivable from
     // md5(text) alone. The float truncation is mirrored with CAST(... AS

@@ -185,4 +185,81 @@ object AnomalyMath {
       Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*).rowsBetween(-(k - 1), 0)
     )
   }
+
+  /** Two-sided CUSUM drift detection per key (Page's cumulative-sum test,
+    * the classic sequential change-point detector for sensor drift). The
+    * textbook recursion S⁺_t = max(0, S⁺_{t−1} + x_t − target − slack)
+    * cannot be a window expression, but it has an exact closed form:
+    * with C_t the plain running sum of deviations, S⁺_t = C_t −
+    * min(0, min_{i≤t} C_i) (the 0 is the empty prefix C₀ — dropping it
+    * loses alarms whose excursion starts at the first row) — so the
+    * whole detector is chained running windows (sums, then
+    * mins of those sums) over the SAME (key, order) spec: one shuffle,
+    * one sort, the later windows reuse the first's exchange. The downward
+    * side runs the same closed form on its own deviation stream
+    * x ↦ (target − slack) − x (NOT a sign flip of the up stream — the
+    * slack shifts the reference in the opposite direction per side).
+    *
+    * All arithmetic is DECIMAL end-to-end (values quantized at `scale`
+    * decimals), so running sums are exact integers under the hood —
+    * bit-stable across engines, partition layouts, and the segment-tree
+    * vs sequential window-aggregation strategies, unlike double running
+    * sums. Converted to double only at the output (exact below 2^53 of
+    * the scaled value).
+    *
+    * Emits `cusum_up`, `cusum_dn` and integer alarm flags against `h`
+    * (the decision interval, in value units).
+    */
+  def cusum(df: DataFrame, valueCol: String, keyCols: Seq[String],
+      orderCols: Seq[Column], target: Double, slack: Double, h: Double,
+      scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = s"decimal(18,$scale)"
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // deviations quantized once; exact decimal arithmetic thereafter
+    val devUp = col(valueCol).cast(dec) - lit(target + slack).cast(dec)
+    val devDn = lit(target - slack).cast(dec) - col(valueCol).cast(dec)
+    // running sums first, THEN running mins of the materialized sums —
+    // same window spec throughout, so Catalyst plans one Exchange + Sort
+    val withC = df
+      .withColumn("__cu", sum(devUp).over(w))
+      .withColumn("__cd", sum(devDn).over(w))
+    val hDec = lit(h).cast(dec)
+    val zero = lit(0).cast(dec)
+    withC
+      .withColumn("__up", col("__cu") - least(zero, min(col("__cu")).over(w)))
+      .withColumn("__dn", col("__cd") - least(zero, min(col("__cd")).over(w)))
+      .withColumn("cusum_up", col("__up").cast("double"))
+      .withColumn("cusum_dn", col("__dn").cast("double"))
+      .withColumn("alarm_up", (col("__up") > hDec).cast("int"))
+      .withColumn("alarm_dn", (col("__dn") > hDec).cast("int"))
+      .drop("__cu", "__cd", "__up", "__dn")
+  }
+
+  /** Robust per-key outlier score: z = 0.6745·(x − median) / MAD, with
+    * MAD = median(|x − median|) — the median-absolute-deviation scale
+    * estimate that, unlike the mean/stddev z-score, is not itself dragged
+    * by the outliers it is meant to flag (50% breakdown point).
+    *
+    * Scale shape: two aggregation passes (median, then MAD of the
+    * residuals) with the tiny per-key parameter frames broadcast back —
+    * never a per-key window over the raw rows (a 100 TB key would
+    * single-partition). Exact percentile at test scale for the oracle;
+    * swap `percentile` for `percentile_approx`/t-digest at 100 TB (same
+    * shape, documented trade as [[threshold]]/[[thresholdApprox]]).
+    * Constant keys (MAD = 0) yield null scores via nullif rather than an
+    * ANSI divide error.
+    */
+  def robustZScore(df: DataFrame, valueCol: String, keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    val med = df.groupBy(keys: _*).agg(percentile(col(valueCol), lit(0.5)).as("__med"))
+    val withMed = df.join(broadcast(med), keyCols)
+    val mad = withMed.groupBy(keys: _*)
+      .agg(percentile(abs(col(valueCol) - col("__med")), lit(0.5)).as("__mad"))
+    withMed.join(broadcast(mad), keyCols)
+      .withColumn("robust_z",
+        lit(0.6745) * (col(valueCol) - col("__med")) / nullif(col("__mad"), lit(0.0)))
+      .drop("__med", "__mad")
+  }
 }

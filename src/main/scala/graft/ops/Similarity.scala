@@ -257,6 +257,70 @@ object Similarity {
       k: Int, nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame =
     ivfSearch(fitIvf(corpus, vecCol, nLists, seed), queries, corpus, idCol, vecCol, k, nProbe)
 
+  /** Semantic deduplication — the SemDeDup shape (Abbas et al. 2023):
+    * partition the embedding space into clusters, find duplicate pairs
+    * ONLY within a cluster (cosine ≥ threshold), and keep one canonical
+    * representative (min id) per duplicate group. The clustering is the
+    * whole trick: the quadratic pair search is bounded by the largest
+    * cluster, never the corpus — at 100 TB pick k ≈ √n clusters so each
+    * cluster stays executor-sized (here the general path is
+    * `fitIvf(...).assignExpr`, a pure centroid-literal map with no join).
+    *
+    * `assigned` must carry (vec_id, v, nv, cluster); the pair stage
+    * equi-joins on the cluster id (a bounded shuffle keyed on clusters)
+    * and re-scores candidates exactly. Output: every input vector with
+    * its cluster and an integer `keep` flag (0 = a lower-id duplicate
+    * exists in the cluster).
+    */
+  def semanticDedupAssigned(assigned: DataFrame, threshold: Double): DataFrame = {
+    val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nv").as("naa"))
+    val b = assigned.select(col("cluster").as("cluster_b"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nv").as("nbb"))
+    val drops = a.join(b,
+        col("cluster") === col("cluster_b") && col("vec_a") < col("vec_b"))
+      .filter(dot(col("va"), col("vb")) /
+        sqrt(nullif(col("naa") * col("nbb"), lit(0.0))) >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    assigned.join(drops.withColumn("__dup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("__dup").isNull, lit(1)).otherwise(lit(0)).as("keep"))
+  }
+
+  /** Oracle-checkable semanticDedup: deterministic seed "centroids" = the
+    * `nSeeds` lowest-id vectors themselves, assignment by nearest-seed
+    * cosine (ties → lowest seed id). Derivable identically in plain SQL —
+    * no k-means RNG — which is what makes the whole pipeline
+    * hash-checkable; production callers swap the seed assignment for
+    * `fitIvf(...).assignExpr` (same downstream stages).
+    */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nSeeds: Int = 8): DataFrame = {
+    val seeds = vecs.orderBy(col(idCol)).limit(nSeeds)
+      .select(col(idCol).as("seed_id"), col(vecCol).as("sv"),
+        normSq(col(vecCol)).as("sn"))
+    val base = withNormSq(vecs, idCol, vecCol, "vec_id", "v", "nv")
+    val assigned = base.crossJoin(broadcast(seeds))
+      .withColumn("scos",
+        dot(col("v"), col("sv")) / sqrt(nullif(col("nv") * col("sn"), lit(0.0))))
+      .withColumn("srn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("scos").desc, col("seed_id"))))
+      .filter(col("srn") === 1)
+      .select(col("vec_id"), col("v"), col("nv"), col("seed_id").as("cluster"))
+    semanticDedupAssigned(assigned, threshold)
+  }
+
+  /** The production-scale semantic dedup: cluster assignment from a
+    * PREFIT IVF quantizer (centroid literals — a narrow map, no join, no
+    * shuffle), then the shared within-cluster pair stage.
+    */
+  def semanticDedupIvf(model: IvfModel, vecs: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame =
+    semanticDedupAssigned(
+      vecs.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        normSq(col(vecCol)).as("nv"), model.assignExpr(col(vecCol)).as("cluster")),
+      threshold)
+
   /** Approximate near-neighbor pairs: `nTables` independent LSH tables
     * (candidate = same bucket in ANY table — recall 1-(1-p^k)^L like
     * MinHash banding), then exact re-score within buckets only. The scale

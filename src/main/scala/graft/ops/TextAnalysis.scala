@@ -218,6 +218,76 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang").as("lang_pred"), col("dist"))
   }
 
+  /** Word n-grams as rows `(doc_id, g)` — positional adjacency via
+    * posexplode + lead, the same codegen-friendly shape as [[gramRows]]
+    * (HOF lambdas are interpreted per element; `substr`-loops rescan
+    * UTF8 bytes). The lead window partitions by the doc id, which IS
+    * unique here (unlike gramRows' training keys), so no synthetic row
+    * id is needed and per-doc partitions stay bounded by document
+    * length — never corpus-sized.
+    */
+  private def wordGramRows(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("__p")
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(words(col(textCol))).as(Seq("__p", "__w")))
+      // concat (not concat_ws): a null lead at the doc tail must null the
+      // whole gram, not silently emit a shorter one
+      .withColumn("g", concat((col("__w") +:
+        (1 until n).flatMap(o => Seq(lit(" "), lead(col("__w"), o).over(w)))): _*))
+      .filter(col("g").isNotNull)
+      .select(col("doc_id"), col("g"))
+  }
+
+  /** Repetition signals for training-data quality gates (the Gopher /
+    * MassiveText repetition filters, Rae et al. 2021 §A1.1): per document
+    * and per n-gram order, the fraction of n-gram occurrences inside the
+    * single most frequent n-gram (`top{n}_frac` — catches "the same
+    * phrase over and over") and inside any n-gram occurring more than
+    * once (`dup{n}_frac` — catches templated/boilerplate text). Count
+    * fractions over word n-grams; documents shorter than max(ns) words
+    * carry no signal and are absent.
+    *
+    * Scale shape per order: explode → one hash-agg on (doc, gram) with
+    * map-side partials → one per-doc agg; the per-order frames join on
+    * the unique doc id. No windows over raw rows, no driver work.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty, "at least one n-gram order")
+    val perN = ns.map { n =>
+      wordGramRows(docs, idCol, textCol, n)
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("total"), max(col("c")).as("mx"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"))
+        .select(col("doc_id"),
+          round(col("mx") * lit(1.0) / col("total"), 6).as(s"top${n}_frac"),
+          round(col("dup") * lit(1.0) / col("total"), 6).as(s"dup${n}_frac"))
+    }
+    perN.reduce(_.join(_, "doc_id"))
+  }
+
+  /** PII-safe pseudonymization for sharing/training hygiene: identifier
+    * columns become stable md5 pseudonyms (irreversible but still
+    * joinable across tables — the property plain dropping loses), masked
+    * columns get regex rewrites (digits → '#' by default), and numeric
+    * quasi-identifiers are generalized to bucket floors (k-anonymity-style
+    * coarsening). Pure projections — codegen'd, no shuffle, pushdown-safe.
+    */
+  def pseudonymize(df: DataFrame, hashCols: Seq[String],
+      maskCols: Seq[String] = Nil, maskPattern: String = "[0-9]",
+      maskWith: String = "#",
+      generalizeCols: Seq[(String, Double)] = Nil): DataFrame = {
+    val hashed = hashCols.foldLeft(df)((d, c) =>
+      d.withColumn(s"${c}_pseud", md5(col(c).cast("string"))))
+    val masked = maskCols.foldLeft(hashed)((d, c) =>
+      d.withColumn(s"${c}_masked", regexp_replace(col(c), maskPattern, maskWith)))
+    generalizeCols.foldLeft(masked) { case (d, (c, width)) =>
+      d.withColumn(s"${c}_bucket", floor(col(c) / width) * width)
+    }
+  }
+
   /** Corpus reporting: top-k terms per group (language) by DOCUMENT
     * frequency — the vocabulary audit a curation pipeline runs before and
     * after filtering. `array_distinct` before the explode makes the count

@@ -16,6 +16,13 @@ case class TagStats(n: Long, mean: Double, m2: Double)
 case class Scored(tag: String, ts: java.sql.Timestamp, value: Double,
     z: Double, anomalous: Boolean)
 
+/** Clamped CUSUM sums in exact micro-units (longs) — see Streams.cusumOnline. */
+case class CusumState(up: Long, dn: Long)
+
+/** A drift-scored reading: the clamped CUSUM excursions AFTER this reading. */
+case class Drifted(tag: String, ts: java.sql.Timestamp, value: Double,
+    cusum_up: Double, cusum_dn: Double, alarm_up: Int, alarm_dn: Int)
+
 /** Structured Streaming forms of the engine's core ops. The reference is
   * batch + request/response — its closest streaming analogue is the bulk
   * client's chunked date-range loop (`client/client.py::Client.predict`,
@@ -103,6 +110,48 @@ object Streams {
     * Streaming analogue of the reference's DiffBasedAnomalyDetector
     * pipeline (`model/anomaly/diff.py`): scale → score → threshold.
     */
+  /** Online CUSUM drift detection per tag — the genuinely-streaming form
+    * of `AnomalyMath.cusum` (the batch closed form needs unbounded-history
+    * running windows, which Structured Streaming cannot run): the textbook
+    * clamped recursion S⁺ = max(0, S⁺ + x − target − slack) / S⁻ =
+    * max(0, S⁻ + target − slack − x) carried as per-tag state.
+    *
+    * State is exact: values quantize to micro-units (scale-6 longs, the
+    * same HALF_UP quantization as the batch operator's DECIMAL(18,6)
+    * cast), so the streaming scores are BIT-IDENTICAL to the batch
+    * closed form — parity is spec'd, and the batch-replay query shares
+    * the batch oracle. O(1) state per tag (two longs), like scoreOnline.
+    */
+  def cusumOnline(readings: Dataset[Reading], target: Double, slack: Double,
+      h: Double): Dataset[Drifted] = {
+    import readings.sparkSession.implicits._
+    def micros(d: Double): Long =
+      // valueOf = shortest-decimal repr + HALF_UP — the same semantics as
+      // Spark's double→DECIMAL(18,6) cast in the batch operator (Decimal
+      // wraps BigDecimal.decimal), so batch/stream parity is exact
+      java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue.longValueExact
+    val upRef = micros(target + slack)
+    val dnRef = micros(target - slack)
+    val hMicros = micros(h)
+    readings
+      .groupByKey(_.tag)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tag: String, it: Iterator[Reading],
+         state: org.apache.spark.sql.streaming.GroupState[CusumState]) =>
+          var s = state.getOption.getOrElse(CusumState(0L, 0L))
+          val out = it.toSeq.sortBy(r => (r.ts.getTime, r.ts.getNanos, r.value)).map { r =>
+            val v = micros(r.value)
+            s = CusumState(math.max(0L, s.up + (v - upRef)),
+              math.max(0L, s.dn + (dnRef - v)))
+            Drifted(tag, r.ts, r.value, s.up / 1e6, s.dn / 1e6,
+              if (s.up > hMicros) 1 else 0, if (s.dn > hMicros) 1 else 0)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   def scoreOnline(readings: Dataset[Reading], zThreshold: Double): Dataset[Scored] = {
     import readings.sparkSession.implicits._
     readings

@@ -79,4 +79,61 @@ class AnomalyMathSpec extends SparkSpec {
       .orderBy("k").as[Double].collect()
     assert(out.toSeq == Seq(2.0, 3.0, 5.0))
   }
+
+  test("cusum closed form equals the clamped textbook recursion, per key") {
+    val rows = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 30.0), ("a", 4L, 30.0),
+      ("a", 5L, 1.0), ("a", 6L, 1.0),
+      ("b", 1L, 25.0), ("b", 2L, 2.0), ("b", 3L, 2.0), ("b", 4L, 40.0))
+    val (target, slack, h) = (15.0, 2.0, 10.0)
+    val out = AnomalyMath.cusum(rows.toDF("tag", "i", "v"), "v", Seq("tag"),
+        Seq(col("i")), target, slack, h)
+      .select("tag", "i", "cusum_up", "cusum_dn", "alarm_up", "alarm_dn")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getInt(4), r.getInt(5))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (tag, group) =>
+      var up = 0.0; var dn = 0.0
+      group.sortBy(_._2).foreach { case (_, i, v) =>
+        up = math.max(0.0, up + (v - target - slack))
+        dn = math.max(0.0, dn + (target - slack - v))
+        val (gu, gd, au, ad) = out((tag, i))
+        assert(math.abs(gu - up) < 1e-9, s"up($tag,$i): got $gu want $up")
+        assert(math.abs(gd - dn) < 1e-9, s"dn($tag,$i): got $gd want $dn")
+        assert((au == 1) == (up > h), s"alarm_up($tag,$i)")
+        assert((ad == 1) == (dn > h), s"alarm_dn($tag,$i)")
+      }
+    }
+  }
+
+  test("cusum plans one exchange: all windows share the (key, order) sort") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0)).toDF("tag", "i", "v")
+    val plan = AnomalyMath.cusum(df, "v", Seq("tag"), Seq(col("i")),
+      0.0, 0.0, 1.0).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+  }
+
+  test("robustZScore centers on the median and scales by MAD") {
+    // values 1..5 + outlier 100: median 3.5? no — 1,2,3,4,5,100: med=(3+4)/2=3.5,
+    // |x-med| = 2.5,1.5,.5,.5,1.5,96.5 -> MAD = 1.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0),
+      ("a", 100.0)).toDF("tag", "v")
+    val out = AnomalyMath.robustZScore(df, "v", Seq("tag"))
+      .select("v", "robust_z").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(3.0) - 0.6745 * (3.0 - 3.5) / 1.5) < 1e-12)
+    assert(math.abs(out(100.0) - 0.6745 * 96.5 / 1.5) < 1e-12)
+    // the outlier's score stays huge BECAUSE median/MAD ignore it; a
+    // mean/stddev z-score would have been dragged to ~2.2
+    assert(out(100.0) > 40.0)
+  }
+
+  test("robustZScore yields null (not a crash) on constant keys") {
+    val df = Seq(("c", 7.0), ("c", 7.0), ("c", 7.0)).toDF("tag", "v")
+    val rows = AnomalyMath.robustZScore(df, "v", Seq("tag"))
+      .select("robust_z").collect()
+    assert(rows.forall(_.isNullAt(0)))
+  }
 }

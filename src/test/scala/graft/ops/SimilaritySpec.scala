@@ -122,6 +122,54 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"top-k recall through int8 = $recall")
   }
 
+  test("semanticDedup keeps min-id canonicals and drops within-cluster duplicates") {
+    // seeds (nSeeds=2) are vecs 1 and 2; vec 5 duplicates 1, vec 6
+    // duplicates 2, vec 7 is near-orthogonal to everything
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (5L, Array(0.99f, 0.01f, 0.0f)),
+      (6L, Array(0.01f, 0.99f, 0.0f)),
+      (7L, Array(0.5f, 0.5f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.95, nSeeds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out.keySet == Set(1L, 2L, 5L, 6L, 7L)) // every vector classified
+    assert(out(1L)._2 == 1 && out(2L)._2 == 1) // canonicals kept
+    assert(out(5L) == ((1L, 0)) && out(6L) == ((2L, 0))) // dups dropped, right cluster
+    assert(out(7L)._2 == 1) // no duplicate -> kept
+  }
+
+  test("semanticDedup invariant: every dropped vector has a kept lower-id " +
+      "duplicate in its cluster (seed and IVF assignment paths)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def check(result: org.apache.spark.sql.DataFrame, pairs: Set[(Long, Long)]): Unit = {
+      // cluster is Long on the seed path (seed id) but Int on the IVF path
+      val rows = result.collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getInt(2)))
+      val cluster = rows.map(r => r._1 -> r._2).toMap
+      val dropped = rows.filter(_._3 == 0).map(_._1).toSet
+      val kept = rows.filter(_._3 == 1).map(_._1).toSet
+      assert(dropped ++ kept == rows.map(_._1).toSet)
+      dropped.foreach { d =>
+        val partner = pairs.collect {
+          case (a, b) if b == d && cluster(a) == cluster(d) => a
+        }
+        assert(partner.nonEmpty, s"dropped $d has no lower-id duplicate partner")
+      }
+    }
+    val thr = 0.35
+    val seedPath = Similarity.semanticDedup(e, "vec_id", "embedding", thr, nSeeds = 8)
+    val exactPairs = Similarity.cosinePairs(e, "vec_id", "embedding", thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    check(seedPath, exactPairs)
+    // production path: same invariant under a fitted IVF assignment
+    val model = Similarity.fitIvf(e, "embedding", nLists = 4)
+    val ivfPath = Similarity.semanticDedupIvf(model, e, "vec_id", "embedding", thr)
+    check(ivfPath, exactPairs)
+  }
+
   test("LSH recall: bucketed pairs recover most high-cosine pairs on real data") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.35)

@@ -111,4 +111,46 @@ class TextAnalysisSpec extends SparkSpec {
     val again = TextAnalysis.langId(docs, "doc_id", "text").collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("repetitionSignals computes top-/dup-n-gram fractions (Gopher gate)") {
+    val corpus = Seq(
+      // bigrams: "a b"×3, "b a"×2 -> total 5, top 3/5, dup 5/5
+      // trigrams: "a b a"×2, "b a b"×2 -> total 4, top 2/4, dup 4/4
+      (1L, "a b a b a b"),
+      // all bigrams distinct -> top 1/4, dup 0
+      (2L, "v w x y z"),
+      // "sp sp": bigram "sp sp"×4 of 5... words: sp sp sp sp sp sp ->
+      // bigram "sp sp"×5 -> top 1.0, dup 1.0
+      (3L, "sp sp sp sp sp sp")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((0.6, 1.0, 0.5, 1.0)))
+    assert(out(2L) == ((0.25, 0.0, 0.333333, 0.0))) // round(1/3, 6)
+    assert(out(3L) == ((1.0, 1.0, 1.0, 1.0)))
+  }
+
+  test("repetitionSignals omits docs shorter than the largest n-gram order") {
+    val corpus = Seq((1L, "solo"), (2L, "two words"), (3L, "now three words"))
+      .toDF("doc_id", "text")
+    val ids = TextAnalysis.repetitionSignals(corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    // doc 1 has no bigrams, doc 2 no trigrams; only doc 3 carries both
+    assert(ids == Set(3L))
+  }
+
+  test("pseudonymize hashes stably, masks digits, and buckets numerics") {
+    val df = Seq((1L, "Customer#000000007", 123.45), (2L, "Customer#000000007", -9.99))
+      .toDF("id", "name", "bal")
+    val out = TextAnalysis.pseudonymize(df, hashCols = Seq("name"),
+        maskCols = Seq("name"), generalizeCols = Seq(("bal", 100.0)))
+      .orderBy("id").collect()
+    // same input -> same pseudonym (joinability), and it is not the input
+    assert(out(0).getAs[String]("name_pseud") == out(1).getAs[String]("name_pseud"))
+    assert(out(0).getAs[String]("name_pseud") != "Customer#000000007")
+    assert(out(0).getAs[String]("name_masked") == "Customer##########")
+    assert(out(0).getAs[Double]("bal_bucket") == 100.0)
+    assert(out(1).getAs[Double]("bal_bucket") == -100.0) // floor, not trunc
+  }
 }

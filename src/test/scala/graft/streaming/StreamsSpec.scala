@@ -207,4 +207,45 @@ class StreamsSpec extends SparkSpec {
       .collect().map(s => (s.tag, s.ts, s.z)).sortBy(x => (x._1, x._2.getTime))
     assert(streamScores.toSeq == batchScores.toSeq)
   }
+
+  test("cusumOnline is bit-identical to the batch closed form and to a " +
+      "two-batch streaming replay") {
+    val (target, slack, h) = (4.0, 0.5, 3.0)
+    // batch closed form over the same readings (tag/ts/value columns)
+    val asDf = readings.toDF()
+    val batch = graft.ops.AnomalyMath.cusum(asDf, "value", Seq("tag"),
+        Seq(col("ts"), col("value")), target, slack, h)
+      .select("tag", "ts", "cusum_up", "cusum_dn", "alarm_up", "alarm_dn")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4), r.getInt(5)))
+      .sortBy(x => (x._1, x._2.getTime))
+    // single-pass stateful form on a static Dataset
+    val online = Streams.cusumOnline(readings.toDS, target, slack, h)
+      .collect()
+      .map(d => (d.tag, d.ts, d.cusum_up, d.cusum_dn, d.alarm_up, d.alarm_dn))
+      .sortBy(x => (x._1, x._2.getTime))
+    assert(online.toSeq == batch.toSeq) // EXACT equality — micro-unit state
+    // hand check: tag a devs vs 4.5 are (-3.5, -1.5, 0.5, 2.5) ->
+    // up = 0, 0, 0.5, 3.0; dn devs vs 3.5: (2.5, 0.5, -1.5, -3.5)
+    val a = online.filter(_._1 == "a")
+    assert(a.map(_._3).toSeq == Seq(0.0, 0.0, 0.5, 3.0))
+    assert(a.map(_._4).toSeq == Seq(2.5, 3.0, 1.5, 0.0))
+    assert(a.map(_._6).toSeq == Seq(0, 0, 0, 0)) // dn never EXCEEDS h=3.0
+    // streaming replay across two batches carries state identically
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val q = Streams.cusumOnline(mem.toDS, target, slack, h)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(readings.take(3)); q.processAllAvailable()
+      mem.addData(readings.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cusum_out").as[Drifted]
+      .collect()
+      .map(d => (d.tag, d.ts, d.cusum_up, d.cusum_dn, d.alarm_up, d.alarm_dn))
+      .sortBy(x => (x._1, x._2.getTime))
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
