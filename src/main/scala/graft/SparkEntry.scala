@@ -842,6 +842,30 @@ object SparkEntry {
       .select("c_custkey", "c_name_pseud", "c_name_masked", "c_acctbal_bucket")
       .orderBy("c_custkey")
 
+  /** Blocked fuzzy entity-resolution join over customer names: candidates
+    * share a 7-digit name-prefix block; exact Levenshtein keeps pairs
+    * within 1 edit. The block equi-join bounds the quadratic (never an
+    * all-pairs product) — record linkage's standard shape.
+    */
+  private def q_join_fuzzy(s: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyPairs(T(s, dir, "customer"), "c_custkey", "c_name",
+        blockCol = substring(col("c_name"), 10, 7), maxDist = 1)
+      .orderBy("id_a", "id_b")
+
+  /** Sketch-family distinct counts: HyperLogLog++ (approx_count_distinct)
+    * beside agg_distinct's exact countDistinct. The exact form shuffles
+    * every distinct (key, value) pair; the sketch shuffles O(1) registers
+    * per key and merges — the 100 TB cardinality shape (same argument as
+    * the t-digest threshold). Spark-only: HLL register bits are
+    * engine-specific; accuracy vs exact is spec'd (CardinalitySpec).
+    */
+  private def q_agg_hll_distinct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem").groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+        approx_count_distinct("l_suppkey").as("approx_supps"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** SemDeDup-style semantic dedup over embeddings: deterministic seed
     * clusters bound the quadratic pair search; keep = min-id canonical
     * per duplicate pair. Production swaps seeds for fitIvf centroids
@@ -1057,6 +1081,8 @@ object SparkEntry {
     "text_repetition" -> (q_text_repetition _),
     "text_pii_mask" -> (q_text_pii_mask _),
     "dedup_semantic" -> (q_dedup_semantic _),
+    "join_fuzzy" -> (q_join_fuzzy _),
+    "agg_hll_distinct" -> (q_agg_hll_distinct _),
     "stream_resample" -> (q_stream_resample _),
     "stream_session" -> (q_stream_session _),
     "stream_score" -> (q_stream_score _),
@@ -1875,6 +1901,15 @@ object SparkEntry {
         |  FROM c3 GROUP BY 1)
         |SELECT m2.doc_id, top2_frac, dup2_frac, top3_frac, dup3_frac
         |FROM m2 JOIN m3 ON m2.doc_id = m3.doc_id ORDER BY m2.doc_id""".stripMargin,
+    "join_fuzzy" ->
+      """WITH c AS (SELECT c_custkey, c_name,
+        |    substr(c_name, 10, 7) AS blk FROM customer)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  a.c_name AS name_a, b.c_name AS name_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     "text_pii_mask" ->
       """SELECT c_custkey, md5(c_name) AS c_name_pseud,
         |  regexp_replace(c_name, '[0-9]', '#', 'g') AS c_name_masked,

@@ -56,6 +56,32 @@ object Dedup {
       .groupBy(md5(lower(trim(col(textCol)))).as("h"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_members"))
 
+  /** Blocked fuzzy-match pairs — the classic entity-resolution shape
+    * (record linkage): candidates share a BLOCKING key (an equi-join,
+    * never an all-pairs product — the same bound-the-quadratic move as
+    * LSH banding and SemDeDup clustering), then an exact Levenshtein
+    * re-score keeps pairs within `maxDist` edits. Recall is bounded by
+    * the blocking function — matches split across blocks are missed by
+    * design (the standard trade; run several blocking passes to tighten
+    * it). Levenshtein is a codegen'd builtin with the identical unit-cost
+    * definition in DuckDB, so the whole pipeline oracle-checks.
+    *
+    * At 100 TB: the block equi-join shuffles (block, id, name) rows only;
+    * per-block pair cost is O(block²·len²) — choose blocks like LSH
+    * buckets (hundreds of rows), and AQE's skew join splits hot blocks.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockCol: Column, maxDist: Int): DataFrame = {
+    val a = df.select(blockCol.as("blk"), col(idCol).as("id_a"),
+      col(nameCol).as("name_a"))
+    val b = df.select(blockCol.as("blk"), col(idCol).as("id_b"),
+      col(nameCol).as("name_b"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "name_a", "name_b", "dist")
+  }
+
   /** (doc, shingle) pairs in long format — input to MinHash and Jaccard.
     * Explodes ~(n_words-2) shingles per doc. `dedupe = false` skips the
     * distinct shuffle for consumers whose aggregates are duplicate-

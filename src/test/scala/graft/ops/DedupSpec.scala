@@ -140,4 +140,28 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 3L)) > 0.3 && out((1L, 3L)) < 1.0)
     assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
+
+  test("fuzzyPairs matches within blocks by edit distance, never across") {
+    import spark.implicits._
+    val people = Seq(
+      (1L, "smith, john"), (2L, "smith, jon"),   // dist 1, same block 's'
+      (3L, "smyth, john"),                       // dist 1 from #1, block 's'
+      (4L, "jones, mary"), (5L, "jones, marie"), // dist 2, block 'j'
+      (6L, "smith, john")                        // exact dup of #1, block 's'
+    ).toDF("id", "name")
+    val blk = org.apache.spark.sql.functions.substring(
+      org.apache.spark.sql.functions.col("name"), 1, 1)
+    val out = Dedup.fuzzyPairs(people, "id", "name", blk, maxDist = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(out((1L, 2L)) == 1L && out((1L, 3L)) == 1L && out((1L, 6L)) == 0L)
+    assert(out((4L, 5L)) == 2L)
+    // 2-3: "smith, jon" vs "smyth, john" = 2 edits -> present at maxDist 2
+    assert(out.contains((2L, 3L)))
+    // nothing pairs across the s/j blocks even when distance would allow it
+    assert(!out.keys.exists { case (a, b) => Set(a, b) == Set(1L, 4L) })
+    // tighter cap drops the dist-2 pairs
+    val tight = Dedup.fuzzyPairs(people, "id", "name", blk, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight == Set((1L, 2L), (1L, 3L), (1L, 6L), (2L, 6L), (3L, 6L)))
+  }
 }
