@@ -842,6 +842,26 @@ object SparkEntry {
       .select("c_custkey", "c_name_pseud", "c_name_masked", "c_acctbal_bucket")
       .orderBy("c_custkey")
 
+  /** Wide → long unpivot of lineitem's measure columns — the melt leg the
+    * reference's pandas workflow uses to move model-I/O matrices back to
+    * long series. stack() is row-local; the only exchange is the sink sort.
+    */
+  private def q_proj_unpivot(s: SparkSession, dir: String): DataFrame =
+    Timeseries.melt(T(s, dir, "lineitem"),
+        idCols = Seq("l_orderkey", "l_linenumber"),
+        valueCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        tagName = "measure", valueName = "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  /** Overlapping token-window chunking over documents (width 16, stride 8
+    * — 50% overlap): the RAG / training-window prep step, exploded by
+    * pure generator projections.
+    */
+  private def q_text_chunk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkWindows(T(s, dir, "documents"), "doc_id", "text",
+        width = 16, stride = 8)
+      .orderBy("doc_id", "chunk_id")
+
   /** Blocked fuzzy entity-resolution join over customer names: candidates
     * share a 7-digit name-prefix block; exact Levenshtein keeps pairs
     * within 1 edit. The block equi-join bounds the quadratic (never an
@@ -1083,6 +1103,8 @@ object SparkEntry {
     "dedup_semantic" -> (q_dedup_semantic _),
     "join_fuzzy" -> (q_join_fuzzy _),
     "agg_hll_distinct" -> (q_agg_hll_distinct _),
+    "proj_unpivot" -> (q_proj_unpivot _),
+    "text_chunk" -> (q_text_chunk _),
     "stream_resample" -> (q_stream_resample _),
     "stream_session" -> (q_stream_session _),
     "stream_score" -> (q_stream_score _),
@@ -1901,6 +1923,28 @@ object SparkEntry {
         |  FROM c3 GROUP BY 1)
         |SELECT m2.doc_id, top2_frac, dup2_frac, top3_frac, dup3_frac
         |FROM m2 JOIN m3 ON m2.doc_id = m3.doc_id ORDER BY m2.doc_id""".stripMargin,
+    "proj_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |  l_quantity AS value FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |  l_extendedprice FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+        |  l_discount FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+        |  l_tax FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+    "text_chunk" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |s AS (SELECT doc_id, ws,
+        |    unnest(range(1, greatest(len(ws) - 15, 1) + 1, 8)) AS strt
+        |  FROM w),
+        |k AS (SELECT doc_id, strt, ws[strt : strt + 15] AS chunk FROM s)
+        |SELECT doc_id, CAST((strt - 1) // 8 AS BIGINT) AS chunk_id,
+        |  CAST(strt AS BIGINT) AS strt,
+        |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+        |  array_to_string(chunk, ' ') AS chunk
+        |FROM k ORDER BY doc_id, chunk_id""".stripMargin,
     "join_fuzzy" ->
       """WITH c AS (SELECT c_custkey, c_name,
         |    substr(c_name, 10, 7) AS blk FROM customer)

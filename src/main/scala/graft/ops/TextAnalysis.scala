@@ -268,6 +268,32 @@ object TextAnalysis {
     perN.reduce(_.join(_, "doc_id"))
   }
 
+  /** Overlapping token-window chunking — the RAG / training-window prep
+    * step: each document explodes into fixed-`width` word windows
+    * advancing by `stride` (stride < width ⇒ overlap). Documents shorter
+    * than `width` yield one chunk of all their words. Emits (doc_id,
+    * chunk_id, strt [1-based word offset], n_tokens, chunk).
+    *
+    * Pure generator projections (sequence → posexplode → slice) — no
+    * shuffle, no UDFs; the row expansion is ~n_words/stride per doc and
+    * partition-local, so the plan scales like the scan.
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("__ws"))
+      .select(col("doc_id"), col("__ws"),
+        explode(sequence(lit(1),
+          greatest(size(col("__ws")) - (width - 1), lit(1)),
+          lit(stride))).as("strt"))
+      .withColumn("__chunk", slice(col("__ws"), col("strt"), lit(width)))
+      .select(col("doc_id"),
+        ((col("strt") - 1) / stride).cast("long").as("chunk_id"),
+        col("strt").cast("long").as("strt"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk"))
+  }
+
   /** PII-safe pseudonymization for sharing/training hygiene: identifier
     * columns become stable md5 pseudonyms (irreversible but still
     * joinable across tables — the property plain dropping loses), masked

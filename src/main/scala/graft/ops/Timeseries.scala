@@ -84,6 +84,20 @@ object Timeseries {
     if (dropIncomplete) wide.na.drop("any", tags) else wide
   }
 
+  /** Wide → long unpivot — the inverse of [[align]] (pandas `melt`): each
+    * (id…, valueCol) cell becomes a `(tagName, valueName)` row. The
+    * reference's workflow moves between wide matrices (model I/O) and
+    * long series (providers, forwarders) constantly; this is the return
+    * leg. `stack` is a narrow generator projection — row-local, no
+    * shuffle, ~|valueCols|× row expansion, pushdown-safe above it.
+    */
+  def melt(wide: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+      tagName: String = "tag", valueName: String = "value"): DataFrame = {
+    val stackArgs = valueCols.map(c => s"'$c', `$c`").mkString(", ")
+    wide.selectExpr(idCols.map(c => s"`$c`") :+
+      s"stack(${valueCols.size}, $stackArgs) AS ($tagName, $valueName)": _*)
+  }
+
   /** Dense (bucket × key) grid: every observed bucket crossed with every
     * requested key, left-joined back onto the long frame so gaps appear as
     * null rows — the precondition for KEYED ffill/interpolate (window

@@ -113,6 +113,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 4, s"curation pipeline gained a shuffle:\n$plan")
   }
 
+  test("join_fuzzy is a keyed block join, never a cartesian") {
+    val plan = planOf("join_fuzzy")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), s"expected a keyed join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"blocking degraded to all-pairs:\n$plan")
+  }
+
+  test("dedup_semantic broadcasts the seed side; the pair join keys on the cluster") {
+    val plan = planOf("dedup_semantic")
+    // seed assignment = broadcast (tiny limit-k side); within-cluster pair
+    // join = keyed equi-join (any strategy), never an unbounded cartesian
+    assert(plan.contains("BroadcastExchange"), s"seeds must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"pair stage went all-pairs:\n$plan")
+  }
+
+  test("agg_robust_zscore attaches its parameter frames by broadcast join") {
+    val plan = planOf("agg_robust_zscore")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"median/MAD frames must broadcast back:\n$plan")
+  }
+
+  test("unpivot and chunking stay narrow: no shuffle beyond the sink sort") {
+    for (name <- Seq("proj_unpivot", "text_chunk")) {
+      val plan = planOf(name)
+      val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+      assert(exchanges <= 1, s"$name gained a shuffle:\n$plan")
+    }
+  }
+
   test("autoencoder scoring stays shuffle-free column math") {
     import spark.implicits._
     val train = (1 to 50).map(i => (i * 1.0, i * 2.0)).toDF("a", "b")

@@ -140,6 +140,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ids == Set(3L))
   }
 
+  test("chunkWindows explodes overlapping word windows with short-doc fallback") {
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // 10 words, width 4 stride 2
+      (2L, "a b")                             // shorter than width -> 1 chunk
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkWindows(corpus, "doc_id", "text",
+        width = 4, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts 1,3,5,7 (last full window starts at 10-4+1=7)
+    assert(d1.map(_._3).toSeq == Seq(1L, 3L, 5L, 7L))
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L)) // chunk ids
+    assert(d1.forall(_._4 == 4L)) // every chunk full width
+    assert(d1.head._5 == "w1 w2 w3 w4")
+    assert(d1.last._5 == "w7 w8 w9 w10")
+    // 50% overlap: consecutive chunks share half their words
+    assert(d1(1)._5 == "w3 w4 w5 w6")
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._4 == 2L && d2.head._5 == "a b")
+  }
+
   test("pseudonymize hashes stably, masks digits, and buckets numerics") {
     val df = Seq((1L, "Customer#000000007", 123.45), (2L, "Customer#000000007", -9.99))
       .toDF("id", "name", "bal")

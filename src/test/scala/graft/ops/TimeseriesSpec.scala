@@ -111,4 +111,23 @@ class TimeseriesSpec extends SparkSpec {
       .orderBy("k").select("v").as[Option[Double]].collect()
     assert(out.toSeq == Seq(None, Some(1.0), Some(1.0), Some(1.0), Some(2.0)))
   }
+
+  test("melt is the exact inverse of align (wide -> long round trip)") {
+    val wide = Seq((1L, 10.0, 100.0), (2L, 20.0, 200.0))
+      .toDF("bucket", "click", "view")
+    val long = Timeseries.melt(wide, Seq("bucket"), Seq("click", "view"))
+    assert(long.columns.toSeq == Seq("bucket", "tag", "value"))
+    val rows = long.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, "click", 10.0), (1L, "view", 100.0),
+      (2L, "click", 20.0), (2L, "view", 200.0)))
+    // nulls melt to null-valued rows (kept — dropna is the caller's call)
+    val withNull = Seq((1L, Option.empty[Double], Some(5.0)))
+      .toDF("bucket", "click", "view")
+    assert(Timeseries.melt(withNull, Seq("bucket"), Seq("click", "view"))
+      .count() == 2)
+    // and the plan stays narrow: a generator projection, no Exchange
+    val plan = long.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"melt must not shuffle:\n$plan")
+  }
 }
