@@ -815,6 +815,16 @@ object SparkEntry {
         col("alarm_up"), col("alarm_dn"))
       .orderBy("event_id")
 
+  /** Rolling lag-1 autocorrelation per sensor stream over a trailing
+    * 12-reading window — correlation-structure drift detection,
+    * bit-exact via integer sufficient statistics (no rounding at all).
+    */
+  private def q_win_autocorr(s: SparkSession, dir: String): DataFrame =
+    AnomalyMath.rollingAutocorr(E(s, dir), "value", Seq("event_type"),
+        Seq(col("ts"), col("event_id")), k = 12)
+      .select("event_id", "event_type", "autocorr")
+      .orderBy("event_id")
+
   /** MAD-based robust outlier score per sensor stream — the z-score whose
     * scale estimate outliers cannot drag (50% breakdown).
     */
@@ -1097,6 +1107,7 @@ object SparkEntry {
     "win_interpolate" -> (q_win_interpolate _),
     "win_cusum" -> (q_win_cusum _),
     "stream_cusum" -> (q_stream_cusum _),
+    "win_autocorr" -> (q_win_autocorr _),
     "agg_robust_zscore" -> (q_agg_robust_zscore _),
     "text_repetition" -> (q_text_repetition _),
     "text_pii_mask" -> (q_text_pii_mask _),
@@ -1888,6 +1899,38 @@ object SparkEntry {
         |  CAST(up > CAST(200.0 AS DECIMAL(18,6)) AS INT) AS alarm_up,
         |  CAST(dn > CAST(200.0 AS DECIMAL(18,6)) AS INT) AS alarm_dn
         |FROM m ORDER BY tag, ts, value, cusum_up""".stripMargin,
+    // Rolling autocorrelation: integer sufficient statistics (exact window
+    // sums of scale-2 units, all < 2^53) + a verbatim-mirrored IEEE
+    // combination — bit-identical, no rounding. CASTs AS BIGINT keep the
+    // window sums off HUGEINT (the round-2 repr-hash lesson).
+    "win_autocorr" ->
+      """WITH e AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS kx
+        |  FROM events),
+        |l AS (SELECT event_id, event_type, t, kx,
+        |    lag(kx) OVER (PARTITION BY event_type ORDER BY t, event_id) AS ky
+        |  FROM e),
+        |s AS (SELECT event_id, event_type,
+        |    CAST(count(ky) OVER w AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN ky IS NOT NULL THEN kx END) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(ky) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(kx * ky) OVER w AS BIGINT) AS sxy,
+        |    CAST(sum(CASE WHEN ky IS NOT NULL THEN kx * kx END) OVER w AS BIGINT) AS sxx,
+        |    CAST(sum(ky * ky) OVER w AS BIGINT) AS syy
+        |  FROM l
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id
+        |    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type,
+        |  CASE WHEN n >= 2 THEN
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt(NULLIF(
+        |        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0))
+        |  END AS autocorr
+        |FROM s ORDER BY event_id""".stripMargin,
     "agg_robust_zscore" ->
       """WITH o AS (SELECT event_id, event_type, value FROM events),
         |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -237,6 +237,56 @@ object AnomalyMath {
       .drop("__cu", "__cd", "__up", "__dn")
   }
 
+  /** Rolling lag-`lagN` autocorrelation per key over a trailing `k`-row
+    * window — the sensor-health statistic that catches a stream whose
+    * CORRELATION STRUCTURE drifts while its level stays in band (a stuck
+    * sensor goes autocorr→1, a noise fault goes →0; level-based CUSUM and
+    * z-scores see neither).
+    *
+    * Numerics: values quantize once at `scale` decimals to exact integer
+    * units; every windowed sufficient statistic (n, Σx, Σy, Σxy, Σx²,
+    * Σy²) is then an exact INTEGER sum, and the Pearson combination
+    * runs the same fixed IEEE sequence on both engines — the rolling
+    * window application of the fixedPointMetrics split-sum discipline
+    * (here magnitudes stay < 2^53 outright for scale ≤ 2 and |x| ≤ 5·10⁴,
+    * so no split is needed: see the bound in the scaladoc of
+    * [[fixedPointMetrics]]). Result is bit-identical across engines,
+    * partition layouts, and window-aggregation strategies — no rounding
+    * needed. Degenerate windows (n < 2 or zero variance) yield null.
+    *
+    * One exchange: the lag and every frame aggregate share the (key,
+    * order) window spec.
+    */
+  def rollingAutocorr(df: DataFrame, valueCol: String, keyCols: Seq[String],
+      orderCols: Seq[Column], k: Int, lagN: Int = 1, scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mul = math.pow(10, scale).toLong
+    val wOrder = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    val wFrame = wOrder.rowsBetween(-(k - 1), 0)
+    val kx = (col(valueCol).cast(s"decimal(18,$scale)") * mul).cast("long")
+    val valid = col("__ky").isNotNull
+    val stats = df.withColumn("__kx", kx)
+      .withColumn("__ky", lag(col("__kx"), lagN).over(wOrder))
+      .withColumn("__n", count(col("__ky")).over(wFrame))
+      .withColumn("__sx", sum(when(valid, col("__kx"))).over(wFrame))
+      .withColumn("__sy", sum(col("__ky")).over(wFrame))
+      .withColumn("__sxy", sum(col("__kx") * col("__ky")).over(wFrame))
+      .withColumn("__sxx", sum(when(valid, col("__kx") * col("__kx"))).over(wFrame))
+      .withColumn("__syy", sum(col("__ky") * col("__ky")).over(wFrame))
+    // the combination sequence is mirrored VERBATIM in the oracle SQL —
+    // do not reassociate
+    val n = col("__n").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val num = n * col("__sxy").cast("double") - sx * sy
+    val vx = n * col("__sxx").cast("double") - sx * sx
+    val vy = n * col("__syy").cast("double") - sy * sy
+    stats
+      .withColumn("autocorr",
+        when(col("__n") >= 2, num / sqrt(nullif(vx * vy, lit(0.0)))))
+      .drop("__kx", "__ky", "__n", "__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
+
   /** Robust per-key outlier score: z = 0.6745·(x − median) / MAD, with
     * MAD = median(|x − median|) — the median-absolute-deviation scale
     * estimate that, unlike the mean/stddev z-score, is not itself dragged

@@ -115,6 +115,35 @@ class AnomalyMathSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
   }
 
+  test("rollingAutocorr: trend -> +1, alternation -> -1, constant -> null") {
+    // tag a: strictly increasing (x_t perfectly correlates with x_{t-1});
+    // tag b: alternating (perfect anti-correlation); tag c: constant
+    val rows =
+      (1 to 8).map(i => ("a", i.toLong, i * 10.0)) ++
+      (1 to 8).map(i => ("b", i.toLong, if (i % 2 == 0) 20.0 else 10.0)) ++
+      (1 to 8).map(i => ("c", i.toLong, 7.0))
+    val out = AnomalyMath.rollingAutocorr(rows.toDF("tag", "i", "v"), "v",
+        Seq("tag"), Seq(col("i")), k = 6)
+      .select("tag", "i", "autocorr").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // first row of every tag has no lag pair; second has n=1 < 2 -> null
+    Seq("a", "b", "c").foreach { t =>
+      assert(out((t, 1L)).isEmpty && out((t, 2L)).isEmpty)
+    }
+    assert(math.abs(out(("a", 8L)).get - 1.0) < 1e-9)
+    assert(math.abs(out(("b", 8L)).get + 1.0) < 1e-9)
+    assert(out(("c", 8L)).isEmpty) // zero variance -> null, not a crash
+  }
+
+  test("rollingAutocorr plans one exchange (lag + frame sums share the sort)") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0)).toDF("tag", "i", "v")
+    val plan = AnomalyMath.rollingAutocorr(df, "v", Seq("tag"), Seq(col("i")),
+      k = 3).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+  }
+
   test("robustZScore centers on the median and scales by MAD") {
     // values 1..5 + outlier 100: median 3.5? no — 1,2,3,4,5,100: med=(3+4)/2=3.5,
     // |x-med| = 2.5,1.5,.5,.5,1.5,96.5 -> MAD = 1.5
