@@ -872,6 +872,13 @@ object SparkEntry {
         width = 16, stride = 8)
       .orderBy("doc_id", "chunk_id")
 
+  /** Language-diversity audit per source — Gini-Simpson index, exact
+    * rational arithmetic (no ln), bit-identical across engines.
+    */
+  private def q_agg_diversity(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.diversity(T(s, dir, "documents"), "source", "lang")
+      .orderBy("source")
+
   /** Blocked fuzzy entity-resolution join over customer names: candidates
     * share a 7-digit name-prefix block; exact Levenshtein keeps pairs
     * within 1 edit. The block equi-join bounds the quadratic (never an
@@ -1116,6 +1123,7 @@ object SparkEntry {
     "agg_hll_distinct" -> (q_agg_hll_distinct _),
     "proj_unpivot" -> (q_proj_unpivot _),
     "text_chunk" -> (q_text_chunk _),
+    "agg_diversity" -> (q_agg_diversity _),
     "stream_resample" -> (q_stream_resample _),
     "stream_session" -> (q_stream_session _),
     "stream_score" -> (q_stream_score _),
@@ -1988,6 +1996,17 @@ object SparkEntry {
         |  CAST(len(chunk) AS BIGINT) AS n_tokens,
         |  array_to_string(chunk, ' ') AS chunk
         |FROM k ORDER BY doc_id, chunk_id""".stripMargin,
+    "agg_diversity" ->
+      """WITH g AS (SELECT source, lang, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_classes,
+        |    CAST(sum(c * c) AS BIGINT) AS sc2
+        |  FROM g GROUP BY 1)
+        |SELECT source, n_docs, n_classes,
+        |  CAST(n_docs * n_docs - sc2 AS DOUBLE)
+        |    / CAST(n_docs * n_docs AS DOUBLE) AS gini_simpson
+        |FROM a ORDER BY source""".stripMargin,
     "join_fuzzy" ->
       """WITH c AS (SELECT c_custkey, c_name,
         |    substr(c_name, 10, 7) AS blk FROM customer)

@@ -314,6 +314,27 @@ object TextAnalysis {
     }
   }
 
+  /** Corpus diversity audit per group — the before/after-curation check
+    * that a filtering pipeline did not collapse a source onto one
+    * language (or one domain): Gini-Simpson index 1 − Σ(c/n)² (the
+    * probability two random docs differ in class). Deliberately NOT
+    * Shannon entropy: with integer class counts the index is pure
+    * rational arithmetic — (n² − Σc²)/n², bit-identical across engines —
+    * while entropy hangs cross-engine equality on `ln` ulp agreement.
+    *
+    * Two chained hash-aggs on (group, class) then (group) — map-side
+    * partials, no windows, no skew (class cardinality per group is tiny).
+    */
+  def diversity(docs: DataFrame, groupCol: String, classCol: String): DataFrame =
+    docs.groupBy(col(groupCol), col(classCol)).agg(count(lit(1)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("c")).as("__n"), count(lit(1)).as("n_classes"),
+        sum(col("c") * col("c")).as("__sc2"))
+      .select(col(groupCol),
+        col("__n").as("n_docs"), col("n_classes"),
+        ((col("__n") * col("__n") - col("__sc2")).cast("double") /
+          (col("__n") * col("__n")).cast("double")).as("gini_simpson"))
+
   /** Corpus reporting: top-k terms per group (language) by DOCUMENT
     * frequency — the vocabulary audit a curation pipeline runs before and
     * after filtering. `array_distinct` before the explode makes the count

@@ -110,6 +110,26 @@ object Streams {
     * Streaming analogue of the reference's DiffBasedAnomalyDetector
     * pipeline (`model/anomaly/diff.py`): scale → score → threshold.
     */
+  /** Stream → store sink: route each micro-batch of the canonical long
+    * format through a [[graft.sources.TimeSeriesWriter]] via foreachBatch
+    * — the streaming leg of the connector contract (the reference's
+    * forwarder shape with incremental semantics). Delivery is
+    * at-least-once per micro-batch (foreachBatch may retry); compose with
+    * [[dedup]] upstream or an idempotent store (Influx point overwrite is)
+    * for effectively-once. The writer runs its own executor-parallel
+    * write path (foreachPartition / parquet append) inside each batch —
+    * nothing funnels through the driver.
+    */
+  def sinkTo(long: DataFrame, writer: graft.sources.TimeSeriesWriter,
+      checkpointDir: String, queryName: String = "graft_sink")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    long.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) => writer.write(batch) }
+      .start()
+
   /** Online CUSUM drift detection per tag — the genuinely-streaming form
     * of `AnomalyMath.cusum` (the batch closed form needs unbounded-history
     * running windows, which Structured Streaming cannot run): the textbook

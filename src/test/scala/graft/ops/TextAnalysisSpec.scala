@@ -140,6 +140,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ids == Set(3L))
   }
 
+  test("diversity: Gini-Simpson is 0 for monoculture, rises with balance") {
+    val corpus = Seq(
+      ("mono", "en"), ("mono", "en"), ("mono", "en"), ("mono", "en"),
+      ("flat", "en"), ("flat", "de"), ("flat", "fr"), ("flat", "zh"),
+      ("half", "en"), ("half", "en"), ("half", "de"), ("half", "de")
+    ).toDF("source", "lang")
+    val out = TextAnalysis.diversity(corpus, "source", "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("mono") == ((4L, 1L, 0.0)))
+    assert(out("flat") == ((4L, 4L, 0.75))) // 1 - 4/16
+    assert(out("half") == ((4L, 2L, 0.5)))  // 1 - 8/16
+  }
+
   test("chunkWindows explodes overlapping word windows with short-doc fallback") {
     val corpus = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // 10 words, width 4 stride 2

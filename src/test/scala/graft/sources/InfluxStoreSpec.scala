@@ -43,6 +43,33 @@ class InfluxStoreSpec extends SparkSpec {
     } finally em.stop()
   }
 
+  test("streaming sinkTo forwards micro-batches through the live HTTP store") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val em = new InfluxEmulator().start()
+    try {
+      val store = new InfluxStore(s"http://127.0.0.1:${em.boundPort}", "graft", "stream_m")
+      implicit val sq = spark.sqlContext
+      val mem = MemoryStream[graft.streaming.Reading]
+      val ckpt = java.nio.file.Files.createTempDirectory("sink_ckpt").toString
+      val q = graft.streaming.Streams.sinkTo(
+        mem.toDF().select(col("ts"), col("tag"), col("value")), store, ckpt)
+      try {
+        mem.addData(graft.streaming.Reading("a", ts("2024-01-01 00:00:00"), 1.0))
+        q.processAllAvailable()
+        mem.addData(graft.streaming.Reading("a", ts("2024-01-01 00:01:00"), 2.0),
+          graft.streaming.Reading("b", ts("2024-01-01 00:02:00"), 3.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      // every micro-batch crossed the socket; read the union back
+      val out = store.loadSeries(spark, Seq("a", "b"),
+          ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"))
+        .orderBy("ts").collect()
+        .map(r => (r.getString(1), r.getDouble(2))).toSeq
+      assert(out == Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)))
+    } finally em.stop()
+  }
+
   test("second write appends; absent measurement and dead server behave") {
     import spark.implicits._
     val em = new InfluxEmulator().start()
