@@ -951,6 +951,21 @@ object SparkEntry {
       .orderBy("tag", "ts", "value", "cusum_up")
   }
 
+  /** Streaming rolling autocorrelation in batch replay — bit-identical to
+    * the batch closed form (exact integer ring-buffer state), so it
+    * carries a full oracle like stream_cusum. The nullable autocorr sort
+    * key is pinned NULLS FIRST on both engines.
+    */
+  private def q_stream_autocorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val readings = E(s, dir)
+      .select(col("event_type").as("tag"), col("ts"), col("value"))
+      .as[graft.streaming.Reading]
+    graft.streaming.Streams.autocorrOnline(readings, k = 12)
+      .toDF()
+      .orderBy(col("tag"), col("ts"), col("value"), col("autocorr"))
+  }
+
   private def q_stream_score(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val readings = E(s, dir)
@@ -1115,6 +1130,7 @@ object SparkEntry {
     "win_cusum" -> (q_win_cusum _),
     "stream_cusum" -> (q_stream_cusum _),
     "win_autocorr" -> (q_win_autocorr _),
+    "stream_autocorr" -> (q_stream_autocorr _),
     "agg_robust_zscore" -> (q_agg_robust_zscore _),
     "text_repetition" -> (q_text_repetition _),
     "text_pii_mask" -> (q_text_pii_mask _),
@@ -1939,6 +1955,38 @@ object SparkEntry {
         |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0))
         |  END AS autocorr
         |FROM s ORDER BY event_id""".stripMargin,
+    // Streaming autocorrelation (batch replay): same integer stats keyed
+    // by tag and ordered by (ts, value) — the stateful operator's
+    // processing order. autocorr joins the sort key (NULLS FIRST on both
+    // engines) to pin exact-duplicate readings' outputs.
+    "stream_autocorr" ->
+      """WITH e AS (SELECT event_type AS tag, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS kx
+        |  FROM events),
+        |l AS (SELECT tag, ts, value, kx,
+        |    lag(kx) OVER (PARTITION BY tag ORDER BY ts, value) AS ky
+        |  FROM e),
+        |s AS (SELECT tag, ts, value,
+        |    CAST(count(ky) OVER w AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN ky IS NOT NULL THEN kx END) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(ky) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(kx * ky) OVER w AS BIGINT) AS sxy,
+        |    CAST(sum(CASE WHEN ky IS NOT NULL THEN kx * kx END) OVER w AS BIGINT) AS sxx,
+        |    CAST(sum(ky * ky) OVER w AS BIGINT) AS syy
+        |  FROM l
+        |  WINDOW w AS (PARTITION BY tag ORDER BY ts, value
+        |    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+        |SELECT tag, ts, value,
+        |  CASE WHEN n >= 2 THEN
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt(NULLIF(
+        |        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0))
+        |  END AS autocorr
+        |FROM s ORDER BY tag, ts, value, autocorr NULLS FIRST""".stripMargin,
     "agg_robust_zscore" ->
       """WITH o AS (SELECT event_id, event_type, value FROM events),
         |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med

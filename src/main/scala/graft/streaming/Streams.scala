@@ -19,6 +19,15 @@ case class Scored(tag: String, ts: java.sql.Timestamp, value: Double,
 /** Clamped CUSUM sums in exact micro-units (longs) — see Streams.cusumOnline. */
 case class CusumState(up: Long, dn: Long)
 
+/** Trailing window of quantized readings — see Streams.autocorrOnline. */
+case class AcBuf(vals: Seq[Long])
+
+/** A reading with its rolling autocorrelation (None until the window has
+  * two lag pairs or while variance is zero).
+  */
+case class AutoCorrScored(tag: String, ts: java.sql.Timestamp, value: Double,
+    autocorr: Option[Double])
+
 /** A drift-scored reading: the clamped CUSUM excursions AFTER this reading. */
 case class Drifted(tag: String, ts: java.sql.Timestamp, value: Double,
     cusum_up: Double, cusum_dn: Double, alarm_up: Int, alarm_dn: Int)
@@ -168,6 +177,57 @@ object Streams {
               if (s.up > hMicros) 1 else 0, if (s.dn > hMicros) 1 else 0)
           }
           state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Online rolling lag-1 autocorrelation per tag — the streaming twin of
+    * `AnomalyMath.rollingAutocorr`, bit-identical to it: state is the
+    * trailing k+1 readings quantized to exact `scale`-decimal integer
+    * units (the same HALF_UP quantization as the batch DECIMAL cast), the
+    * integer sufficient statistics are recomputed per arrival (O(k), k is
+    * small), and the Pearson combination runs the same IEEE sequence.
+    * O(k) state per tag.
+    */
+  def autocorrOnline(readings: Dataset[Reading], k: Int,
+      scale: Int = 2): Dataset[AutoCorrScored] = {
+    import readings.sparkSession.implicits._
+    val mul = java.math.BigDecimal.TEN.pow(scale)
+    readings
+      .groupByKey(_.tag)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tag: String, it: Iterator[Reading],
+         state: org.apache.spark.sql.streaming.GroupState[AcBuf]) =>
+          var buf = state.getOption.map(_.vals.toVector).getOrElse(Vector.empty[Long])
+          val out = it.toSeq.sortBy(r => (r.ts.getTime, r.ts.getNanos, r.value)).map { r =>
+            val kx = java.math.BigDecimal.valueOf(r.value)
+              .setScale(scale, java.math.RoundingMode.HALF_UP)
+              .multiply(mul).longValueExact
+            buf = (buf :+ kx).takeRight(k + 1)
+            // pairs (x_{i-1}, x_i) over the trailing window — the same
+            // (n, Σx, Σy, Σxy, Σx², Σy²) the batch frame aggregates yield
+            val pairs = buf.sliding(2).collect { case Vector(y, x) => (x, y) }.toVector
+            val n = pairs.length.toLong
+            val ac =
+              if (n < 2) None
+              else {
+                var sxL = 0L; var syL = 0L; var sxyL = 0L; var sxxL = 0L; var syyL = 0L
+                pairs.foreach { case (x, y) =>
+                  sxL += x; syL += y; sxyL += x * y; sxxL += x * x; syyL += y * y
+                }
+                // mirror the batch combination VERBATIM (long→double casts
+                // first, then the same multiply/subtract order)
+                val nD = n.toDouble
+                val sx = sxL.toDouble; val sy = syL.toDouble
+                val num = nD * sxyL.toDouble - sx * sy
+                val vx = nD * sxxL.toDouble - sx * sx
+                val vy = nD * syyL.toDouble - sy * sy
+                val den2 = vx * vy
+                if (den2 == 0.0) None else Some(num / math.sqrt(den2))
+              }
+            AutoCorrScored(tag, r.ts, r.value, ac)
+          }
+          state.update(AcBuf(buf))
           out.iterator
       }
   }

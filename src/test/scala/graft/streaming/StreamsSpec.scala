@@ -208,6 +208,38 @@ class StreamsSpec extends SparkSpec {
     assert(streamScores.toSeq == batchScores.toSeq)
   }
 
+  test("autocorrOnline is bit-identical to the batch rolling autocorrelation " +
+      "and to a two-batch streaming replay") {
+    val batch = graft.ops.AnomalyMath.rollingAutocorr(readings.toDF(), "value",
+        Seq("tag"), Seq(col("ts"), col("value")), k = 3)
+      .select("tag", "ts", "autocorr").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(x => (x._1, x._2.getTime))
+    val online = Streams.autocorrOnline(readings.toDS, k = 3)
+      .collect().map(d => (d.tag, d.ts, d.autocorr))
+      .sortBy(x => (x._1, x._2.getTime))
+    assert(online.toSeq == batch.toSeq) // EXACT — same integer stats + IEEE ops
+    // tag a is strictly increasing -> once enough pairs exist, autocorr = 1
+    val a = online.filter(_._1 == "a")
+    assert(a.take(2).forall(_._3.isEmpty)) // 0 then 1 pair -> undefined
+    assert(a.drop(2).forall(v => math.abs(v._3.get - 1.0) < 1e-9))
+    // two-batch streaming replay carries the ring buffer identically
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val q = Streams.autocorrOnline(mem.toDS, k = 3)
+      .writeStream.format("memory").queryName("ac_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(readings.take(3)); q.processAllAvailable()
+      mem.addData(readings.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ac_out").as[AutoCorrScored]
+      .collect().map(d => (d.tag, d.ts, d.autocorr))
+      .sortBy(x => (x._1, x._2.getTime))
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("cusumOnline is bit-identical to the batch closed form and to a " +
       "two-batch streaming replay") {
     val (target, slack, h) = (4.0, 0.5, 3.0)
