@@ -948,7 +948,10 @@ object SparkEntry {
       // same lossless grid rounding as win_cusum (DuckDB cast ulp)
       .withColumn("cusum_up", round(col("cusum_up"), 6))
       .withColumn("cusum_dn", round(col("cusum_dn"), 6))
-      .orderBy("tag", "ts", "value", "cusum_up")
+      // BOTH cusum columns join the sort: a duplicate reading whose up
+      // side stays clamped at 0 still differs on the down side, and the
+      // sort must be a total order for the hash compare
+      .orderBy("tag", "ts", "value", "cusum_up", "cusum_dn")
   }
 
   /** Streaming rolling autocorrelation in batch replay — bit-identical to
@@ -1922,7 +1925,7 @@ object SparkEntry {
         |  round(CAST(dn AS DOUBLE), 6) AS cusum_dn,
         |  CAST(up > CAST(200.0 AS DECIMAL(18,6)) AS INT) AS alarm_up,
         |  CAST(dn > CAST(200.0 AS DECIMAL(18,6)) AS INT) AS alarm_dn
-        |FROM m ORDER BY tag, ts, value, cusum_up""".stripMargin,
+        |FROM m ORDER BY tag, ts, value, cusum_up, cusum_dn""".stripMargin,
     // Rolling autocorrelation: integer sufficient statistics (exact window
     // sums of scale-2 units, all < 2^53) + a verbatim-mirrored IEEE
     // combination — bit-identical, no rounding. CASTs AS BIGINT keep the
@@ -2052,8 +2055,10 @@ object SparkEntry {
         |    CAST(sum(c * c) AS BIGINT) AS sc2
         |  FROM g GROUP BY 1)
         |SELECT source, n_docs, n_classes,
-        |  CAST(n_docs * n_docs - sc2 AS DOUBLE)
-        |    / CAST(n_docs * n_docs AS DOUBLE) AS gini_simpson
+        |  (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)
+        |     - CAST(sc2 AS DOUBLE))
+        |    / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+        |    AS gini_simpson
         |FROM a ORDER BY source""".stripMargin,
     "join_fuzzy" ->
       """WITH c AS (SELECT c_custkey, c_name,

@@ -332,8 +332,14 @@ object TextAnalysis {
         sum(col("c") * col("c")).as("__sc2"))
       .select(col(groupCol),
         col("__n").as("n_docs"), col("n_classes"),
-        ((col("__n") * col("__n") - col("__sc2")).cast("double") /
-          (col("__n") * col("__n")).cast("double")).as("gini_simpson"))
+        // long→double BEFORE the squares: n² in LongType overflows past
+        // ~3·10⁹ docs per group (ANSI crash at 100 TB scale); the double
+        // product is exact at test scale and deterministically rounded
+        // identically on both engines beyond it
+        ((col("__n").cast("double") * col("__n").cast("double") -
+            col("__sc2").cast("double")) /
+          (col("__n").cast("double") * col("__n").cast("double")))
+          .as("gini_simpson"))
 
   /** Corpus reporting: top-k terms per group (language) by DOCUMENT
     * frequency — the vocabulary audit a curation pipeline runs before and

@@ -88,15 +88,15 @@ object Timeseries {
     * (id…, valueCol) cell becomes a `(tagName, valueName)` row. The
     * reference's workflow moves between wide matrices (model I/O) and
     * long series (providers, forwarders) constantly; this is the return
-    * leg. `stack` is a narrow generator projection — row-local, no
-    * shuffle, ~|valueCols|× row expansion, pushdown-safe above it.
+    * leg. Delegates to Spark's built-in `Dataset.unpivot` (an Expand
+    * node: row-local, no shuffle, ~|valueCols|× row expansion) — columns
+    * are passed as Columns, so names with quotes/keywords cannot break a
+    * generated SQL string.
     */
   def melt(wide: DataFrame, idCols: Seq[String], valueCols: Seq[String],
-      tagName: String = "tag", valueName: String = "value"): DataFrame = {
-    val stackArgs = valueCols.map(c => s"'$c', `$c`").mkString(", ")
-    wide.selectExpr(idCols.map(c => s"`$c`") :+
-      s"stack(${valueCols.size}, $stackArgs) AS ($tagName, $valueName)": _*)
-  }
+      tagName: String = "tag", valueName: String = "value"): DataFrame =
+    wide.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
+      tagName, valueName)
 
   /** Dense (bucket × key) grid: every observed bucket crossed with every
     * requested key, left-joined back onto the long frame so gaps appear as
