@@ -56,6 +56,68 @@ class PropertiesSpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("cusum closed form equals the clamped recursion on random series") {
+    // 2-decimal values (the operator's quantization precondition)
+    val seriesGen = Gen.nonEmptyListOf(
+      Gen.choose(-50000, 50000).map(_ / 100.0)).map(_.take(40))
+    val paramGen = for {
+      target <- Gen.choose(-100, 100).map(_ / 10.0)
+      slack <- Gen.choose(0, 50).map(_ / 10.0)
+    } yield (target, slack)
+    check(Prop.forAll(seriesGen, paramGen) { case (vs, (target, slack)) =>
+      val df = vs.zipWithIndex.map { case (v, i) => ("t", i.toLong, v) }
+        .toDF("tag", "i", "v")
+      val got = AnomalyMath.cusum(df, "v", Seq("tag"), Seq(col("i")),
+          target, slack, h = 1.0)
+        .select("i", "cusum_up", "cusum_dn").collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      // reference recursion over the SAME quantized units the operator uses
+      def q(d: Double): Long = java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue.longValueExact
+      var up = 0L; var dn = 0L
+      vs.zipWithIndex.forall { case (v, i) =>
+        up = math.max(0L, up + (q(v) - q(target + slack)))
+        dn = math.max(0L, dn + (q(target - slack) - q(v)))
+        got(i.toLong) == ((up / 1e6, dn / 1e6))
+      }
+    }, n = 15)
+  }
+
+  test("rollingAutocorr equals a direct Pearson over the trailing pairs") {
+    val seriesGen = Gen.listOfN(20, Gen.choose(-50000, 50000).map(_ / 100.0))
+    check(Prop.forAll(seriesGen, Gen.choose(2, 8)) { (vs, k) =>
+      val df = vs.zipWithIndex.map { case (v, i) => ("t", i.toLong, v) }
+        .toDF("tag", "i", "v")
+      val got = AnomalyMath.rollingAutocorr(df, "v", Seq("tag"), Seq(col("i")), k)
+        .select("i", "autocorr").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      def q(d: Double): Long = java.math.BigDecimal.valueOf(d)
+        .setScale(2, java.math.RoundingMode.HALF_UP).unscaledValue.longValueExact
+      val ks = vs.map(q)
+      vs.indices.forall { t =>
+        // pairs (x_{i-1}, x_i) for rows i in the trailing k-row frame
+        val pairs = (math.max(1, t - k + 1) to t).map(i => (ks(i - 1), ks(i)))
+        val n = pairs.length.toDouble
+        val expected =
+          if (pairs.length < 2) None
+          else {
+            val sx = pairs.map(_._2).sum.toDouble // x = current row's value
+            val sy = pairs.map(_._1).sum.toDouble
+            val num = n * pairs.map(p => p._1 * p._2).sum.toDouble - sx * sy
+            val vx = n * pairs.map(p => p._2 * p._2).sum.toDouble - sx * sx
+            val vy = n * pairs.map(p => p._1 * p._1).sum.toDouble - sy * sy
+            if (vx * vy == 0.0) None else Some(num / math.sqrt(vx * vy))
+          }
+        (got(t.toLong), expected) match {
+          case (None, None) => true
+          case (Some(g), Some(e)) => math.abs(g - e) < 1e-9
+          case _ => false
+        }
+      }
+    }, n = 15)
+  }
+
   test("duplicateClusters equals union-find components on random pair graphs") {
     // local union-find reference with path compression
     def components(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
