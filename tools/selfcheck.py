@@ -32,6 +32,25 @@ for name, sql in sorted(oracle.items()):
     if ocols != scols:
         fails.append((name, f"cols oracle={ocols} spark={scols}")); continue
     ok = True
+    # dtype-KIND parity: the driver hashes string repr of values, so an
+    # int64 Spark column against a float64/object oracle column ("5" vs
+    # "5.0") hash-mismatches even when every value compares equal — the
+    # round-2 failure mode (uncast DuckDB HUGEINT). The value compare
+    # below coerces and cannot see it; catch it here.
+    def kind(dt):
+        if np.issubdtype(dt, np.datetime64): return "ts"
+        if dt == object: return "obj"
+        if np.issubdtype(dt, np.bool_): return "bool"
+        if np.issubdtype(dt, np.integer): return "int"
+        if np.issubdtype(dt, np.floating): return "float"
+        return str(dt)
+    for c in ocols:
+        ka, kb = kind(odf[c].dtype), kind(sdf[c].dtype)
+        if ka != kb:
+            fails.append((name, f"col {c} dtype kind oracle={ka}({odf[c].dtype}) "
+                          f"spark={kb}({sdf[c].dtype})")); ok = False; break
+    if not ok:
+        continue
     for c in ocols:
         a, b = odf[c].reset_index(drop=True), sdf[c].reset_index(drop=True)
         if np.issubdtype(a.dtype, np.datetime64) or np.issubdtype(b.dtype, np.datetime64):
