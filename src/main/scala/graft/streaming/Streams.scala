@@ -22,6 +22,13 @@ case class CusumState(up: Long, dn: Long)
 /** Trailing window of quantized readings — see Streams.autocorrOnline. */
 case class AcBuf(vals: Seq[Long])
 
+/** EWMA carry-over — see Streams.ewmaOnline. */
+case class EwmaState(ewma: Double)
+
+/** A reading with its exponentially-weighted moving average. */
+case class Smoothed(tag: String, ts: java.sql.Timestamp, value: Double,
+    ewma: Double)
+
 /** A reading with its rolling autocorrelation (None until the window has
   * two lag pairs or while variance is zero).
   */
@@ -177,6 +184,36 @@ object Streams {
               if (s.up > hMicros) 1 else 0, if (s.dn > hMicros) 1 else 0)
           }
           state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Online EWMA smoothing per tag — the streaming form of the score
+    * smoothing later gordo versions apply before thresholding (the batch
+    * analogue is `AnomalyMath.smooth`'s trailing mean; EWMA is its
+    * exponential cousin and a TRUE recursion, s_t = α·x_t + (1−α)·s_{t−1},
+    * so unbounded-history batch windows cannot express it — state can).
+    * Seeded with the first reading (s_1 = x_1, the pandas
+    * `ewm(adjust=False)` convention). O(1) state per tag.
+    */
+  def ewmaOnline(readings: Dataset[Reading], alpha: Double): Dataset[Smoothed] = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.tag)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tag: String, it: Iterator[Reading],
+         state: org.apache.spark.sql.streaming.GroupState[EwmaState]) =>
+          var s = state.getOption
+          val out = it.toSeq.sortBy(r => (r.ts.getTime, r.ts.getNanos, r.value)).map { r =>
+            val next = s match {
+              case None => r.value
+              case Some(EwmaState(prev)) => alpha * r.value + (1.0 - alpha) * prev
+            }
+            s = Some(EwmaState(next))
+            Smoothed(tag, r.ts, r.value, next)
+          }
+          s.foreach(state.update)
           out.iterator
       }
   }

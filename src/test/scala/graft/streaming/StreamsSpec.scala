@@ -208,6 +208,33 @@ class StreamsSpec extends SparkSpec {
     assert(streamScores.toSeq == batchScores.toSeq)
   }
 
+  test("ewmaOnline follows the adjust=False recursion and survives replay") {
+    val alpha = 0.5
+    val batch = Streams.ewmaOnline(readings.toDS, alpha)
+      .collect().map(d => (d.tag, d.ts, d.ewma)).sortBy(x => (x._1, x._2.getTime))
+    // hand recursion per tag, seeded with the first value
+    val expected = readings.groupBy(_.tag).toSeq.flatMap { case (tag, rs) =>
+      val sorted = rs.sortBy(_.ts.getTime)
+      sorted.tail.scanLeft((tag, sorted.head.ts, sorted.head.value)) {
+        case ((_, _, prev), r) => (tag, r.ts, alpha * r.value + (1 - alpha) * prev)
+      }
+    }.sortBy(x => (x._1, x._2.getTime))
+    assert(batch.toSeq == expected)
+    // streaming replay across two batches carries the state
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val q = Streams.ewmaOnline(mem.toDS, alpha)
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(readings.take(3)); q.processAllAvailable()
+      mem.addData(readings.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ewma_out").as[Smoothed]
+      .collect().map(d => (d.tag, d.ts, d.ewma)).sortBy(x => (x._1, x._2.getTime))
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("autocorrOnline is bit-identical to the batch rolling autocorrelation " +
       "and to a two-batch streaming replay") {
     val batch = graft.ops.AnomalyMath.rollingAutocorr(readings.toDF(), "value",
