@@ -934,8 +934,9 @@ object SparkEntry {
   /** Streaming CUSUM in batch replay — bit-identical to the batch closed
     * form (exact micro-unit state), so it carries a full oracle. Ties on
     * (tag, ts, value) are exact duplicate readings whose outputs form the
-    * same multiset under any processing order; cusum_up in the final sort
-    * makes the sequence deterministic for hashing.
+    * same multiset under any processing order; BOTH cusum columns join
+    * the final sort because either side alone can stay clamped at 0
+    * across a duplicate pair — only the pair of scores is a total order.
     */
   private def q_stream_cusum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1902,8 +1903,9 @@ object SparkEntry {
     // Streaming CUSUM (batch replay): the same decimal-exact closed form,
     // keyed by tag and ordered by (ts, value) — the processing order the
     // stateful operator sorts each group by. Exact (tag, ts, value)
-    // duplicates yield the same output multiset under either order;
-    // cusum_up in the final sort pins the sequence.
+    // duplicates yield the same output multiset under either order; BOTH
+    // cusum columns join the final sort (either side alone can stay
+    // clamped at 0 across a duplicate pair — not a total order).
     "stream_cusum" ->
       """WITH e AS (SELECT event_type AS tag, CAST(ts AS TIMESTAMP) AS ts, value,
         |    CAST(value AS DECIMAL(18,6)) - CAST(55.0 AS DECIMAL(18,6)) AS dev_up,
@@ -2052,11 +2054,10 @@ object SparkEntry {
         |  FROM documents GROUP BY 1, 2),
         |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
         |    CAST(count(*) AS BIGINT) AS n_classes,
-        |    CAST(sum(c * c) AS BIGINT) AS sc2
+        |    sum(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) AS sc2
         |  FROM g GROUP BY 1)
         |SELECT source, n_docs, n_classes,
-        |  (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)
-        |     - CAST(sc2 AS DOUBLE))
+        |  (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) - sc2)
         |    / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
         |    AS gini_simpson
         |FROM a ORDER BY source""".stripMargin,

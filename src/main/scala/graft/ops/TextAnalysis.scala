@@ -318,9 +318,16 @@ object TextAnalysis {
     * that a filtering pipeline did not collapse a source onto one
     * language (or one domain): Gini-Simpson index 1 − Σ(c/n)² (the
     * probability two random docs differ in class). Deliberately NOT
-    * Shannon entropy: with integer class counts the index is pure
-    * rational arithmetic — (n² − Σc²)/n², bit-identical across engines —
-    * while entropy hangs cross-engine equality on `ln` ulp agreement.
+    * Shannon entropy: the index needs no transcendental function, so
+    * cross-engine equality never hangs on `ln` ulp agreement — every
+    * term is an integer-valued double (sums of which are EXACT and
+    * order-independent below 2^53) and the combination is one short
+    * IEEE sequence mirrored verbatim in the oracle SQL.
+    *
+    * Overflow discipline: both c² and n² move to double BEFORE the
+    * multiply — in LongType either overflows once one class holds
+    * ~3·10⁹ docs (an ANSI crash at exactly the curation-collapse scale
+    * this operator exists to detect).
     *
     * Two chained hash-aggs on (group, class) then (group) — map-side
     * partials, no windows, no skew (class cardinality per group is tiny).
@@ -329,15 +336,11 @@ object TextAnalysis {
     docs.groupBy(col(groupCol), col(classCol)).agg(count(lit(1)).as("c"))
       .groupBy(col(groupCol))
       .agg(sum(col("c")).as("__n"), count(lit(1)).as("n_classes"),
-        sum(col("c") * col("c")).as("__sc2"))
+        sum(col("c").cast("double") * col("c").cast("double")).as("__sc2"))
       .select(col(groupCol),
         col("__n").as("n_docs"), col("n_classes"),
-        // long→double BEFORE the squares: n² in LongType overflows past
-        // ~3·10⁹ docs per group (ANSI crash at 100 TB scale); the double
-        // product is exact at test scale and deterministically rounded
-        // identically on both engines beyond it
         ((col("__n").cast("double") * col("__n").cast("double") -
-            col("__sc2").cast("double")) /
+            col("__sc2")) /
           (col("__n").cast("double") * col("__n").cast("double")))
           .as("gini_simpson"))
 

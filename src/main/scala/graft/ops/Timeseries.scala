@@ -91,12 +91,16 @@ object Timeseries {
     * leg. Delegates to Spark's built-in `Dataset.unpivot` (an Expand
     * node: row-local, no shuffle, ~|valueCols|× row expansion) — columns
     * are passed as Columns, so names with quotes/keywords cannot break a
-    * generated SQL string.
+    * generated SQL string. Names are backtick-quoted on the way in:
+    * tag-derived wide columns routinely contain dots ("1000.temp"),
+    * which a bare col() would parse as a struct-field path.
     */
   def melt(wide: DataFrame, idCols: Seq[String], valueCols: Seq[String],
-      tagName: String = "tag", valueName: String = "value"): DataFrame =
-    wide.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
+      tagName: String = "tag", valueName: String = "value"): DataFrame = {
+    def q(c: String) = col(s"`$c`")
+    wide.unpivot(idCols.map(q).toArray, valueCols.map(q).toArray,
       tagName, valueName)
+  }
 
   /** Dense (bucket × key) grid: every observed bucket crossed with every
     * requested key, left-joined back onto the long frame so gaps appear as

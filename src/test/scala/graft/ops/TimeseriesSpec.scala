@@ -129,5 +129,12 @@ class TimeseriesSpec extends SparkSpec {
     // and the plan stays narrow: a generator projection, no Exchange
     val plan = long.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"melt must not shuffle:\n$plan")
+    // tag-derived wide columns routinely contain dots — they must melt as
+    // literal names, not parse as struct-field paths
+    val dotted = Seq((1L, 2.0, 3.0)).toDF("bucket", "1000.temp", "1000.press")
+    val dottedRows = Timeseries.melt(dotted, Seq("bucket"),
+        Seq("1000.temp", "1000.press"))
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSet
+    assert(dottedRows == Set(("1000.temp", 2.0), ("1000.press", 3.0)))
   }
 }

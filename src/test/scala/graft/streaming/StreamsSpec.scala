@@ -210,15 +210,22 @@ class StreamsSpec extends SparkSpec {
 
   test("ewmaOnline follows the adjust=False recursion and survives replay") {
     val alpha = 0.5
+    // total-order sort key incl. value AND score: the fixture has no
+    // (tag, ts) ties today, but the spec must not start failing if it
+    // gains one (the operator's processing order is (ts, nanos, value))
+    def key(x: (String, Timestamp, Double, Double)) =
+      (x._1, x._2.getTime, x._3, x._4)
     val batch = Streams.ewmaOnline(readings.toDS, alpha)
-      .collect().map(d => (d.tag, d.ts, d.ewma)).sortBy(x => (x._1, x._2.getTime))
-    // hand recursion per tag, seeded with the first value
+      .collect().map(d => (d.tag, d.ts, d.value, d.ewma)).sortBy(key)
+    // hand recursion per tag in the operator's own processing order
     val expected = readings.groupBy(_.tag).toSeq.flatMap { case (tag, rs) =>
-      val sorted = rs.sortBy(_.ts.getTime)
-      sorted.tail.scanLeft((tag, sorted.head.ts, sorted.head.value)) {
-        case ((_, _, prev), r) => (tag, r.ts, alpha * r.value + (1 - alpha) * prev)
+      val sorted = rs.sortBy(r => (r.ts.getTime, r.ts.getNanos, r.value))
+      sorted.tail.scanLeft(
+        (tag, sorted.head.ts, sorted.head.value, sorted.head.value)) {
+        case ((_, _, _, prev), r) =>
+          (tag, r.ts, r.value, alpha * r.value + (1 - alpha) * prev)
       }
-    }.sortBy(x => (x._1, x._2.getTime))
+    }.sortBy(key)
     assert(batch.toSeq == expected)
     // streaming replay across two batches carries the state
     implicit val sq = spark.sqlContext
@@ -231,7 +238,7 @@ class StreamsSpec extends SparkSpec {
       mem.addData(readings.drop(3)); q.processAllAvailable()
     } finally q.stop()
     val streamed = spark.table("ewma_out").as[Smoothed]
-      .collect().map(d => (d.tag, d.ts, d.ewma)).sortBy(x => (x._1, x._2.getTime))
+      .collect().map(d => (d.tag, d.ts, d.value, d.ewma)).sortBy(key)
     assert(streamed.toSeq == batch.toSeq)
   }
 
