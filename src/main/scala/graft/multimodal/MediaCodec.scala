@@ -38,6 +38,12 @@ object MediaCodec {
       at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') "audio/wav"
     else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
       at(8) == 'A' && at(9) == 'V' && at(10) == 'I' && at(11) == ' ') "video/avi"
+    else if (at(0) == 'I' && at(1) == 'D' && at(2) == '3') "audio/mpeg"
+    // raw MPEG audio: 11 sync bits + a VALID MPEG-1 Layer III header
+    // (version/layer/bitrate/samplerate all in-range) — the extra checks
+    // keep arbitrary 0xFF-prefixed binaries out of the mp3 path
+    else if (at(0) == 0xff && (at(1) & 0xe0) == 0xe0 &&
+      mp3FrameLength(bytes, 0) > 0) "audio/mpeg"
     else "unknown"
   }
 
@@ -280,8 +286,82 @@ object MediaCodec {
           (Some(h(8).toInt), Some(h(9).toInt),
             Some(h(0) * h(4) / 1000L), "video/avi")
         }
+      case "audio/mpeg" =>
+        mp3DurationMs(bytes).map(ms => (None, None, Some(ms), "audio/mpeg"))
       case _ => None
     }
+
+  // ---- MPEG audio (mp3) header walk — duration without any decoder ----
+
+  // MPEG-1 Layer III bitrate (kbps) and sample-rate tables; index 0 (free
+  // format) and 15 (reserved) are rejected, as are non-MPEG1/LayerIII
+  // frames — the probe covers the overwhelmingly common case and treats
+  // the rest as unprobeable rather than guessing.
+  private val Mp3Bitrates =
+    Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+  private val Mp3SampleRates = Array(44100, 48000, 32000, -1)
+
+  /** Byte length of the MPEG-1 Layer III frame at `o`, or -1 if the four
+    * header bytes there are not a valid frame header.
+    */
+  private def mp3FrameLength(bytes: Array[Byte], o: Int): Int = {
+    if (bytes == null || o + 4 > bytes.length) return -1
+    def at(i: Int) = bytes(o + i) & 0xff
+    if (at(0) != 0xff || (at(1) & 0xe0) != 0xe0) return -1
+    if ((at(1) & 0x18) != 0x18) return -1 // version: MPEG-1 only
+    if ((at(1) & 0x06) != 0x02) return -1 // layer: III only
+    val br = Mp3Bitrates(at(2) >> 4)
+    val sr = Mp3SampleRates((at(2) >> 2) & 0x3)
+    if (br <= 0 || sr <= 0) return -1
+    val pad = (at(2) >> 1) & 0x1
+    144 * br * 1000 / sr + pad // Layer III frame size formula
+  }
+
+  /** Total duration of the MPEG audio frames (1152 samples each), walking
+    * frame headers only; skips a leading ID3v2 tag (syncsafe size). None
+    * if no valid frame is found.
+    */
+  private[multimodal] def mp3DurationMs(bytes: Array[Byte]): Option[Long] = {
+    var o = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      o = 10 + size
+    }
+    var samples = 0L
+    var sr = -1
+    var ok = true
+    while (ok && o + 4 <= bytes.length) {
+      val len = mp3FrameLength(bytes, o)
+      if (len <= 0) ok = false
+      else {
+        sr = Mp3SampleRates((bytes(o + 2) >> 2) & 0x3)
+        samples += 1152L // MPEG-1 Layer III samples per frame
+        o += len
+      }
+    }
+    if (samples == 0 || sr <= 0) None else Some(samples * 1000L / sr)
+  }
+
+  /** Deterministic MPEG-1 Layer III fixture: `nFrames` frames of the
+    * given bitrate/sample-rate with zeroed payloads — valid headers and
+    * frame lengths (what the probe consumes) without any audio encoder.
+    */
+  def buildMp3(nFrames: Int, bitrateKbps: Int = 128,
+      sampleRate: Int = 44100): Array[Byte] = {
+    val brIdx = Mp3Bitrates.indexOf(bitrateKbps)
+    val srIdx = Mp3SampleRates.indexOf(sampleRate)
+    require(brIdx > 0 && srIdx >= 0 && srIdx < 3, "unsupported bitrate/sample rate")
+    val frameLen = 144 * bitrateKbps * 1000 / sampleRate
+    val bos = new ByteArrayOutputStream()
+    (0 until nFrames).foreach { _ =>
+      bos.write(0xff); bos.write(0xfb) // sync + MPEG-1 + Layer III + no CRC
+      bos.write((brIdx << 4) | (srIdx << 2)) // no padding, not private
+      bos.write(0xc0) // mono, no mode extension/copyright/original
+      bos.write(new Array[Byte](frameLen - 4))
+    }
+    bos.toByteArray
+  }
 
   /** The 14 dwords of the 'avih' chunk, or None if the container is
     * malformed before it.

@@ -94,6 +94,23 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodec.probe("not media".getBytes).isEmpty)
   }
 
+  test("mp3 probe: frame-header walk yields exact duration, no decoder") {
+    val mp3 = MediaCodec.buildMp3(38) // 38 frames of 1152 samples @ 44.1 kHz
+    assert(MediaCodec.sniff(mp3) == "audio/mpeg")
+    val Some((None, None, Some(ms), fmt)) = MediaCodec.probe(mp3)
+    assert(fmt == "audio/mpeg" && ms == 38L * 1152 * 1000 / 44100)
+    // a leading ID3v2 tag (syncsafe size) is skipped, not mis-parsed
+    val tagged = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 10) ++
+      new Array[Byte](10) ++ mp3
+    assert(MediaCodec.sniff(tagged) == "audio/mpeg")
+    assert(MediaCodec.probe(tagged).flatMap(_._3).contains(ms))
+    // other bitrate/sample-rate combinations honor the tables
+    val m48 = MediaCodec.buildMp3(10, bitrateKbps = 192, sampleRate = 48000)
+    assert(MediaCodec.probe(m48).flatMap(_._3).contains(10L * 1152 * 1000 / 48000))
+    // 0xFF-prefixed garbage fails the header validity checks -> unknown
+    assert(MediaCodec.sniff(Array.fill[Byte](20)(0xff.toByte)) == "unknown")
+  }
+
   test("resizeImage halves dimensions and re-encodes decodable PNG") {
     val out = MediaCodec.resizeImage(gradientPng(64, 32), 0.5)
     val Some((w, h, _, _)) = MediaCodec.probe(out)

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
@@ -142,6 +143,24 @@ class AnomalyMathSpec extends SparkSpec {
       k = 3).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+  }
+
+  test("exact detectors are bit-identical across partition layouts") {
+    // the integer/decimal sufficient-statistic discipline claims layout
+    // independence — pin it: 1 vs 13 input partitions must agree EXACTLY
+    val rows = (1 to 200).map(i => (s"t${i % 3}", i.toLong, (i * 7 % 1000) / 100.0))
+    def run(parts: Int): (Seq[Row], Seq[Row]) = {
+      val df = rows.toDF("tag", "i", "v").repartition(parts)
+      val c = AnomalyMath.cusum(df, "v", Seq("tag"), Seq(col("i")), 5.0, 1.0, 3.0)
+        .orderBy("tag", "i").collect().toSeq
+      val a = AnomalyMath.rollingAutocorr(df, "v", Seq("tag"), Seq(col("i")), k = 7)
+        .orderBy("tag", "i").collect().toSeq
+      (c, a)
+    }
+    val (c1, a1) = run(1)
+    val (c13, a13) = run(13)
+    assert(c1.map(_.toSeq) == c13.map(_.toSeq))
+    assert(a1.map(_.toSeq) == a13.map(_.toSeq))
   }
 
   test("robustZScore centers on the median and scales by MAD") {
