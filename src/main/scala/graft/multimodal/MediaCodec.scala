@@ -38,6 +38,8 @@ object MediaCodec {
       at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') "audio/wav"
     else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
       at(8) == 'A' && at(9) == 'V' && at(10) == 'I' && at(11) == ' ') "video/avi"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+      at(8) == 'W' && at(9) == 'E' && at(10) == 'B' && at(11) == 'P') "image/webp"
     else if (at(0) == 'I' && at(1) == 'D' && at(2) == '3') "audio/mpeg"
     // raw MPEG audio: 11 sync bits + a VALID MPEG-1 Layer III header
     // (version/layer/bitrate/samplerate all in-range) — the extra checks
@@ -254,6 +256,10 @@ object MediaCodec {
     */
   def probe(bytes: Array[Byte]): Option[(Option[Int], Option[Int], Option[Long], String)] =
     sniff(bytes) match {
+      case "image/webp" => // before the generic image branch: no ImageIO reader
+        webpDims(bytes).map { case (w, h) =>
+          (Some(w), Some(h), None, "image/webp")
+        }
       case f if f.startsWith("image/") =>
         // header parse of a magic-byte-colliding payload throws — treat
         // as unprobeable, same as the decode fallback
@@ -290,6 +296,31 @@ object MediaCodec {
         mp3DurationMs(bytes).map(ms => (None, None, Some(ms), "audio/mpeg"))
       case _ => None
     }
+
+  /** WebP canvas dimensions from the first VP8 (lossy) / VP8L (lossless) /
+    * VP8X (extended) chunk header — no bitstream decode (ImageIO ships no
+    * webp codec; dimensions are what the metadata path needs).
+    */
+  private[multimodal] def webpDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    if (bytes.length < 30) return None
+    fourcc(bytes, 12) match {
+      case "VP8 " => // lossy: 3-byte frame tag, 3-byte sync, then 14-bit dims
+        if (u8(23) != 0x9d || u8(24) != 0x01 || u8(25) != 0x2a) None
+        else Some(((u8(26) | (u8(27) << 8)) & 0x3fff,
+          (u8(28) | (u8(29) << 8)) & 0x3fff))
+      case "VP8L" => // lossless: 0x2F signature, then 14+14 bits of dims-1
+        if (u8(20) != 0x2f) None
+        else {
+          val b = u8(21) | (u8(22) << 8) | (u8(23) << 16) | (u8(24).toLong << 24)
+          Some((((b & 0x3fff) + 1).toInt, (((b >> 14) & 0x3fff) + 1).toInt))
+        }
+      case "VP8X" => // extended: 4 flag bytes, then 24+24-bit canvas dims-1
+        Some(((u8(24) | (u8(25) << 8) | (u8(26) << 16)) + 1,
+          (u8(27) | (u8(28) << 8) | (u8(29) << 16)) + 1))
+      case _ => None
+    }
+  }
 
   // ---- MPEG audio (mp3) header walk — duration without any decoder ----
 

@@ -111,6 +111,36 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodec.sniff(Array.fill[Byte](20)(0xff.toByte)) == "unknown")
   }
 
+  test("webp probe reads dimensions from VP8 / VP8L / VP8X chunk headers") {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def webp(cc: String, payload: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + payload.length) ++
+        "WEBP".getBytes("US-ASCII") ++ cc.getBytes("US-ASCII") ++
+        le32(payload.length) ++ payload
+    // lossless: 0x2F signature + LE32 of (w-1) | (h-1)<<14
+    val vp8l = webp("VP8L", Array(0x2f.toByte) ++ le32(36L | (11L << 14)) ++
+      new Array[Byte](8))
+    assert(MediaCodec.sniff(vp8l) == "image/webp")
+    assert(MediaCodec.probe(vp8l).map(p => (p._1, p._2)) ==
+      Some((Some(37), Some(12))))
+    // lossy: 3-byte frame tag, 9D 01 2A sync, 14-bit LE dims
+    val vp8 = webp("VP8 ", Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+      (640 & 0xff).toByte, (640 >> 8).toByte,
+      (480 & 0xff).toByte, (480 >> 8).toByte) ++ new Array[Byte](4))
+    assert(MediaCodec.probe(vp8).map(p => (p._1, p._2)) ==
+      Some((Some(640), Some(480))))
+    // extended: 4 flag/reserved bytes + 24-bit canvas dims-1
+    val vp8x = webp("VP8X", Array[Byte](0, 0, 0, 0,
+      31, 0, 0, 63, 0, 0) ++ new Array[Byte](4))
+    assert(MediaCodec.probe(vp8x).map(p => (p._1, p._2)) ==
+      Some((Some(32), Some(64))))
+    // corrupt lossless signature: unprobeable, not wrong numbers
+    val bad = webp("VP8L", Array(0x00.toByte) ++ le32(36L) ++ new Array[Byte](8))
+    assert(MediaCodec.probe(bad).isEmpty)
+  }
+
   test("resizeImage halves dimensions and re-encodes decodable PNG") {
     val out = MediaCodec.resizeImage(gradientPng(64, 32), 0.5)
     val Some((w, h, _, _)) = MediaCodec.probe(out)
