@@ -589,6 +589,15 @@ object SparkEntry {
     Dedup.nearDuplicates(docsWithDups(s, dir), "doc_id", "text", 0.6)
       .orderBy("doc_a", "doc_b")
 
+  /** Containment scoring over the duplicated corpus: catches subset
+    * duplicates (a doc embedded whole in a longer one) that Jaccard
+    * structurally misses — cont = |A∩B|/|A| vs jaccard ≈ |A|/|B|.
+    */
+  private def q_dedup_containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docsWithDups(s, dir), "doc_id", "text", 0.7,
+        maxDocFreq = 20)
+      .orderBy("doc_a", "doc_b")
+
   /** Canonical-doc assignment: connected components over the LSH near-dup
     * pair graph — every doc in a duplicate cluster maps to the cluster's
     * min id (keep-one-per-cluster dedup).
@@ -1108,6 +1117,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (q_dedup_minhash_lsh _),
     "dedup_simhash" -> (q_dedup_simhash _),
     "dedup_ngram_jaccard" -> (q_dedup_ngram_jaccard _),
+    "dedup_containment" -> (q_dedup_containment _),
     "dedup_near_duplicates" -> (q_dedup_near_duplicates _),
     "dedup_clusters" -> (q_dedup_clusters _),
     "dedup_embed_cosine" -> (q_dedup_embed_cosine _),
@@ -1655,6 +1665,20 @@ object SparkEntry {
          |SELECT da AS doc_a, db AS doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
          |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
          |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $docsWithDupsSql, ${shingleCte("all_docs")},
+         |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 20),
+         |shc AS (SELECT sh.doc_id, sh.s FROM sh ANTI JOIN hot USING (s)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+         |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) AS i
+         |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  round(i * 1.0 / sa.n, 6) AS cont_a,
+         |  round(i * 1.0 / sb.n, 6) AS cont_b
+         |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+         |WHERE greatest(i * 1.0 / sa.n, i * 1.0 / sb.n) >= 0.7
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embed_cosine" ->
       s"""WITH dots AS (
          | SELECT a.vec_id va, b.vec_id vb,

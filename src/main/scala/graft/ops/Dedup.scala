@@ -373,6 +373,38 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3,
       maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
+    val jac = col("i") * lit(1.0) / (col("na") + col("nb") - col("i"))
+    shingleIntersections(docs, idCol, textCol, shingleN, maxDocFreq)
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+  }
+
+  /** Exact n-gram CONTAINMENT over the same candidate space: per unordered
+    * pair, `cont_a = |A∩B| / |A|` (how much of A lies inside B) and the
+    * symmetric `cont_b`; kept when EITHER side reaches the threshold.
+    * Containment catches the subset duplicates Jaccard structurally
+    * misses — a document quoted whole inside a much longer one has
+    * containment ≈ 1 but Jaccard ≈ |A|/|B| (tiny), so a Jaccard-only
+    * dedup keeps the embedded copy. Same plan shape (and cap discipline)
+    * as [[ngramJaccardPairs]].
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3,
+      maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
+    val contA = col("i") * lit(1.0) / col("na")
+    val contB = col("i") * lit(1.0) / col("nb")
+    shingleIntersections(docs, idCol, textCol, shingleN, maxDocFreq)
+      .filter(greatest(contA, contB) >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(contA, 6).as("cont_a"), round(contB, 6).as("cont_b"))
+  }
+
+  /** Shared machinery of the exact set-overlap scorers: every co-occurring
+    * ordered pair with its intersection count and both (capped-universe)
+    * set sizes — `(doc_a, doc_b, i, na, nb)`.
+    */
+  private def shingleIntersections(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, maxDocFreq: Int): DataFrame = {
     // dedupe=true on purpose: distinct is a codegen'd hash aggregate with
     // MAP-SIDE partial reduction, so duplicate (doc, shingle) rows vanish
     // before the shuffle and collect_list appends cheap pre-deduped rows.
@@ -398,11 +430,8 @@ object Dedup {
     // per-doc set size over the SAME capped universe the pairs came from
     val sz = grouped.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val jac = col("i") * lit(1.0) / (col("na") + col("nb") - col("i"))
     inter
       .join(sz.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
       .join(sz.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
-      .filter(jac >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
   }
 }

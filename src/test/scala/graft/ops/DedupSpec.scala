@@ -141,6 +141,28 @@ class DedupSpec extends SparkSpec {
     assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("containmentPairs flags the subset duplicate Jaccard misses") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon"
+    val long = short + " zeta eta theta iota kappa lambda mu nu xi omicron " +
+      "pi rho sigma tau upsilon phi chi psi omega one two"
+    val corpus = Seq((1L, short), (2L, long), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    // doc 1's shingles all appear in doc 2 -> containment 1.0 for A
+    val cont = Dedup.containmentPairs(corpus, "doc_id", "text", 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(cont.contains((1L, 2L)))
+    assert(cont((1L, 2L))._1 == 1.0) // A fully inside B
+    assert(cont((1L, 2L))._2 < 0.5)  // B mostly NOT inside A
+    // ... while Jaccard at the same confidence bar misses the pair
+    val jac = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)))
+    // disjoint docs never pair either way
+    assert(!cont.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("fuzzyPairs matches within blocks by edit distance, never across") {
     import spark.implicits._
     val people = Seq(
