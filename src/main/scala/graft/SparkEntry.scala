@@ -912,6 +912,21 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Sketch-based frequent terms per language — the Misra-Gries native
+    * aggregate beside text_topterms' exact vocabulary groupBy. Spark-only
+    * (surviving counters depend on merge order; the guarantee bounds are
+    * spec'd in HeavyHittersSpec).
+    */
+  private def q_agg_heavyhitters(s: SparkSession, dir: String): DataFrame = {
+    val words = T(s, dir, "documents").select(col("lang"),
+      explode(graft.ops.Dedup.words(col("text"))).as("w"))
+    words.groupBy("lang")
+      .agg(TextAnalysis.heavyHitters(col("w"), 10).as("hh"))
+      .select(col("lang"), expr("size(hh)").as("n_counters"),
+        expr("transform(hh, x -> x.item)").as("items"))
+      .orderBy("lang")
+  }
+
   /** SemDeDup-style semantic dedup over embeddings: deterministic seed
     * clusters bound the quadratic pair search; keep = min-id canonical
     * per duplicate pair. Production swaps seeds for fitIvf centroids
@@ -1151,6 +1166,7 @@ object SparkEntry {
     "dedup_semantic" -> (q_dedup_semantic _),
     "join_fuzzy" -> (q_join_fuzzy _),
     "agg_hll_distinct" -> (q_agg_hll_distinct _),
+    "agg_heavyhitters" -> (q_agg_heavyhitters _),
     "proj_unpivot" -> (q_proj_unpivot _),
     "text_chunk" -> (q_text_chunk _),
     "agg_diversity" -> (q_agg_diversity _),

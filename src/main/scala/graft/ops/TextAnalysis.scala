@@ -314,6 +314,20 @@ object TextAnalysis {
     }
   }
 
+  /** Sketch-based frequent terms: the Misra-Gries heavy-hitters aggregate
+    * (graft.expressions.HeavyHitters) as a Column — O(k) memory per
+    * group, mergeable partial sketches, streaming-legal. The sketch
+    * answer to [[topTerms]] at 100 TB, where the exact per-group
+    * vocabulary aggregate no longer fits: every term with frequency
+    * > n/(k+1) is guaranteed present; counts are lower bounds.
+    */
+  def heavyHitters(item: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    Bridge.column(graft.expressions.HeavyHitters(
+      Bridge.expression(item), Literal(k)).toAggregateExpression())
+  }
+
   /** Corpus diversity audit per group — the before/after-curation check
     * that a filtering pipeline did not collapse a source onto one
     * language (or one domain): Gini-Simpson index 1 − Σ(c/n)² (the

@@ -38,5 +38,14 @@ object Bridge {
         case other => throw new IllegalArgumentException(
           s"graft_tdigest_quantile takes 2 or 3 arguments, got $other")
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[graft.expressions.HeavyHitters].getName,
+        "graft_heavy_hitters"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_heavy_hitters takes 2 arguments, got ${children.length}")
+        graft.expressions.HeavyHitters(children.head, children(1))
+      })
   }
 }
