@@ -64,6 +64,28 @@ class HeavyHittersSpec extends SparkSpec {
     assert(out.values.forall(_._1.size <= 5))
   }
 
+  test("the sketch is legal inside a streaming groupBy aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = mem.toDF.toDF("g", "w")
+      .groupBy("g")
+      .agg(graft.ops.TextAnalysis.heavyHitters(col("w"), 4).as("hh"))
+      .writeStream.format("memory").queryName("hh_stream_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1 to 50).map(_ => ("g", "dominant")) ++
+        Seq(("g", "rare1"), ("g", "rare2")): _*)
+      q.processAllAvailable()
+      mem.addData((1 to 30).map(_ => ("g", "dominant")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val hh = spark.table("hh_stream_out")
+      .selectExpr("hh[0].item", "hh[0].est").collect().head
+    assert(hh.getString(0) == "dominant")
+    assert(hh.getLong(1) <= 80L && hh.getLong(1) >= 80L - 82 / 5)
+  }
+
   test("SQL registration: graft_heavy_hitters works from spark.sql") {
     // newSession: keep the SHARED session's registry pristine (the
     // extensions spec asserts the parent is untouched by registration)
