@@ -122,14 +122,28 @@ case class HeavyHitters(child: Expression, kExpr: Expression,
         !Seq[DataType](IntegerType, LongType, ShortType, ByteType)
           .contains(kExpr.dataType))
       TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be an integer constant")
-    else TypeCheckResult.TypeCheckSuccess
+    else kExpr.eval() match {
+      // validate the VALUE at analysis time too — a null/zero/negative or
+      // >Int k would otherwise surface as an executor-side MatchError /
+      // require-crash / silent truncation mid-job
+      case null => TypeCheckResult.TypeCheckFailure(s"$prettyName: k must not be null")
+      case v =>
+        val l = v match {
+          case i: Int => i.toLong; case l: Long => l
+          case s: Short => s.toLong; case b: Byte => b.toLong
+        }
+        if (l < 1 || l > 100000)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: k must be in [1, 100000], got $l")
+        else TypeCheckResult.TypeCheckSuccess
+    }
 
-  private lazy val k: Int = kExpr.eval() match {
-    case i: Int => i
-    case l: Long => l.toInt
-    case s: Short => s.toInt
-    case b: Byte => b.toInt
-  }
+  private lazy val k: Int = (kExpr.eval() match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+  }).toInt
 
   override def createAggregationBuffer(): MisraGries = new MisraGries(k)
 

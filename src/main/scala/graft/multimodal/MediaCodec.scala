@@ -357,7 +357,9 @@ object MediaCodec {
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
       val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
         ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
-      o = 10 + size
+      // ID3v2.4 footer flag: the tag carries a trailing 10-byte footer
+      // not counted in the syncsafe size
+      o = 10 + size + (if ((bytes(5) & 0x10) != 0) 10 else 0)
     }
     var samples = 0L
     var sr = -1

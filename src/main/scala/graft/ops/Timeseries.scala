@@ -97,7 +97,8 @@ object Timeseries {
     */
   def melt(wide: DataFrame, idCols: Seq[String], valueCols: Seq[String],
       tagName: String = "tag", valueName: String = "value"): DataFrame = {
-    def q(c: String) = col(s"`$c`")
+    // Spark's own quoting convention: embedded backticks double
+    def q(c: String) = col(s"`${c.replace("`", "``")}`")
     wide.unpivot(idCols.map(q).toArray, valueCols.map(q).toArray,
       tagName, valueName)
   }

@@ -21,31 +21,11 @@ object Bridge {
   def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-    spark.sessionState.functionRegistry.registerFunction(
-      new FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[graft.expressions.DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, s"graft_dot takes 2 arguments, got ${children.length}")
-        graft.expressions.DotProduct(children.head, children(1))
-      })
-    spark.sessionState.functionRegistry.registerFunction(
-      new FunctionIdentifier("graft_tdigest_quantile"),
-      new ExpressionInfo(classOf[graft.expressions.TDigestQuantile].getName,
-        "graft_tdigest_quantile"),
-      (children: Seq[Expression]) => children.length match {
-        case 2 => new graft.expressions.TDigestQuantile(children.head, children(1))
-        case 3 => graft.expressions.TDigestQuantile(children.head, children(1), children(2))
-        case other => throw new IllegalArgumentException(
-          s"graft_tdigest_quantile takes 2 or 3 arguments, got $other")
-      })
-    spark.sessionState.functionRegistry.registerFunction(
-      new FunctionIdentifier("graft_heavy_hitters"),
-      new ExpressionInfo(classOf[graft.expressions.HeavyHitters].getName,
-        "graft_heavy_hitters"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2,
-          s"graft_heavy_hitters takes 2 arguments, got ${children.length}")
-        graft.expressions.HeavyHitters(children.head, children(1))
-      })
+    // same builder list as the extension route — one source of truth
+    graft.GraftExtensions.functions.foreach { case (name, cls, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        new FunctionIdentifier(name), new ExpressionInfo(cls.getName, name),
+        builder)
+    }
   }
 }

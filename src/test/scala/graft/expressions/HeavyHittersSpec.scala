@@ -98,5 +98,13 @@ class HeavyHittersSpec extends SparkSpec {
       "SELECT grp, graft_heavy_hitters(w, 4) AS hh FROM hh_in GROUP BY grp")
       .selectExpr("grp", "hh[0].item", "hh[0].est").collect()
     assert(rows.head.getString(1) == "a" && rows.head.getLong(2) == 2L)
+    // invalid k fails at ANALYSIS time, not as an executor crash
+    for (bad <- Seq("0", "-3", "CAST(NULL AS INT)")) {
+      val e = intercept[Exception] {
+        s.sql(s"SELECT graft_heavy_hitters(w, $bad) FROM hh_in GROUP BY grp")
+          .collect()
+      }
+      assert(e.getMessage.contains("k must"), s"k=$bad: ${e.getMessage}")
+    }
   }
 }

@@ -104,6 +104,10 @@ class MediaCodecSpec extends SparkSpec {
       new Array[Byte](10) ++ mp3
     assert(MediaCodec.sniff(tagged) == "audio/mpeg")
     assert(MediaCodec.probe(tagged).flatMap(_._3).contains(ms))
+    // ID3v2.4 footer flag (0x10): 10 extra bytes after the counted size
+    val footered = Array[Byte]('I', 'D', '3', 4, 0, 0x10, 0, 0, 0, 10) ++
+      new Array[Byte](10 + 10) ++ mp3
+    assert(MediaCodec.probe(footered).flatMap(_._3).contains(ms))
     // other bitrate/sample-rate combinations honor the tables
     val m48 = MediaCodec.buildMp3(10, bitrateKbps = 192, sampleRate = 48000)
     assert(MediaCodec.probe(m48).flatMap(_._3).contains(10L * 1152 * 1000 / 48000))

@@ -136,5 +136,10 @@ class TimeseriesSpec extends SparkSpec {
         Seq("1000.temp", "1000.press"))
       .collect().map(r => (r.getString(1), r.getDouble(2))).toSet
     assert(dottedRows == Set(("1000.temp", 2.0), ("1000.press", 3.0)))
+    // embedded backticks: quoting must double them, not truncate the name
+    val ticked = Seq((1L, 5.0)).toDF("bucket", "t`1")
+    val tickedRows = Timeseries.melt(ticked, Seq("bucket"), Seq("t`1"))
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSet
+    assert(tickedRows == Set(("t`1", 5.0)))
   }
 }
