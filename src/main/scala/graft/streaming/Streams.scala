@@ -117,15 +117,6 @@ object Streams {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
-  /** Online anomaly scoring with per-tag state: each reading is z-scored
-    * against the running Welford statistics *before* it updates them
-    * (prequential), so scores are identical in streaming and single-pass
-    * batch replay. The per-tag state is O(1) — three numbers — regardless
-    * of stream length; state is partitioned by tag across executors.
-    *
-    * Streaming analogue of the reference's DiffBasedAnomalyDetector
-    * pipeline (`model/anomaly/diff.py`): scale → score → threshold.
-    */
   /** Stream → store sink: route each micro-batch of the canonical long
     * format through a [[graft.sources.TimeSeriesWriter]] via foreachBatch
     * — the streaming leg of the connector contract (the reference's
@@ -269,6 +260,15 @@ object Streams {
       }
   }
 
+  /** Online anomaly scoring with per-tag state: each reading is z-scored
+    * against the running Welford statistics *before* it updates them
+    * (prequential), so scores are identical in streaming and single-pass
+    * batch replay. The per-tag state is O(1) — three numbers — regardless
+    * of stream length; state is partitioned by tag across executors.
+    *
+    * Streaming analogue of the reference's DiffBasedAnomalyDetector
+    * pipeline (`model/anomaly/diff.py`): scale → score → threshold.
+    */
   def scoreOnline(readings: Dataset[Reading], zThreshold: Double): Dataset[Scored] = {
     import readings.sparkSession.implicits._
     readings

@@ -85,6 +85,67 @@ class WorkflowGeneratorSpec extends SparkSpec {
     assert(manifest.contains("\"failed\"") && manifest.contains("no_such_builder"))
   }
 
+  test("YAML fleet document normalizes identically to its JSON twin") {
+    val yaml =
+      """defaults:
+        |  dataset:
+        |    resolution: 1 hour
+        |    tag_col: event_type
+        |    value_col: value
+        |  evaluation:
+        |    n_splits: 2
+        |machines:
+        |  - name: m-pca
+        |    dataset:
+        |      tags: [click, view, purchase]
+        |    model:
+        |      type: pca_anomaly
+        |      k: 2
+        |      threshold_pctl: 0.95
+        |  - name: m-forecast
+        |    dataset:
+        |      tags:
+        |        - click
+        |        - view
+        |    model: {type: ar_forecast, lookback: 4}
+        |  - name: m-esn
+        |    dataset:
+        |      tags: [click, view]
+        |    model: {type: esn_forecast, reservoir: 16, washout: 4}
+        |  - name: m-rfae
+        |    dataset:
+        |      tags: [click, view, purchase]
+        |    model: {type: autoencoder, hidden: 8, threshold_pctl: 0.95}
+        |""".stripMargin
+    // the YAML and JSON forms of the same fleet must produce IDENTICAL
+    // normalized configs — same registry keys, so a config migrated from
+    // JSON to YAML (or back) never rebuilds a machine
+    assert(YamlConfig.normalizeFleet(yaml) == WorkflowGenerator.normalize(fleetConfig))
+  }
+
+  test("YAML scalars type like JSON: ints, floats, bools, strings") {
+    val norm = YamlConfig.normalizeFleet(
+      """machines:
+        |  - name: typed
+        |    dataset:
+        |      tags: [click]
+        |    model:
+        |      type: pca_anomaly
+        |      k: 2
+        |      threshold_pctl: 0.95
+        |      center: true
+        |""".stripMargin)
+    val cfg = norm.head._3
+    assert(cfg.contains("\"k\":2"))                  // int, not "2"
+    assert(cfg.contains("\"threshold_pctl\":0.95"))  // float
+    assert(cfg.contains("\"center\":true"))          // bool
+    assert(cfg.contains("\"type\":\"pca_anomaly\"")) // string
+  }
+
+  test("empty YAML document is rejected") {
+    intercept[IllegalArgumentException] { YamlConfig.toJson("") }
+  }
+
   test("duplicate machine names are rejected up front") {
     intercept[IllegalArgumentException] {
       WorkflowGenerator.buildFleet(spark,

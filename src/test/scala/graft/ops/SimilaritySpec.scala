@@ -91,6 +91,24 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(Similarity.ivfSearch(reloaded, queries, e, "vec_id", "embedding", 10, nProbe = 4)) == oneShot)
   }
 
+  test("fitOrLoadIvf: the fit runs at most once per artifact path") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-reg").toString
+    val p1 = s"$tmp/ivf_a.parquet"
+    val m1 = Similarity.fitOrLoadIvf(e, "embedding", p1, nLists = 8)
+    assert(Similarity.IvfModel.exists(spark, p1), "fit must persist a committed save")
+    // same path with a deliberately EMPTY corpus: a refit would throw, so a
+    // successful equal result proves the process cache answered
+    val m2 = Similarity.fitOrLoadIvf(e.limit(0), "embedding", p1, nLists = 8)
+    assert(m2 == m1)
+    // fresh path pre-seeded on disk, empty corpus again: proves the
+    // disk-load branch (cold process analogue) also never refits
+    val p2 = s"$tmp/ivf_b.parquet"
+    m1.save(spark, p2)
+    val m3 = Similarity.fitOrLoadIvf(e.limit(0), "embedding", p2, nLists = 8)
+    assert(m3 == m1)
+  }
+
   test("int8 quantization: bounded error, byte storage, top-k survives") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val quant = Similarity.quantizeInt8(e, "embedding")
