@@ -236,6 +236,13 @@ object Dedup {
     // covers the double reference (pinning it eagerly measured slower)
     val sets = capped
       .groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
+    scorePairs(p, sets, threshold)
+  }
+
+  /** Shared tail of the re-score stage: join each candidate pair to its
+    * two shingle sets and keep pairs with exact Jaccard >= threshold.
+    */
+  private def scorePairs(p: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
     val jac = col("i") * lit(1.0) / (col("na") + col("nb") - col("i"))
     p
       .join(sets.select(col("doc_id"), col("ss").as("sa")), col("doc_a") === col("doc_id")).drop("doc_id")
@@ -266,10 +273,10 @@ object Dedup {
     * the old corpus's document frequencies and the new batch only against
     * its own, so a shingle that crosses the cap only in the union is NOT
     * dropped and the result can differ from a full rebuild as batches
-    * accumulate. That is the standard incremental trade (a rebuild-exact
-    * incremental cap would need a corpus-wide df state join per batch);
-    * maintain a persisted hot-shingle list alongside the band table and
-    * pass it as an extra anti-join if rebuild parity matters.
+    * accumulate. That is the standard incremental trade; when rebuild
+    * parity matters, use [[incrementalStepExact]], which carries the
+    * corpus-wide shingle stats as state and re-bands the (usually empty)
+    * set of docs a newly-hot shingle touches — parity is spec'd.
     *
     * @param allDocs existing ∪ new docs (re-score needs both sides' text)
     * @param existingBands persisted `bandTable` of the existing corpus
@@ -293,6 +300,173 @@ object Dedup {
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
     jaccardRescore(allDocs, idCol, textCol, cand, threshold, shingleN, maxDocFreq)
+  }
+
+  // --------------------------------------------------------------------
+  // Rebuild-exact incremental dedup: the hot-shingle-list mitigation the
+  // per-batch-cap scaladoc above documents, made concrete. State carried
+  // between batches = the band table + corpus-wide shingle occurrence
+  // counts; the df cap is evaluated against the WHOLE corpus every step,
+  // so the incremental state never drifts from what a from-scratch build
+  // would produce.
+  // --------------------------------------------------------------------
+
+  /** Persistable incremental-dedup state: the corpus band table and the
+    * corpus-wide shingle occurrence counts `(s, df)` the hot list derives
+    * from. Both are plain frames — write to parquet, reload next batch.
+    */
+  final case class DedupState(bands: DataFrame, stats: DataFrame)
+
+  /** One incremental step's output: the near-dup pairs involving a
+    * CHANGED doc (new batch ∪ re-banded existing docs), the changed doc
+    * ids, and the next state. Maintain the corpus pair set as
+    * `previousPairs anti-joined on changedIds (both endpoints) ∪ pairs` —
+    * pairs between two unchanged docs are untouched by construction (their
+    * shingle sets and bands did not change), which is what makes the rule
+    * exact.
+    */
+  final case class IncrementalResult(pairs: DataFrame, changedIds: DataFrame,
+      state: DedupState)
+
+  /** Corpus-wide shingle occurrence counts `(s, df)` — count(*) over the
+    * non-deduped shingle explosion, the SAME conservative df measure
+    * `shingleTable`'s cap uses, and additive across disjoint batches
+    * (which is what makes the state mergeable with one sum).
+    */
+  def shingleStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("__ws"))
+      .select(explode(shingles(col("__ws"), n)).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+
+  /** Merge a batch's shingle stats into the corpus stats (one sum-agg). */
+  def mergeShingleStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("s").agg(sum(col("df")).cast("long").as("df"))
+
+  /** Shingles over the df cap — tiny by construction (only the corpus
+    * boilerplate above the cap), so every consumer broadcasts it.
+    */
+  def hotList(stats: DataFrame, maxDocFreq: Int = DefaultMaxDocFreq): DataFrame =
+    stats.filter(col("df") > maxDocFreq).select("s")
+
+  /** Band table built against an EXPLICIT hot list instead of the batch's
+    * own df counts — the rebuild-exact form (`bandTable` caps per batch).
+    */
+  def bandTableWithHotList(docs: DataFrame, idCol: String, textCol: String,
+      hot: DataFrame, k: Int = 20, bands: Int = 5, shingleN: Int = 3): DataFrame =
+    lshBands(minhashSignatures(
+      shingleTable(docs, idCol, textCol, shingleN, dedupe = false,
+          maxDocFreq = Int.MaxValue)
+        .join(broadcast(hot), Seq("s"), "left_anti"), k), k, bands)
+
+  /** Exact Jaccard re-score with the corpus hot list as the cap: the
+    * anti-join replaces `jaccardRescore`'s candidate-local count window,
+    * so the dropped shingles are exactly the corpus-wide hot ones — the
+    * re-score twin of [[bandTableWithHotList]].
+    */
+  def jaccardRescoreWithHotList(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, threshold: Double, shingleN: Int,
+      hot: DataFrame): DataFrame = {
+    val p = pairs.localCheckpoint()
+    val docsInPairs = p.select(col("doc_a").as(idCol))
+      .unionByName(p.select(col("doc_b").as(idCol))).distinct()
+    val needed = docs.join(docsInPairs, Seq(idCol), "left_semi")
+    val sets = shingleTable(needed, idCol, textCol, shingleN, dedupe = false,
+        maxDocFreq = Int.MaxValue)
+      .join(broadcast(hot), Seq("s"), "left_anti")
+      .groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
+    scorePairs(p, sets, threshold)
+  }
+
+  /** From-scratch build of the rebuild-exact pipeline — what
+    * [[incrementalStepExact]]'s accumulated output must equal (the parity
+    * oracle, and the one-shot form for a static corpus).
+    */
+  def nearDuplicatesExact(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 20, bands: Int = 5, shingleN: Int = 3,
+      maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
+    val hot = hotList(shingleStats(docs, idCol, textCol, shingleN), maxDocFreq)
+      .localCheckpoint() // tiny; referenced by banding AND re-score
+    val bt = bandTableWithHotList(docs, idCol, textCol, hot, k, bands, shingleN)
+    val cand = bt.as("a").join(bt.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    jaccardRescoreWithHotList(docs, idCol, textCol, cand, threshold, shingleN, hot)
+  }
+
+  /** Initial state for [[incrementalStepExact]] from the first corpus
+    * batch (or a full rebuild checkpoint).
+    */
+  def initialDedupState(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, bands: Int = 5, shingleN: Int = 3,
+      maxDocFreq: Int = DefaultMaxDocFreq): DedupState = {
+    val stats = shingleStats(docs, idCol, textCol, shingleN)
+    DedupState(
+      bandTableWithHotList(docs, idCol, textCol, hotList(stats, maxDocFreq),
+        k, bands, shingleN),
+      stats)
+  }
+
+  /** Rebuild-EXACT incremental near-dup step. Unlike
+    * [[incrementalNearDuplicates]] (whose per-batch df caps drift from a
+    * full rebuild as batches accumulate — see its scaladoc), this step
+    * keeps corpus-wide df state and re-bands the (rare, usually empty)
+    * set of existing docs whose shingle sets changed because a shingle
+    * crossed the cap only in the union:
+    *
+    *   1. merge the batch's shingle counts into the corpus stats;
+    *   2. newly-hot = hot(now) − hot(before). In the common case this is
+    *      EMPTY and the existing corpus is not touched at all;
+    *   3. otherwise the existing docs containing a newly-hot shingle
+    *      (found with one tokenize + broadcast semi-join — a narrow scan,
+    *      no pair generation) are re-banded alongside the new batch: a
+    *      doc's signature depends only on its own capped shingle set, so
+    *      every OTHER doc's bands are provably unchanged;
+    *   4. candidates = changed-side bands ⋈ full band table; re-score
+    *      against the corpus hot list.
+    *
+    * The returned state is identical to `initialDedupState(allDocs)` —
+    * the no-drift invariant the parity spec pins.
+    */
+  def incrementalStepExact(allDocs: DataFrame, state: DedupState,
+      newDocs: DataFrame, idCol: String, textCol: String, threshold: Double,
+      k: Int = 20, bands: Int = 5, shingleN: Int = 3,
+      maxDocFreq: Int = DefaultMaxDocFreq): IncrementalResult = {
+    val stats = mergeShingleStats(state.stats,
+      shingleStats(newDocs, idCol, textCol, shingleN)).localCheckpoint()
+    val hot = hotList(stats, maxDocFreq).localCheckpoint()
+    val newlyHot = hot.join(hotList(state.stats, maxDocFreq), Seq("s"), "left_anti")
+      .localCheckpoint()
+    val newIds = newDocs.select(col(idCol))
+    val existingDocs = allDocs.join(newIds, Seq(idCol), "left_anti")
+    val affectedIds =
+      if (newlyHot.isEmpty) existingDocs.select(col(idCol)).limit(0)
+      else existingDocs
+        .select(col(idCol), words(col(textCol)).as("__ws"))
+        .select(col(idCol), explode(shingles(col("__ws"), shingleN)).as("s"))
+        .join(broadcast(newlyHot), Seq("s"), "left_semi")
+        .select(col(idCol)).distinct()
+    val changedIds = newIds.unionByName(affectedIds).distinct().localCheckpoint()
+    val changedDocs = allDocs.join(changedIds, Seq(idCol), "left_semi")
+    val changedBands =
+      bandTableWithHotList(changedDocs, idCol, textCol, hot, k, bands, shingleN)
+        .localCheckpoint() // referenced by the union AND the join side
+    val keptBands = state.bands.join(
+      changedIds.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_anti")
+    val unionBands = keptBands.unionByName(changedBands)
+    val cand = changedBands.as("a").join(unionBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    IncrementalResult(
+      jaccardRescoreWithHotList(allDocs, idCol, textCol, cand, threshold,
+        shingleN, hot),
+      changedIds.select(col(idCol).as("doc_id")),
+      DedupState(unionBands, stats))
   }
 
   /** Duplicate-cluster assignment: connected components of the near-dup

@@ -77,6 +77,76 @@ class DedupSpec extends SparkSpec {
     assert(incr.forall { case (a, b, _) => a >= 6L || b >= 6L })
   }
 
+  test("incrementalStepExact: rebuild parity when a shingle crosses the df cap only in the union") {
+    import spark.implicits._
+    // bigram cap 3; "terms apply" occurs 3× in batch A (at the cap, kept)
+    // and 2× more in batch B — hot ONLY in the union. The per-batch-cap
+    // path would never drop it from A's persisted bands; the exact path
+    // must re-band exactly docs 10/11/12 and land on the full-rebuild state.
+    val cap = 3; val n = 2; val k = 8; val bands = 4; val thr = 0.2
+    val batchA = Seq(
+      (10L, "terms apply please read now"),
+      (11L, "terms apply whenever possible ok"),
+      (12L, "terms apply to everything here"),
+      (13L, "alpha beta gamma delta epsilon"),
+      (14L, "alpha beta gamma delta zeta"),
+      (15L, "unrelated content entirely different")
+    ).toDF("doc_id", "text")
+    val batchB = Seq(
+      (16L, "alpha beta gamma delta eta"),
+      (17L, "terms apply and terms apply")
+    ).toDF("doc_id", "text")
+    val all = batchA.unionByName(batchB)
+
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def bandSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+
+    val full = pairSet(Dedup.nearDuplicatesExact(all, "doc_id", "text", thr,
+      k, bands, n, cap))
+    val pairsA = pairSet(Dedup.nearDuplicatesExact(batchA, "doc_id", "text", thr,
+      k, bands, n, cap))
+    val s0 = Dedup.initialDedupState(batchA, "doc_id", "text", k, bands, n, cap)
+    val r = Dedup.incrementalStepExact(all, s0, batchB, "doc_id", "text", thr,
+      k, bands, n, cap)
+
+    // the newly-hot shingle pulls exactly the existing docs containing it
+    // into the changed set, alongside the whole new batch
+    val changed = r.changedIds.collect().map(_.getLong(0)).toSet
+    assert(changed == Set(10L, 11L, 12L, 16L, 17L), s"changed=$changed")
+
+    // no-drift invariant: post-step state == a from-scratch build
+    val rebuiltStats = Dedup.shingleStats(all, "doc_id", "text", n)
+      .collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
+    val stepStats = r.state.stats
+      .collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
+    assert(stepStats == rebuiltStats)
+    val rebuiltBands = bandSet(Dedup.bandTableWithHotList(all, "doc_id", "text",
+      Dedup.hotList(Dedup.shingleStats(all, "doc_id", "text", n), cap), k, bands, n))
+    assert(bandSet(r.state.bands) == rebuiltBands)
+    // ...and differs from what the per-batch-cap union would keep (docs
+    // 10-12's stale bands still contain the now-hot shingle) — the drift
+    // this machinery exists to prevent
+    val stalePath = bandSet(s0.bands.unionByName(
+      Dedup.bandTable(batchB, "doc_id", "text", k, bands, n, cap)))
+    assert(bandSet(r.state.bands) != stalePath)
+
+    // pair accumulation rule: previous pairs with both endpoints unchanged
+    // ∪ step pairs == full rebuild
+    val kept = pairsA.filterNot { case (a, b, _) => changed(a) || changed(b) }
+    assert(kept.union(pairSet(r.pairs)) == full,
+      s"kept=$kept step=${pairSet(r.pairs)} full=$full")
+
+    // the no-newly-hot common case touches nothing: a second step whose
+    // batch adds no hot crossings changes only the new doc's own bands
+    val batchC = Seq((18L, "totally fresh words never seen")).toDF("doc_id", "text")
+    val all2 = all.unionByName(batchC)
+    val r2 = Dedup.incrementalStepExact(all2, r.state, batchC, "doc_id", "text",
+      thr, k, bands, n, cap)
+    assert(r2.changedIds.collect().map(_.getLong(0)).toSet == Set(18L))
+  }
+
   test("duplicateClusters assigns every node the component-min canonical id") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {7,9}, isolated pair {20,21}
