@@ -768,6 +768,31 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Per-source cap: at most 50 docs per language, kept in deterministic
+    * md5(id) order (the "no more than N pages per site" curation rule —
+    * a uniform draw without an RNG, nested across cap values).
+    */
+  private def q_sample_cap_per_key(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.capPerKey(T(s, dir, "documents"), "doc_id", "lang", 50)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  /** Train/test decontamination over the duplicated-docs fixture: the
+    * benchmark = every 50th base doc; the corpus = everything else
+    * (including the case-mutated copies, whose lowercased 5-gram streams
+    * match their benchmark originals exactly — guaranteed contamination
+    * the scan must find). Integer overlap counts — hash-exact.
+    */
+  private def q_text_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val bench = T(s, dir, "documents").filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val corpus = docsWithDups(s, dir)
+      .join(bench.select(col("bench_id").as("doc_id")), Seq("doc_id"), "left_anti")
+    Dedup.decontaminationMatches(corpus, "doc_id", "text",
+        bench, "bench_id", "text", shingleN = 5, minShared = 3)
+      .orderBy("doc_id", "bench_id")
+  }
+
   // ---------------------------------------------------------------------
   // Round-3 session-2 additions: drift detection, robust outlier scoring,
   // repetition quality gates, semantic dedup, PII pseudonymization.
@@ -1145,6 +1170,8 @@ object SparkEntry {
     "text_topterms" -> (q_text_topterms _),
     "text_langid_trained" -> (q_text_langid_trained _),
     "sample_stratified" -> (q_sample_stratified _),
+    "sample_cap_per_key" -> (q_sample_cap_per_key _),
+    "text_decontaminate" -> (q_text_decontaminate _),
     "pipeline_curation" -> (q_pipeline_curation _),
     "sample_pack" -> (q_sample_pack _),
     "simsearch_ivf" -> (q_simsearch_ivf _),
@@ -1845,6 +1872,33 @@ object SparkEntry {
         |WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000
         |  < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 1000000 ELSE 250000 END
         |ORDER BY doc_id""".stripMargin,
+    "sample_cap_per_key" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rnk <= 50 ORDER BY doc_id""".stripMargin,
+    "text_decontaminate" ->
+      s"""WITH $docsWithDupsSql,
+         |bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 50 = 0),
+         |corpus AS (SELECT a.doc_id, a.text FROM all_docs a
+         |           ANTI JOIN bench b ON a.doc_id = b.bench_id),
+         |cw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM corpus),
+         |cs AS (SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(ws)-3),
+         |      i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])) AS s
+         |  FROM cw WHERE len(ws) >= 5),
+         |hot AS (SELECT s FROM cs GROUP BY s HAVING count(*) > 1000),
+         |cc AS (SELECT cs.doc_id, cs.s FROM cs ANTI JOIN hot USING (s)),
+         |bw AS (SELECT bench_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM bench),
+         |bs AS (SELECT DISTINCT bench_id,
+         |    unnest(list_transform(range(1, len(ws)-3),
+         |      i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])) AS s
+         |  FROM bw WHERE len(ws) >= 5),
+         |m AS (SELECT c.doc_id, b.bench_id, count(*) AS shared
+         |      FROM cc c JOIN bs b USING (s) GROUP BY 1, 2)
+         |SELECT doc_id, bench_id, CAST(shared AS BIGINT) AS shared
+         |FROM m WHERE shared >= 3 ORDER BY doc_id, bench_id""".stripMargin,
     "win_ffill" ->
       s"""WITH $denseGridCte
          |SELECT bucket, event_type,

@@ -573,6 +573,41 @@ object Dedup {
         round(contA, 6).as("cont_a"), round(contB, 6).as("cont_b"))
   }
 
+  /** Train/test DECONTAMINATION — the benchmark-overlap scan a
+    * training-data pipeline runs before release (the published GPT-3
+    * appendix-C shape: flag any training document sharing at least
+    * `minShared` distinct word n-grams with a held-out benchmark/eval
+    * document; n is 8–13 for prose, lower for short documents).
+    *
+    * Plan: the corpus is touched ONCE with a narrow tokenize and never
+    * pair-explodes against itself — candidates come from the equi-join on
+    * the shingle against the (small, by construction) benchmark side,
+    * broadcast by default; the only wide shuffle is the final
+    * (corpus doc, bench doc) overlap count, whose size is the match set,
+    * not the corpus. Corpus boilerplate is df-capped as usual so a stock
+    * phrase cannot fan one benchmark shingle out to the whole corpus.
+    * Cost O(corpus shingles + matches) — the right 100 TB shape. For a
+    * benchmark too large to broadcast, set `broadcastBench = false` (the
+    * equi-join then shuffles the corpus shingle stream once).
+    *
+    * Output: `(doc_id, bench_id, shared)` — shared = |distinct shingle
+    * intersection|, integer-exact.
+    */
+  def decontaminationMatches(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      shingleN: Int = 8, minShared: Int = 1,
+      maxDocFreq: Int = DefaultMaxDocFreq,
+      broadcastBench: Boolean = true): DataFrame = {
+    val c = shingleTable(corpus, idCol, textCol, shingleN, dedupe = true, maxDocFreq)
+    val b = shingleTable(bench, benchIdCol, benchTextCol, shingleN,
+        dedupe = true, maxDocFreq = Int.MaxValue)
+      .select(col("doc_id").as("bench_id"), col("s"))
+    c.join(if (broadcastBench) broadcast(b) else b, Seq("s"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Shared machinery of the exact set-overlap scorers: every co-occurring
     * ordered pair with its intersection count and both (capped-universe)
     * set sizes — `(doc_a, doc_b, i, na, nb)`.

@@ -48,6 +48,30 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < threshold)
   }
 
+  /** Per-source cap — the curation stage that stops one domain/source from
+    * dominating the mix (cap documents per stratum; the "no more than N
+    * pages per site" rule of web-corpus pipelines): keep at most `cap`
+    * rows per stratum, selected in deterministic md5(id) order. Hash
+    * order makes the kept set a pure function of the data (a uniform
+    * random draw without an RNG — stable across runs, engines, and
+    * layouts) and NESTED: the cap-k survivors are a subset of the
+    * cap-(k+1) survivors, so tightening a cap never churns unrelated
+    * rows.
+    *
+    * Scale shape: one window partitioned BY STRATUM (never a global
+    * sort); at 100 TB strata are many and the shuffle is balanced — a
+    * single hot stratum is exactly the salting case `Skew` handles.
+    */
+  def capPerKey(df: DataFrame, idCol: String, strataCol: String, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    // id tie-break after the hash: md5 collisions must not leave peers
+    // unordered (row_number over a non-total order is layout-dependent)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= cap).drop("__rnk")
+  }
+
   /** Sequence packing for LLM training batches: assign each document a
     * (shard, bin, offset) so documents concatenate into fixed
     * `budgetTokens` context windows — contiguous fill in id order, a doc

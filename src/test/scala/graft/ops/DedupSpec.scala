@@ -77,6 +77,30 @@ class DedupSpec extends SparkSpec {
     assert(incr.forall { case (a, b, _) => a >= 6L || b >= 6L })
   }
 
+  test("decontaminationMatches flags benchmark overlap and only that") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "seven silver ships sail silently southward tonight")
+    ).toDF("bench_id", "text")
+    val corpus = Seq(
+      // contains bench 100's text verbatim inside a longer doc
+      (1L, "as they say the quick brown fox jumps over the lazy dog indeed"),
+      // shares a 3-word prefix only — under a 5-gram scan that is zero shared
+      (2L, "the quick brown bear sleeps under the old oak tree"),
+      (3L, "nothing in common with either benchmark document at all")
+    ).toDF("doc_id", "text")
+    val m = Dedup.decontaminationMatches(corpus, "doc_id", "text",
+        bench, "bench_id", "text", shingleN = 5, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1 embeds bench 100's 9 words -> five shared 5-grams; nothing else
+    assert(m == Set((1L, 100L, 5L)), s"matches=$m")
+    // minShared gates the weak matches out
+    val strict = Dedup.decontaminationMatches(corpus, "doc_id", "text",
+        bench, "bench_id", "text", shingleN = 5, minShared = 6)
+    assert(strict.isEmpty)
+  }
+
   test("incrementalStepExact: rebuild parity when a shingle crosses the df cap only in the union") {
     import spark.implicits._
     // bigram cap 3; "terms apply" occurs 3× in batch A (at the cap, kept)

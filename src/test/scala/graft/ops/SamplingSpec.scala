@@ -35,6 +35,22 @@ class SamplingSpec extends SparkSpec {
     assert(deRate > 0.13 && deRate < 0.27, s"de rate $deRate")
   }
 
+  test("capPerKey keeps at most cap rows per stratum, nested and layout-independent") {
+    val out = Sampling.capPerKey(docs, "id", "lang", 100)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.values.forall(_ == 100L), s"per-stratum counts $byLang")
+    // a stratum under the cap keeps everything
+    val tiny = Sampling.capPerKey(docs.filter(col("id") <= 10), "id", "lang", 100)
+    assert(tiny.count() == 10)
+    // nested: cap-50 survivors ⊂ cap-100 survivors (tightening never churns)
+    val smaller = Sampling.capPerKey(docs, "id", "lang", 50)
+    assert(smaller.exceptAll(out).isEmpty)
+    // membership is a pure function of the data, not the partition layout
+    val shuffled = Sampling.capPerKey(docs.repartition(17), "id", "lang", 100)
+    assert(shuffled.exceptAll(out).isEmpty && out.exceptAll(shuffled).isEmpty)
+  }
+
   test("scrub masks emails and digits, collapses whitespace") {
     val df = Seq((1L, "contact bob.smith@example.com  or   call 555 1234")).toDF("id", "text")
     val out = df.select(TextAnalysis.scrub(col("text"), Seq(
