@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DotProduct, HeavyHitters, TDigestQuantile}
+import graft.expressions.{DeflateRatio, DotProduct, HeavyHitters, TDigestQuantile}
 
 /** Session extension registering graft's native expressions with the SQL
   * function registry, so `spark.sql("SELECT graft_dot(a, b) ...")` works:
@@ -48,5 +48,10 @@ object GraftExtensions {
       require(children.length == 2,
         s"graft_heavy_hitters takes 2 arguments, got ${children.length}")
       HeavyHitters(children.head, children(1))
+    }),
+    ("graft_deflate_ratio", classOf[DeflateRatio], children => {
+      require(children.length == 1,
+        s"graft_deflate_ratio takes 1 argument, got ${children.length}")
+      DeflateRatio(children.head)
     }))
 }

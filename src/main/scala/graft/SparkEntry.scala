@@ -768,6 +768,31 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Data-mixing rates: downsample languages to a 60/25/15 en/zh/de
+    * target mix — the scarcest-relative-to-target stratum caps the
+    * feasible total, everything else downsamples to match, untargeted
+    * languages drop. Threshold arithmetic is mirrored op-for-op in SQL.
+    */
+  private def q_sample_target_mix(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.targetMix(T(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.6, "zh" -> 0.25, "de" -> 0.15))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  /** Spark-only: DEFLATE compressibility per document — the native
+    * `graft_deflate_ratio` codegen expression (no SQL-engine zlib surface
+    * to oracle against; monotonicity/bounds are spec'd). Low ratio =
+    * repetitive machine junk; the gate runs beside text_repetition's
+    * n-gram signals as a pure scan projection.
+    */
+  private def q_text_compressibility(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        round(TextAnalysis.compressionRatio(col("text")), 6).as("deflate_ratio"))
+      .withColumn("repetitive", (col("deflate_ratio") < 0.35).cast("int"))
+      .orderBy("doc_id")
+
   /** Per-source cap: at most 50 docs per language, kept in deterministic
     * md5(id) order (the "no more than N pages per site" curation rule —
     * a uniform draw without an RNG, nested across cap values).
@@ -1171,7 +1196,9 @@ object SparkEntry {
     "text_langid_trained" -> (q_text_langid_trained _),
     "sample_stratified" -> (q_sample_stratified _),
     "sample_cap_per_key" -> (q_sample_cap_per_key _),
+    "sample_target_mix" -> (q_sample_target_mix _),
     "text_decontaminate" -> (q_text_decontaminate _),
+    "text_compressibility" -> (q_text_compressibility _),
     "pipeline_curation" -> (q_pipeline_curation _),
     "sample_pack" -> (q_sample_pack _),
     "simsearch_ivf" -> (q_simsearch_ivf _),
@@ -1878,6 +1905,22 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
         |  FROM documents)
         |SELECT doc_id, lang FROM r WHERE rnk <= 50 ORDER BY doc_id""".stripMargin,
+    // IEEE op order (p * T / n) * 1e6, floor — verbatim the Scala
+    // threshold arithmetic in Sampling.targetMix, so thresholds are
+    // bit-identical across engines.
+    "sample_target_mix" ->
+      """WITH p AS (SELECT lang, CAST(CASE lang WHEN 'en' THEN 0.6
+        |    WHEN 'zh' THEN 0.25 WHEN 'de' THEN 0.15 END AS DOUBLE) AS share,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents WHERE lang IN ('en', 'zh', 'de') GROUP BY lang),
+        |t AS (SELECT min(n / share) AS feasible FROM p),
+        |r AS (SELECT p.lang,
+        |    CAST(floor(p.share * t.feasible / p.n * 1000000) AS BIGINT) AS thr
+        |  FROM p, t)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000
+        |  < r.thr
+        |ORDER BY d.doc_id""".stripMargin,
     "text_decontaminate" ->
       s"""WITH $docsWithDupsSql,
          |bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 50 = 0),

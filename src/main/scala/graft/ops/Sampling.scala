@@ -48,6 +48,43 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < threshold)
   }
 
+  /** Data-MIXING rates — downsample strata to hit target PROPORTIONS
+    * (the domain-reweighting stage of training-data recipes: "the mix
+    * should be 60% web, 30% code, 10% papers"): the largest feasible
+    * total is T = min_s(n_s / p_s) — the scarcest-relative-to-target
+    * stratum is kept (approximately) whole and every other stratum
+    * downsamples to p_s·T. Shares need not sum to 1 (scaling all of them
+    * cancels out of the rates). Strata not in `targets` are dropped.
+    *
+    * Membership uses the same deterministic md5 bucket as
+    * [[stratifiedSample]] — rate-accurate (binomial around p_s·T),
+    * reproducible across runs/engines/layouts, and oracle-checkable
+    * because the rate arithmetic below is mirrored operation-for-
+    * operation in SQL. The per-stratum counts collect |targets| scalars
+    * to the driver (bounded by the explicit target map, never data-sized).
+    */
+  def targetMix(df: DataFrame, idCol: String, strataCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "targets must name at least one stratum")
+    targets.values.foreach(p => require(p > 0, s"target shares must be positive, got $p"))
+    val counts = df.filter(col(strataCol).isin(targets.keys.toSeq: _*))
+      .groupBy(strataCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    targets.keys.foreach(s =>
+      require(counts.getOrElse(s, 0L) > 0L, s"target stratum '$s' has no rows"))
+    val feasibleTotal = targets.map { case (s, p) => counts(s).toDouble / p }.min
+    // IEEE op order (p * T / n) * 1e6, floor — mirrored verbatim in the
+    // oracle SQL so thresholds are bit-identical across engines
+    val thresholds = targets.map { case (s, p) =>
+      s -> math.floor(p * feasibleTotal / counts(s).toDouble * 1000000).toLong
+    }
+    val thrExpr = thresholds.toSeq.sortBy(_._1)
+      .foldLeft(lit(-1L)) { case (acc, (s, t)) => // untargeted strata keep nothing
+        when(col(strataCol) === s, lit(t)).otherwise(acc)
+      }
+    df.filter(hashBucket(col(idCol)) < thrExpr)
+  }
+
   /** Per-source cap — the curation stage that stops one domain/source from
     * dominating the mix (cap documents per stratum; the "no more than N
     * pages per site" rule of web-corpus pipelines): keep at most `cap`

@@ -328,6 +328,19 @@ object TextAnalysis {
       Bridge.expression(item), Literal(k)).toAggregateExpression())
   }
 
+  /** Compressibility quality signal — DEFLATE compressed/raw byte ratio
+    * per document (graft.expressions.DeflateRatio, a native codegen
+    * expression): repetitive machine junk compresses far below natural
+    * prose, binary-ish noise barely compresses — the cheap
+    * language-agnostic gate of published web-corpus pipelines, applied
+    * beside [[repetitionSignals]]'s n-gram gates. Pure row-local
+    * projection, no shuffle.
+    */
+  def compressionRatio(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.expressions.DeflateRatio(Bridge.expression(text)))
+  }
+
   /** Corpus diversity audit per group — the before/after-curation check
     * that a filtering pipeline did not collapse a source onto one
     * language (or one domain): Gini-Simpson index 1 − Σ(c/n)² (the

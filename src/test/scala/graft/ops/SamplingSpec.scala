@@ -35,6 +35,30 @@ class SamplingSpec extends SparkSpec {
     assert(deRate > 0.13 && deRate < 0.27, s"de rate $deRate")
   }
 
+  test("targetMix hits target proportions, keeps the scarcest stratum whole") {
+    // docs: en 1000, de 1000, fr 2000. Targets en 0.5 / fr 0.25:
+    // feasible total = min(1000/0.5, 2000/0.25) = 2000 -> en kept whole
+    // (its rate is exactly 1.0 in doubles: 0.5 is a power of two),
+    // fr downsampled to ~500, untargeted de dropped entirely
+    val out = Sampling.targetMix(docs, "id", "lang", Map("en" -> 0.5, "fr" -> 0.25))
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == 1000, s"en ${byLang.get("en")}")
+    assert(byLang.getOrElse("de", 0L) == 0L)
+    assert(byLang("fr") > 420 && byLang("fr") < 580, s"fr ${byLang("fr")}")
+    // deterministic: a rerun on a different layout selects the same rows
+    val again = Sampling.targetMix(docs.repartition(11), "id", "lang",
+      Map("en" -> 0.5, "fr" -> 0.25))
+    assert(again.exceptAll(out).isEmpty && out.exceptAll(again).isEmpty)
+    // scaling every share by a constant changes nothing (shares need not sum to 1)
+    val scaled = Sampling.targetMix(docs, "id", "lang", Map("en" -> 2.0, "fr" -> 1.0))
+    assert(scaled.exceptAll(out).isEmpty && out.exceptAll(scaled).isEmpty)
+    // a target over a missing stratum is a config error, not silence
+    intercept[IllegalArgumentException] {
+      Sampling.targetMix(docs, "id", "lang", Map("xx" -> 1.0))
+    }
+  }
+
   test("capPerKey keeps at most cap rows per stratum, nested and layout-independent") {
     val out = Sampling.capPerKey(docs, "id", "lang", 100)
     val byLang = out.groupBy("lang").count().collect()
