@@ -1,9 +1,11 @@
 package graft.ml
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.yaml.snakeyaml.LoaderOptions
+import org.yaml.snakeyaml.Yaml
+import org.yaml.snakeyaml.constructor.SafeConstructor
 
 /** YAML front-end for machine/fleet configs — the reference's configs are
   * YAML documents (`workflow/config_elements/machine.py::Machine` +
@@ -15,20 +17,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * consumer — deep merge, registry keying, builder routing — is shared
   * verbatim with the JSON path. No new semantics live here.
   *
-  * Uses the YAML dataformat already on Spark's runtime classpath; the
-  * tree is re-rendered through the same Jackson databind that json4s
-  * wraps, so numeric/string/boolean scalars land as the identical node
-  * types the JSON parser would produce.
+  * Parsing is SnakeYAML (already on Spark's runtime classpath) under
+  * `SafeConstructor`: standard maps/lists/scalars only — a `!!tag` that
+  * would instantiate an arbitrary class is rejected, anchors/aliases
+  * resolve with real YAML semantics, and a multi-document stream throws
+  * instead of silently keeping the first document. (The Jackson YAML
+  * dataformat was rejected for this job: its `readTree` turns `*alias`
+  * into the literal string of the anchor name and drops trailing
+  * documents — both silent config corruption.) The resolved tree is
+  * rendered to compact JSON by the same Jackson databind json4s wraps,
+  * so scalars land as the identical node types the JSON parser yields.
   */
 object YamlConfig {
 
-  /** Parse a YAML document and render it as compact JSON — tags,
-    * anchors/aliases and multi-document streams are rejected by the
-    * underlying parser defaults; plain maps/lists/scalars round-trip.
+  /** Parse ONE YAML document and render it as compact JSON. Quote ISO
+    * dates (`from_ts: "2024-01-01T00:00:00Z"`) — an unquoted YAML
+    * timestamp resolves to a date object and serializes as epoch millis,
+    * not the string the dataset config expects.
     */
   def toJson(yaml: String): String = {
-    val tree = new ObjectMapper(new YAMLFactory()).readTree(yaml)
-    require(tree != null && !tree.isMissingNode, "empty YAML document")
+    val tree = new Yaml(new SafeConstructor(new LoaderOptions())).load[Object](yaml)
+    require(tree != null, "empty YAML document")
     new ObjectMapper().writeValueAsString(tree)
   }
 

@@ -53,6 +53,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!read.contains("lang"), s"documents scan reads unused columns: $read")
   }
 
+  test("text_decontaminate broadcasts the benchmark shingles — the corpus never self-joins") {
+    val plan = planOf("text_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$plan")
+  }
+
+  test("sample_target_mix and sample_cap_per_key stay stratum-local") {
+    // target mix: thresholds are plan-time literals, so the kept set is a
+    // pure scan filter — no join, no aggregation in the serving plan
+    val mix = planOf("sample_target_mix")
+    assert(!mix.contains("Join"), s"target-mix filter should not join:\n$mix")
+    // per-key cap: the window partitions by the stratum, audited globally
+    // by the single-partition-window invariant below
+    assert(planOf("sample_cap_per_key").contains("Window"))
+  }
+
   test("no shipped query windows over a single partition (100 TB scale audit)") {
     // A WindowExec with an empty partitionSpec forces ALL rows through one
     // Exchange SinglePartition — correct at sf0.01, a scale-killer at 100×.

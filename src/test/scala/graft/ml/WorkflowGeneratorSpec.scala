@@ -146,6 +146,17 @@ class WorkflowGeneratorSpec extends SparkSpec {
     intercept[IllegalArgumentException] { YamlConfig.toJson("") }
   }
 
+  test("YAML anchors/aliases resolve; multi-doc and arbitrary tags are rejected") {
+    // real YAML alias semantics — the shared defaults idiom in fleet docs
+    assert(YamlConfig.toJson("a: &x 7\nb: *x") == """{"a":7,"b":7}""")
+    // a multi-document stream must throw, not silently keep document one
+    intercept[Exception] { YamlConfig.toJson("a: 1\n---\na: 2") }
+    // SafeConstructor: a tag naming a class must not instantiate it
+    intercept[Exception] {
+      YamlConfig.toJson("a: !!javax.script.ScriptEngineManager [!!java.net.URLClassLoader []]")
+    }
+  }
+
   test("duplicate machine names are rejected up front") {
     intercept[IllegalArgumentException] {
       WorkflowGenerator.buildFleet(spark,
