@@ -698,6 +698,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Spark-only: trained hashed-vocabulary Naive Bayes classifier — the
+    * corpus quality-filter machinery (train good-vs-bad sources, score
+    * the crawl) exercised here as 5-class language classification. Fit =
+    * one (label, bucket) count shuffle; serving = explode → broadcast
+    * prob join → one (doc, label) sum. Log-probabilities are
+    * transcendental, so no hash oracle (accuracy + persistence spec'd in
+    * TextAnalysisSpec); the fit is deterministic and memoized per dir.
+    */
+  private def q_text_nb_classifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val model = fittedModel(s"nb|$dir") {
+      TextAnalysis.fitNaiveBayes(docs, "lang", "text", buckets = 1024)
+    }
+    model.classify(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("label_pred"),
+        round(col("score"), 6).as("score"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing for training batches: whitespace token counts →
     * 512-token context windows across 8 independent md5-sharded streams.
     * All-integer (shard, bin, offset) assignment, stable under any
@@ -1194,6 +1214,7 @@ object SparkEntry {
     "text_scrub" -> (q_text_scrub _),
     "text_topterms" -> (q_text_topterms _),
     "text_langid_trained" -> (q_text_langid_trained _),
+    "text_nb_classifier" -> (q_text_nb_classifier _),
     "sample_stratified" -> (q_sample_stratified _),
     "sample_cap_per_key" -> (q_sample_cap_per_key _),
     "sample_target_mix" -> (q_sample_target_mix _),

@@ -396,4 +396,116 @@ object TextAnalysis {
       .select(col("grp").as(groupCol), col("term"), col("doc_freq"),
         col("rnk").cast("long").as("rnk"))
   }
+
+  // --------------------------------------------------------------------
+  // Trained quality classifier: multinomial Naive Bayes over a hashed
+  // vocabulary — the classic corpus-filter model (train "good" vs "bad"
+  // source corpora, score the crawl; the same machinery classifies any
+  // label column). Beside the Cavnar-Trenkle language ID this is the
+  // second trained text model: NB's sufficient statistics are per-class
+  // token counts — one hash-aggregate, additive across batches, bounded
+  // by classes × buckets regardless of corpus size.
+  // --------------------------------------------------------------------
+
+  /** Stable hashed-vocabulary bucket for a token — the same md5-derived
+    * integer trick as the LSH planes (portable, layout-independent).
+    */
+  def tokenBucket(w: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(w), 1, 15), 16, 10).cast("long"), lit(buckets.toLong))
+
+  /** Fitted NB model: DENSE per-class log-probabilities over every hash
+    * bucket (classes × buckets rows — complete, so serving never misses
+    * an unseen bucket; the smoothed floor is materialized). Persistable
+    * via toDF/fromDF like every other fitted model in the library.
+    */
+  final case class NbTextModel(buckets: Int,
+      priors: Seq[(String, Double)], // (label, logPrior), label-sorted
+      probs: Seq[(String, Long, Double)]) { // (label, bucket, logProb)
+
+    /** Predicted label per doc: argmax over classes of
+      * logPrior + Σ_tokens logProb[bucket(token)]. Relational serving
+      * shape: explode tokens → broadcast-join the dense prob table →
+      * one (doc, label) sum — no per-class literal arrays, no UDFs; at
+      * 100 TB the only wide shuffle is the (doc, label) aggregation.
+      * Docs whose text yields no tokens fall back to the max-prior label.
+      */
+    def classify(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val probsDf = probs.toDF("lbl", "bk", "lp")
+      val priorExpr = priors.foldLeft(lit(Double.NegativeInfinity)) {
+        case (acc, (l, p)) => when(col("lbl") === l, lit(p)).otherwise(acc)
+      }
+      val toks = docs.select(col(idCol), explode(words(col(textCol))).as("w"))
+        .select(col(idCol), tokenBucket(col("w"), buckets).as("bk"))
+      val scored = toks.join(broadcast(probsDf), Seq("bk"))
+        .groupBy(col(idCol), col("lbl"))
+        .agg(sum(col("lp")).as("ll"))
+        .withColumn("score", col("ll") + priorExpr)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(idCol).orderBy(col("score").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select(col(idCol), col("lbl").as("label_pred"), col("score"))
+      val fallback = priors.maxBy(p => (p._2, p._1))._1
+      docs.select(col(idCol))
+        .join(scored, Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("label_pred"), lit(fallback)).as("label_pred"),
+          col("score"))
+    }
+
+    def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      probs.toDF("label", "bucket", "log_prob")
+        .withColumn("buckets", lit(buckets))
+        .join(broadcast(priors.toDF("label", "log_prior")), Seq("label"))
+    }
+  }
+
+  object NbTextModel {
+    def fromDF(df: DataFrame): NbTextModel = {
+      val rows = df.select("label", "bucket", "log_prob", "buckets", "log_prior")
+        .collect()
+      require(rows.nonEmpty, "empty NB model frame")
+      val buckets = rows.head.getInt(3)
+      val priors = rows.map(r => r.getString(0) -> r.getDouble(4))
+        .distinct.sortBy(_._1).toSeq
+      val probs = rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      NbTextModel(buckets, priors, probs)
+    }
+  }
+
+  /** Fit multinomial NB with Laplace smoothing `alpha`. ONE token-count
+    * shuffle on (label, bucket) — map-side partial counts, output bounded
+    * by classes × buckets (the model-sized collect, never data-sized);
+    * priors from one doc count per label. The count statistics are
+    * additive, so refitting on a grown corpus merges trivially.
+    */
+  def fitNaiveBayes(docs: DataFrame, labelCol: String, textCol: String,
+      buckets: Int = 1024, alpha: Double = 1.0): NbTextModel = {
+    require(buckets > 0 && alpha > 0)
+    val docCounts = docs.groupBy(col(labelCol).as("lbl"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(docCounts.nonEmpty, "no training docs")
+    val totalDocs = docCounts.map(_._2).sum.toDouble
+    val priors = docCounts.map { case (l, n) => l -> math.log(n / totalDocs) }.toSeq
+
+    val counts = docs
+      .select(col(labelCol).as("lbl"), explode(words(col(textCol))).as("w"))
+      .select(col("lbl"), tokenBucket(col("w"), buckets).as("bk"))
+      .groupBy("lbl", "bk").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val totals = counts.toSeq.groupBy(_._1._1)
+      .map { case (l, cs) => l -> cs.map(_._2).sum }
+    val probs = for {
+      (l, _) <- docCounts.toSeq
+      b <- 0L until buckets.toLong
+    } yield {
+      val c = counts.getOrElse((l, b), 0L)
+      val tot = totals.getOrElse(l, 0L)
+      (l, b, math.log((c + alpha) / (tot + alpha * buckets)))
+    }
+    NbTextModel(buckets, priors, probs)
+  }
 }

@@ -75,6 +75,55 @@ class TextAnalysisSpec extends SparkSpec {
       again.select("doc_id", "lang_pred", "dist").orderBy("doc_id").collect().toSeq)
   }
 
+  test("hashed-vocab Naive Bayes classifies held-out synthetic languages") {
+    // same disjoint-alphabet corpus as the Cavnar-Trenkle spec: word
+    // hash buckets are class-separable by construction
+    val alphabets = Seq(
+      "la" -> ("bcd", "ae"), "lb" -> ("fgh", "io"),
+      "lc" -> ("klm", "uy"), "ld" -> ("pqr", "ei"))
+    def mkDocs(seed: Long, perLang: Int, idBase: Long) = {
+      val r = new java.util.SplittableRandom(seed)
+      alphabets.zipWithIndex.flatMap { case ((lang, (cons, vows)), li) =>
+        (0 until perLang).map { d =>
+          val ws = Seq.fill(12 + r.nextInt(12)) {
+            Seq.fill(2 + r.nextInt(2)) {
+              s"${cons(r.nextInt(cons.length))}${vows(r.nextInt(vows.length))}"
+            }.mkString
+          }
+          (idBase + li * perLang + d, lang, ws.mkString(" "))
+        }
+      }.toDF("doc_id", "lang", "text")
+    }
+    val train = mkDocs(seed = 1L, perLang = 40, idBase = 0L)
+    val test0 = mkDocs(seed = 2L, perLang = 10, idBase = 1000L)
+    val model = TextAnalysis.fitNaiveBayes(train, "lang", "text", buckets = 256)
+    val pred = model.classify(test0, "doc_id", "text")
+      .join(test0.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val (hits, total) = (pred.filter(col("label_pred") === col("lang")).count(),
+      pred.count())
+    assert(total == 40L)
+    assert(hits >= 38L, s"NB accuracy ${hits.toDouble / total} below 0.95")
+
+    // persistence: toDF -> fromDF scores bit-identically
+    val reloaded = TextAnalysis.NbTextModel.fromDF(model.toDF(spark))
+    assert(reloaded == model)
+    val again = reloaded.classify(test0, "doc_id", "text")
+      .select("doc_id", "label_pred", "score").orderBy("doc_id").collect().toSeq
+    assert(pred.select("doc_id", "label_pred", "score").orderBy("doc_id")
+      .collect().toSeq == again)
+  }
+
+  test("NB classify covers every input doc (tokenless docs get the prior)") {
+    val train = Seq((1L, "a", "xx yy xx"), (2L, "a", "yy xx"),
+      (3L, "b", "zz ww"), (4L, "b", "ww zz zz")).toDF("doc_id", "lang", "text")
+    val model = TextAnalysis.fitNaiveBayes(train, "lang", "text", buckets = 64)
+    val out = model.classify(
+      Seq((10L, "xx xx yy"), (11L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(10L, 11L))
+    assert(out(10L) == "a")
+  }
+
   test("language profiles gram exactly: L-2 trigrams, short texts none") {
     // "abcd" → abc, bcd (each once); "ab" → no grams
     val corpus = Seq((1L, "x", "abcd"), (2L, "x", "ab")).toDF("doc_id", "lang", "text")
