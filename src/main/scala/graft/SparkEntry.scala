@@ -302,6 +302,41 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // §2.4 aggregations
   // ---------------------------------------------------------------------
+  /** The NcsReader CSV branch, driver-visible with a FULL oracle: events
+    * are materialized ONCE per dir as per-tag `;`-CSV files (micro-exact
+    * timestamp rendering, shortest-repr doubles — a lossless text round
+    * trip), read back through `TagSources.readTagCsv`, and resampled.
+    * The oracle computes the same aggregate from the PARQUET table, so
+    * any parse drift — separator, schema, fractional seconds, locale
+    * decimals — hash-fails the query. Materialization is executor-
+    * parallel text writes (nothing funnels through the driver; the
+    * distinct-tag collect is a handful of strings).
+    */
+  private def q_scan_csv(s: SparkSession, dir: String): DataFrame = {
+    val (root, types) = fittedModel(s"csv|$dir") {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"csv-v1|$dir".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      val out = s"${sys.props("java.io.tmpdir")}/graft-registry/csv_$key"
+      val ts = E(s, dir).select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted
+      for (t <- ts) {
+        E(s, dir).filter(col("event_type") === t)
+          .select(concat_ws(";",
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            col("value").cast("string")).as("line"))
+          .write.mode("overwrite").text(s"$out/$t")
+      }
+      (out, ts)
+    }
+    val long = graft.sources.TagSources.readTagCsv(s,
+      types.map(t => t -> Seq(s"$root/$t")).toMap)
+    long.groupBy(Timeseries.bucket(col("ts"), "10 minutes").as("bucket"),
+        col("tag").as("event_type"))
+      .agg(round(avg(col("value")), 6).as("avg_v"), count(lit(1)).as("n"))
+      .orderBy("bucket", "event_type")
+  }
+
   private def q_agg_resample_mean(s: SparkSession, dir: String): DataFrame =
     E(s, dir)
       .groupBy(Timeseries.bucket(col("ts"), "10 minutes").as("bucket"), col("event_type"))
@@ -1172,6 +1207,7 @@ object SparkEntry {
     "join_asof_tol" -> (q_join_asof_tol _),
     "join_interval" -> (q_join_interval _),
     "win_smooth_time" -> (q_win_smooth_time _),
+    "scan_csv" -> (q_scan_csv _),
     "agg_resample_mean" -> (q_agg_resample_mean _),
     "agg_resample_multi" -> (q_agg_resample_multi _),
     "agg_scaler_fit" -> (q_agg_scaler_fit _),
@@ -1539,6 +1575,12 @@ object SparkEntry {
         |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 6) AS smoothed_t
         |FROM events ORDER BY event_id""".stripMargin,
     "agg_resample_mean" ->
+      s"""SELECT $bucket10m AS bucket, event_type,
+         |  round(avg(value), 6) AS avg_v, count(*) AS n
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the Spark side reads a CSV materialization of the same rows — the
+    // parquet-derived oracle catches any text-parse drift
+    "scan_csv" ->
       s"""SELECT $bucket10m AS bucket, event_type,
          |  round(avg(value), 6) AS avg_v, count(*) AS n
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
