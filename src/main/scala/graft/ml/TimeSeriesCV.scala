@@ -33,14 +33,32 @@ object TimeSeriesCV {
   /** (train, validation) fold pairs. Lazy frames — each fold is a filter
     * over the input, no materialization here.
     */
-  def folds(df: DataFrame, tsCol: String, nSplits: Int = 3): Seq[(DataFrame, DataFrame)] = {
+  def folds(df: DataFrame, tsCol: String, nSplits: Int = 3): Seq[(DataFrame, DataFrame)] =
+    foldsWithGap(df, tsCol, nSplits, gapSeconds = 0L)
+
+  /** PURGED folds: leave an embargo of `gapSeconds` between the train
+    * window's end and the validation window's start — the `gap` of
+    * sklearn's `TimeSeriesSplit` and the purged-CV discipline for
+    * financial/sensor series. The leak it closes: with lookback windows,
+    * trailing smoothing, or resampled features, a validation row just
+    * after the cut still CONTAINS training-period values inside its
+    * feature window, so plain expanding-window CV scores optimistically;
+    * embargoed rows in `(cut, cut + gap]` belong to neither side. Size
+    * the gap to the feature horizon (lookback span, smoothing window).
+    * Same scale shape as [[folds]]: plain ts-range filters off one
+    * cutpoint aggregate.
+    */
+  def foldsWithGap(df: DataFrame, tsCol: String, nSplits: Int,
+      gapSeconds: Long): Seq[(DataFrame, DataFrame)] = {
+    require(gapSeconds >= 0, "gapSeconds must be non-negative")
     val cuts = cutpoints(df, tsCol, nSplits)
     val bounds = cuts :+ null // last validation fold is unbounded above
     (0 until nSplits).map { i =>
       val train = df.filter(col(tsCol) <= lit(cuts(i)))
+      val vStart = new java.sql.Timestamp(cuts(i).getTime + gapSeconds * 1000L)
       val valid =
-        if (bounds(i + 1) == null) df.filter(col(tsCol) > lit(cuts(i)))
-        else df.filter(col(tsCol) > lit(cuts(i)) && col(tsCol) <= lit(bounds(i + 1)))
+        if (bounds(i + 1) == null) df.filter(col(tsCol) > lit(vStart))
+        else df.filter(col(tsCol) > lit(vStart) && col(tsCol) <= lit(bounds(i + 1)))
       (train, valid)
     }
   }

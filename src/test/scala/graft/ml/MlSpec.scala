@@ -62,6 +62,29 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("foldsWithGap embargoes the rows straddling each cut") {
+    val df = (1 to 100).map(i =>
+      (new Timestamp(1700000000000L + i * 60000L), i.toDouble)).toDF("ts", "v")
+    // 10-minute embargo on a 1-minute grid: 10 rows after each cut belong
+    // to neither train nor validation
+    val gapped = TimeSeriesCV.foldsWithGap(df, "ts", nSplits = 3, gapSeconds = 600L)
+    val plain = TimeSeriesCV.folds(df, "ts", nSplits = 3)
+    gapped.zip(plain).foreach { case ((gtr, gva), (ptr, pva)) =>
+      // train side identical; validation loses exactly the embargo rows
+      assert(gtr.count() == ptr.count())
+      assert(pva.count() - gva.count() == 10L,
+        s"expected a 10-row embargo, got ${pva.count() - gva.count()}")
+      val maxTrain = gtr.agg(max("ts")).head().getTimestamp(0)
+      val minVal = gva.agg(min("ts")).head().getTimestamp(0)
+      assert(minVal.getTime - maxTrain.getTime > 600000L)
+    }
+    // gap 0 degrades to the plain folds
+    TimeSeriesCV.foldsWithGap(df, "ts", 3, 0L).zip(plain).foreach {
+      case ((gtr, gva), (ptr, pva)) =>
+        assert(gtr.count() == ptr.count() && gva.count() == pva.count())
+    }
+  }
+
   test("DiskRegistry caches builds by config digest") {
     val dir = java.nio.file.Files.createTempDirectory("graft-registry").toString
     val reg = DiskRegistry(dir)
