@@ -30,8 +30,10 @@ object Bench {
       (name, cold, warm, okCold && okWarm)
     }
     // millisecond precision keeps the artifact line short enough for the
-    // driver's log-tail capture (round 3 lost 28 queries to an overlong line)
-    def s3(x: Double): String = f"$x%.3f"
+    // driver's log-tail capture (round 3 lost 28 queries to an overlong
+    // line). Locale.ROOT: the default-locale formatter writes a comma
+    // decimal separator under e.g. de_DE, corrupting the JSON
+    def s3(x: Double): String = String.format(java.util.Locale.ROOT, "%.3f", x)
     val qs = results.map { case (k, _, w, _) => s"\"" + k + "\":" + s3(w) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
@@ -39,10 +41,12 @@ object Bench {
     val coldTotal = results.map(_._2).sum
     val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec","cold_total":${s3(coldTotal)},""" +
       s""""failed":[${failed.mkString(",")}],"queries":$qs,"sf":"$sfDir"}"""
-    // the durable copy: a truncated console capture can always be
-    // reconstructed from bench.json next to the build
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
+    // console line FIRST — the durable bench.json copy is best-effort and
+    // must never destroy the primary artifact (unwritable cwd, full disk)
     println(json)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write bench.json: $e") }
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
       sys.exit(1)

@@ -34,6 +34,35 @@ object SparkEntry {
   private def fittedModel[T <: AnyRef](key: String)(fit: => T): T =
     fittedModels.computeIfAbsent(key, _ => fit).asInstanceOf[T]
 
+  /** Root for cross-run persisted artifacts (fitted quantizers,
+    * materialized fixtures): the build's own target dir, NOT a shared
+    * world-writable /tmp — a predictable shared path invites cross-user
+    * collision and artifact poisoning.
+    */
+  private def registryRoot: String =
+    sys.env.getOrElse("GRAFT_REGISTRY_DIR",
+      new java.io.File("target/graft-registry").getAbsolutePath)
+
+  /** md5-hex artifact key (the DiskRegistry key scheme). */
+  private def registryKey(config: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(config.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Content fingerprint of a table directory (names, sizes, mtimes) —
+    * persisted-model keys include it so a REGENERATED fixture can never
+    * be served a stale artifact fitted on the old data.
+    */
+  private def tableFingerprint(s: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stats =
+      if (!fs.exists(p)) Array("absent")
+      else fs.listStatus(p).sortBy(_.getPath.getName)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+    registryKey(stats.mkString("|"))
+  }
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read as a
     * timestamp ([PARQUET_TYPE_ILLEGAL]). Read it as a long (ns since epoch)
     * via the legacy flag, then truncate to µs — exactly what DuckDB's
@@ -314,23 +343,20 @@ object SparkEntry {
     */
   private def q_scan_csv(s: SparkSession, dir: String): DataFrame = {
     val (root, types) = fittedModel(s"csv|$dir") {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"csv-v1|$dir".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map("%02x".format(_)).mkString
-      val out = s"${sys.props("java.io.tmpdir")}/graft-registry/csv_$key"
+      val out = s"$registryRoot/csv_${registryKey(s"csv-v1|$dir")}"
+      // ONE scan: the partitioned text write splits per tag on the
+      // executors (a per-tag driver loop would rescan events |tags| times)
+      E(s, dir)
+        .select(col("event_type"), concat_ws(";",
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+          col("value").cast("string")).as("value"))
+        .write.partitionBy("event_type").mode("overwrite").text(out)
       val ts = E(s, dir).select("event_type").distinct()
         .collect().map(_.getString(0)).sorted
-      for (t <- ts) {
-        E(s, dir).filter(col("event_type") === t)
-          .select(concat_ws(";",
-            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
-            col("value").cast("string")).as("line"))
-          .write.mode("overwrite").text(s"$out/$t")
-      }
       (out, ts)
     }
     val long = graft.sources.TagSources.readTagCsv(s,
-      types.map(t => t -> Seq(s"$root/$t")).toMap)
+      types.map(t => t -> Seq(s"$root/event_type=$t")).toMap)
     long.groupBy(Timeseries.bucket(col("ts"), "10 minutes").as("bucket"),
         col("tag").as("event_type"))
       .agg(round(avg(col("value")), 6).as("avg_v"), count(lit(1)).as("n"))
@@ -675,11 +701,11 @@ object SparkEntry {
     */
   private def q_simsearch_ivf(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir, "embeddings")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"ivf-v1|$dir|embedding|nLists=16|seed=42|maxIter=8"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-    val path = s"${sys.props("java.io.tmpdir")}/graft-registry/ivf_$key.parquet"
+    // the data fingerprint in the key invalidates the persisted quantizer
+    // if the embeddings fixture is ever regenerated
+    val fp = tableFingerprint(s, s"$dir/embeddings.parquet")
+    val key = registryKey(s"ivf-v1|$dir|$fp|embedding|nLists=16|seed=42|maxIter=8")
+    val path = s"$registryRoot/ivf_$key.parquet"
     val model = Similarity.fitOrLoadIvf(e, "embedding", path, nLists = 16, seed = 42L)
     Similarity.ivfSearch(model, e.filter(col("vec_id") < 10), e,
         "vec_id", "embedding", 5, nProbe = 4)
@@ -1137,14 +1163,25 @@ object SparkEntry {
       graft.ml.EchoState.fit(long, Seq("v"), "bucket", Seq("event_type"),
         reservoir = 32, washout = 10)
     }
-    val esnErr = esn.forecast(long, "bucket", Seq("event_type"))
-      .select(col("event_type"), (col("v_anomaly") * col("v_anomaly")).as("se"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), round(avg("se"), 6).as("mse_esn"))
     val ar = fittedModel(s"ar3|$dir") {
       graft.ml.Forecast.fitPerKey(long, "event_type", "v", lb = 3, "bucket")
     }
-    val arErr = ar.forecast(long, "bucket")
+    // fair head-to-head: both MSEs over the IDENTICAL row set. The ESN
+    // emits a prediction for every row (zero-state transient included)
+    // while the AR drops the first lb rows per key — so rank the SHARED
+    // input per key (a keyed window, no global sort) and restrict both
+    // outputs to rows past the larger warm-up (washout=10) by joining
+    // the kept (key, bucket) pairs.
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("bucket")
+    val keep = long.withColumn("__rn", row_number().over(wk))
+      .filter(col("__rn") > 10).select("event_type", "bucket")
+    def tail(df: DataFrame): DataFrame = df.join(keep, Seq("event_type", "bucket"))
+    val esnErr = tail(esn.forecast(long, "bucket", Seq("event_type")))
+      .select(col("event_type"), (col("v_anomaly") * col("v_anomaly")).as("se"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(avg("se"), 6).as("mse_esn"))
+    val arErr = tail(ar.forecast(long, "bucket"))
       .select(col("event_type"), (col("v_anomaly") * col("v_anomaly")).as("se"))
       .groupBy("event_type")
       .agg(round(avg("se"), 6).as("mse_ar"))

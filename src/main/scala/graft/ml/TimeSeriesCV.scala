@@ -56,6 +56,12 @@ object TimeSeriesCV {
     (0 until nSplits).map { i =>
       val train = df.filter(col(tsCol) <= lit(cuts(i)))
       val vStart = new java.sql.Timestamp(cuts(i).getTime + gapSeconds * 1000L)
+      // an embargo that swallows the whole validation window is a config
+      // error — fail here, not as null/NaN fold metrics deep in a build
+      require(bounds(i + 1) == null || vStart.before(bounds(i + 1)),
+        s"gapSeconds=$gapSeconds leaves fold ${i + 1} with an empty validation " +
+          s"window (${cuts(i)} + gap reaches past ${bounds(i + 1)}); shrink the " +
+          "gap or use fewer splits")
       val valid =
         if (bounds(i + 1) == null) df.filter(col(tsCol) > lit(vStart))
         else df.filter(col(tsCol) > lit(vStart) && col(tsCol) <= lit(bounds(i + 1)))

@@ -436,7 +436,11 @@ object TextAnalysis {
       val priorExpr = priors.foldLeft(lit(Double.NegativeInfinity)) {
         case (acc, (l, p)) => when(col("lbl") === l, lit(p)).otherwise(acc)
       }
+      // drop the empty pseudo-token: words("") is [""], so without the
+      // filter an empty/whitespace doc would be scored by the smoothed
+      // noise at bucket(md5("")) instead of reaching the prior fallback
       val toks = docs.select(col(idCol), explode(words(col(textCol))).as("w"))
+        .filter(col("w") =!= "")
         .select(col(idCol), tokenBucket(col("w"), buckets).as("bk"))
       val scored = toks.join(broadcast(probsDf), Seq("bk"))
         .groupBy(col(idCol), col("lbl"))
@@ -446,7 +450,8 @@ object TextAnalysis {
           Window.partitionBy(idCol).orderBy(col("score").desc, col("lbl"))))
         .filter(col("rn") === 1)
         .select(col(idCol), col("lbl").as("label_pred"), col("score"))
-      val fallback = priors.maxBy(p => (p._2, p._1))._1
+      // ties → lowest label, mirroring the argmax window's tie-break
+      val fallback = priors.minBy { case (l, p) => (-p, l) }._1
       docs.select(col(idCol))
         .join(scored, Seq(idCol), "left")
         .select(col(idCol), coalesce(col("label_pred"), lit(fallback)).as("label_pred"),
@@ -493,6 +498,7 @@ object TextAnalysis {
 
     val counts = docs
       .select(col(labelCol).as("lbl"), explode(words(col(textCol))).as("w"))
+      .filter(col("w") =!= "") // symmetric with classify's empty-token drop
       .select(col("lbl"), tokenBucket(col("w"), buckets).as("bk"))
       .groupBy("lbl", "bk").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap

@@ -118,10 +118,15 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "b", "zz ww"), (4L, "b", "ww zz zz")).toDF("doc_id", "lang", "text")
     val model = TextAnalysis.fitNaiveBayes(train, "lang", "text", buckets = 64)
     val out = model.classify(
-      Seq((10L, "xx xx yy"), (11L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      Seq((10L, "xx xx yy"), (11L, ""), (12L, "   ")).toDF("doc_id", "text"),
+        "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(out.keySet == Set(10L, 11L))
+    assert(out.keySet == Set(10L, 11L, 12L))
     assert(out(10L) == "a")
+    // empty AND whitespace-only docs take the max-prior label (classes
+    // are balanced here -> alphabetical tie-break), never the noise at
+    // the empty-string hash bucket
+    assert(out(11L) == "a" && out(12L) == "a")
   }
 
   test("language profiles gram exactly: L-2 trigrams, short texts none") {
