@@ -33,6 +33,16 @@ object Timeseries {
   def bucket(ts: Column, resolution: String): Column =
     window(ts, resolution).getField("start")
 
+  /** Bucket with a shifted ORIGIN — pandas' `resample(origin=/offset=)`:
+    * boundaries land at epoch-alignment + `offset` (e.g. 10-minute
+    * buckets cut at :05, :15, …), the shape shift-plan sensor data needs
+    * when the plant's reporting window does not start on the hour.
+    * Spark's `window(startTime=)` is exactly this semantic; DuckDB's
+    * `time_bucket(width, ts, offset)` mirrors it for the oracle.
+    */
+  def bucketWithOffset(ts: Column, resolution: String, offset: String): Column =
+    window(ts, resolution, resolution, offset).getField("start")
+
   /** Long-format resample: one row per (bucket, key…) with the requested
     * aggregations of `value`. Mirrors `series.resample(res).agg(methods)`.
     */

@@ -90,6 +90,38 @@ class EdgeCasesSpec extends SparkSpec {
     assert(buckets == Seq(ts("2024-03-10 23:50:00"), ts("2024-03-11 00:00:00")))
   }
 
+  test("bucketWithOffset shifts the boundary grid, inclusive at the shifted start") {
+    val df = Seq(ts("2024-03-10 23:55:00"), ts("2024-03-11 00:04:00"),
+      ts("2024-03-11 00:05:00")).toDF("ts")
+    val buckets = df.select(
+        Timeseries.bucketWithOffset(col("ts"), "10 minutes", "5 minutes").as("b"))
+      .as[Timestamp].collect().toSeq
+    // boundaries at :05/:15/…: 23:55 starts its own bucket, 00:04 still
+    // belongs to it, and 00:05 opens the next one
+    assert(buckets == Seq(ts("2024-03-10 23:55:00"), ts("2024-03-10 23:55:00"),
+      ts("2024-03-11 00:05:00")))
+  }
+
+  test("decontaminationMatches with an empty benchmark finds nothing, not an error") {
+    val corpus = Seq((1L, "some perfectly ordinary text here today")).toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("bench_id", "text")
+    assert(Dedup.decontaminationMatches(corpus, "doc_id", "text",
+      bench, "bench_id", "text", shingleN = 3).count() == 0)
+  }
+
+  test("capPerKey with cap above every stratum size is the identity") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "k")
+    val out = Sampling.capPerKey(df, "id", "k", 100)
+    assert(out.exceptAll(df).isEmpty && df.exceptAll(out).isEmpty)
+  }
+
+  test("targetMix over a single stratum keeps (approximately) everything") {
+    val df = (1L to 500L).map(i => (i, "only")).toDF("id", "k")
+    val out = Sampling.targetMix(df, "id", "k", Map("only" -> 1.0))
+    // rate = 1.0 exactly (n/1.0 feasible total); threshold 1e6 keeps all
+    assert(out.count() == 500)
+  }
+
   test("densify on an empty long frame yields an empty grid, keyed ffill no-ops") {
     val empty = Seq.empty[(Timestamp, String, Option[Double])].toDF("bucket", "k", "v")
     val dense = Timeseries.densify(empty, "bucket", "k", Seq("a", "b"))
