@@ -791,6 +791,27 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Spark-only: REAL trained BPE token counts (Sennrich subword merges
+    * — the published algorithm behind LLM tokenizers) beside text_tokens'
+    * regex estimate. Train = one corpus word-count shuffle + a driver
+    * merge loop on the bounded vocabulary (memoized per dir, seeded by
+    * determinism of the tie-break); encode = once per DISTINCT word in
+    * mapPartitions, joined back to occurrences. Non-SQL: the greedy
+    * merge-rank loop.
+    */
+  private def q_text_bpe_tokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    // 90 merges against the fixture's ~31-word vocabulary: the Zipf head
+    // collapses to single tokens while rarer words stay multi-token, so
+    // the output exhibits real subword structure (~120 merges would merge
+    // every word whole and emit the degenerate n_bpe_tokens == n_words)
+    val model = fittedModel(s"bpe|$dir") {
+      graft.ops.Bpe.train(docs, "text", numMerges = 90)
+    }
+    graft.ops.Bpe.tokenCounts(model, docs, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing for training batches: whitespace token counts →
     * 512-token context windows across 8 independent md5-sharded streams.
     * All-integer (shard, bin, offset) assignment, stable under any
@@ -1301,6 +1322,7 @@ object SparkEntry {
     "text_topterms" -> (q_text_topterms _),
     "text_langid_trained" -> (q_text_langid_trained _),
     "text_nb_classifier" -> (q_text_nb_classifier _),
+    "text_bpe_tokens" -> (q_text_bpe_tokens _),
     "sample_stratified" -> (q_sample_stratified _),
     "sample_cap_per_key" -> (q_sample_cap_per_key _),
     "sample_target_mix" -> (q_sample_target_mix _),
