@@ -40,7 +40,7 @@ object Bpe {
       */
     def encodeWord(w: String): Seq[String] = {
       if (w.isEmpty) return Seq.empty
-      var syms = w.map(_.toString).toVector :+ EndMark
+      var syms = Bpe.symbols(w) :+ EndMark
       var done = false
       while (!done && syms.size > 1) {
         var bestRank = Int.MaxValue
@@ -73,7 +73,7 @@ object Bpe {
       .collect().map(r => r.getString(0) -> r.getLong(1))
 
     var words: Array[(Vector[String], Long)] =
-      wc.map { case (w, c) => (w.map(_.toString).toVector :+ EndMark, c) }
+      wc.map { case (w, c) => (symbols(w) :+ EndMark, c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.size < numMerges && !exhausted) {
@@ -89,6 +89,23 @@ object Bpe {
       }
     }
     BpeModel(merges.toSeq)
+  }
+
+  /** Initial symbols = Unicode CODE POINTS, not UTF-16 units: splitting
+    * at char level would cut a supplementary-plane character (emoji, rare
+    * CJK) into two lone surrogates, which UTF8String replaces with '?'
+    * the moment a token crosses into a DataFrame — breaking the
+    * round-trip on real multilingual text.
+    */
+  private[ops] def symbols(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
   }
 
   private def mergeOnce(syms: Vector[String], pair: (String, String)): Vector[String] = {
@@ -115,23 +132,37 @@ object Bpe {
   /** Token stream per word occurrence: `(id, w, toks)` — aggregate
     * downstream (token counts, vocab stats, packing inputs). The join
     * attaches each occurrence's tokens from the once-per-distinct-word
-    * encode table.
+    * encode table, which is MATERIALIZED (vocab-sized, cheap) so repeated
+    * actions never re-run the distinct+encode subtree; AQE broadcasts it.
+    * The occurrence side rescans the source per action like any lazy
+    * plan — at scale a second columnar scan of one column is far cheaper
+    * than shuffling (or caching) the full exploded occurrence stream,
+    * which is why the plan joins rather than repartitioning by word.
     */
   def tokenize(model: BpeModel, docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val occ = docs.select(col(idCol), explode(Dedup.words(col(textCol))).as("w"))
       .filter(col("w") =!= "")
-    occ.join(encodeWords(model, occ), Seq("w"))
+    occ.join(encodeWords(model, occ).localCheckpoint(), Seq("w"))
       .select(col(idCol), col("w"), col("toks"))
   }
 
   /** Per-doc BPE token counts beside the whitespace word count — the
     * trained replacement for `TextAnalysis.tokenCounts`' regex estimate.
+    * EVERY input doc gets a row: a doc whose text yields no words counts
+    * (0, 0) instead of silently vanishing from the output (per-doc
+    * outputs must stay joinable against the corpus).
     */
   def tokenCounts(model: BpeModel, docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    tokenize(model, docs, idCol, textCol)
+      textCol: String): DataFrame = {
+    val agg = tokenize(model, docs, idCol, textCol)
       .groupBy(idCol)
       .agg(count(lit(1)).cast("long").as("n_words"),
         sum(size(col("toks"))).cast("long").as("n_bpe_tokens"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
 }

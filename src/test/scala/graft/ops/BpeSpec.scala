@@ -53,6 +53,29 @@ class BpeSpec extends SparkSpec {
     assert(out(1L)._2 == 5L)
   }
 
+  test("supplementary-plane characters stay whole code points through the DataFrame path") {
+    val emoji = "data😀x" // 😀 is outside the BMP
+    val docs = Seq((1L, s"$emoji $emoji plain")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", numMerges = 5)
+    // driver-side: round-trips with the emoji intact, one symbol per code point
+    assert(m.encodeWord(emoji).mkString.stripSuffix(Bpe.EndMark) == emoji)
+    // distributed path: no '?' mangling from unpaired surrogates
+    val toks = Bpe.tokenize(m, docs, "doc_id", "text")
+      .filter(col("w") === emoji).select("toks")
+      .collect().head.getSeq[String](0)
+    assert(toks.mkString.stripSuffix(Bpe.EndMark) == emoji, toks.toString)
+    assert(!toks.exists(_.contains("?")))
+  }
+
+  test("tokenCounts emits a (0, 0) row for docs whose text has no words") {
+    val m = Bpe.train(corpus, "text", numMerges = 10)
+    val withEmpty = corpus.unionByName(Seq((9L, ""), (10L, "   ")).toDF("doc_id", "text"))
+    val out = Bpe.tokenCounts(m, withEmpty, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 9L, 10L))
+    assert(out(9L) == (0L, 0L) && out(10L) == (0L, 0L))
+  }
+
   test("distributed tokenize equals the driver-side encode, occurrence by occurrence") {
     val m = Bpe.train(corpus, "text", numMerges = 20)
     val dist = Bpe.tokenize(m, corpus, "doc_id", "text")
