@@ -799,16 +799,34 @@ object SparkEntry {
     * mapPartitions, joined back to occurrences. Non-SQL: the greedy
     * merge-rank loop.
     */
-  private def q_text_bpe_tokens(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents")
-    // 90 merges against the fixture's ~31-word vocabulary: the Zipf head
-    // collapses to single tokens while rarer words stay multi-token, so
-    // the output exhibits real subword structure (~120 merges would merge
-    // every word whole and emit the degenerate n_bpe_tokens == n_words)
-    val model = fittedModel(s"bpe|$dir") {
-      graft.ops.Bpe.train(docs, "text", numMerges = 90)
+  private def q_text_bpe_tokens(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.tokenCounts(bpeModel(s, dir), T(s, dir, "documents"),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** The shared fitted tokenizer (fit-once memo). 90 merges against the
+    * fixture's ~31-word vocabulary: the Zipf head collapses to single
+    * tokens while rarer words stay multi-token, so outputs exhibit real
+    * subword structure (~120 merges would merge every word whole and
+    * emit the degenerate n_bpe_tokens == n_words).
+    */
+  private def bpeModel(s: SparkSession, dir: String): graft.ops.Bpe.BpeModel =
+    fittedModel(s"bpe|$dir|merges=90") {
+      graft.ops.Bpe.train(T(s, dir, "documents"), "text", numMerges = 90)
     }
-    graft.ops.Bpe.tokenCounts(model, docs, "doc_id", "text")
+
+  /** Spark-only: the composed training-prep pipeline — REAL BPE token
+    * counts feeding context-window sequence packing (the tokenizer-aware
+    * upgrade of sample_pack's whitespace estimate). ONE lazy plan: the
+    * vocab broadcast join and the per-shard packing windows are the only
+    * wide stages.
+    */
+  private def q_pipeline_tokenize_pack(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.ops.Bpe.tokenCounts(bpeModel(s, dir),
+        T(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+    graft.ops.Sampling.packSequences(toks, "doc_id", "n_tokens",
+        budgetTokens = 512L, shards = 8)
       .orderBy("doc_id")
   }
 
@@ -1323,6 +1341,7 @@ object SparkEntry {
     "text_langid_trained" -> (q_text_langid_trained _),
     "text_nb_classifier" -> (q_text_nb_classifier _),
     "text_bpe_tokens" -> (q_text_bpe_tokens _),
+    "pipeline_tokenize_pack" -> (q_pipeline_tokenize_pack _),
     "sample_stratified" -> (q_sample_stratified _),
     "sample_cap_per_key" -> (q_sample_cap_per_key _),
     "sample_target_mix" -> (q_sample_target_mix _),

@@ -143,4 +143,22 @@ class PropertiesSpec extends SparkSpec {
       got == components(pairs)
     }, n = 8)
   }
+
+  test("BPE encode round-trips every word of an arbitrary training corpus") {
+    val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString).suchThat(_.nonEmpty)
+    val corpusGen = for {
+      words <- Gen.nonEmptyListOf(wordGen)
+      merges <- Gen.choose(1, 30)
+    } yield (words, merges)
+    check(Prop.forAll(corpusGen) { case (words, merges) =>
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val m = Bpe.train(docs, "text", numMerges = merges)
+      // round-trip on training words AND on mutations never seen in training
+      val probes = words ++ words.map(_.reverse) ++ Seq("zqjx")
+      probes.forall { w =>
+        val toks = m.encodeWord(w)
+        toks.mkString.stripSuffix(Bpe.EndMark) == w && toks.nonEmpty
+      }
+    }, n = 10)
+  }
 }
