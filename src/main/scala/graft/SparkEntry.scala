@@ -804,6 +804,27 @@ object SparkEntry {
         "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Spark-only: perplexity-style quality gate (the CCNet shape) — mean
+    * token log-probability under a unigram LM fitted single-class on a
+    * clean reference slice (here: the corpus' own 'en' docs), scored over
+    * EVERY doc. Junk/out-of-domain text lands far below the reference's
+    * own range; exp(-avg) is the perplexity axis. Transcendental
+    * log-probs → no hash oracle.
+    */
+  private def q_text_perplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val lm = fittedModel(s"lm-en|$dir") {
+      TextAnalysis.fitNaiveBayes(
+        docs.filter(col("lang") === "en").withColumn("__c", lit("ref")),
+        "__c", "text", buckets = 1024)
+    }
+    lm.logLikelihood(docs, "doc_id", "text", "ref")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("avg_logprob"), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** The shared fitted tokenizer (fit-once memo). 90 merges against the
     * fixture's ~31-word vocabulary: the Zipf head collapses to single
     * tokens while rarer words stay multi-token, so outputs exhibit real
@@ -1342,6 +1363,7 @@ object SparkEntry {
     "text_nb_classifier" -> (q_text_nb_classifier _),
     "text_bpe_tokens" -> (q_text_bpe_tokens _),
     "pipeline_tokenize_pack" -> (q_pipeline_tokenize_pack _),
+    "text_perplexity" -> (q_text_perplexity _),
     "sample_stratified" -> (q_sample_stratified _),
     "sample_cap_per_key" -> (q_sample_cap_per_key _),
     "sample_target_mix" -> (q_sample_target_mix _),

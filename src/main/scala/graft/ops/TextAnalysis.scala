@@ -458,6 +458,36 @@ object TextAnalysis {
           col("score"))
     }
 
+    /** Per-doc mean token log-probability under ONE class's distribution
+      * — the perplexity-style quality gate (CCNet's shape: score the
+      * crawl under a model fitted on a clean reference corpus; junk and
+      * out-of-domain text land far below the reference's own range).
+      * Fit the model single-class on the reference corpus for the pure
+      * "LM filter" form; `perplexity = exp(-avg_logprob)` if a
+      * perplexity axis is preferred. Same serving plan as classify —
+      * explode → broadcast probs → one sum; docs with no tokens score
+      * null (nothing to judge, distinct from "very unlikely").
+      */
+    def logLikelihood(docs: DataFrame, idCol: String, textCol: String,
+        label: String): DataFrame = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      require(priors.exists(_._1 == label), s"model has no class '$label'")
+      val probsDf = probs.filter(_._1 == label).map(p => (p._2, p._3))
+        .toDF("bk", "lp")
+      val toks = docs.select(col(idCol), explode(words(col(textCol))).as("w"))
+        .filter(col("w") =!= "")
+        .select(col(idCol), tokenBucket(col("w"), buckets).as("bk"))
+      val scored = toks.join(broadcast(probsDf), Seq("bk"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          (sum(col("lp")) / count(lit(1))).as("avg_logprob"))
+      docs.select(col(idCol))
+        .join(scored, Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          col("avg_logprob"))
+    }
+
     def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
       import spark.implicits._
       probs.toDF("label", "bucket", "log_prob")

@@ -129,6 +129,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(11L) == "a" && out(12L) == "a")
   }
 
+  test("logLikelihood: in-domain text scores above junk under a reference LM") {
+    val ref = Seq.tabulate(30)(i =>
+      (i.toLong, "ref", "the plant sensor stream reports steady values today"))
+      .toDF("doc_id", "lang", "text")
+    val lm = TextAnalysis.fitNaiveBayes(ref, "lang", "text", buckets = 256)
+    val probes = Seq(
+      (100L, "the sensor reports steady values"),  // in-domain
+      (101L, "zxqv gkkw pffj mmnb aaa11 bbb22"),   // junk, all unseen
+      (102L, "")                                    // nothing to judge
+    ).toDF("doc_id", "text")
+    val out = lm.logLikelihood(probes, "doc_id", "text", "ref")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(100L)._2.get > out(101L)._2.get + 1.0,
+      s"in-domain ${out(100L)} should beat junk ${out(101L)} clearly")
+    assert(out(102L) == (0L, None)) // no tokens -> null score, not -inf
+  }
+
   test("language profiles gram exactly: L-2 trigrams, short texts none") {
     // "abcd" → abc, bcd (each once); "ab" → no grams
     val corpus = Seq((1L, "x", "abcd"), (2L, "x", "ab")).toDF("doc_id", "lang", "text")
