@@ -272,6 +272,24 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of join (pandas merge_asof(direction="forward")): each
+    * click matches the same user's EARLIEST view at-or-after it — the
+    * "next scheduled state change" shape. DuckDB's ASOF JOIN with the
+    * inequality flipped (l.t <= r.t) is the native oracle.
+    */
+  private def q_join_asof_fwd(s: SparkSession, dir: String): DataFrame = {
+    val ev = E(s, dir)
+    val l = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val r = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(avg(col("value")).as("vv"))
+    graft.ops.AsOf.join(l, r, "ts", Seq("user_id"), Seq("vv"),
+        direction = "forward")
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(col("asof_vv"), 6).as("asof_view"))
+      .orderBy("event_id")
+  }
+
   /** Interval join: each click pairs with the same user's views in the
     * trailing 10 minutes — the batch form of `Streams.intervalJoin` (the
     * streaming variant is parity-spec'd against this exact expression).
@@ -1313,6 +1331,7 @@ object SparkEntry {
     "join_semi" -> (q_join_semi _),
     "join_anti" -> (q_join_anti _),
     "join_asof" -> (q_join_asof _),
+    "join_asof_fwd" -> (q_join_asof_fwd _),
     "join_asof_tol" -> (q_join_asof_tol _),
     "join_interval" -> (q_join_interval _),
     "win_smooth_time" -> (q_win_smooth_time _),
@@ -1659,6 +1678,14 @@ object SparkEntry {
         |           FROM events WHERE event_type = 'view' GROUP BY 1, 2)
         |SELECT l.event_id, l.user_id, l.value, round(r.vv, 6) AS asof_view
         |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.t >= r.t
+        |ORDER BY event_id""".stripMargin,
+    "join_asof_fwd" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) t, value
+        |           FROM events WHERE event_type = 'click'),
+        |     r AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, avg(value) AS vv
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.value, round(r.vv, 6) AS asof_view
+        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.t <= r.t
         |ORDER BY event_id""".stripMargin,
     "join_asof_tol" ->
       """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) t, value

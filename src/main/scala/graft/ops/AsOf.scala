@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,49 +45,74 @@ object AsOf {
     * @param inner     drop left rows with no preceding right row (ASOF
     *                  JOIN semantics); false keeps them with nulls
     * @param tolerance pandas `merge_asof(tolerance=...)` analogue: an
-    *                  interval string (e.g. "5 MINUTES"); a match older
-    *                  than `left.ts − tolerance` is treated as no match
+    *                  interval string (e.g. "5 MINUTES"); a match further
+    *                  than `tolerance` from `left.ts` is treated as no
+    *                  match
+    * @param direction `"backward"` (default — latest right row with
+    *                  rt <= lt, the classic as-of) or `"forward"` (pandas
+    *                  `merge_asof(direction="forward")`: EARLIEST right
+    *                  row with rt >= lt — joining events to the next
+    *                  scheduled state change instead of the last one).
+    *                  Same single-shuffle window plan either way: the
+    *                  frame flips to following and `first` replaces
+    *                  `last`, with the side marker swapped so an
+    *                  equal-timestamp right row still matches
     */
   def join(left: DataFrame, right: DataFrame, tsCol: String, keyCols: Seq[String],
       valueCols: Seq[String], inner: Boolean = true,
-      tolerance: Option[String] = None): DataFrame = {
+      tolerance: Option[String] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
+    val back = direction == "backward"
     val leftCols = left.columns.toSeq
-    // side: right=0 sorts before left=1 at equal ts -> >= semantics
+    // side ordering makes the equal-ts right row land INSIDE the left
+    // row's frame: backward (preceding frame) wants right before left;
+    // forward (following frame) wants right after left
+    val (lSide, rSide) = if (back) (1, 0) else (0, 1)
     val l = left
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(lSide))
       .select((leftCols.map(col) :+ col("__side")) ++
         valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
     val r = right
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(rSide))
       .select((leftCols.map(c =>
         if (keyCols.contains(c) || c == tsCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) :+ col("__side")) ++
         valueCols.map(c => col(c).as(s"__r_$c")): _*)
-    val w = Window
+    val w0 = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w =
+      if (back) w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def pick(c: Column): Column =
+      if (back) last(c, ignoreNulls = true).over(w)
+      else first(c, ignoreNulls = true).over(w)
     // ROW-level matching (pandas merge_asof / DuckDB ASOF JOIN semantics):
-    // the latest right ROW wins and its values come through as-is — nulls
+    // the nearest right ROW wins and its values come through as-is — nulls
     // included. Carrying the whole row as one struct makes that exact (a
     // struct of null fields is itself non-null, so a null-valued right row
-    // still REPLACES an older match instead of being skipped the way a
+    // still REPLACES a farther match instead of being skipped the way a
     // per-column last(value, ignoreNulls) would skip it) and costs two
     // window expressions total instead of two per value column.
-    val rightRow = when(col("__side") === 0,
+    val rightRow = when(col("__side") === rSide,
       struct(valueCols.map(c => col(s"__r_$c")): _*))
     val carried = l.unionByName(r)
-      .withColumn("__asof_row", last(rightRow, ignoreNulls = true).over(w))
+      .withColumn("__asof_row", pick(rightRow))
       .withColumn("__asof_ts",
-        last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-    // a match exists if any right row precedes (and, with tolerance, is
-    // fresh enough); an EXISTING match with null values is still a match —
-    // `inner` keeps the row and the null rides through, like the oracle
+        pick(when(col("__side") === rSide, col(tsCol))))
+      .filter(col("__side") === lSide)
+    // a match exists if any right row is on the required side (and, with
+    // tolerance, near enough); an EXISTING match with null values is
+    // still a match — `inner` keeps the row and the null rides through
     val matched = tolerance match {
-      case Some(tol) =>
+      case Some(tol) if back =>
         col("__asof_row").isNotNull &&
           col("__asof_ts") >= col(tsCol) - expr(s"INTERVAL $tol")
+      case Some(tol) =>
+        col("__asof_row").isNotNull &&
+          col("__asof_ts") <= col(tsCol) + expr(s"INTERVAL $tol")
       case None => col("__asof_row").isNotNull
     }
     val withVals = carried

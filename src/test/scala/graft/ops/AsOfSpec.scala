@@ -31,6 +31,20 @@ class AsOfSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("asof_state")).toSeq == Seq(1.0, 2.0, 3.0))
   }
 
+  test("forward direction picks the earliest right row at-or-after each left ts") {
+    // id 1 (00:05) -> next right 00:10 (2.0); id 2 (00:10) -> the
+    // simultaneous 00:10 row (>= semantics); id 3 (00:30) -> nothing
+    // follows, dropped under inner; id 4 (00:01, k=20) -> 00:05 (9.0)
+    val out = AsOf.join(left, right, "ts", Seq("k"), Seq("state"),
+      direction = "forward").orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 4L))
+    assert(out.map(_.getAs[Double]("asof_state")).toSeq == Seq(2.0, 2.0, 9.0))
+    // forward tolerance: a match further AHEAD than the interval is stale
+    val tol = AsOf.join(left, right, "ts", Seq("k"), Seq("state"),
+      direction = "forward", tolerance = Some("4 MINUTES")).orderBy("id").collect()
+    assert(tol.map(_.getAs[Long]("id")).toSeq == Seq(2L, 4L)) // id 1's +5min match is too far
+  }
+
   test("outer form keeps unmatched left rows with null state") {
     val out = AsOf.join(left, right, "ts", Seq("k"), Seq("state"), inner = false)
       .orderBy("id").collect()
