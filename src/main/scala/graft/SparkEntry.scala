@@ -290,6 +290,24 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** NEAREST as-of join (pandas merge_asof(direction="nearest")): each
+    * click matches the same user's closest view in time, distance ties
+    * going backward. Oracle = both directional DuckDB ASOF LEFT JOINs
+    * combined by the identical interval-distance rule.
+    */
+  private def q_join_asof_near(s: SparkSession, dir: String): DataFrame = {
+    val ev = E(s, dir)
+    val l = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val r = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(avg(col("value")).as("vv"))
+    graft.ops.AsOf.join(l, r, "ts", Seq("user_id"), Seq("vv"),
+        direction = "nearest")
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(col("asof_vv"), 6).as("asof_view"))
+      .orderBy("event_id")
+  }
+
   /** Interval join: each click pairs with the same user's views in the
     * trailing 10 minutes — the batch form of `Streams.intervalJoin` (the
     * streaming variant is parity-spec'd against this exact expression).
@@ -1332,6 +1350,7 @@ object SparkEntry {
     "join_anti" -> (q_join_anti _),
     "join_asof" -> (q_join_asof _),
     "join_asof_fwd" -> (q_join_asof_fwd _),
+    "join_asof_near" -> (q_join_asof_near _),
     "join_asof_tol" -> (q_join_asof_tol _),
     "join_interval" -> (q_join_interval _),
     "win_smooth_time" -> (q_win_smooth_time _),
@@ -1686,6 +1705,22 @@ object SparkEntry {
         |           FROM events WHERE event_type = 'view' GROUP BY 1, 2)
         |SELECT l.event_id, l.user_id, l.value, round(r.vv, 6) AS asof_view
         |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.t <= r.t
+        |ORDER BY event_id""".stripMargin,
+    "join_asof_near" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) t, value
+        |           FROM events WHERE event_type = 'click'),
+        |     r AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, avg(value) AS vv
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |     b AS (SELECT l.event_id, l.user_id, l.value, l.t AS lt,
+        |             r.t AS bt, r.vv AS bv
+        |           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.t),
+        |     f AS (SELECT l.event_id, r.t AS ft, r.vv AS fv
+        |           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t <= r.t)
+        |SELECT b.event_id, b.user_id, b.value,
+        |  round(CASE WHEN bt IS NOT NULL AND (ft IS NULL OR (lt - bt) <= (ft - lt))
+        |        THEN bv ELSE fv END, 6) AS asof_view
+        |FROM b JOIN f USING (event_id)
+        |WHERE bt IS NOT NULL OR ft IS NOT NULL
         |ORDER BY event_id""".stripMargin,
     "join_asof_tol" ->
       """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) t, value

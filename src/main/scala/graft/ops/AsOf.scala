@@ -49,27 +49,29 @@ object AsOf {
     *                  than `tolerance` from `left.ts` is treated as no
     *                  match
     * @param direction `"backward"` (default — latest right row with
-    *                  rt <= lt, the classic as-of) or `"forward"` (pandas
-    *                  `merge_asof(direction="forward")`: EARLIEST right
-    *                  row with rt >= lt — joining events to the next
-    *                  scheduled state change instead of the last one).
-    *                  Same single-shuffle window plan either way: the
-    *                  frame flips to following and `first` replaces
-    *                  `last`, with the side marker swapped so an
-    *                  equal-timestamp right row still matches
+    *                  rt <= lt, the classic as-of), `"forward"` (EARLIEST
+    *                  right row with rt >= lt — joining events to the
+    *                  next scheduled state change instead of the last
+    *                  one), or `"nearest"` (whichever side is closer in
+    *                  time; distance ties go backward — full pandas
+    *                  `merge_asof` direction parity). Every direction is
+    *                  the same single-shuffle window plan: the frames are
+    *                  preceding/`last`, following/`first`, or both over
+    *                  ONE shared sort
     */
   def join(left: DataFrame, right: DataFrame, tsCol: String, keyCols: Seq[String],
       valueCols: Seq[String], inner: Boolean = true,
       tolerance: Option[String] = None,
       direction: String = "backward"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be 'backward' or 'forward', got '$direction'")
-    val back = direction == "backward"
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be 'backward', 'forward' or 'nearest', got '$direction'")
     val leftCols = left.columns.toSeq
-    // side ordering makes the equal-ts right row land INSIDE the left
-    // row's frame: backward (preceding frame) wants right before left;
-    // forward (following frame) wants right after left
-    val (lSide, rSide) = if (back) (1, 0) else (0, 1)
+    // side ordering puts the equal-ts right row INSIDE the frame that
+    // should see it: backward/nearest use the preceding frame (right
+    // before left — nearest is safe because an equal-ts row has distance
+    // 0 and backward wins ties anyway); forward uses the following frame
+    // (right after left)
+    val (lSide, rSide) = if (direction == "forward") (0, 1) else (1, 0)
     val l = left
       .withColumn("__side", lit(lSide))
       .select((leftCols.map(col) :+ col("__side")) ++
@@ -83,12 +85,8 @@ object AsOf {
     val w0 = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
-    val w =
-      if (back) w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      else w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    def pick(c: Column): Column =
-      if (back) last(c, ignoreNulls = true).over(w)
-      else first(c, ignoreNulls = true).over(w)
+    val wB = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     // ROW-level matching (pandas merge_asof / DuckDB ASOF JOIN semantics):
     // the nearest right ROW wins and its values come through as-is — nulls
     // included. Carrying the whole row as one struct makes that exact (a
@@ -98,20 +96,42 @@ object AsOf {
     // window expressions total instead of two per value column.
     val rightRow = when(col("__side") === rSide,
       struct(valueCols.map(c => col(s"__r_$c")): _*))
-    val carried = l.unionByName(r)
-      .withColumn("__asof_row", pick(rightRow))
-      .withColumn("__asof_ts",
-        pick(when(col("__side") === rSide, col(tsCol))))
-      .filter(col("__side") === lSide)
+    val rightTs = when(col("__side") === rSide, col(tsCol))
+    val base = l.unionByName(r)
+    val carried = (direction match {
+      case "backward" => base
+        .withColumn("__asof_row", last(rightRow, ignoreNulls = true).over(wB))
+        .withColumn("__asof_ts", last(rightTs, ignoreNulls = true).over(wB))
+      case "forward" => base
+        .withColumn("__asof_row", first(rightRow, ignoreNulls = true).over(wF))
+        .withColumn("__asof_ts", first(rightTs, ignoreNulls = true).over(wF))
+      case _ =>
+        // nearest: both frames run over the ONE shared sort (no second
+        // exchange); distance ties — including the distance-0 equal-ts
+        // row, which only the preceding frame sees — choose backward,
+        // the pandas rule
+        val chooseBack = col("__ts_b").isNotNull && (col("__ts_f").isNull ||
+          (col(tsCol) - col("__ts_b")) <= (col("__ts_f") - col(tsCol)))
+        base
+          .withColumn("__row_b", last(rightRow, ignoreNulls = true).over(wB))
+          .withColumn("__ts_b", last(rightTs, ignoreNulls = true).over(wB))
+          .withColumn("__row_f", first(rightRow, ignoreNulls = true).over(wF))
+          .withColumn("__ts_f", first(rightTs, ignoreNulls = true).over(wF))
+          .withColumn("__asof_row",
+            when(chooseBack, col("__row_b")).otherwise(col("__row_f")))
+          .withColumn("__asof_ts",
+            when(chooseBack, col("__ts_b")).otherwise(col("__ts_f")))
+          .drop("__row_b", "__ts_b", "__row_f", "__ts_f")
+    }).filter(col("__side") === lSide)
     // a match exists if any right row is on the required side (and, with
     // tolerance, near enough); an EXISTING match with null values is
-    // still a match — `inner` keeps the row and the null rides through
+    // still a match — `inner` keeps the row and the null rides through.
+    // The |Δt| <= tolerance band covers every direction (backward matches
+    // only bind below, forward only above)
     val matched = tolerance match {
-      case Some(tol) if back =>
-        col("__asof_row").isNotNull &&
-          col("__asof_ts") >= col(tsCol) - expr(s"INTERVAL $tol")
       case Some(tol) =>
         col("__asof_row").isNotNull &&
+          col("__asof_ts") >= col(tsCol) - expr(s"INTERVAL $tol") &&
           col("__asof_ts") <= col(tsCol) + expr(s"INTERVAL $tol")
       case None => col("__asof_row").isNotNull
     }

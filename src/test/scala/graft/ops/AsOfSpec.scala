@@ -45,6 +45,22 @@ class AsOfSpec extends SparkSpec {
     assert(tol.map(_.getAs[Long]("id")).toSeq == Seq(2L, 4L)) // id 1's +5min match is too far
   }
 
+  test("nearest direction picks the closer side; distance ties go backward") {
+    // id 1 (00:05): backward 00:00 vs forward 00:10, both 5 min -> tie ->
+    // backward (1.0). id 2 (00:10): equal-ts row, distance 0 -> 2.0.
+    // id 3 (00:30): only backward exists -> 3.0. id 4 (00:01, k=20):
+    // only forward exists -> 9.0 (kept — nearest matches either side).
+    val out = AsOf.join(left, right, "ts", Seq("k"), Seq("state"),
+      direction = "nearest").orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.map(_.getAs[Double]("asof_state")).toSeq == Seq(1.0, 2.0, 3.0, 9.0))
+    // tolerance bands the ABSOLUTE distance: 4 minutes keeps only the
+    // distance-0 match (id 2) and id 4's 4-minute forward match
+    val tol = AsOf.join(left, right, "ts", Seq("k"), Seq("state"),
+      direction = "nearest", tolerance = Some("4 MINUTES")).orderBy("id").collect()
+    assert(tol.map(_.getAs[Long]("id")).toSeq == Seq(2L, 4L))
+  }
+
   test("outer form keeps unmatched left rows with null state") {
     val out = AsOf.join(left, right, "ts", Seq("k"), Seq("state"), inner = false)
       .orderBy("id").collect()
