@@ -56,7 +56,10 @@ object DeflateRatio {
   /** Static helper the generated code calls (Scala emits a static
     * forwarder on the companion class, so this is a plain Java static
     * call inside codegen). Deterministic for a given payload: fixed
-    * level, fixed (raw zlib) wrapping, single-shot deflate.
+    * level, fixed zlib-wrapped framing (`Deflater(level)` is nowrap=false,
+    * so the ratio includes the 2-byte zlib header + 4-byte Adler32 —
+    * constant per payload, irrelevant to the compressibility signal),
+    * single-shot deflate.
     */
   def ratio(bytes: Array[Byte]): Double = {
     if (bytes.length == 0) return 1.0

@@ -17,17 +17,42 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeriesCV {
 
+  /** Microsecond-exact Timestamp from epoch micros: java.sql.Timestamp's
+    * millisecond constructor would truncate the fractional micros Spark
+    * timestamps carry, shifting fold boundaries by up to 1 ms on
+    * sub-millisecond-grained data (an embargoed row could leak into
+    * validation). setNanos carries the full fraction.
+    */
+  private def tsFromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private def tsToMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** The fold boundaries: cut timestamps at i/(n+1) quantiles of tsCol. */
-  def cutpoints(df: DataFrame, tsCol: String, nSplits: Int): Seq[java.sql.Timestamp] = {
+  def cutpoints(df: DataFrame, tsCol: String, nSplits: Int): Seq[java.sql.Timestamp] =
+    cutpointsWithMax(df, tsCol, nSplits)._1
+
+  /** Cutpoints plus the data's max timestamp — one extra scalar in the
+    * SAME aggregate job, used to validate the (otherwise unbounded) last
+    * fold's embargo.
+    */
+  private[ml] def cutpointsWithMax(df: DataFrame, tsCol: String,
+      nSplits: Int): (Seq[java.sql.Timestamp], java.sql.Timestamp) = {
     val fracs = (1 to nSplits).map(i => i.toDouble / (nSplits + 1))
     val row = df.agg(
-      percentile(unix_micros(col(tsCol)), lit(fracs.toArray)).as("cuts")
+      percentile(unix_micros(col(tsCol)), lit(fracs.toArray)).as("cuts"),
+      max(unix_micros(col(tsCol))).as("mx")
     ).head()
     // percentile over zero rows (or all-null ts) is null — fail with a
     // clear message instead of an opaque NPE deep inside a build
     require(!row.isNullAt(0),
       s"cannot compute CV cutpoints: no non-null '$tsCol' rows in the dataset")
-    row.getSeq[Double](0).map(us => new java.sql.Timestamp(us.toLong / 1000L))
+    (row.getSeq[Double](0).map(us => tsFromMicros(us.toLong)),
+      tsFromMicros(row.getLong(1)))
   }
 
   /** (train, validation) fold pairs. Lazy frames — each fold is a filter
@@ -51,16 +76,23 @@ object TimeSeriesCV {
   def foldsWithGap(df: DataFrame, tsCol: String, nSplits: Int,
       gapSeconds: Long): Seq[(DataFrame, DataFrame)] = {
     require(gapSeconds >= 0, "gapSeconds must be non-negative")
-    val cuts = cutpoints(df, tsCol, nSplits)
+    val (cuts, maxTs) = cutpointsWithMax(df, tsCol, nSplits)
     val bounds = cuts :+ null // last validation fold is unbounded above
     (0 until nSplits).map { i =>
       val train = df.filter(col(tsCol) <= lit(cuts(i)))
-      val vStart = new java.sql.Timestamp(cuts(i).getTime + gapSeconds * 1000L)
+      // microsecond arithmetic — getTime-based math would truncate the
+      // fractional millisecond and start validation up to ~1ms early
+      val vStart = tsFromMicros(tsToMicros(cuts(i)) + gapSeconds * 1000000L)
       // an embargo that swallows the whole validation window is a config
-      // error — fail here, not as null/NaN fold metrics deep in a build
-      require(bounds(i + 1) == null || vStart.before(bounds(i + 1)),
+      // error — fail here, not as null/NaN fold metrics deep in a build.
+      // The last fold's effective upper bound is the data's max timestamp
+      // (one extra scalar from the same cutpoints aggregate), so a gap
+      // that swallows ALL remaining rows fails too instead of silently
+      // yielding an empty validation frame.
+      val upper = if (bounds(i + 1) == null) maxTs else bounds(i + 1)
+      require(vStart.before(upper),
         s"gapSeconds=$gapSeconds leaves fold ${i + 1} with an empty validation " +
-          s"window (${cuts(i)} + gap reaches past ${bounds(i + 1)}); shrink the " +
+          s"window (${cuts(i)} + gap reaches past $upper); shrink the " +
           "gap or use fewer splits")
       val valid =
         if (bounds(i + 1) == null) df.filter(col(tsCol) > lit(vStart))

@@ -224,18 +224,30 @@ object Similarity {
     * reference's disk-registry build cache
     * (`builder/build_model.py::provide_saved_model`, public repo — mount
     * empty, SURVEY.md §0).
+    *
+    * The cache is keyed by `path` ALONE: callers must encode a data
+    * fingerprint into the path (as SparkEntry's `tableFingerprint` keys
+    * do) or a regenerated corpus will silently be served the stale model.
+    * The fit runs OUTSIDE the map — `computeIfAbsent` would hold the
+    * hash-bin lock across the k-means jobs, blocking concurrent lookups
+    * of unrelated paths that share the bin. Two racing callers may both
+    * fit; the seeded fit is deterministic and `save` overwrites, so
+    * whichever `putIfAbsent` loses just discards an identical model.
     */
   def fitOrLoadIvf(corpus: DataFrame, vecCol: String, path: String,
-      nLists: Int = 16, seed: Long = 42L, maxIter: Int = 8): IvfModel =
-    ivfModels.computeIfAbsent(path, _ => {
-      val spark = corpus.sparkSession
+      nLists: Int = 16, seed: Long = 42L, maxIter: Int = 8): IvfModel = {
+    val cached = ivfModels.get(path)
+    if (cached != null) return cached
+    val spark = corpus.sparkSession
+    val m =
       if (IvfModel.exists(spark, path)) IvfModel.load(spark, path)
       else {
-        val m = fitIvf(corpus, vecCol, nLists, seed, maxIter)
-        m.save(spark, path)
-        m
+        val f = fitIvf(corpus, vecCol, nLists, seed, maxIter)
+        f.save(spark, path)
+        f
       }
-    })
+    Option(ivfModels.putIfAbsent(path, m)).getOrElse(m)
+  }
 
   /** Fit the IVF quantizer: seeded k-means over the corpus, centroids
     * collected to the driver (nLists × dim doubles — a fixed-size scalar
