@@ -1295,6 +1295,29 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** Spark-only: GRADIENT-trained autoencoder (the KerasAutoEncoder
+    * backprop analogue) — both layers trained by distributed mini-batch
+    * gradient descent (per-epoch treeAggregate gradients over a cached
+    * standardized RDD; only O(h·d) gradient vectors move, never data
+    * rows). Fit-once per process (the esn/ivf discipline — the seeded
+    * fit is deterministic, so the memoized model equals a refit); the
+    * scoring pass is the same coefficient-literal codegen column math as
+    * ml_autoencoder. Non-SQL: the iterative descent.
+    */
+  private def q_ml_autoencoder_sgd(s: SparkSession, dir: String): DataFrame = {
+    val wide = Timeseries.align(E(s, dir), "ts", "event_type", "value",
+      Seq("click", "view", "purchase"), "1 hour")
+      .na.drop("any", Seq("click", "view", "purchase"))
+    val model = fittedModel(s"aesgd|$dir") {
+      graft.ml.AutoEncoderSGD.fit(wide, Seq("click", "view", "purchase"),
+        hidden = 8, epochs = 60)
+    }
+    model.anomaly(wide)
+      .select(col("bucket"), round(col("anomaly_score"), 6).as("anomaly_score"),
+        col("anomalous"))
+      .orderBy("bucket")
+  }
+
   /** Spark-only: trainable one-step-ahead AR forecast per tag (the
     * KerasLSTMForecast analogue) — per-tag univariate models on the keyed
     * long format, scored with |y − ŷ| per bucket. Windows partition by
@@ -1487,6 +1510,7 @@ object SparkEntry {
     "stream_score" -> (q_stream_score _),
     "ml_pca_anomaly" -> (q_ml_pca_anomaly _),
     "ml_autoencoder" -> (q_ml_autoencoder _),
+    "ml_autoencoder_sgd" -> (q_ml_autoencoder_sgd _),
     "ml_ar_forecast" -> (q_ml_ar_forecast _),
     "esn_forecast" -> (q_esn_forecast _),
     "multimodal_features" -> (q_multimodal_features _),

@@ -329,6 +329,77 @@ object ModelBuilder {
       Files.readString(Paths.get(path, "metadata.json")))
   }
 
+  /** Config-driven GRADIENT-trained autoencoder build (`model.type:
+    * "autoencoder_sgd"`) — the backprop counterpart of
+    * [[buildAutoEncoder]]: same dataset/CV/threshold/registry lifecycle,
+    * with [[AutoEncoderSGD]]'s distributed mini-batch descent in place of
+    * the one-pass ridge solve. The persisted artifact is the SAME
+    * coefficient-frame format (RfaeModel), so serving is type-agnostic.
+    *
+    * Config: `{ "name": ..., "dataset": {...}, "model": {"type":
+    * "autoencoder_sgd", "hidden": 8, "epochs": 120, "lr": 0.05,
+    * "batch_fraction": 0.5, "threshold_pctl": 0.99, "seed": 42},
+    * "evaluation": {"n_splits": 3} }`
+    */
+  def buildAutoEncoderSgd(spark: SparkSession, configJson: String, longDf: DataFrame,
+      outDir: String): AutoEncoderBuildResult = {
+    val cfg = parse(configJson)
+    val name = cfg.getOrElse("name", "machine").toString
+    val registry = DiskRegistry(s"$outDir/registry")
+    val regKey = s"autoencoder_sgd\n$configJson"
+
+    val path = registry.getOrBuild(regKey) {
+      val (wide, tags) = dataset(longDf, cfg)
+      val model = obj(cfg, "model")
+      val hidden = intOf(model, "hidden", 8)
+      val epochs = intOf(model, "epochs", 120)
+      val lr = model.get("lr").map(_.toString.toDouble).getOrElse(0.05)
+      val batchFraction =
+        model.get("batch_fraction").map(_.toString.toDouble).getOrElse(0.5)
+      val pctl = model.get("threshold_pctl").map(_.toString.toDouble).getOrElse(0.99)
+      val seed = model.get("seed").map(_.toString.toLong).getOrElse(42L)
+      val nSplits = intOf(obj(cfg, "evaluation"), "n_splits", 3)
+
+      val foldMeta = TimeSeriesCV.folds(wide, "bucket", nSplits).zipWithIndex.map {
+        case ((train, valid), i) =>
+          val m = AutoEncoderSGD.fit(train, tags, hidden, epochs, lr,
+            batchFraction = batchFraction, pctl = pctl, seed = seed)
+          val stats = m.score(valid.na.drop("any", tags)).agg(
+            count(lit(1)).as("n"),
+            avg(col("anomaly_score")).as("mean_score"),
+            max(col("anomaly_score")).as("max_score")).head()
+          s"""{"fold": $i, "threshold": ${jnum(m.threshold)}, "val_rows": ${stats.getLong(0)},
+             | "val_mean_score": ${jnumAt(stats, "mean_score")},
+             | "val_max_score": ${jnumAt(stats, "max_score")}}""".stripMargin
+            .replaceAll("\n", "")
+      }
+
+      val (finalModel, losses) = AutoEncoderSGD.fitWithHistory(wide, tags,
+        hidden, epochs, lr, batchFraction = batchFraction, pctl = pctl, seed = seed)
+      val dir = Paths.get(outDir, s"$name-${registry.key(regKey).take(8)}")
+      Files.createDirectories(dir)
+      finalModel.toDF(spark).write.mode("overwrite")
+        .parquet(dir.resolve("model").toString)
+      val metadata =
+        s"""{"name": ${jstr(name)},
+           | "tags": [${tags.map(jstr).mkString(", ")}],
+           | "model": {"type": "autoencoder_sgd", "hidden": $hidden,
+           |           "epochs": $epochs, "lr": $lr,
+           |           "threshold": ${jnum(finalModel.threshold)}, "threshold_pctl": $pctl,
+           |           "train_mse_first": ${jnum(losses.head)},
+           |           "train_mse_last": ${jnum(losses.last)}},
+           | "cv": [${foldMeta.mkString(", ")}],
+           | "config_key": "${registry.key(regKey)}"}""".stripMargin
+      Files.writeString(dir.resolve("metadata.json"), metadata)
+      dir.toString
+    }
+
+    val reloaded = AutoEncoder.RfaeModel.fromDF(
+      spark.read.parquet(Paths.get(path, "model").toString))
+    AutoEncoderBuildResult(path, reloaded,
+      Files.readString(Paths.get(path, "metadata.json")))
+  }
+
   /** Fleet build — the workflow-generator analogue (SURVEY.md §3.1: one
     * Argo pod per machine, thousands of machines). Here each machine is a
     * sequence of Spark jobs inside ONE session; the registry dedupes
