@@ -17,8 +17,11 @@ import org.apache.spark.sql.SparkSession
   * Routes (mirroring the reference's view surface):
   *   - `GET  /healthz`            → `{"status":"ok"}` liveness probe
   *   - `GET  /metadata`           → model metadata (tags, threshold)
-  *   - `POST /prediction`         → [[Serve.scoreRequest]] over the JSON
-  *     body; 400 with an error JSON on malformed payloads
+  *   - `POST /prediction`         → [[Serve.scoreFrame]] over the body;
+  *     400 with an error JSON on malformed payloads. Accepts JSON records
+  *     (default) or PARQUET bytes (`Content-Type` containing `parquet` /
+  *     `octet-stream`), and answers JSON or parquet per the `Accept`
+  *     header — `server/utils.py` parity
   *   - `GET  /models`             → the watchman/status surface
   *     (`watchman/server.py` analogue): every build in the attached
   *     [[DiskRegistry]] with its artifact path and metadata.json
@@ -84,20 +87,43 @@ class PredictionServer(spark: SparkSession, model: TagAnomalyScorer,
         }
     })
 
+  // Parquet content negotiation (`server/utils.py` parity: the reference
+  // endpoint accepts JSON records OR parquet bytes and answers in kind):
+  // request format from Content-Type, response format from Accept.
+  private def wantsParquet(header: String): Boolean = {
+    val h = header.toLowerCase(java.util.Locale.ROOT)
+    h.contains("parquet") || h.contains("octet-stream")
+  }
+
   server.createContext("/prediction", (ex: HttpExchange) => {
     if (ex.getRequestMethod != "POST") respond(ex, 405, jsonError("POST only"))
     else {
-      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-      // Serve.parseRequest treats a blank payload as zero records; at the
-      // HTTP boundary an empty POST is a client bug and must be a 400,
-      // not a silent 200 "[]"
-      if (body.trim.isEmpty) respond(ex, 400, jsonError("empty request body"))
+      val raw = ex.getRequestBody.readAllBytes()
+      val contentType = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+      val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+      // a blank payload is a client bug and must be a 400, not a silent
+      // 200 "[]" (Serve.parseRequest would treat it as zero records)
+      val jsonBody =
+        if (wantsParquet(contentType)) None
+        else Some(new String(raw, StandardCharsets.UTF_8))
+      if (raw.isEmpty || jsonBody.exists(_.trim.isEmpty))
+        respond(ex, 400, jsonError("empty request body"))
       else try {
-        val out = Serve.scoreRequest(spark, model, body, tags)
-        respond(ex, 200, Serve.toJsonResponse(out))
+        val x = jsonBody match {
+          case Some(body) => Serve.parseRequest(spark, body, tags)
+          case None => Serve.parseParquetRequest(spark, raw, tags)
+        }
+        val out = Serve.scoreFrame(model, x, tags)
+        if (wantsParquet(accept)) {
+          val bytes = Serve.toParquetResponse(out)
+          ex.getResponseHeaders.set("Content-Type", "application/x-parquet")
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          val os = ex.getResponseBody
+          try os.write(bytes) finally os.close()
+        } else respond(ex, 200, Serve.toJsonResponse(out))
       } catch {
-        // client-caused failures (malformed JSON, empty body) are 400s;
-        // anything else is a real 500 — do not mask engine bugs as
+        // client-caused failures (malformed JSON/parquet, empty body) are
+        // 400s; anything else is a real 500 — do not mask engine bugs as
         // client errors
         case e: IllegalArgumentException => respond(ex, 400, jsonError(e.getMessage))
         case e: Exception => respond(ex, 500, jsonError(e.toString))

@@ -65,8 +65,15 @@ object Serve {
     * request↔response row correspondence.
     */
   def scoreRequest(spark: SparkSession, model: TagAnomalyScorer, json: String,
-      tags: Seq[String], tsCol: String = "ts"): DataFrame = {
-    val x = parseRequest(spark, json, tags, tsCol)
+      tags: Seq[String], tsCol: String = "ts"): DataFrame =
+    scoreFrame(model, parseRequest(spark, json, tags, tsCol), tags)
+
+  /** The body-format-agnostic scoring core: a parsed X frame carrying
+    * `req_idx` + tag columns → the aligned response frame. Shared by the
+    * JSON and parquet request paths.
+    */
+  def scoreFrame(model: TagAnomalyScorer, x: DataFrame,
+      tags: Seq[String]): DataFrame = {
     val complete = x.na.drop("any", tags)
     val scored = model.scoreWithTags(complete, tags)
       .withColumn("anomalous", col("anomaly_score") > lit(model.threshold))
@@ -78,9 +85,71 @@ object Serve {
     scored.unionByName(unscoredAll).orderBy("req_idx")
   }
 
+  /** Parse a PARQUET request body (`server/utils.py` accepts parquet
+    * bytes next to JSON records — public repo; mount empty, SURVEY.md
+    * §0) into the same X frame as [[parseRequest]]: unknown columns are
+    * ignored, missing tag columns come back as nulls (→ NULL-scored
+    * rows, same contract as JSON), and `req_idx` is the record's
+    * position in the file so the response stays row-aligned.
+    */
+  def parseParquetRequest(spark: SparkSession, bytes: Array[Byte],
+      tags: Seq[String], tsCol: String = "ts"): DataFrame = {
+    require(bytes.nonEmpty, "empty parquet request body")
+    val tmp = java.nio.file.Files.createTempFile("graft-req-", ".parquet")
+    try {
+      java.nio.file.Files.write(tmp, bytes)
+      val raw =
+        try spark.read.parquet(tmp.toString)
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(s"unreadable parquet request body: ${e.getMessage}")
+        }
+      val have = raw.columns.toSet
+      val projected = raw.select(
+        (if (have(tsCol)) col(tsCol).cast("timestamp") else lit(null).cast("timestamp")).as(tsCol) +:
+          tags.map(t =>
+            (if (have(t)) col(t).cast("double") else lit(null).cast("double")).as(t)): _*)
+      // req_idx = row position in the file. zipWithIndex, not
+      // monotonically_increasing_id: the latter is partition-offset based
+      // and non-contiguous the moment a body spans splits.
+      val schema = StructType(projected.schema.fields :+
+        StructField("req_idx", LongType, nullable = false))
+      val withIdx = projected.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }
+      // request bodies are scoring-sized; materialize before the temp
+      // file disappears out from under the lazy scan
+      val out = spark.createDataFrame(withIdx, schema)
+        .select(col("req_idx") +: (tsCol +: tags).map(col): _*)
+      out.cache().count()
+      out
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   /** Response as a JSON array string (what [[PredictionServer]] writes). */
   def toJsonResponse(response: DataFrame): String =
     response.toJSON.collect().mkString("[", ",", "]")
+
+  /** Response as parquet bytes (single in-order file — the parquet leg
+    * of the content negotiation).
+    */
+  def toParquetResponse(response: DataFrame): Array[Byte] = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-resp-")
+    val dir = tmp.resolve("out").toString
+    try {
+      response.coalesce(1).sortWithinPartitions("req_idx")
+        .write.mode("overwrite").parquet(dir)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow(() =>
+          new IllegalStateException("parquet response write produced no part file"))
+      java.nio.file.Files.readAllBytes(part)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 
   /** JSON string literal with full escaping — shared by the HTTP layer
     * and ModelBuilder's metadata.json (a tag name containing a quote must

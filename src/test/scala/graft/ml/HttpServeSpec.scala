@@ -106,4 +106,77 @@ class HttpServeSpec extends SparkSpec {
   test("GET on the prediction route is a 405") {
     assert(http("GET", "/prediction")._1 == 405)
   }
+
+  private def httpBytes(path: String, body: Array[Byte],
+      contentType: String, accept: String): (Int, Array[Byte]) = {
+    val conn = URI.create(s"http://127.0.0.1:${server.boundPort}$path")
+      .toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("Content-Type", contentType)
+    conn.setRequestProperty("Accept", accept)
+    conn.setDoOutput(true)
+    val os = conn.getOutputStream
+    try os.write(body) finally os.close()
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val bytes = try is.readAllBytes() finally is.close()
+    (code, bytes)
+  }
+
+  private def requestParquetBytes: Array[Byte] = {
+    // same two records as the JSON test: row 0 on-pattern, row 1 wild
+    val df = Seq((5.0, 3.0, 8.0), (5.0, 3.0, 80.0)).toDF("t1", "t2", "t3")
+    val dir = java.nio.file.Files.createTempDirectory("graft-req-pq")
+    df.coalesce(1).write.mode("overwrite").parquet(dir.resolve("r").toString)
+    val part = java.nio.file.Files.list(dir.resolve("r"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.readAllBytes(part)
+  }
+
+  test("POST parquet body, Accept parquet: full parquet round trip") {
+    val (code, bytes) = httpBytes("/prediction", requestParquetBytes,
+      "application/x-parquet", "application/x-parquet")
+    assert(code == 200)
+    // parse the response parquet and check request↔response alignment
+    val tmp = java.nio.file.Files.createTempFile("graft-resp", ".parquet")
+    java.nio.file.Files.write(tmp, bytes)
+    val resp = spark.read.parquet(tmp.toString).orderBy("req_idx").collect()
+    assert(resp.length == 2)
+    assert(resp(0).getAs[Long]("req_idx") == 0L && !resp(0).getAs[Boolean]("anomalous"))
+    assert(resp(1).getAs[Long]("req_idx") == 1L && resp(1).getAs[Boolean]("anomalous"))
+  }
+
+  test("POST parquet body with JSON Accept answers JSON (mixed negotiation)") {
+    val (code, bytes) = httpBytes("/prediction", requestParquetBytes,
+      "application/octet-stream", "application/json")
+    val body = new String(bytes, StandardCharsets.UTF_8)
+    assert(code == 200, body)
+    assert(body.startsWith("[") && body.contains("\"req_idx\":0"))
+    assert(body.contains("\"anomalous\":false") && body.contains("\"anomalous\":true"))
+  }
+
+  test("unreadable parquet body is a 400, not a 500") {
+    val (code, bytes) = httpBytes("/prediction",
+      "definitely not parquet".getBytes(StandardCharsets.UTF_8),
+      "application/x-parquet", "application/json")
+    assert(code == 400)
+    assert(new String(bytes, StandardCharsets.UTF_8).contains("\"error\""))
+  }
+
+  test("parquet request missing a tag column null-scores those rows") {
+    val df = Seq((5.0, 3.0)).toDF("t1", "t2") // no t3 column at all
+    val dir = java.nio.file.Files.createTempDirectory("graft-req-pq2")
+    df.coalesce(1).write.mode("overwrite").parquet(dir.resolve("r").toString)
+    val part = java.nio.file.Files.list(dir.resolve("r"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    val (code, bytes) = httpBytes("/prediction",
+      java.nio.file.Files.readAllBytes(part),
+      "application/x-parquet", "application/json")
+    val body = new String(bytes, StandardCharsets.UTF_8)
+    assert(code == 200, body)
+    // the row comes back (alignment holds) but cannot be scored
+    assert(body.contains("\"req_idx\":0") && !body.contains("\"anomalous\":true"))
+    assert(!body.contains("\"anomaly_score\":") ||
+      body.contains("\"anomaly_score\":null"))
+  }
 }
