@@ -61,6 +61,25 @@ object TagSources {
       .withColumn("tag", regexp_extract(decoded, ".*/([^/]+)_\\d{4}\\.parquet", 1))
   }
 
+  /** Hive-layout year lake (`dir/year=YYYY/…parquet`): the time range
+    * derives a filter on the `year` PARTITION column, so Catalyst prunes
+    * whole year directories at file-listing time — the scan never even
+    * enumerates non-matching years' files (`PartitionFilters` in the
+    * plan, asserted in PlanAuditSpec). The companion of
+    * [[readTagParquet]]'s per-file `{tag}_{year}.parquet` enumeration:
+    * same year-bounded I/O guarantee, expressed through Catalyst instead
+    * of path construction — at a decade-deep 100 TB lake either form
+    * reads only the queried years.
+    */
+  def readYearPartitioned(spark: SparkSession, dir: String,
+      from: java.sql.Timestamp, to: java.sql.Timestamp,
+      tsCol: String = "ts"): DataFrame = {
+    val (y0, y1) = (from.toLocalDateTime.getYear, to.toLocalDateTime.getYear)
+    spark.read.parquet(dir)
+      .filter(col("year") >= y0 && col("year") <= y1) // partition pruning
+      .filter(col(tsCol) >= lit(from) && col(tsCol) < lit(to)) // row pushdown
+  }
+
   /** NcsReader CSV branch: `;`-separated (ts, value) per-tag files with an
     * explicit schema (never inferred — inference is a second full scan).
     */

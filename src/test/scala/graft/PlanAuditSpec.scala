@@ -158,6 +158,43 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("per-year lake layout prunes non-matching year directories at listing time") {
+    // The ncs-reader lake shape: dir/year=YYYY/part-*.parquet. A
+    // time-range read must touch ONLY the matching years' files — at a
+    // decade-deep 100 TB lake this is the difference between scanning
+    // one year and scanning ten.
+    val lake = java.nio.file.Files.createTempDirectory("graft-yearlake").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // the sf0.001 fixture spans a single year — shift a copy +1y so the
+    // lake has two year= directories and pruning is observable
+    ev.union(ev.withColumn("ts", col("ts") + expr("INTERVAL 1 YEAR")))
+      .withColumn("year", year(col("ts")))
+      .write.partitionBy("year").mode("overwrite").parquet(lake)
+    val years = new java.io.File(lake).listFiles().map(_.getName)
+      .filter(_.startsWith("year=")).sorted
+    assert(years.length >= 2, s"fixture spans ${years.mkString(",")} — need 2+ years")
+    val y = years.head.stripPrefix("year=").toInt
+    val df = graft.sources.TagSources.readYearPartitioned(spark, lake,
+      java.sql.Timestamp.valueOf(s"$y-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf(s"$y-12-31 23:59:59"))
+    // the physical scan's selected partitions are the post-pruning file
+    // list (inputFiles reports the UNpruned relation — not what executes)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = df.queryExecution.sparkPlan.collectFirst { case s: FileSourceScanExec => s }.get
+    val files = scan.selectedPartitions.toPartitionArray.map(_.urlEncodedPath)
+    assert(files.nonEmpty && files.forall(_.contains(s"year=$y")),
+      s"scan listed non-matching years: ${files.filterNot(_.contains(s"year=$y")).take(3).mkString(",")}")
+    // and the plan carries it as a PARTITION filter (pruning, not a scan filter)
+    val plan = df.queryExecution.explainString(FormattedMode)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("year"), s"year bound not a partition filter:\n$plan")
+    // the row-level ts bound still reaches the parquet reader
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("ts"), s"ts bound not pushed:\n$plan")
+  }
+
   test("autoencoder scoring stays shuffle-free column math") {
     import spark.implicits._
     val train = (1 to 50).map(i => (i * 1.0, i * 2.0)).toDF("a", "b")
