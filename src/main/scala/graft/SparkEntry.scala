@@ -718,6 +718,66 @@ object SparkEntry {
         Dedup.minhashLshPairs(docsWithDups(s, dir), "doc_id", "text"))
       .orderBy("doc_id")
 
+  /** The daily-crawl incremental near-dup path, driver-checked against
+    * the FULL-REBUILD oracle. Split the corpus into "yesterday's index"
+    * (base) and "today's crawl" (delta), build the dedup state on base,
+    * run one [[Dedup.incrementalStepExact]], and emit
+    *
+    *   pairs(base) restricted to docs the step did NOT touch
+    *   ∪ the step's pairs (every pair with ≥1 changed side).
+    *
+    * The union is exhaustive and disjoint: step candidates always have a
+    * changed side, and base pairs with a changed side are anti-joined
+    * out. Unchanged docs contain no newly-hot shingle, so their capped
+    * shingle sets — hence bands, candidates, and Jaccard values — are
+    * identical under the base and corpus hot lists, which is exactly the
+    * no-drift invariant IncrementalDedupSpec pins. The oracle is
+    * dedup_near_duplicates' full-corpus SQL verbatim: DuckDB rebuilds
+    * from scratch, Spark takes the incremental path, the hashes must
+    * collide. At 100 TB this is THE economics of dedup maintenance — a
+    * daily step prices at O(delta + affected), not O(corpus).
+    */
+  private def q_dedup_incremental(s: SparkSession, dir: String): DataFrame = {
+    val all = docsWithDups(s, dir)
+    // ~1/7 of docs arrive "today"; +100000 ≡ +5 (mod 7) puts injected
+    // dup copies on BOTH sides of the split, so the step must find
+    // base↔delta pairs, not just delta-internal ones
+    val delta = all.filter(col("doc_id") % 7 === 3)
+    val base = all.filter(col("doc_id") % 7 =!= 3)
+    // "Yesterday's index" lives in the registry between runs — in
+    // production the dedup state is persisted storage, not something each
+    // daily step rebuilds (that rebuild is exactly what incremental dedup
+    // exists to avoid). Cold pass pays the one-time index build; warm
+    // passes price at O(step): read bands+stats parquet, run the step.
+    val stateDir = fittedModel(s"dedupstate|$dir") {
+      val out = s"$registryRoot/dedupstate_${registryKey(
+        s"dedupstate-v1|$dir|${tableFingerprint(s, s"$dir/documents.parquet")}")}"
+      val raw = Dedup.initialDedupState(base, "doc_id", "text")
+      raw.bands.write.mode("overwrite").parquet(s"$out/bands")
+      raw.stats.write.mode("overwrite").parquet(s"$out/stats")
+      out
+    }
+    val st0 = Dedup.DedupState(s.read.parquet(s"$stateDir/bands"),
+      s.read.parquet(s"$stateDir/stats"))
+    val res = Dedup.incrementalStepExact(all, st0, delta, "doc_id", "text", 0.6)
+    val changed = res.changedIds
+    // base pairs come from the STATE's band table — recomputing the base
+    // banding (a fresh nearDuplicates run) would double the minhash work
+    // the incremental path exists to avoid
+    val baseCand = st0.bands.as("a").join(st0.bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val untouchedBasePairs = Dedup.jaccardRescoreWithHotList(base, "doc_id",
+        "text", baseCand, 0.6, 3, Dedup.hotList(st0.stats))
+      .join(changed.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .join(changed.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
+    untouchedBasePairs.select("doc_a", "doc_b", "jaccard")
+      .unionByName(res.pairs.select("doc_a", "doc_b", "jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   private def q_dedup_embed_cosine(s: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
       .orderBy("vec_a", "vec_b")
@@ -1465,6 +1525,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (q_dedup_ngram_jaccard _),
     "dedup_containment" -> (q_dedup_containment _),
     "dedup_near_duplicates" -> (q_dedup_near_duplicates _),
+    "dedup_incremental" -> (q_dedup_incremental _),
     "dedup_clusters" -> (q_dedup_clusters _),
     "dedup_embed_cosine" -> (q_dedup_embed_cosine _),
     "simsearch_topk" -> (q_simsearch_topk _),
@@ -1601,6 +1662,29 @@ object SparkEntry {
        |  SELECT doc_id, 0 AS band, b0 AS bh FROM bands UNION ALL SELECT doc_id, 1, b1 FROM bands
        |  UNION ALL SELECT doc_id, 2, b2 FROM bands UNION ALL SELECT doc_id, 3, b3 FROM bands
        |  UNION ALL SELECT doc_id, 4, b4 FROM bands)""".stripMargin
+
+  /** Full-rebuild LSH near-dup SQL over the duplicated corpus — the
+    * oracle for BOTH dedup_near_duplicates (Spark runs the same full
+    * rebuild) and dedup_incremental (Spark takes the base+step route and
+    * must land on the identical answer).
+    */
+  private val nearDupFullRebuildSql =
+    s"""WITH $docsWithDupsSql,
+       |${shingleCte("all_docs")},
+       |$minhashBlCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bl a JOIN bl b ON a.band = b.band AND a.bh = b.bh
+       |          AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+       |          FROM cand c
+       |          JOIN sh a ON a.doc_id = c.doc_a
+       |          JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |          GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+       |FROM inter i JOIN sz sa ON i.doc_a = sa.doc_id JOIN sz sb ON i.doc_b = sb.doc_id
+       |WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   private val simhashBitsSql =
     (0 until 60).map(b =>
@@ -2012,23 +2096,10 @@ object SparkEntry {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bl a JOIN bl b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "dedup_near_duplicates" ->
-      s"""WITH $docsWithDupsSql,
-         |${shingleCte("all_docs")},
-         |$minhashBlCtes,
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bl a JOIN bl b ON a.band = b.band AND a.bh = b.bh
-         |          AND a.doc_id < b.doc_id),
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
-         |          FROM cand c
-         |          JOIN sh a ON a.doc_id = c.doc_a
-         |          JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
-         |          GROUP BY 1, 2)
-         |SELECT i.doc_a, i.doc_b, round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
-         |FROM inter i JOIN sz sa ON i.doc_a = sa.doc_id JOIN sz sb ON i.doc_b = sb.doc_id
-         |WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.6
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_near_duplicates" -> nearDupFullRebuildSql,
+    // the incremental path must land on the SAME full-rebuild answer —
+    // one oracle string, two construction routes (see q_dedup_incremental)
+    "dedup_incremental" -> nearDupFullRebuildSql,
     "dedup_simhash" ->
       s"""WITH w AS (SELECT doc_id,
          |    unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS t
