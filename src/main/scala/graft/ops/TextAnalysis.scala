@@ -182,10 +182,11 @@ object TextAnalysis {
     * builds its own top-k gram ranking, matched grams cost |rank_doc −
     * rank_lang|, unmatched cost the penalty k. Ties break on the
     * language name. Scale shape: doc ranks = one groupBy + per-doc
-    * window; the candidate space is doc-profile × langs (≤ k·|langs|
-    * rows per doc) via a broadcast join of the profiles — never a
-    * corpus×corpus product. Docs shorter than n chars have no grams and
-    * are absent from the output (unclassifiable).
+    * window; the distances are |langs| aggregate columns over plan-time
+    * profile map literals in ONE groupBy(doc) — no doc×lang row
+    * explosion, never a corpus×corpus product. Docs shorter than n
+    * chars have no grams and are absent from the output
+    * (unclassifiable).
     */
   def classifyLang(docs: DataFrame, idCol: String, textCol: String,
       profiles: DataFrame, k: Int = 200, n: Int = 3): DataFrame = {
@@ -199,23 +200,37 @@ object TextAnalysis {
     val prof = profiles.select("lang", "g", "rnk").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     require(prof.nonEmpty, "empty language profile table")
-    val profLocal = prof.toDF("lang", "g", "rnk")
-    val langsLocal = prof.map(_._1).distinct.sorted.toDF("lang")
+    val langs = prof.map(_._1).distinct.sorted
+    val byLang = prof.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
     val docRank = docGramRanks(docs, idCol, textCol, k, n)
     // dist = Σ over doc-profile grams of (|Δrank| if the language ranks
-    // the gram, else the penalty k) — computed in ONE pass: doc profile ×
-    // |langs| candidates (a broadcast cross join, ≤ k·|langs| rows per
-    // doc), left-join the broadcast profiles, aggregate the coalesce.
-    // Splitting into matched/doc-size branches would re-evaluate the
-    // explode→agg→rank subtree once per branch.
-    val dist = docRank.crossJoin(broadcast(langsLocal))
-      .join(broadcast(profLocal), Seq("g", "lang"), "left")
-      .groupBy("doc_id", "lang")
-      .agg(sum(coalesce(abs(col("drnk") - col("rnk")), lit(k.toLong))).as("dist"))
-    dist.withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("dist"), col("lang"))))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang").as("lang_pred"), col("dist"))
+    // the gram, else the penalty k). The profile is PLAN-TIME literals
+    // (the IVF centroid-literal trick): each language becomes a map
+    // literal gram→rank and ONE sum column, so every language's distance
+    // accumulates in the SAME groupBy(doc) — one shuffle of k rows per
+    // doc, no doc×lang candidate explosion, no second aggregation, no
+    // per-doc rank window. The former crossJoin(langs)+join(profiles)
+    // shape shuffled |langs|× the rows through two extra exchanges and
+    // measured ~2× slower at sf0.1.
+    val distCols = langs.map { lang =>
+      val m = map(byLang(lang).flatMap { case (g, r) =>
+        Seq(lit(g), lit(r)) }: _*)
+      sum(coalesce(abs(col("drnk") - element_at(m, col("g"))), lit(k.toLong)))
+        .as(s"__dist_$lang")
+    }
+    val agg = docRank.groupBy(col("doc_id"))
+      .agg(distCols.head, distCols.tail: _*)
+    // column-wise argmin, langs iterated in ascending order with a STRICT
+    // < — ties keep the earliest language, the same tie-break as the
+    // former orderBy(dist, lang) row_number
+    val best = langs.tail.foldLeft(
+        (lit(langs.head), col(s"__dist_${langs.head}"))) {
+      case ((pl, pd), lang) =>
+        val d = col(s"__dist_$lang")
+        (when(d < pd, lit(lang)).otherwise(pl), when(d < pd, d).otherwise(pd))
+    }
+    agg.select(col("doc_id"), best._1.as("lang_pred"), best._2.as("dist"))
   }
 
   /** Word n-grams as rows `(doc_id, g)` — positional adjacency via
