@@ -26,20 +26,23 @@ object Bench {
       val (warm1, okWarm1) = once()
       // Contention guard (round 4: four cheap queries spiked 2.5-5.8x in the
       // driver run but not locally — shared-box interference, not plan
-      // changes). When the two reps disagree >2x, take a third and report
-      // the median of the three: a single contended rep can no longer set
-      // the recorded number. Queries whose reps agree stay at n=2, keeping
-      // total bench wall-clock flat.
+      // changes). When cold and warm1 disagree >2x — JIT-heavy query OR a
+      // contended rep, indistinguishable from one sample — take a second
+      // warm rep and record the MIN of the two warm reps: the steady-state
+      // estimator a single contended rep cannot inflate. The cold rep
+      // never enters the recorded warm number (a median over {cold, warm1,
+      // warm2} would let the cold rep or one contended warm rep set it).
+      // Queries whose reps agree stay at n=2, keeping wall-clock flat.
       val disagree = math.max(cold, warm1) > 2.0 * math.min(cold, warm1)
       val (warm, okWarm) =
         if (disagree) {
           val (warm2, okWarm2) = once()
-          (Seq(cold, warm1, warm2).sorted.apply(1), okWarm1 && okWarm2)
+          (math.min(warm1, warm2), okWarm1 && okWarm2)
         } else (warm1, okWarm1)
       // per-query progress on stderr: partial evidence survives even if the
       // final artifact line is lost to a log-tail capture window
       System.err.println(f"[bench] $name%-28s cold=$cold%.3f warm=$warm%.3f" +
-        (if (disagree) " (median of 3)" else ""))
+        (if (disagree) " (min of 2 warm reps)" else ""))
       (name, cold, warm, okCold && okWarm)
     }
     // millisecond precision keeps the artifact line short enough for the

@@ -51,7 +51,10 @@ object Main {
   def main(args: Array[String]): Unit = args.toList match {
     case "build" :: config :: data :: outDir :: Nil => build(config, data, outDir)
     case "serve" :: machineDir :: rest if rest.length <= 1 =>
-      serve(machineDir, rest.headOption.map(_.toInt).getOrElse(0), block = true)
+      // a non-numeric port is a usage error, not a stack trace
+      val port = rest.headOption.map(p =>
+        p.toIntOption.getOrElse(usage())).getOrElse(0)
+      serve(machineDir, port, block = true)
     case "client" :: baseUrl :: data :: fromTs :: toTs :: rest if rest.length <= 1 =>
       client(baseUrl, data, fromTs, toTs, rest.headOption)
     case _ => usage()
@@ -68,9 +71,14 @@ object Main {
         YamlConfig.toJson(text)
       else text
     // single-machine documents wrap into a one-machine fleet: the CLI
-    // builds both shapes through the identical normalize/merge path
-    val fleetJson =
-      if (json.contains("\"machines\"")) json else s"""{"machines": [$json]}"""
+    // builds both shapes through the identical normalize/merge path.
+    // Detection is a PARSED top-level key check — substring sniffing
+    // would misroute a single-machine config that merely mentions
+    // "machines" (e.g. as a tag name) to the fleet path
+    val fleetJson = org.json4s.jackson.JsonMethods.parse(json) \ "machines" match {
+      case org.json4s.JNothing => s"""{"machines": [$json]}"""
+      case _ => json
+    }
     val spark = session()
     val long = spark.read.parquet(dataPath)
     val result = WorkflowGenerator.buildFleet(spark, fleetJson, long, outDir)
@@ -86,6 +94,18 @@ object Main {
     * builder registry contract. Forecast artifacts are rejected with a
     * clear message (they serve forecasts, not anomaly requests).
     */
+  /** The artifact's resolution (metadata.json), for serving /metadata —
+    * absent in pre-resolution artifacts, so default-fall-back.
+    */
+  def loadResolution(machineDir: String): String = {
+    import org.json4s.DefaultFormats
+    implicit val fmts: org.json4s.Formats = DefaultFormats
+    val metaPath = java.nio.file.Paths.get(machineDir, "metadata.json")
+    (org.json4s.jackson.JsonMethods.parse(
+      java.nio.file.Files.readString(metaPath)) \ "resolution")
+      .extractOpt[String].getOrElse("10 minutes")
+  }
+
   def loadScorer(spark: SparkSession, machineDir: String): (TagAnomalyScorer, Seq[String]) = {
     val metaPath = java.nio.file.Paths.get(machineDir, "metadata.json")
     require(java.nio.file.Files.isReadable(metaPath),
@@ -123,7 +143,8 @@ object Main {
       .filter(java.nio.file.Files.isDirectory(_))
       .map(p => DiskRegistry(p.toString))
     val server = new PredictionServer(spark, scorer, tags,
-      port = port, registry = registry).start()
+      port = port, registry = registry,
+      resolution = loadResolution(machineDir)).start()
     println(s"serving ${tags.mkString(",")} on http://127.0.0.1:${server.boundPort}")
     if (block) Thread.currentThread().join()
     server
@@ -133,17 +154,20 @@ object Main {
     * Returns the number of scored rows (spec hook).
     */
   def client(baseUrl: String, dataPath: String, fromTs: String, toTs: String,
-      outPath: Option[String], batchSize: Int = 500,
-      resolution: String = "10 minutes"): Long = {
+      outPath: Option[String], batchSize: Int = 500): Long = {
     val spark = session()
-    // tags come from the server — the client must score what the model
-    // was fitted on, not what the local file happens to contain
+    // tags AND resolution come from the server — the client must score
+    // what the model was fitted on, at the granularity it was fitted at,
+    // not what the local file happens to contain or a hardcoded default
     val meta = new String(
       java.net.URI.create(s"$baseUrl/metadata").toURL.openStream().readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8)
     import org.json4s.DefaultFormats
     implicit val fmts: org.json4s.Formats = DefaultFormats
-    val tags = (org.json4s.jackson.JsonMethods.parse(meta) \ "tags").extract[Seq[String]]
+    val parsedMeta = org.json4s.jackson.JsonMethods.parse(meta)
+    val tags = (parsedMeta \ "tags").extract[Seq[String]]
+    val resolution = (parsedMeta \ "resolution").extractOpt[String]
+      .getOrElse("10 minutes")
 
     val long = spark.read.parquet(dataPath)
       .filter(col("ts") >= lit(java.sql.Timestamp.valueOf(fromTs.replace('T', ' '))) &&
@@ -166,7 +190,11 @@ object Main {
       try os.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally os.close()
       val code = conn.getResponseCode
-      val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+      // getErrorStream is null when an error response has no body — the
+      // require below must report the status, not mask it with an NPE
+      val is = if (code < 400) conn.getInputStream
+        else Option(conn.getErrorStream)
+          .getOrElse(java.io.InputStream.nullInputStream())
       val text = try new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally is.close()
       require(code == 200, s"prediction request failed ($code): $text")

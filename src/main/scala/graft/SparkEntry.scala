@@ -752,9 +752,17 @@ object SparkEntry {
     val stateDir = fittedModel(s"dedupstate|$dir") {
       val out = s"$registryRoot/dedupstate_${registryKey(
         s"dedupstate-v1|$dir|${tableFingerprint(s, s"$dir/documents.parquet")}")}"
-      val raw = Dedup.initialDedupState(base, "doc_id", "text")
-      raw.bands.write.mode("overwrite").parquet(s"$out/bands")
-      raw.stats.write.mode("overwrite").parquet(s"$out/stats")
+      // _SUCCESS-gated (the langid/IvfModel discipline): a fresh process
+      // must LOAD the fingerprint-keyed index, not rebuild it — the
+      // rebuild is the cost this registry exists to avoid. The stats
+      // marker commits last, so a half-written state never gates.
+      val marker = new org.apache.hadoop.fs.Path(s"$out/stats", "_SUCCESS")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        val raw = Dedup.initialDedupState(base, "doc_id", "text")
+        raw.bands.write.mode("overwrite").parquet(s"$out/bands")
+        raw.stats.write.mode("overwrite").parquet(s"$out/stats")
+      }
       out
     }
     val st0 = Dedup.DedupState(s.read.parquet(s"$stateDir/bands"),

@@ -40,7 +40,8 @@ import org.apache.spark.sql.SparkSession
   */
 class PredictionServer(spark: SparkSession, model: TagAnomalyScorer,
     tags: Seq[String], port: Int = 0, nThreads: Int = 4,
-    registry: Option[DiskRegistry] = None) {
+    registry: Option[DiskRegistry] = None,
+    resolution: String = "10 minutes") {
 
   private val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val pool = Executors.newFixedThreadPool(nThreads)
@@ -65,7 +66,8 @@ class PredictionServer(spark: SparkSession, model: TagAnomalyScorer,
   server.createContext("/metadata", (ex: HttpExchange) =>
     respond(ex, 200,
       "{\"tags\":[" + tags.map(Serve.jsonString).mkString(",") +
-        s"""],"threshold":${model.threshold}}"""))
+        s"""],"threshold":${model.threshold},""" +
+        s""""resolution":${Serve.jsonString(resolution)}}"""))
 
   server.createContext("/models", (ex: HttpExchange) =>
     registry match {

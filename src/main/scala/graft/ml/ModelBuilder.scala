@@ -94,6 +94,7 @@ object ModelBuilder {
       val metadata =
         s"""{"name": ${jstr(name)},
            | "tags": [${tags.map(jstr).mkString(", ")}],
+           | "resolution": ${jstr(resolutionOf(cfg))},
            | "rows": ${wide.count()},
            | "model": {"type": "pca_anomaly", "k": $k, "threshold": ${jnum(finalModel.threshold)},
            |           "threshold_pctl": $pctl},
@@ -168,6 +169,7 @@ object ModelBuilder {
       val metadata =
         s"""{"name": ${jstr(name)},
            | "tags": [${tags.map(jstr).mkString(", ")}],
+           | "resolution": ${jstr(resolutionOf(cfg))},
            | "model": {"type": "ar_forecast", "lookback": $lb},
            | "cv": [${foldMeta.mkString(", ")}],
            | "config_key": "${registry.key(regKey)}"}""".stripMargin
@@ -249,6 +251,7 @@ object ModelBuilder {
       val metadata =
         s"""{"name": ${jstr(name)},
            | "tags": [${tags.map(jstr).mkString(", ")}],
+           | "resolution": ${jstr(resolutionOf(cfg))},
            | "model": {"type": "esn_forecast", "reservoir": $reservoir,
            |           "spectral_radius": $rho, "leak": $leak,
            |           "washout": $washout, "input_scale": $inScale},
@@ -315,6 +318,7 @@ object ModelBuilder {
       val metadata =
         s"""{"name": ${jstr(name)},
            | "tags": [${tags.map(jstr).mkString(", ")}],
+           | "resolution": ${jstr(resolutionOf(cfg))},
            | "model": {"type": "autoencoder", "hidden": $hidden, "ridge": $ridge,
            |           "threshold": ${jnum(finalModel.threshold)}, "threshold_pctl": $pctl},
            | "cv": [${foldMeta.mkString(", ")}],
@@ -383,6 +387,7 @@ object ModelBuilder {
       val metadata =
         s"""{"name": ${jstr(name)},
            | "tags": [${tags.map(jstr).mkString(", ")}],
+           | "resolution": ${jstr(resolutionOf(cfg))},
            | "model": {"type": "autoencoder_sgd", "hidden": $hidden,
            |           "epochs": $epochs, "lr": $lr,
            |           "threshold": ${jnum(finalModel.threshold)}, "threshold_pctl": $pctl,
@@ -430,6 +435,12 @@ object ModelBuilder {
     * quote must not produce an unparseable metadata.json AFTER the
     * artifact is already registered.
     */
+  /** The dataset resolution a config builds at — metadata.json records it
+    * so serve/client can align requests to the trained granularity.
+    */
+  private def resolutionOf(cfg: Map[String, Any]): String =
+    obj(cfg, "dataset").getOrElse("resolution", "10 minutes").toString
+
   private def jstr(s: String): String = Serve.jsonString(s)
 
   /** JSON number: NaN/Infinity (possible in degenerate CV stats) → null. */

@@ -108,20 +108,19 @@ object Serve {
         (if (have(tsCol)) col(tsCol).cast("timestamp") else lit(null).cast("timestamp")).as(tsCol) +:
           tags.map(t =>
             (if (have(t)) col(t).cast("double") else lit(null).cast("double")).as(t)): _*)
-      // req_idx = row position in the file. zipWithIndex, not
-      // monotonically_increasing_id: the latter is partition-offset based
-      // and non-contiguous the moment a body spans splits.
-      val schema = StructType(projected.schema.fields :+
-        StructField("req_idx", LongType, nullable = false))
-      val withIdx = projected.rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      // Request bodies are scoring-sized by contract: collect into a
+      // LOCAL relation. A cache()d frame would leak one pinned RDD per
+      // request for the life of the session (nothing unpersists it), and
+      // a lazy scan would outlive the temp file. req_idx = row position
+      // in the file, assigned on the collected order of the single-file
+      // scan — contiguous, unlike monotonically_increasing_id.
+      val schema = StructType(StructField("req_idx", LongType,
+        nullable = false) +: projected.schema.fields)
+      val rows = projected.collect().zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(i.toLong +: r.toSeq)
       }
-      // request bodies are scoring-sized; materialize before the temp
-      // file disappears out from under the lazy scan
-      val out = spark.createDataFrame(withIdx, schema)
-        .select(col("req_idx") +: (tsCol +: tags).map(col): _*)
-      out.cache().count()
-      out
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.toSeq.asJava, schema)
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
@@ -138,16 +137,23 @@ object Serve {
     try {
       response.coalesce(1).sortWithinPartitions("req_idx")
         .write.mode("overwrite").parquet(dir)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-        .filter(p => p.getFileName.toString.startsWith("part-") &&
-          p.getFileName.toString.endsWith(".parquet"))
-        .findFirst().orElseThrow(() =>
-          new IllegalStateException("parquet response write produced no part file"))
+      // Files.list/walk return open directory streams: close them, or a
+      // busy server leaks one fd per parquet response until GC
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      val part =
+        try listing
+          .filter(p => p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow(() =>
+            new IllegalStateException("parquet response write produced no part file"))
+        finally listing.close()
       java.nio.file.Files.readAllBytes(part)
     } finally {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 

@@ -74,7 +74,18 @@ object TagSources {
   def readYearPartitioned(spark: SparkSession, dir: String,
       from: java.sql.Timestamp, to: java.sql.Timestamp,
       tsCol: String = "ts"): DataFrame = {
-    val (y0, y1) = (from.toLocalDateTime.getYear, to.toLocalDateTime.getYear)
+    // Year bounds in the SESSION timezone — the zone `year(ts)` used when
+    // the partition values were written. toLocalDateTime would use the
+    // JVM default zone: when that differs from the session zone, a
+    // boundary instant maps to the wrong year and a matching partition
+    // is pruned away — silent data loss, not a perf bug.
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID))
+    val y0 = from.toInstant.atZone(zone).getYear
+    // `to` is exclusive; an exact year boundary keeps one extra (empty
+    // after the row filter) year rather than risking an off-by-one
+    val y1 = to.toInstant.atZone(zone).getYear
     spark.read.parquet(dir)
       .filter(col("year") >= y0 && col("year") <= y1) // partition pruning
       .filter(col(tsCol) >= lit(from) && col(tsCol) < lit(to)) // row pushdown
