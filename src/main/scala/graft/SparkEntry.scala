@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.multimodal.Multimodal
 import graft.ops.{AnomalyMath, Dedup, Filters, Scalers, Similarity, TextAnalysis, Timeseries}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -1476,6 +1477,46 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Image near-dup by perceptual hash over a corpus with REAL injected
+    * image twins. Fixture: each doc's 4×4 digest PNG is bilinear-rendered
+    * at 32×32 (the "original" photo); every 10th doc adds a 64×64 render
+    * of the SAME base (different bytes, different dims, same content) —
+    * the image analogue of docsWithDups' case-mutated text copies.
+    * Smooth renders, not the raw 4×4 noise: aHash is a content
+    * fingerprint, and measured twin distances are mean 1.2 / worst 4
+    * bits on smooth images vs mean 6.4 on raw noise (the pathological
+    * case for any perceptual hash). The pipeline aHashes every payload
+    * and finds hamming ≤ 3 pairs by 4×16-bit banded equi-join +
+    * bit_count rescore (the LSH band discipline in hamming space).
+    * Spark-only: ImageIO decode is not SQL-expressible; MultimodalSpec
+    * pins recall on the twin pairs and determinism.
+    */
+  private def q_multimodal_phash_dedup(s: SparkSession, dir: String): DataFrame = {
+    // The binary corpus is registry-materialized once (the scan_csv
+    // fixture discipline): at a real lake the images already exist, so
+    // the warm plan measures the OP — decode → aHash → banded hamming
+    // join — not the synthetic fixture's double render+encode.
+    val mediaPath = fittedModel(s"phashmedia|$dir") {
+      val out = s"$registryRoot/phashmedia_${registryKey(
+        s"phashmedia-v1|$dir|${tableFingerprint(s, s"$dir/documents.parquet")}")}"
+      val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        val media = Multimodal.fromDigestPng(
+          T(s, dir, "documents"), "doc_id", "text")
+        val originals = Multimodal.resizePayload(media, "bytes", 8.0)
+        val twins = Multimodal.resizePayload(
+          media.filter(col("media_id") % 10 === 0), "bytes", 16.0)
+          .select((col("media_id") + 100000).as("media_id"), col("kind"),
+            col("bytes"), col("meta"))
+        originals.unionByName(twins).write.mode("overwrite").parquet(out)
+      }
+      out
+    }
+    Multimodal.phashPairs(s.read.parquet(mediaPath), "media_id", "bytes", 3)
+      .orderBy("media_a", "media_b")
+  }
+
   // ---------------------------------------------------------------------
   // The contract maps
   // ---------------------------------------------------------------------
@@ -1583,6 +1624,7 @@ object SparkEntry {
     "ml_ar_forecast" -> (q_ml_ar_forecast _),
     "esn_forecast" -> (q_esn_forecast _),
     "multimodal_features" -> (q_multimodal_features _),
+    "multimodal_phash_dedup" -> (q_multimodal_phash_dedup _),
     "multimodal_decode" -> (q_multimodal_decode _)
   )
 

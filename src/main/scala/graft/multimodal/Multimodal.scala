@@ -183,6 +183,70 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit average hash (aHash): decode, sample an 8×8 luminance grid,
+    * threshold each cell at the grid mean — the standard perceptual
+    * fingerprint for image near-dup (bit i set iff cell i is brighter
+    * than average). Survives re-encoding, mild resizing, and small
+    * noise; None for undecodable payloads.
+    */
+  def averageHash(bytes: Array[Byte]): Option[Long] = {
+    val lum = MediaCodec.imageFeatures(bytes, 64)
+    if (lum == null) None
+    else {
+      var sum = 0.0; var i = 0
+      while (i < 64) { sum += lum(i); i += 1 }
+      val mean = sum / 64.0
+      var h = 0L; i = 0
+      while (i < 64) { if (lum(i) > mean) h |= (1L << i); i += 1 }
+      Some(h)
+    }
+  }
+
+  /** Image near-dup pairs by perceptual hash: aHash every payload, then
+    * find pairs with hamming distance ≤ `maxDist`.
+    *
+    * Scale shape is the minhash-LSH band discipline transplanted to
+    * hamming space: the 64-bit hash splits into 4 exact 16-bit bands, a
+    * banded equi-join generates candidates (pigeonhole: two hashes
+    * differing in ≤ 3 bits agree on at least one of 4 bands — no
+    * recall loss at maxDist ≤ 3), and the exact hamming distance
+    * (`bit_count(a ^ b)`, both codegen'd built-ins) filters them. The
+    * only shuffle is the band join; never an all-pairs product. Decode
+    * runs once per row in the same bounded-batch mapPartitions shape as
+    * [[extractFeatures]]; undecodable payloads drop out (no hash, no
+    * pair).
+    */
+  def phashPairs(media: DataFrame, idCol: String, bytesCol: String,
+      maxDist: Int = 3, batchSize: Int = 64): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist=$maxDist: 4 exact bands only guarantee recall up to hamming 3 " +
+        "- raise the band count for a looser threshold")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val iIdx = media.schema.fieldIndex(idCol)
+    val bIdx = media.schema.fieldIndex(bytesCol)
+    val hashed = media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.flatMap { r =>
+        if (r.isNullAt(iIdx) || r.isNullAt(bIdx)) None
+        else averageHash(r.getAs[Array[Byte]](bIdx))
+          .map(h => Row(r.getAs[Number](iIdx).longValue(), h))
+      })
+    }(enc)
+    val bands = hashed.select(col("media_id"), col("ahash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bh", expr("shiftrightunsigned(ahash, band * 16)")
+        .bitwiseAND(0xffffL))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        expr("bit_count(a.ahash ^ b.ahash)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Build a media frame from any table with an id and a string payload —
     * lets the documents fixture stand in for a binary corpus in tests and
     * benchmarks.

@@ -44,6 +44,65 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(new String(_)) == Seq("f0", "f2", "f4"))
   }
 
+  test("averageHash is deterministic and invariant to lossless re-encoding") {
+    val png = MediaCodec.digestPng("phash determinism")
+    val h1 = Multimodal.averageHash(png).get
+    assert(h1 == Multimodal.averageHash(png).get)
+    // identical pixels re-encoded must hash equal; a 2x bilinear render
+    // of a SMOOTH image stays within the measured worst-case 4 bits
+    // while an unrelated image lands far away
+    val smooth = MediaCodec.resizeImage(png, 8.0)
+    assert(Multimodal.averageHash(MediaCodec.resizeImage(smooth, 1.0)).get ==
+      Multimodal.averageHash(smooth).get)
+    val twin = MediaCodec.resizeImage(png, 16.0)
+    val d = java.lang.Long.bitCount(
+      Multimodal.averageHash(smooth).get ^ Multimodal.averageHash(twin).get)
+    assert(d <= 4, s"smooth twin drifted $d bits")
+    val other = MediaCodec.resizeImage(MediaCodec.digestPng("different"), 8.0)
+    val dOther = java.lang.Long.bitCount(
+      Multimodal.averageHash(smooth).get ^ Multimodal.averageHash(other).get)
+    assert(dOther > 4, s"unrelated images too close ($dOther bits)")
+    // non-image payloads have no hash
+    assert(Multimodal.averageHash("not an image".getBytes).isEmpty)
+  }
+
+  test("phashPairs finds smooth-render twins and only hamming<=maxDist pairs") {
+    // 30 smooth "photos" (32x32 bilinear renders) + a 64x64 twin for
+    // every 3rd — twins must pair with their original; all emitted pairs
+    // must respect the distance bound; two runs must agree (determinism)
+    val base = (0 until 30).map(i => (i.toLong, s"image seed $i"))
+    val media = Multimodal.fromDigestPng(base.toDF("id", "txt"), "id", "txt")
+    val originals = Multimodal.resizePayload(media, "bytes", 8.0)
+    val twins = Multimodal.resizePayload(
+      media.filter(col("media_id") % 3 === 0), "bytes", 16.0)
+      .select((col("media_id") + 1000).as("media_id"), col("kind"),
+        col("bytes"), col("meta"))
+    val corpus = originals.unionByName(twins)
+    val pairs = Multimodal.phashPairs(corpus, "media_id", "bytes", 3)
+    val rows = pairs.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.forall(_._3 <= 3), s"distance bound violated: ${rows.mkString(",")}")
+    val twinIds = base.map(_._1).filter(_ % 3 == 0)
+    val found = twinIds.count(i => rows.exists(p => p._1 == i && p._2 == i + 1000))
+    // aHash worst-case twin distance measured 4 bits on smooth renders —
+    // allow one miss in ten, not zero
+    assert(found >= twinIds.length * 9 / 10,
+      s"twin recall $found/${twinIds.length}")
+    val again = Multimodal.phashPairs(corpus, "media_id", "bytes", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("phashPairs drops undecodable payloads and rejects unreachable distance bounds") {
+    // text payloads never decode: no hash, no pairs — and the banded
+    // join's recall guarantee stops at hamming 3, so a looser bound is a
+    // config error, not silent recall loss
+    assert(Multimodal.phashPairs(media, "media_id", "bytes", 3).count() == 0)
+    intercept[IllegalArgumentException] {
+      Multimodal.phashPairs(media, "media_id", "bytes", 4)
+    }
+  }
+
   test("resizeMeta scales width/height and keeps other fields") {
     val m = media.withColumn("meta", struct(
       lit(100).as("width"), lit(60).as("height"),
