@@ -83,6 +83,31 @@ class MainCliSpec extends SparkSpec {
     assert(tags == Seq("t1", "t2", "t3") && !scorer.threshold.isNaN)
   }
 
+  test("a non-default resolution flows build -> metadata -> /metadata -> client alignment") {
+    val cfg =
+      """{"name": "halfhour",
+        | "dataset": {"tags": ["t1", "t2"], "resolution": "30 minutes"},
+        | "model": {"type": "pca_anomaly", "k": 1},
+        | "evaluation": {"n_splits": 2}}""".stripMargin
+    val p = Files.createTempDirectory("graft-cli-cfg3").resolve("half.json")
+    Files.writeString(p, cfg)
+    val built = Main.build(p.toString, dataPath,
+      Files.createTempDirectory("graft-cli-out3").toString).built.head
+    assert(Main.loadResolution(built.path) == "30 minutes")
+    val server = Main.serve(built.path, port = 0, block = false)
+    try {
+      val meta = new String(java.net.URI.create(
+        s"http://127.0.0.1:${server.boundPort}/metadata").toURL
+        .openStream().readAllBytes())
+      assert(meta.contains("\"resolution\":\"30 minutes\""), meta)
+      // 5 hours at the TRAINED 30-minute granularity = 10 buckets — a
+      // client stuck on the 10-minute default would send 30
+      val n = Main.client(s"http://127.0.0.1:${server.boundPort}", dataPath,
+        "2024-01-01T00:00:00", "2024-01-01T05:00:00", None)
+      assert(n == 10, s"client sent $n rows — not aligned to the trained resolution")
+    } finally server.stop()
+  }
+
   test("loadScorer rejects non-servable and non-artifact dirs") {
     intercept[IllegalArgumentException] {
       Main.loadScorer(spark, Files.createTempDirectory("graft-empty").toString)
