@@ -158,6 +158,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("phash and incremental dedup stay keyed — no cartesian anywhere") {
+    // both are banded/blocked candidate generators: a CartesianProduct or
+    // nested loop in EITHER plan means the blocking degraded to all-pairs
+    for (name <- Seq("multimodal_phash_dedup", "dedup_incremental")) {
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+        s"$name went all-pairs:\n${plan.take(4000)}")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+        || plan.contains("BroadcastHashJoin"), s"$name: expected a keyed join")
+    }
+  }
+
   test("per-year lake layout prunes non-matching year directories at listing time") {
     // The ncs-reader lake shape: dir/year=YYYY/part-*.parquet. A
     // time-range read must touch ONLY the matching years' files — at a
