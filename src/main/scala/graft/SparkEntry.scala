@@ -666,11 +666,26 @@ object SparkEntry {
   // the documents + embeddings tables (SURVEY.md §2 north-star rows).
   // ---------------------------------------------------------------------
 
+  /** The twin-injection fixtures below offset duplicate ids by +100000;
+    * a corpus whose ids reach that would silently collide twins with
+    * real docs (a pair dropped by the `<` ordering, ambiguous
+    * attribution). Checked ONCE per (process, dir) — parquet min/max
+    * stats make the scalar agg a footer read.
+    */
+  private def assertTwinIdHeadroom(s: SparkSession, dir: String): Unit =
+    fittedModel(s"idcap|$dir") {
+      val mx = T(s, dir, "documents").agg(max(col("doc_id"))).head().getLong(0)
+      require(mx < 100000,
+        s"documents doc_id max $mx >= 100000: the twin-id offset would collide")
+      java.lang.Boolean.TRUE
+    }
+
   /** documents ∪ case-mutated copies of every 10th doc — deterministic
     * injected near-duplicates so the dedup operators have real work (the
     * raw corpus is 100% distinct). Mirrored verbatim in the oracle CTE.
     */
   private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    assertTwinIdHeadroom(s, dir)
     val d = T(s, dir, "documents").select("doc_id", "text")
     d.unionByName(
       d.filter(col("doc_id") % 10 === 0)
@@ -1496,6 +1511,7 @@ object SparkEntry {
     // fixture discipline): at a real lake the images already exist, so
     // the warm plan measures the OP — decode → aHash → banded hamming
     // join — not the synthetic fixture's double render+encode.
+    assertTwinIdHeadroom(s, dir)
     val mediaPath = fittedModel(s"phashmedia|$dir") {
       val out = s"$registryRoot/phashmedia_${registryKey(
         s"phashmedia-v1|$dir|${tableFingerprint(s, s"$dir/documents.parquet")}")}"

@@ -190,6 +190,10 @@ object Multimodal {
     * noise; None for undecodable payloads.
     */
   def averageHash(bytes: Array[Byte]): Option[Long] = {
+    // magic-byte sniff BEFORE ImageIO (the decode() dispatch discipline):
+    // on a mixed media corpus every audio/video/text payload would
+    // otherwise pay a full ImageReader provider probe just to return None
+    if (!MediaCodec.isImage(bytes)) return None
     val lum = MediaCodec.imageFeatures(bytes, 64)
     if (lum == null) None
     else {
@@ -227,13 +231,20 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     val iIdx = media.schema.fieldIndex(idCol)
     val bIdx = media.schema.fieldIndex(bytesCol)
+    // localCheckpoint EAGERLY: the hash table is 16 bytes/row while the
+    // decode behind it is the dominant cost, and the band self-join below
+    // references it on both sides — without materialization the decode
+    // subtree is duplicated into each side (measured: no ReusedExchange
+    // in the executed plan, 4 MapPartitions nodes). After the checkpoint
+    // every image decodes exactly once; MultimodalSpec pins the executed
+    // plan to zero in-plan decode nodes.
     val hashed = media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(_.flatMap { r =>
         if (r.isNullAt(iIdx) || r.isNullAt(bIdx)) None
         else averageHash(r.getAs[Array[Byte]](bIdx))
           .map(h => Row(r.getAs[Number](iIdx).longValue(), h))
       })
-    }(enc)
+    }(enc).localCheckpoint()
     val bands = hashed.select(col("media_id"), col("ahash"),
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bh", expr("shiftrightunsigned(ahash, band * 16)")

@@ -91,6 +91,13 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.phashPairs(corpus, "media_id", "bytes", 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(rows.sorted.toSeq == again.sorted.toSeq)
+    // the decode→hash table is checkpointed before the band self-join:
+    // the EXECUTED join plan must contain no decode (MapPartitions)
+    // nodes at all — without the materialization the decode subtree
+    // duplicates into both join sides (measured: 4 nodes, no reuse)
+    val executed = pairs.queryExecution.executedPlan.toString
+    assert(!executed.contains("MapPartitions"),
+      s"decode ran inside the join plan:\n${executed.take(2000)}")
   }
 
   test("phashPairs drops undecodable payloads and rejects unreachable distance bounds") {
