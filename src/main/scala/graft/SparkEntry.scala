@@ -1402,6 +1402,36 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** Spark-only: SEQUENCE autoencoder (the KerasLSTMAutoEncoder slot) —
+    * lag-embeds each hour's trailing lb=4 window into flat columns via
+    * ONE chunk-keyed window sort (30-day chunks with an lb−1-row carry —
+    * no single-partition window; PlanAuditSpec holds), then trains the
+    * gradient AE over the embedded space, so temporal shape (how the
+    * three channels move together across steps) joins the learned
+    * manifold; a per-row AE is blind to it by construction
+    * (SequenceAeSpec separates a scrambled-order segment whose marginals
+    * are clean). Fit-once per process (seeded + deterministic, the
+    * esn/ivf discipline); scoring is the same coefficient-literal
+    * codegen column math. Non-SQL: the iterative descent.
+    */
+  private def q_ml_autoencoder_seq(s: SparkSession, dir: String): DataFrame = {
+    val tags = Seq("click", "view", "purchase")
+    val wide = Timeseries.align(E(s, dir), "ts", "event_type", "value",
+      tags, "1 hour")
+      .na.drop("any", tags)
+    // epochs=40: the warm start IS the ELM optimum, so the descent only
+    // refines — and each epoch is one Spark job over the small embedded
+    // series, so epoch count ≈ cold seconds here
+    val model = fittedModel(s"aeseq|$dir") {
+      graft.ml.SequenceAE.fit(wide, tags, lb = 4, orderCol = "bucket",
+        hidden = 12, epochs = 40)
+    }
+    model.anomaly(wide)
+      .select(col("bucket"), round(col("anomaly_score"), 6).as("anomaly_score"),
+        col("anomalous"))
+      .orderBy("bucket")
+  }
+
   /** Spark-only: trainable one-step-ahead AR forecast per tag (the
     * KerasLSTMForecast analogue) — per-tag univariate models on the keyed
     * long format, scored with |y − ŷ| per bucket. Windows partition by
@@ -1637,6 +1667,7 @@ object SparkEntry {
     "ml_pca_anomaly" -> (q_ml_pca_anomaly _),
     "ml_autoencoder" -> (q_ml_autoencoder _),
     "ml_autoencoder_sgd" -> (q_ml_autoencoder_sgd _),
+    "ml_autoencoder_seq" -> (q_ml_autoencoder_seq _),
     "ml_ar_forecast" -> (q_ml_ar_forecast _),
     "esn_forecast" -> (q_esn_forecast _),
     "multimodal_features" -> (q_multimodal_features _),

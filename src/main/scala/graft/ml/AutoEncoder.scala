@@ -137,6 +137,19 @@ object AutoEncoder {
     */
   def fit(train: DataFrame, tags: Seq[String], hidden: Int = 16,
       ridge: Double = 1e-3, pctl: Double = 0.99, seed: Long = 42L): RfaeModel = {
+    val prelim = fitParams(train, tags, hidden, ridge, seed)
+    val thr = prelim.score(train.na.drop("any", tags))
+      .agg(percentile(col("anomaly_score"), lit(pctl))).head().getDouble(0)
+    prelim.copy(threshold = thr)
+  }
+
+  /** The parameter fit alone — no threshold pass (threshold = NaN). Used
+    * directly when the caller only needs the coefficients (e.g. the
+    * [[AutoEncoderSGD]] warm start, whose percentile would be thrown
+    * away: the scoring plan it skips is a full layered codegen job).
+    */
+  def fitParams(train: DataFrame, tags: Seq[String], hidden: Int = 16,
+      ridge: Double = 1e-3, seed: Long = 42L): RfaeModel = {
     require(tags.nonEmpty && hidden > 0)
     val d = tags.length
 
@@ -163,9 +176,6 @@ object AutoEncoder {
     val beta = RandomFeatures.ridgeBeta(hidCols, hidden,
       (0 until d).map(j => s"__xs$j"), ridge)
 
-    val prelim = RfaeModel(tags, means, stds, w, b, beta, Double.NaN)
-    val thr = prelim.score(clean)
-      .agg(percentile(col("anomaly_score"), lit(pctl))).head().getDouble(0)
-    prelim.copy(threshold = thr)
+    RfaeModel(tags, means, stds, w, b, beta, Double.NaN)
   }
 }

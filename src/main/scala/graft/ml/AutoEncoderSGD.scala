@@ -49,6 +49,9 @@ object AutoEncoderSGD {
   /** Fit by mini-batch gradient descent; returns the model plus the
     * per-epoch mean-squared reconstruction loss trajectory (monotone
     * decrease is spec'd; the builder records the head/tail in metadata).
+    * The returned parameters are the BEST epoch's, not the last's (see
+    * the restore-best note in the loop) — one extra evaluation-only
+    * gradient job prices the final update.
     */
   def fitWithHistory(train: DataFrame, tags: Seq[String], hidden: Int = 8,
       epochs: Int = 120, lr: Double = 0.02, beta1: Double = 0.9,
@@ -61,13 +64,15 @@ object AutoEncoderSGD {
 
     // Warm start (default): pretrain as the ELM construction — random
     // encoder, ridge-OPTIMAL decoder — then descend BOTH layers jointly
-    // from there. The descent starts at the ELM optimum, so with a sane
-    // lr the trained model can only improve on it (the spec'd guarantee);
-    // cold start exists for the pure-backprop path. One extra ridge pass,
-    // same seed discipline.
+    // from there. Together with the best-epoch restore below, the
+    // trained model can only improve on the warm start (the spec'd
+    // guarantee); cold start exists for the pure-backprop path. One
+    // extra ridge pass (fitParams — the warm start never uses a
+    // threshold, so the percentile scoring job is skipped), same seed
+    // discipline.
     val warm: Option[AutoEncoder.RfaeModel] =
-      if (warmStart) Some(AutoEncoder.fit(train, tags, h, ridge = 1e-3,
-        pctl = pctl, seed = seed))
+      if (warmStart) Some(AutoEncoder.fitParams(train, tags, h, ridge = 1e-3,
+        seed = seed))
       else None
 
     val clean = train.na.drop("any", tags)
@@ -127,8 +132,21 @@ object AutoEncoderSGD {
     val losses = new Array[Double](epochs)
     val sc = data.sparkContext
 
+    // Restore-best-epoch (the Keras `restore_best_weights` discipline):
+    // each epoch's recorded loss measures the CURRENT theta over that
+    // epoch's batch, so theta snapshots are comparable across epochs; a
+    // final evaluation-only pass (ep == epochs, no update) prices the
+    // last update too. Without this, a descent started AT an optimum
+    // (warm start on an easy manifold) ORBITS it — Adam's normalized
+    // steps have ~lr magnitude even when the gradient is tiny — and the
+    // returned model would be strictly worse than its own starting
+    // point (observed: ELM-optimal threshold 0.02 drifting to 0.4 on
+    // the lag-embedded sine before this guard).
+    var bestLoss = Double.PositiveInfinity
+    var bestTheta: Array[Double] = null
+
     var ep = 0
-    while (ep < epochs) {
+    while (ep <= epochs) {
       val batch =
         if (batchFraction >= 1.0) data
         else data.sample(withReplacement = false, batchFraction, seed + 1000L + ep)
@@ -156,31 +174,37 @@ object AutoEncoderSGD {
       thetaB.destroy()
 
       val n = math.max(grad(nParams + 1), 1.0)
-      losses(ep) = grad(nParams) / n
-      // Adam update; decoupled L2 on weights only (not biases). Linear lr
-      // decay to 10% anneals out the mini-batch sampling noise so the
-      // final parameters settle instead of orbiting the optimum.
-      val lrEp = lr * (1.0 - 0.9 * ep / math.max(epochs - 1, 1).toDouble)
-      val bc1 = 1.0 - math.pow(beta1, ep + 1.0)
-      val bc2 = 1.0 - math.pow(beta2, ep + 1.0)
-      var k = 0
-      while (k < nParams) {
-        val isWeight = k < nW || (k >= offV && k < offC)
-        val g = grad(k) / n + (if (isWeight) l2 * theta(k) else 0.0)
-        mom1(k) = beta1 * mom1(k) + (1.0 - beta1) * g
-        mom2(k) = beta2 * mom2(k) + (1.0 - beta2) * g * g
-        theta(k) -= lrEp * (mom1(k) / bc1) / (math.sqrt(mom2(k) / bc2) + adamEps)
-        k += 1
+      val loss = grad(nParams) / n
+      if (ep < epochs) losses(ep) = loss
+      if (loss < bestLoss) { bestLoss = loss; bestTheta = theta.clone() }
+      if (ep < epochs) {
+        // Adam update; decoupled L2 on weights only (not biases). Linear
+        // lr decay to 10% anneals out the mini-batch sampling noise so
+        // the final parameters settle instead of orbiting the optimum.
+        val lrEp = lr * (1.0 - 0.9 * ep / math.max(epochs - 1, 1).toDouble)
+        val bc1 = 1.0 - math.pow(beta1, ep + 1.0)
+        val bc2 = 1.0 - math.pow(beta2, ep + 1.0)
+        var k = 0
+        while (k < nParams) {
+          val isWeight = k < nW || (k >= offV && k < offC)
+          val g = grad(k) / n + (if (isWeight) l2 * theta(k) else 0.0)
+          mom1(k) = beta1 * mom1(k) + (1.0 - beta1) * g
+          mom2(k) = beta2 * mom2(k) + (1.0 - beta2) * g * g
+          theta(k) -= lrEp * (mom1(k) / bc1) / (math.sqrt(mom2(k) / bc2) + adamEps)
+          k += 1
+        }
       }
       ep += 1
     }
     data.unpersist(blocking = false)
 
-    // Repack into the shared scorer: beta(i)(j) = V(j)(i), beta(h)(j) = c(j)
-    val w = Array.tabulate(h, d)((ii, jj) => theta(ii * d + jj))
-    val b = Array.tabulate(h)(ii => theta(offB + ii))
+    // Repack the BEST-epoch parameters into the shared scorer:
+    // beta(i)(j) = V(j)(i), beta(h)(j) = c(j)
+    val chosen = bestTheta
+    val w = Array.tabulate(h, d)((ii, jj) => chosen(ii * d + jj))
+    val b = Array.tabulate(h)(ii => chosen(offB + ii))
     val beta = Array.tabulate(h + 1, d)((ii, jj) =>
-      if (ii < h) theta(offV + jj * h + ii) else theta(offC + jj))
+      if (ii < h) chosen(offV + jj * h + ii) else chosen(offC + jj))
 
     val prelim = AutoEncoder.RfaeModel(tags, means, stds, w, b, beta, Double.NaN)
     val thr = prelim.score(clean)

@@ -405,6 +405,88 @@ object ModelBuilder {
       Files.readString(Paths.get(path, "metadata.json")))
   }
 
+  case class SeqAeBuildResult(path: String, model: SequenceAE.SeqAeModel,
+      metadata: String)
+
+  /** Config-driven SEQUENCE autoencoder build (`model.type:
+    * "autoencoder_seq"`) — the KerasLSTMAutoEncoder slot in the
+    * lifecycle: same dataset/CV/threshold/registry flow, with
+    * [[SequenceAE]]'s lag-embedded window model. The CV folds split the
+    * WIDE frame by time exactly as the dense builds do; each fold embeds
+    * its own slice, so no window ever straddles the train/validation cut
+    * (the embed drops rows without lb in-slice predecessors — the same
+    * boundary discipline the Keras generator gets from batching within a
+    * split).
+    *
+    * Config: `{ "name": ..., "dataset": {...}, "model": {"type":
+    * "autoencoder_seq", "lookback": 4, "hidden": 12, "epochs": 120,
+    * "lr": 0.02, "batch_fraction": 0.5, "threshold_pctl": 0.99,
+    * "seed": 42}, "evaluation": {"n_splits": 3} }`
+    */
+  def buildAutoEncoderSeq(spark: SparkSession, configJson: String, longDf: DataFrame,
+      outDir: String): SeqAeBuildResult = {
+    val cfg = parse(configJson)
+    val name = cfg.getOrElse("name", "machine").toString
+    val registry = DiskRegistry(s"$outDir/registry")
+    val regKey = s"autoencoder_seq\n$configJson"
+
+    val path = registry.getOrBuild(regKey) {
+      val (wide, tags) = dataset(longDf, cfg)
+      val model = obj(cfg, "model")
+      val lb = intOf(model, "lookback", 4)
+      val hidden = intOf(model, "hidden", 12)
+      val epochs = intOf(model, "epochs", 120)
+      val lr = model.get("lr").map(_.toString.toDouble).getOrElse(0.02)
+      val batchFraction =
+        model.get("batch_fraction").map(_.toString.toDouble).getOrElse(0.5)
+      val pctl = model.get("threshold_pctl").map(_.toString.toDouble).getOrElse(0.99)
+      val seed = model.get("seed").map(_.toString.toLong).getOrElse(42L)
+      val nSplits = intOf(obj(cfg, "evaluation"), "n_splits", 3)
+
+      val foldMeta = TimeSeriesCV.folds(wide, "bucket", nSplits).zipWithIndex.map {
+        case ((train, valid), i) =>
+          val m = SequenceAE.fit(train.na.drop("any", tags), tags, lb, "bucket",
+            hidden = hidden, epochs = epochs, lr = lr,
+            batchFraction = batchFraction, pctl = pctl, seed = seed)
+          val stats = m.score(valid.na.drop("any", tags)).agg(
+            count(lit(1)).as("n"),
+            avg(col("anomaly_score")).as("mean_score"),
+            max(col("anomaly_score")).as("max_score")).head()
+          s"""{"fold": $i, "threshold": ${jnum(m.threshold)}, "val_rows": ${stats.getLong(0)},
+             | "val_mean_score": ${jnumAt(stats, "mean_score")},
+             | "val_max_score": ${jnumAt(stats, "max_score")}}""".stripMargin
+            .replaceAll("\n", "")
+      }
+
+      val (finalModel, losses) = SequenceAE.fitWithHistory(
+        wide.na.drop("any", tags), tags, lb, "bucket",
+        hidden = hidden, epochs = epochs, lr = lr,
+        batchFraction = batchFraction, pctl = pctl, seed = seed)
+      val dir = Paths.get(outDir, s"$name-${registry.key(regKey).take(8)}")
+      Files.createDirectories(dir)
+      finalModel.toDF(spark).write.mode("overwrite")
+        .parquet(dir.resolve("model").toString)
+      val metadata =
+        s"""{"name": ${jstr(name)},
+           | "tags": [${tags.map(jstr).mkString(", ")}],
+           | "resolution": ${jstr(resolutionOf(cfg))},
+           | "model": {"type": "autoencoder_seq", "lookback": $lb,
+           |           "hidden": $hidden, "epochs": $epochs, "lr": $lr,
+           |           "threshold": ${jnum(finalModel.threshold)}, "threshold_pctl": $pctl,
+           |           "train_mse_first": ${jnum(losses.head)},
+           |           "train_mse_last": ${jnum(losses.last)}},
+           | "cv": [${foldMeta.mkString(", ")}],
+           | "config_key": "${registry.key(regKey)}"}""".stripMargin
+      Files.writeString(dir.resolve("metadata.json"), metadata)
+      dir.toString
+    }
+
+    val reloaded = SequenceAE.SeqAeModel.fromDF(
+      spark.read.parquet(Paths.get(path, "model").toString))
+    SeqAeBuildResult(path, reloaded,
+      Files.readString(Paths.get(path, "metadata.json")))
+  }
+
   /** Fleet build — the workflow-generator analogue (SURVEY.md §3.1: one
     * Argo pod per machine, thousands of machines). Here each machine is a
     * sequence of Spark jobs inside ONE session; the registry dedupes

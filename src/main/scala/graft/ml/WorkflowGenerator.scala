@@ -17,8 +17,8 @@ import org.json4s.jackson.JsonMethods
   * Where the reference renders an Argo pod per machine, here each machine
   * is a sequence of Spark jobs inside ONE session, routed to the builder
   * its `model.type` names (`pca_anomaly` | `ar_forecast` | `esn_forecast`
-  * | `autoencoder` | `autoencoder_sgd` — the five [[ModelBuilder]]
-  * lifecycles). The
+  * | `autoencoder` | `autoencoder_sgd` | `autoencoder_seq` — the six
+  * [[ModelBuilder]] lifecycles). The
   * content-addressed
   * [[DiskRegistry]] dedupes across the fleet AND across runs: a rebuild
   * of an unchanged machine is a cache hit that does no Spark work, and a
@@ -107,6 +107,9 @@ object WorkflowGenerator {
             MachineArtifact(name, mtype, r.path, r.metadata)
           case "autoencoder_sgd" =>
             val r = ModelBuilder.buildAutoEncoderSgd(spark, cfg, longDf, outDir)
+            MachineArtifact(name, mtype, r.path, r.metadata)
+          case "autoencoder_seq" =>
+            val r = ModelBuilder.buildAutoEncoderSeq(spark, cfg, longDf, outDir)
             MachineArtifact(name, mtype, r.path, r.metadata)
           case other =>
             throw new IllegalArgumentException(s"unknown model.type '$other' for machine $name")
