@@ -124,6 +124,8 @@ object Main {
         PcaAnomalyModel(org.apache.spark.ml.PipelineModel.load(modelPath), thr)
       case "autoencoder" | "autoencoder_sgd" =>
         AutoEncoder.RfaeModel.fromDF(spark.read.parquet(modelPath))
+      case "autoencoder_seq" =>
+        SequenceAE.SeqAeModel.fromDF(spark.read.parquet(modelPath))
       case other =>
         throw new IllegalArgumentException(
           s"model.type '$other' is not servable on the prediction endpoint")

@@ -123,17 +123,35 @@ object SequenceAE {
       score(wide, partitionBy).withColumn("anomalous",
         col("anomaly_score") > lit(inner.threshold))
 
-    /** Serving contract: the posted frame must carry `orderCol` plus the
-      * base tags; the embed runs INSIDE the request frame, so the client
-      * posts a window of rows and the first lb−1 get no score — the LSTM
-      * serving shape. Tag-list mismatch is a deployment bug (500, not
-      * 400), same rule as the dense scorer.
+    /** Serving contract: the embed runs INSIDE the request frame in
+      * PAYLOAD order (`req_idx` when the frame carries it — the posted
+      * window IS the sequence, exactly how an LSTM server consumes X
+      * rows; `orderCol` otherwise), and every input row comes back: the
+      * first lb−1 rows of a cold window return NULL scores via the
+      * left join instead of disappearing, preserving Serve.scoreFrame's
+      * one-response-row-per-record alignment. A request payload is
+      * bounded by contract (the parquet path collects it), so one
+      * request = ONE window partition, keyed by a literal — request-
+      * sized by definition, not an unbounded global window. Tag-list
+      * mismatch is a deployment bug (500, not 400), same rule as the
+      * dense scorer.
       */
     override def scoreWithTags(df: DataFrame, requestTags: Seq[String]): DataFrame = {
       if (requestTags != baseTags)
         throw new IllegalStateException(
           s"model was fitted on tags $baseTags, serving surface configured for $requestTags")
-      score(df)
+      val ord = if (df.columns.contains("req_idx")) "req_idx" else orderCol
+      require(df.columns.contains(ord),
+        s"request frame carries neither req_idx nor '$orderCol' — no sequence order to embed by")
+      val emb = embed(df.withColumn("__req", lit(0)), baseTags, lb, ord,
+        partitionBy = Seq("__req"))
+      val scored = inner.score(emb)
+      val rollup = baseTags.map { t =>
+        greatest(((lb - 1) to 0 by -1).map(l => col(s"tag_anomaly_${t}__m$l")): _*)
+          .as(s"tag_anomaly_$t")
+      }
+      df.join(scored.select(col(ord) +: col("anomaly_score") +: rollup: _*),
+        Seq(ord), "left")
     }
 
     /** Persistable form: the inner coefficient frame (whose `tags` are

@@ -114,6 +114,44 @@ class SequenceAeSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("serves through the request path: one aligned row per record, NULL-scored cold head") {
+    // A clean continuation of the training sine, posted in payload order
+    // — the posted window IS the sequence (req_idx, not ts, orders the
+    // embed, so a ts-less payload also works: next test).
+    val recs = (400 until 408).map(i =>
+      s"""{"ts": "${ts(i)}", "v": ${sine(i)}}""").mkString("[", ",", "]")
+    val resp = Serve.scoreRequest(spark, model, recs, Seq("v"))
+    val rows = resp.orderBy("req_idx").collect()
+    assert(rows.length == 8, "one response row per request record")
+    assert(rows.map(_.getAs[Long]("req_idx")).toSeq == (0L until 8L).toSeq)
+    val scores = rows.map(r => Option(r.getAs[java.lang.Double]("anomaly_score")))
+    // the first lb−1 = 3 rows of a cold window cannot embed: NULL score
+    // (and NULL verdict), never a dropped row
+    assert(scores.take(3).forall(_.isEmpty), s"cold head must be NULL: ${scores.toSeq}")
+    assert(scores.drop(3).forall(_.isDefined), s"warm tail must score: ${scores.toSeq}")
+    assert(rows.take(3).forall(_.isNullAt(rows(0).fieldIndex("anomalous"))))
+    // a clean continuation stays under the fitted threshold
+    assert(scores.drop(3).flatten.forall(_ < model.threshold))
+    assert(resp.columns.contains("tag_anomaly_v"))
+  }
+
+  test("a built autoencoder_seq artifact routes through the CLI scorer loader") {
+    val out = java.nio.file.Files.createTempDirectory("graft-aeseq-serve").toString
+    val long = (0 until 200).map(i => ("v", ts(i), sine(i))).toDF("tag", "ts", "value")
+    val cfg =
+      """{"name": "seq-served",
+        | "dataset": {"tags": ["v"], "resolution": "1 hour"},
+        | "model": {"type": "autoencoder_seq", "lookback": 3, "hidden": 6, "epochs": 10},
+        | "evaluation": {"n_splits": 2}}""".stripMargin
+    val built = ModelBuilder.buildAutoEncoderSeq(spark, cfg, long, out)
+    val (scorer, tags) = graft.Main.loadScorer(spark, built.path)
+    assert(tags == Seq("v") && scorer.isInstanceOf[SequenceAE.SeqAeModel])
+    // ts-less payload: req_idx alone orders the embed
+    val resp = Serve.scoreRequest(spark, scorer,
+      (0 until 5).map(i => s"""{"v": ${sine(i)}}""").mkString("[", ",", "]"), tags)
+    assert(resp.count() == 5)
+  }
+
   test("builder lifecycle: config-driven build with CV metadata, fleet routing") {
     val out = java.nio.file.Files.createTempDirectory("graft-aeseq-build").toString
     val long = (0 until 300).flatMap { i =>
