@@ -767,17 +767,34 @@ object SparkEntry {
     // passes price at O(step): read bands+stats parquet, run the step.
     val stateDir = fittedModel(s"dedupstate|$dir") {
       val out = s"$registryRoot/dedupstate_${registryKey(
-        s"dedupstate-v1|$dir|${tableFingerprint(s, s"$dir/documents.parquet")}")}"
+        s"dedupstate-v2|$dir|${tableFingerprint(s, s"$dir/documents.parquet")}")}"
       // _SUCCESS-gated (the langid/IvfModel discipline): a fresh process
       // must LOAD the fingerprint-keyed index, not rebuild it — the
       // rebuild is the cost this registry exists to avoid. The stats
       // marker commits last, so a half-written state never gates.
+      // v2: the state also stores YESTERDAY'S PAIRS. The base pair set
+      // depends only on the base corpus, so re-deriving it per run
+      // (band self-join + full Jaccard re-score) made every "daily
+      // step" pay O(base pairs) — the exact cost the incremental path
+      // exists to avoid. Production stores yesterday's dedup output;
+      // so does the state dir, and the warm run prices at
+      // O(delta + affected) + one tiny pairs scan.
       val marker = new org.apache.hadoop.fs.Path(s"$out/stats", "_SUCCESS")
       val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(marker)) {
         val raw = Dedup.initialDedupState(base, "doc_id", "text")
-        raw.bands.write.mode("overwrite").parquet(s"$out/bands")
-        raw.stats.write.mode("overwrite").parquet(s"$out/stats")
+        val bands = raw.bands.localCheckpoint() // feeds the write AND the pair join
+        val stats = raw.stats.localCheckpoint() // feeds the write AND the hot list
+        bands.write.mode("overwrite").parquet(s"$out/bands")
+        val baseCand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        Dedup.jaccardRescoreWithHotList(base, "doc_id", "text", baseCand,
+            0.6, 3, Dedup.hotList(stats))
+          .write.mode("overwrite").parquet(s"$out/pairs")
+        stats.write.mode("overwrite").parquet(s"$out/stats")
       }
       out
     }
@@ -785,16 +802,7 @@ object SparkEntry {
       s.read.parquet(s"$stateDir/stats"))
     val res = Dedup.incrementalStepExact(all, st0, delta, "doc_id", "text", 0.6)
     val changed = res.changedIds
-    // base pairs come from the STATE's band table — recomputing the base
-    // banding (a fresh nearDuplicates run) would double the minhash work
-    // the incremental path exists to avoid
-    val baseCand = st0.bands.as("a").join(st0.bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val untouchedBasePairs = Dedup.jaccardRescoreWithHotList(base, "doc_id",
-        "text", baseCand, 0.6, 3, Dedup.hotList(st0.stats))
+    val untouchedBasePairs = s.read.parquet(s"$stateDir/pairs")
       .join(changed.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
       .join(changed.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
     untouchedBasePairs.select("doc_a", "doc_b", "jaccard")
