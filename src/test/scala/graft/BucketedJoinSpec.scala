@@ -29,4 +29,20 @@ class BucketedJoinSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
   }
+
+  test("join_bucketed query: the join itself adds no Exchange — only the agg and sink sort shuffle") {
+    // broadcast off so the join can't sidestep the bucketed layout; the
+    // SMJ must then feed DIRECTLY off the bucketed scans
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val plan = SparkEntry.queries("join_bucketed")(spark, "/root/testdata/sf0.001")
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("SortMergeJoin"), plan)
+      val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(plan).size
+      // hashpartitioning for the groupBy + rangepartitioning for the
+      // orderBy; a third Exchange means the bucketed layout was ignored
+      assert(exchanges == 2, s"expected agg+sort shuffles only:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
