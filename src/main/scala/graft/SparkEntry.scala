@@ -146,6 +146,34 @@ object SparkEntry {
       .orderBy("ts", "tag", "value")
   }
 
+  /** Small-files compaction — the lake-maintenance sink every long-lived
+    * 100 TB table needs: `repartitionByRange` on the time column packs
+    * the table into a fixed number of target-size files, and the
+    * within-partition sort gives each file a tight ts min/max so later
+    * time-range scans skip whole row groups via parquet statistics. The
+    * compacted copy is registry-gated (one layout pass per dir, the
+    * production cadence); the query reads it BACK and aggregates, with
+    * the oracle on the ORIGINAL table — a lossy compaction (dropped or
+    * duplicated rows at partition boundaries) hash-fails.
+    */
+  private def q_sink_compact(s: SparkSession, dir: String): DataFrame = {
+    val root = fittedModel(s"compact|$dir") {
+      val out = s"$registryRoot/compact_${registryKey(s"compact-v1|$dir")}"
+      val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker))
+        E(s, dir).repartitionByRange(8, col("ts"))
+          .sortWithinPartitions("ts", "event_id")
+          .write.mode("overwrite").parquet(out)
+      out
+    }
+    s.read.parquet(root)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+      .orderBy("event_type")
+  }
+
   /** The FULL Influx client↔server leg over a live loopback socket:
     * events → `InfluxStore.write` (line-protocol POST batches from
     * executor partitions) → [[graft.sources.InfluxEmulator]] (the real
@@ -396,13 +424,21 @@ object SparkEntry {
     val suffix = registryKey(s"bucketed-v1|$dir")
     val ot = s"orders_b_$suffix"
     val lt = s"lineitem_b_$suffix"
+    // the catalog is per-process (in-memory) but the warehouse dir is not:
+    // a fresh JVM must clear the previous run's location or the CREATE
+    // path of saveAsTable fails with LOCATION_ALREADY_EXISTS
+    def layOut(table: String, src: String, key: String): Unit =
+      if (!s.catalog.tableExists(table)) {
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), table)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        T(s, dir, src).write.bucketBy(8, key)
+          .sortBy(key).mode("overwrite").saveAsTable(table)
+      }
     this.synchronized {
-      if (!s.catalog.tableExists(ot))
-        T(s, dir, "orders").write.bucketBy(8, "o_orderkey")
-          .sortBy("o_orderkey").mode("overwrite").saveAsTable(ot)
-      if (!s.catalog.tableExists(lt))
-        T(s, dir, "lineitem").write.bucketBy(8, "l_orderkey")
-          .sortBy("l_orderkey").mode("overwrite").saveAsTable(lt)
+      layOut(ot, "orders", "o_orderkey")
+      layOut(lt, "lineitem", "l_orderkey")
     }
     s.table(ot).join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderpriority")
@@ -456,6 +492,37 @@ object SparkEntry {
         col("tag").as("event_type"))
       .agg(round(avg(col("value")), 6).as("avg_v"), count(lit(1)).as("n"))
       .orderBy("bucket", "event_type")
+  }
+
+  /** JSONL round trip — the dominant LLM-corpus interchange format. The
+    * documents table is materialized ONCE per dir as line-delimited JSON
+    * (`to_json` escapes newlines/quotes/unicode, so one record per line
+    * holds for arbitrary text), then read back with an EXPLICIT schema:
+    * schema-on-read without the inference pass, which at 100 TB would be
+    * a full extra scan of the corpus. The oracle aggregates the PARQUET
+    * table, so any escaping or parse drift in the text payload (the
+    * length sum covers every character) hash-fails the round trip.
+    */
+  private def q_scan_jsonl(s: SparkSession, dir: String): DataFrame = {
+    val root = fittedModel(s"jsonl|$dir") {
+      val out = s"$registryRoot/jsonl_${registryKey(s"jsonl-v1|$dir")}"
+      val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker))
+        T(s, dir, "documents")
+          .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))).as("value"))
+          .write.mode("overwrite").text(out)
+      out
+    }
+    val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    s.read.schema(schema).json(root)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(length(col("text"))).cast("long").as("sum_text_len"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang")
   }
 
   private def q_agg_resample_mean(s: SparkSession, dir: String): DataFrame =
@@ -1667,6 +1734,8 @@ object SparkEntry {
     "agg_salted_skew" -> (q_agg_salted_skew _),
     "win_smooth_time" -> (q_win_smooth_time _),
     "scan_csv" -> (q_scan_csv _),
+    "scan_jsonl" -> (q_scan_jsonl _),
+    "sink_compact" -> (q_sink_compact _),
     "agg_resample_mean" -> (q_agg_resample_mean _),
     "agg_resample_origin" -> (q_agg_resample_origin _),
     "agg_resample_multi" -> (q_agg_resample_multi _),
@@ -2116,6 +2185,18 @@ object SparkEntry {
       s"""SELECT $bucket10m AS bucket, event_type,
          |  round(avg(value), 6) AS avg_v, count(*) AS n
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "scan_jsonl" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sink_compact" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  min(CAST(ts AS TIMESTAMP)) AS min_ts,
+        |  max(CAST(ts AS TIMESTAMP)) AS max_ts
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_resample_origin" ->
       """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP),
         |    INTERVAL '5 minutes') AS bucket, event_type,
