@@ -1045,6 +1045,10 @@ object SparkEntry {
     TextAnalysis.tokenCounts(T(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  private def q_text_gopher_quality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(T(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   private def q_text_fingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(T(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
@@ -1775,6 +1779,7 @@ object SparkEntry {
     "simsearch_int8" -> (q_simsearch_int8 _),
     "text_langid" -> (q_text_langid _),
     "text_quality" -> (q_text_quality _),
+    "text_gopher_quality" -> (q_text_gopher_quality _),
     "text_tokens" -> (q_text_tokens _),
     "text_fingerprint" -> (q_text_fingerprint _),
     "text_scrub" -> (q_text_scrub _),
@@ -2460,6 +2465,45 @@ object SparkEntry {
          |  round(length(replace(text, ' ', '')) * 1.0
          |      / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS avg_word_len
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_gopher_quality" ->
+      s"""WITH g AS (SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS ws,
+         |    string_split(text, chr(10)) AS ls,
+         |    (length(text) - length(replace(text, '#', '')))
+         |      + (length(text) - length(replace(text, '...', ''))) / 3
+         |      + (length(text) - length(replace(text, '…', ''))) AS n_sym
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |    len(ws) AS n_words,
+         |    list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws) AS mwl,
+         |    n_sym * 1.0 / len(ws) AS sym_ratio,
+         |    len(list_filter(ls, l -> starts_with(trim(l), '-')
+         |      OR starts_with(trim(l), '*') OR starts_with(trim(l), '•')))
+         |      * 1.0 / len(ls) AS bullet_frac,
+         |    len(list_filter(ls, l -> ends_with(trim(l), '...')
+         |      OR ends_with(trim(l), '…'))) * 1.0 / len(ls) AS ell_frac,
+         |    len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+         |      * 1.0 / len(ws) AS alpha_frac,
+         |    len(list_distinct(list_filter(ws, w -> w IN ('the','be','to',
+         |      'of','and','that','have','with')))) AS n_stop
+         |  FROM g)
+         |SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
+         |  round(sym_ratio, 6) AS symbol_ratio,
+         |  round(bullet_frac, 6) AS bullet_frac,
+         |  round(ell_frac, 6) AS ellipsis_frac,
+         |  round(alpha_frac, 6) AS alpha_frac,
+         |  n_stop AS n_stop_distinct,
+         |  n_words BETWEEN 50 AND 100000 AS ok_words,
+         |  mwl BETWEEN 3 AND 10 AS ok_word_len,
+         |  sym_ratio < 0.1 AS ok_symbols,
+         |  bullet_frac < 0.9 AS ok_bullets,
+         |  ell_frac < 0.3 AS ok_ellipsis,
+         |  alpha_frac >= 0.8 AS ok_alpha,
+         |  n_stop >= 2 AS ok_stopwords,
+         |  (n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3 AND 10)
+         |    AND sym_ratio < 0.1 AND bullet_frac < 0.9 AND ell_frac < 0.3
+         |    AND alpha_frac >= 0.8 AND n_stop >= 2 AS pass
+         |FROM m ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id,
          |  len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,

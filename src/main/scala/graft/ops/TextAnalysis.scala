@@ -83,6 +83,63 @@ object TextAnalysis {
       carried.select(col("doc_id") +: metrics: _*)
   }
 
+  /** Gopher-style document-quality gates (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A1.1 — public paper): the rule set
+    * web-scale curation applies BEFORE model-based scoring. Per doc: the
+    * raw signals, one boolean per rule, and the conjunction `pass`. Pure
+    * single-scan column math (higher-order array functions, no UDF, no
+    * shuffle) — at 100 TB this is a map-only pass that feeds a filter.
+    * Word-count bounds are parameters because the paper's 50..100k is
+    * corpus-calibrated.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that",
+        "have", "with")): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("__text"), words(col(textCol)).as("__ws"),
+      split(col(textCol), "\n").as("__lines"))
+    val ws = col("__ws")
+    val lines = col("__lines")
+    val nWords = size(ws)
+    val nLines = size(lines)
+    // non-overlapping occurrence counts via length deltas — replace()
+    // scans left-to-right greedily in both Spark and the SQL oracle
+    def occurrences(c: Column, lit0: String): Column =
+      (length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(lit0), ""))) / lit0.length
+    val nSymbols = occurrences(col("__text"), "#") +
+      occurrences(col("__text"), "...") + occurrences(col("__text"), "…")
+    val meanWordLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / nWords
+    val bulletFrac = size(filter(lines, l =>
+      trim(l).startsWith("-") || trim(l).startsWith("*") ||
+        trim(l).startsWith("•"))).cast("double") / nLines
+    val ellipsisFrac = size(filter(lines, l =>
+      trim(l).endsWith("...") || trim(l).endsWith("…")))
+      .cast("double") / nLines
+    val alphaFrac = size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / nWords
+    val nStopDistinct = size(array_distinct(filter(ws, w => w.isInCollection(stopwords))))
+    base.select(col("doc_id"),
+      nWords.cast("long").as("n_words"),
+      round(meanWordLen, 6).as("mean_word_len"),
+      round(nSymbols.cast("double") / nWords, 6).as("symbol_ratio"),
+      round(bulletFrac, 6).as("bullet_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_frac"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      nStopDistinct.cast("long").as("n_stop_distinct"),
+      (nWords >= minWords && nWords <= maxWords).as("ok_words"),
+      (meanWordLen >= 3 && meanWordLen <= 10).as("ok_word_len"),
+      (nSymbols.cast("double") / nWords < 0.1).as("ok_symbols"),
+      (bulletFrac < 0.9).as("ok_bullets"),
+      (ellipsisFrac < 0.3).as("ok_ellipsis"),
+      (alphaFrac >= 0.8).as("ok_alpha"),
+      (nStopDistinct >= 2).as("ok_stopwords"))
+      .withColumn("pass",
+        col("ok_words") && col("ok_word_len") && col("ok_symbols") &&
+          col("ok_bullets") && col("ok_ellipsis") && col("ok_alpha") &&
+          col("ok_stopwords"))
+  }
+
   /** Token counts: plain whitespace tokens and a BPE-ish regex token class
     * count (letter runs, digit runs, single punctuation).
     */

@@ -262,4 +262,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getAs[Double]("bal_bucket") == 100.0)
     assert(out(1).getAs[Double]("bal_bucket") == -100.0) // floor, not trunc
   }
+
+  test("gopherRules: each gate fires on its own pathology") {
+    val good = ("clean words " * 30).trim + " the be to of and" // 65 words, stopwords present
+    val bad = Seq(
+      (1L, good),
+      (2L, "too short to pass the word count"),
+      (3L, ("- bullet line\n" * 10).trim + "\nthe be of " + ("word " * 60)),
+      (4L, (("trailing dots...\n" * 10).trim + "\n" + "the be of " + ("w " * 60)).trim),
+      (5L, "### " * 40 + "the be of " + ("word " * 50)),
+      (6L, "12 34 " * 40 + "the be of " + ("word " * 10)))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(bad, "doc_id", "text", minWords = 50)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Boolean]("pass"), r(0).toSeq.toString)
+    assert(!r(1).getAs[Boolean]("ok_words") && !r(1).getAs[Boolean]("pass"))
+    assert(!r(2).getAs[Boolean]("ok_bullets"), r(2).toSeq.toString)
+    assert(!r(3).getAs[Boolean]("ok_ellipsis"), r(3).toSeq.toString)
+    assert(!r(4).getAs[Boolean]("ok_symbols"), r(4).toSeq.toString)
+    assert(!r(5).getAs[Boolean]("ok_alpha"), r(5).toSeq.toString)
+  }
 }
