@@ -64,32 +64,20 @@ object SparkEntry {
     registryKey(stats.mkString("|"))
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read as a
-    * timestamp ([PARQUET_TYPE_ILLEGAL]). Read it as a long (ns since epoch)
-    * via the legacy flag, then truncate to µs — exactly what DuckDB's
-    * CAST(ts AS TIMESTAMP) does on its side of the oracle compare.
+  /** events scan with `ts` normalized to a µs timestamp regardless of the
+    * fixture generation's physical parquet type (ns-long vs µs — see
+    * [[graft.sources.Events]]). DuckDB's CAST(ts AS TIMESTAMP) performs
+    * the same µs truncation on the oracle side of the compare.
     */
-  private def E(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  private def E(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Events.read(s, s"$dir/events.parquet")
 
-  /** Time-bounded events scan with the range applied to the RAW ns long —
-    * a filter on the derived µs timestamp cannot reach the parquet scan,
-    * while this lands in PushedFilters (row-group pruning at 100 TB). The
-    * ns bound is exact: `ts div 1000 >= F  ⟺  ts >= F*1000` for positive
-    * longs, so results are identical to filtering after conversion.
+  /** Time-bounded events scan with the range applied to the column AS
+    * STORED, so the predicate lands in PushedFilters (row-group pruning
+    * at 100 TB) — see [[graft.sources.Events.readBetween]].
     */
-  private def Ebetween(s: SparkSession, dir: String, fromDate: String, toDate: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def ns(d: String): Long =
-      java.time.LocalDate.parse(d).atStartOfDay(java.time.ZoneOffset.UTC)
-        .toInstant.toEpochMilli * 1000000L
-    s.read.parquet(s"$dir/events.parquet")
-      .filter(col("ts") >= ns(fromDate) && col("ts") < ns(toDate))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  private def Ebetween(s: SparkSession, dir: String, fromDate: String, toDate: String): DataFrame =
+    graft.sources.Events.readBetween(s, s"$dir/events.parquet", fromDate, toDate)
 
   /** Exact order-independent sum of a double expression: sum in
     * DECIMAL(18,6), emit DOUBLE. Mirrors CAST(SUM(CAST(x AS

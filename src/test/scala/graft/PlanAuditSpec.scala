@@ -176,22 +176,12 @@ class PlanAuditSpec extends SparkSpec {
     // decade-deep 100 TB lake this is the difference between scanning
     // one year and scanning ten.
     val lake = java.nio.file.Files.createTempDirectory("graft-yearlake").toString
-    // scope the legacy nanos flag to the fixture write — leaking it into
-    // the shared session would change parquet semantics for later tests
-    val nanosBefore = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try {
-      val ev = spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      // the sf0.001 fixture spans a single year — shift a copy +1y so the
-      // lake has two year= directories and pruning is observable
-      ev.union(ev.withColumn("ts", col("ts") + expr("INTERVAL 1 YEAR")))
-        .withColumn("year", year(col("ts")))
-        .write.partitionBy("year").mode("overwrite").parquet(lake)
-    } finally nanosBefore match {
-      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-      case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-    }
+    val ev = graft.sources.Events.read(spark, s"$dir/events.parquet")
+    // the sf0.001 fixture spans a single year — shift a copy +1y so the
+    // lake has two year= directories and pruning is observable
+    ev.union(ev.withColumn("ts", col("ts") + expr("INTERVAL 1 YEAR")))
+      .withColumn("year", year(col("ts")))
+      .write.partitionBy("year").mode("overwrite").parquet(lake)
     val years = new java.io.File(lake).listFiles().map(_.getName)
       .filter(_.startsWith("year=")).sorted
     assert(years.length >= 2, s"fixture spans ${years.mkString(",")} — need 2+ years")

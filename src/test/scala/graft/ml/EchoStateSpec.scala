@@ -73,9 +73,7 @@ class EchoStateSpec extends SparkSpec {
   }
 
   test("buildEsn lifecycle: persist, registry-hit rebuild, bit-exact reload") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = graft.sources.Events.read(spark, "/root/testdata/sf0.001/events.parquet")
     val out = java.nio.file.Files.createTempDirectory("graft-esn").toString
     val cfg =
       """{"name": "esn-events",

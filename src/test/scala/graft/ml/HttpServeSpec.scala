@@ -79,9 +79,7 @@ class HttpServeSpec extends SparkSpec {
 
     // a real registry with one fleet build behind a fresh server
     val out = java.nio.file.Files.createTempDirectory("graft-watchman").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val events = graft.sources.Events.read(spark, "/root/testdata/sf0.001/events.parquet")
     val fleet = WorkflowGenerator.buildFleet(spark,
       """{"defaults": {"dataset": {"resolution": "1 hour",
         |              "tag_col": "event_type", "value_col": "value"},

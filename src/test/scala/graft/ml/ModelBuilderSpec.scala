@@ -13,11 +13,8 @@ class ModelBuilderSpec extends SparkSpec {
       |  "model": {"k": 2, "threshold_pctl": 0.95},
       |  "evaluation": {"n_splits": 2}}""".stripMargin
 
-  private def events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  private def events =
+    graft.sources.Events.read(spark, "/root/testdata/sf0.001/events.parquet")
 
   test("build produces a reloadable model, metadata, and scores new data") {
     val out = java.nio.file.Files.createTempDirectory("graft-build").toString

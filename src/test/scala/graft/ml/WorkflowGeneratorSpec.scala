@@ -5,11 +5,8 @@ import org.apache.spark.sql.functions._
 
 class WorkflowGeneratorSpec extends SparkSpec {
 
-  private def events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  private def events =
+    graft.sources.Events.read(spark, "/root/testdata/sf0.001/events.parquet")
 
   private val fleetConfig =
     """{"defaults": {
