@@ -144,9 +144,18 @@ object SparkEntry {
     * the oracle on the ORIGINAL table — a lossy compaction (dropped or
     * duplicated rows at partition boundaries) hash-fails.
     */
+  /** Registry path of the compacted events copy — fingerprint-keyed so a
+    * regenerated fixture (or a reader-normalization change: v2 writes the
+    * normalized TimestampType ts) can never serve a stale layout. Exposed
+    * package-private so LakeSinksSpec audits the exact artifact.
+    */
+  private[graft] def compactRoot(s: SparkSession, dir: String): String =
+    s"$registryRoot/compact_${registryKey(
+      s"compact-v2|$dir|${tableFingerprint(s, s"$dir/events.parquet")}")}"
+
   private def q_sink_compact(s: SparkSession, dir: String): DataFrame = {
     val root = fittedModel(s"compact|$dir") {
-      val out = s"$registryRoot/compact_${registryKey(s"compact-v1|$dir")}"
+      val out = compactRoot(s, dir)
       val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
       val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(marker))
@@ -363,7 +372,7 @@ object SparkEntry {
 
   private def q_win_smooth_time(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(unix_seconds(col("ts")))
+      .orderBy(unix_seconds(col("ts").cast("timestamp"))) // defensive: NTZ fixture generations
       .rangeBetween(-600, 0) // trailing 10-minute TIME window (not rows)
     E(s, dir)
       .select(col("event_id"), col("user_id"),
@@ -449,7 +458,8 @@ object SparkEntry {
     */
   private def q_scan_csv(s: SparkSession, dir: String): DataFrame = {
     val (root, types) = fittedModel(s"csv|$dir") {
-      val out = s"$registryRoot/csv_${registryKey(s"csv-v1|$dir")}"
+      val out = s"$registryRoot/csv_${registryKey(
+        s"csv-v2|$dir|${tableFingerprint(s, s"$dir/events.parquet")}")}"
       // ONE scan: the partitioned text write splits per tag on the
       // executors (a per-tag driver loop would rescan events |tags| times)
       E(s, dir)
@@ -493,7 +503,8 @@ object SparkEntry {
     */
   private def q_scan_jsonl(s: SparkSession, dir: String): DataFrame = {
     val root = fittedModel(s"jsonl|$dir") {
-      val out = s"$registryRoot/jsonl_${registryKey(s"jsonl-v1|$dir")}"
+      val out = s"$registryRoot/jsonl_${registryKey(
+        s"jsonl-v2|$dir|${tableFingerprint(s, s"$dir/documents.parquet")}")}"
       val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
       val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(marker))
@@ -685,7 +696,7 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   private def q_sort_time(s: SparkSession, dir: String): DataFrame =
     E(s, dir)
-      .select(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+      .select(unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("event_id"),
         col("event_type"), col("value"))
       .orderBy("ts_us", "event_id")
 

@@ -11,13 +11,7 @@ class LakeSinksSpec extends SparkSpec {
 
   test("sink_compact lays out exactly N files with disjoint ts ranges") {
     SparkEntry.queries("sink_compact")(spark, "/root/testdata/sf0.001").count()
-    // the registry key scheme: md5 of the config string (SparkEntry)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest("compact-v1|/root/testdata/sf0.001"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-    val root = sys.env.getOrElse("GRAFT_REGISTRY_DIR",
-      new java.io.File("target/graft-registry").getAbsolutePath) + s"/compact_$key"
+    val root = SparkEntry.compactRoot(spark, "/root/testdata/sf0.001")
     val perFile = spark.read.parquet(root)
       .groupBy(input_file_name().as("f"))
       .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
