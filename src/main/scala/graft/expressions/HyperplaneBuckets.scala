@@ -1,0 +1,126 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** All-tables LSH bucketing as ONE native expression: for each of
+  * `nTables` tables, the `nPlanes` sign bits of dot products against
+  * constant hyperplanes, packed into a long — output is the
+  * `array<bigint>` of per-table buckets.
+  *
+  * Why an expression and not a tree of `dot(v, typedLit(plane))` columns:
+  * the column form inlines nTables × nPlanes literal arrays (4096 doubles
+  * at the 8×8×64 default) into the plan, and the generated projection
+  * source grows large enough that Janino compilation — NOT the per-row
+  * math — dominated the query (measured 3.1 s vs 0.83 s with codegen
+  * disabled on a 2000-vector corpus; the compile re-ran per execution).
+  * Here the plane matrix is a single flat `double[]` REFERENCE OBJECT and
+  * the generated code is one small nested loop, so the source stays tiny,
+  * compiles in milliseconds, and the per-row arithmetic is identical:
+  * a sequential left-to-right fold per plane, the exact bit pattern of
+  * `aggregate(zip_with(...))` and of the DuckDB oracle's SQL expansion.
+  *
+  * Semantics (bit-compatible with the previous column form):
+  *   - vector null, wrong length, or containing a null element before the
+  *     fold finishes → that plane's dot is null → its bit is 0 (the old
+  *     `when(d >= 0, bit).otherwise(0)` shape), never a null bucket;
+  *   - NaN dot counts as ≥ 0 (Spark comparison semantics: NaN is the
+  *     greatest double), matching the old `when(d >= 0, ...)` exactly.
+  *
+  * `planes` is flat `[table][plane][dim]` row-major, length
+  * nTables × nPlanes × dim; Seq so case-class equality (plan
+  * canonicalization, codegen cache keys) is structural, not by array
+  * reference identity.
+  */
+case class HyperplaneBuckets(child: Expression, planes: Seq[Double],
+    nTables: Int, nPlanes: Int, dim: Int) extends UnaryExpression {
+
+  require(planes.length == nTables * nPlanes * dim,
+    s"planes length ${planes.length} != $nTables*$nPlanes*$dim")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_lsh_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<double>, got ${other.sql}")
+  }
+
+  @transient private lazy val flat: Array[Double] = planes.toArray
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val out = new Array[Long](nTables)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      if (arr.numElements() == dim) {
+        var t = 0
+        while (t < nTables) {
+          var bucket = 0L
+          var p = 0
+          while (p < nPlanes) {
+            val base = (t * nPlanes + p) * dim
+            var acc = 0.0
+            var i = 0
+            var sawNull = false
+            while (i < dim && !sawNull) {
+              if (arr.isNullAt(i)) sawNull = true
+              else { acc += arr.getDouble(i) * flat(base + i); i += 1 }
+            }
+            if (!sawNull && (java.lang.Double.isNaN(acc) || acc >= 0)) bucket |= 1L << p
+            p += 1
+          }
+          out(t) = bucket
+          t += 1
+        }
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", flat, "double[]")
+    val c = child.genCode(ctx)
+    val out = ctx.freshName("out")
+    val t = ctx.freshName("t")
+    val p = ctx.freshName("p")
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    val sawNull = ctx.freshName("sawNull")
+    val bucket = ctx.freshName("bucket")
+    val base = ctx.freshName("base")
+    val code =
+      code"""
+         |${c.code}
+         |long[] $out = new long[$nTables];
+         |if (!${c.isNull} && ${c.value}.numElements() == $dim) {
+         |  for (int $t = 0; $t < $nTables; $t++) {
+         |    long $bucket = 0L;
+         |    for (int $p = 0; $p < $nPlanes; $p++) {
+         |      int $base = ($t * $nPlanes + $p) * $dim;
+         |      double $acc = 0.0;
+         |      boolean $sawNull = false;
+         |      for (int $i = 0; $i < $dim && !$sawNull; ) {
+         |        if (${c.value}.isNullAt($i)) { $sawNull = true; }
+         |        else { $acc += ${c.value}.getDouble($i) * $planesRef[$base + $i]; $i++; }
+         |      }
+         |      if (!$sawNull && (Double.isNaN($acc) || $acc >= 0)) $bucket |= 1L << $p;
+         |    }
+         |    $out[$t] = $bucket;
+         |  }
+         |}
+         |final org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -130,22 +130,27 @@ object Similarity {
     }
   }
 
-  /** LSH bucket for one table: the `nPlanes` sign bits of dot products
-    * against constant hyperplanes, packed into a long. Uses the native
-    * codegen DotProduct (primitive loop) — the `aggregate(zip_with(...))`
-    * form allocates an intermediate array and dispatches a lambda per
-    * element, ×nPlanes×nTables per row; same sequential fold, same bits.
+  /** Per-table LSH buckets for tables [0, nTables): the `nPlanes` sign
+    * bits of dot products against constant hyperplanes, packed into a
+    * long per table — ONE native expression returning `array<bigint>`
+    * (graft.expressions.HyperplaneBuckets), with the plane matrix as a
+    * single codegen reference object. The earlier per-plane
+    * `dot(v, typedLit(plane))` column tree inlined 4096 literal doubles
+    * and Janino compile time of the generated projection dominated the
+    * query (3.1 s vs 0.83 s with codegen off at sf0.1); the loop form
+    * compiles in milliseconds and folds bit-identically.
     *
-    * `v` MUST already be `array<double>` and should be a MATERIALIZED
-    * column, not an expression: every plane references it, so an inline
-    * `cast` would re-run per plane per row (the round-1 lambda-capture
-    * trap in its cast form).
+    * `v` MUST already be `array<double>`.
     */
-  private def bucketExpr(v: Column, table: Int, nPlanes: Int, dim: Int): Column =
-    (0 until nPlanes).map { p =>
-      val d = dot(v, typedLit(planeVector(table, p, dim)))
-      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  private def bucketsExpr(v: Column, nTables: Int, nPlanes: Int, dim: Int): Column = {
+    val planes = for {
+      t <- 0 until nTables; p <- 0 until nPlanes; x <- planeVector(t, p, dim)
+    } yield x
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.HyperplaneBuckets(
+        org.apache.spark.sql.graft.Bridge.expression(v),
+        planes, nTables, nPlanes, dim))
+  }
 
   /** Single-table bucketing (table 0) — the building block; vectors in the
     * same bucket are near-neighbor candidates.
@@ -154,7 +159,8 @@ object Similarity {
       nPlanes: Int = 8, dim: Int = 64): DataFrame =
     vecs
       .withColumn("__vd", col(vecCol).cast("array<double>")) // cast ONCE per row
-      .select(col(idCol), col(vecCol), bucketExpr(col("__vd"), 0, nPlanes, dim).as("bucket"))
+      .select(col(idCol), col(vecCol),
+        element_at(bucketsExpr(col("__vd"), 1, nPlanes, dim), 1).as("bucket"))
 
   /** Fitted IVF coarse quantizer: the centroid table, held as plain data
     * (cluster id → centroid components) so it is persistable — write
@@ -162,22 +168,22 @@ object Similarity {
     * quantizer without refitting (the round-1 wart: `ivfTopK` refit
     * k-means on every call, the wrong shape for repeated search).
     *
-    * Assignment is a pure Column expression over centroid LITERALS
-    * (nLists × dim doubles, plan-time constants like the LSH planes):
+    * Assignment is a single native expression with the centroid matrix
+    * as a codegen reference object (graft.expressions.NearestCentroid):
     * argmin over −2·v·cᵢ + ‖cᵢ‖² — ‖v‖² is constant per row and cannot
     * change the argmin, so it is dropped. No MLlib model object needed at
-    * search time.
+    * search time, and no nLists × dim literal tree in the plan (the
+    * literal form's Janino compile dominated the search — see
+    * HyperplaneBuckets' rationale).
     */
   final case class IvfModel(centroids: Seq[(Int, Seq[Double])]) {
     /** Cluster id of the nearest centroid (squared-L2, ties → lowest id). */
     def assignExpr(v: Column): Column = {
-      val entries = centroids.map { case (i, c) =>
-        val cNormSq = c.map(x => x * x).sum
-        struct(
-          (lit(cNormSq) - lit(2.0) * dot(v.cast("array<double>"), typedLit(c))).as("d"),
-          lit(i).as("cluster"))
-      }
-      array_min(array(entries: _*)).getField("cluster")
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.expressions.NearestCentroid(
+          org.apache.spark.sql.graft.Bridge.expression(v.cast("array<double>")),
+          centroids.flatMap(_._2), centroids.map(_._1),
+          centroids.head._2.length))
     }
 
     def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
@@ -393,9 +399,7 @@ object Similarity {
     val withVd = vecs.select(col(idCol), col(vecCol),
       col(vecCol).cast("array<double>").as("__vd")) // cast ONCE per row for all tables×planes
     val tb = withVd.select(col(idCol),
-      explode(array((0 until nTables).map(t =>
-        struct(lit(t).as("tbl"), bucketExpr(col("__vd"), t, nPlanes, dim).as("bucket"))): _*)).as("b"))
-      .select(col(idCol), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+      posexplode(bucketsExpr(col("__vd"), nTables, nPlanes, dim)).as(Seq("tbl", "bucket")))
     val a = tb.select(col("tbl"), col("bucket"), col(idCol).as("vec_a"))
     val b = tb.select(col("tbl").as("tbl_b"), col("bucket").as("bucket_b"),
       col(idCol).as("vec_b"))
