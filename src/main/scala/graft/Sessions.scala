@@ -21,6 +21,15 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // events-style ns-timestamp parquet reads as long (see SparkEntry.E)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The default 100-entry generated-class cache thrashes on wide
+      // pipelines: one dedup_incremental execution emits 130 distinct
+      // codegen units, so EVERY execution recompiled all of them (~1.7 s
+      // of Janino per run, measured via CodegenMetrics — 130 new compiles
+      // per repetition, 0 with the larger cache). Static conf, so it must
+      // be set at session build; sized to hold the whole query fleet's
+      // sources (a few thousand × ~KB-sized class = tens of MB, cheap
+      // against a multi-GB driver).
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
     builder(s"local[$cores]", cores)
