@@ -110,7 +110,10 @@ case class HyperplaneBuckets(child: Expression, planes: Seq[Double],
          |        if (${c.value}.isNullAt($i)) { $sawNull = true; }
          |        else { $acc += ${c.value}.getDouble($i) * $planesRef[$base + $i]; $i++; }
          |      }
-         |      if (!$sawNull && (Double.isNaN($acc) || $acc >= 0)) $bucket |= 1L << $p;
+         |      if (!$sawNull) {
+         |        if (Double.isNaN($acc)) { $bucket |= 1L << $p; }
+         |        else if ($acc >= 0) { $bucket |= 1L << $p; }
+         |      }
          |    }
          |    $out[$t] = $bucket;
          |  }

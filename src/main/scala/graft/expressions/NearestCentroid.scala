@@ -104,6 +104,10 @@ case class NearestCentroid(child: Expression, centroids: Seq[Double],
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
       val bad = ctx.freshName("bad")
+      val better = ctx.freshName("better")
+      // Janino misparses compound parenthesized boolean expressions that
+      // start with `(!` as cast expressions — keep the NaN ordering as a
+      // flat if/else chain (same Spark semantics: NaN = greatest double).
       s"""
          |if ($v.numElements() != $dim) { ${ev.isNull} = true; } else {
          |  int $best = 0; double $bestD = Double.NaN; boolean $bad = false;
@@ -115,8 +119,12 @@ case class NearestCentroid(child: Expression, centroids: Seq[Double],
          |    }
          |    if ($bad) break;
          |    double $d = $nRef[$l] - 2.0 * $acc;
-         |    if ($l == 0 || ((!Double.isNaN($d) && Double.isNaN($bestD))
-         |        || (!Double.isNaN($d) && $d < $bestD))) { $best = $l; $bestD = $d; }
+         |    boolean $better;
+         |    if ($l == 0) { $better = true; }
+         |    else if (Double.isNaN($d)) { $better = false; }
+         |    else if (Double.isNaN($bestD)) { $better = true; }
+         |    else { $better = $d < $bestD; }
+         |    if ($better) { $best = $l; $bestD = $d; }
          |  }
          |  if ($bad) { ${ev.isNull} = true; }
          |  else { ${ev.value} = $idRef[$best]; }
