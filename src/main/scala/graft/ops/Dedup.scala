@@ -72,8 +72,22 @@ object Dedup {
     */
   def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
       blockCol: Column, maxDist: Int): DataFrame = {
+    // Repartition the probe side by block: the build side broadcasts
+    // (skinny dimension-sized rows), so WITHOUT this the pair explosion
+    // and every Levenshtein run in however few partitions the source scan
+    // produced — ONE task for a single-file table (measured: the whole
+    // 1.5M-comparison re-score serialized on one core). One narrow
+    // exchange of (blk, id, name) rows buys block-parallel compute; the
+    // O(block²·len²) edit-distance work after it dwarfs the shuffle at
+    // every scale. The partition count is pinned to the session's
+    // shuffle parallelism: a COUNT-FLEXIBLE repartition(col) is fair
+    // game for AQE's coalescer, which sees the few shuffled BYTES (not
+    // the quadratic per-block CPU behind them) and folds the exchange
+    // back to one partition — measured, the whole point of the shuffle
+    // lost.
     val a = df.select(blockCol.as("blk"), col(idCol).as("id_a"),
       col(nameCol).as("name_a"))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions, col("blk"))
     val b = df.select(blockCol.as("blk"), col(idCol).as("id_b"),
       col(nameCol).as("name_b"))
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
@@ -625,7 +639,10 @@ object Dedup {
     val d = shingleTable(docs, idCol, textCol, shingleN, dedupe = true,
       maxDocFreq = Int.MaxValue)
     // three consumers (pair explosion + both size joins) reference this
-    // frame; Spark's exchange reuse computes the shuffle once
+    // frame; Spark's exchange reuse computes the shuffle once. (A pinned
+    // same-key repartition here — the join_fuzzy fix — measured neutral:
+    // this path's explosion is already spread across the aggregate's
+    // partitions, so AQE's coalescing is not the binding constraint.)
     val grouped = d.groupBy("s")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) <= maxDocFreq)
