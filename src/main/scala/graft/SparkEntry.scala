@@ -171,6 +171,43 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Registry path of the Z-ORDERED events copy (see [[graft.ops.ZOrder]])
+    * — fingerprint-keyed like compactRoot; package-private so
+    * LakeSinksSpec audits the per-file dual-dimension locality of the
+    * exact artifact this query serves.
+    */
+  private[graft] def zorderRoot(s: SparkSession, dir: String): String =
+    s"$registryRoot/zorder_${registryKey(
+      s"zorder-v1|$dir|${tableFingerprint(s, s"$dir/events.parquet")}")}"
+
+  /** Z-order compaction — multi-dimensional lake maintenance: files tiled
+    * by the Morton interleave of (ts, user_id), so parquet min/max stats
+    * prune scans filtering on EITHER dimension (a ts-sorted layout leaves
+    * every file spanning the whole user domain). Same registry-gated
+    * write-once discipline as sink_compact; the query reads the layout
+    * BACK and aggregates per event_type with BOTH dimensions' extrema in
+    * the output, with the oracle on the ORIGINAL table — a lossy or
+    * row-corrupting layout pass hash-fails.
+    */
+  private def q_sink_zorder(s: SparkSession, dir: String): DataFrame = {
+    val root = fittedModel(s"zorder|$dir") {
+      val out = zorderRoot(s, dir)
+      val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker))
+        graft.ops.ZOrder.layout(E(s, dir),
+            unix_micros(col("ts")), col("user_id"), nFiles = 8)
+          .write.mode("overwrite").parquet(out)
+      out
+    }
+    s.read.parquet(root)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        min(col("user_id")).as("min_uid"), max(col("user_id")).as("max_uid"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+      .orderBy("event_type")
+  }
+
   /** The FULL Influx client↔server leg over a live loopback socket:
     * events → `InfluxStore.write` (line-protocol POST batches from
     * executor partitions) → [[graft.sources.InfluxEmulator]] (the real
@@ -1739,6 +1776,7 @@ object SparkEntry {
     "scan_csv" -> (q_scan_csv _),
     "scan_jsonl" -> (q_scan_jsonl _),
     "sink_compact" -> (q_sink_compact _),
+    "sink_zorder" -> (q_sink_zorder _),
     "agg_resample_mean" -> (q_agg_resample_mean _),
     "agg_resample_origin" -> (q_agg_resample_origin _),
     "agg_resample_multi" -> (q_agg_resample_multi _),
@@ -2198,6 +2236,13 @@ object SparkEntry {
     "sink_compact" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  min(CAST(ts AS TIMESTAMP)) AS min_ts,
+        |  max(CAST(ts AS TIMESTAMP)) AS max_ts
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sink_zorder" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  min(user_id) AS min_uid, max(user_id) AS max_uid,
         |  min(CAST(ts AS TIMESTAMP)) AS min_ts,
         |  max(CAST(ts AS TIMESTAMP)) AS max_ts
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
