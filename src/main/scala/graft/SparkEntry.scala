@@ -538,8 +538,15 @@ object SparkEntry {
     * table, so any escaping or parse drift in the text payload (the
     * length sum covers every character) hash-fails the round trip.
     */
-  private def q_scan_jsonl(s: SparkSession, dir: String): DataFrame = {
-    val root = fittedModel(s"jsonl|$dir") {
+  private val jsonlSchema =
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+  /** Materialize-once JSONL copy of the documents table (registry-gated,
+    * fingerprint-keyed) — shared by the batch round-trip query and the
+    * file-source streaming queries.
+    */
+  private def jsonlRoot(s: SparkSession, dir: String): String =
+    fittedModel(s"jsonl|$dir") {
       val out = s"$registryRoot/jsonl_${registryKey(
         s"jsonl-v2|$dir|${tableFingerprint(s, s"$dir/documents.parquet")}")}"
       val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
@@ -551,8 +558,9 @@ object SparkEntry {
           .write.mode("overwrite").text(out)
       out
     }
-    val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
-    s.read.schema(schema).json(root)
+
+  private def q_scan_jsonl(s: SparkSession, dir: String): DataFrame = {
+    s.read.schema(jsonlSchema).json(jsonlRoot(s, dir))
       .groupBy("lang")
       .agg(count(lit(1)).as("n"),
         sum(col("n_chars")).cast("long").as("sum_chars"),
@@ -1524,6 +1532,34 @@ object SparkEntry {
       .orderBy(col("tag"), col("ts"), col("value"), col("autocorr"))
   }
 
+  /** Heavy hitters over a LIVE file-source stream — the Misra-Gries
+    * native aggregate running as a stateful streaming aggregation: the
+    * state store holds one O(k) sketch buffer per language, each
+    * micro-batch's partial sketches merge into it (the mergeable-
+    * summaries property HeavyHittersSpec pins), and complete-mode output
+    * re-emits the current top-k. This is the real 100 TB continuous-
+    * ingest shape: per-key state is k counters regardless of stream
+    * length, vs an exact word count whose state grows with the
+    * vocabulary. Executor-parallel end to end (file source → explode →
+    * partial sketches), nothing driver-side but the k×|langs| result.
+    */
+  private def q_stream_heavyhitters(s: SparkSession, dir: String): DataFrame = {
+    val name = s"hh_stream_${registryKey(dir).take(8)}"
+    val stream = s.readStream.schema(jsonlSchema).json(jsonlRoot(s, dir))
+      .select(col("lang"), explode(graft.ops.Dedup.words(col("text"))).as("w"))
+      .groupBy("lang")
+      .agg(TextAnalysis.heavyHitters(col("w"), 10).as("hh"))
+    s.catalog.dropTempView(name) // re-runs re-register the memory sink
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(col("lang"), posexplode(col("hh")).as(Seq("rnk", "c")))
+      .select(col("lang"), col("rnk"), col("c.item").as("item"),
+        col("c.est").as("est"))
+      .orderBy("lang", "rnk")
+  }
+
   private def q_stream_score(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val readings = E(s, dir)
@@ -1853,6 +1889,7 @@ object SparkEntry {
     "stream_resample" -> (q_stream_resample _),
     "stream_session" -> (q_stream_session _),
     "stream_score" -> (q_stream_score _),
+    "stream_heavyhitters" -> (q_stream_heavyhitters _),
     "ml_pca_anomaly" -> (q_ml_pca_anomaly _),
     "ml_autoencoder" -> (q_ml_autoencoder _),
     "ml_autoencoder_sgd" -> (q_ml_autoencoder_sgd _),

@@ -314,4 +314,37 @@ class StreamsSpec extends SparkSpec {
       .sortBy(x => (x._1, x._2.getTime))
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("streaming Misra-Gries keeps its guarantees across micro-batch state merges") {
+    // A word stream with a known skew: "alpha" 40×, "beta" 25×, tail
+    // words 1× each. Split into three micro-batches so the state store
+    // must carry and MERGE the sketch buffer between batches.
+    val words = (Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++
+      (0 until 35).map(i => s"tail$i"))
+    val shuffled = new scala.util.Random(7).shuffle(words).map(w => ("en", w))
+    val batches = shuffled.grouped(34).toSeq
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = mem.toDF.toDF("lang", "w")
+      .groupBy("lang")
+      .agg(graft.ops.TextAnalysis.heavyHitters(col("w"), 5).as("hh"))
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("complete").start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val counters = spark.table("hh_out")
+      .select(explode(col("hh")).as("c"))
+      .select(col("c.item"), col("c.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = words.size // 100, k=5 → error bound n/k = 20
+    // Misra-Gries guarantee: true ≥ est ≥ true − n/k, and any item with
+    // true count > n/k MUST survive — both alpha (40) and beta (25) do
+    val truth = Map("alpha" -> 40L, "beta" -> 25L)
+    for ((item, t) <- truth) {
+      assert(counters.contains(item), s"$item (true $t > n/k=${n / 5}) evicted")
+      val est = counters(item)
+      assert(est <= t && est >= t - n / 5, s"$item est $est outside [${t - n / 5}, $t]")
+    }
+  }
 }
