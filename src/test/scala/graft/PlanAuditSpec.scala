@@ -212,4 +212,41 @@ class PlanAuditSpec extends SparkSpec {
     val plan = m.score(train).queryExecution.explainString(FormattedMode)
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
   }
+
+  test("LSH and IVF plans carry the native matrix expressions, not literal trees") {
+    // The literal forms (4096 inlined plane doubles / nLists×dim centroid
+    // literals) made Janino compile time dominate execution — round 7.
+    // The native expressions keep the generated source loop-sized.
+    val lsh = planOf("simsearch_lsh")
+    assert(lsh.contains("graft_lsh_buckets"),
+      s"simsearch_lsh lost the native bucketing expression:\n${lsh.take(2000)}")
+    val ivf = planOf("simsearch_ivf")
+    assert(ivf.contains("graft_nearest_centroid"),
+      s"simsearch_ivf lost the native assignment expression:\n${ivf.take(2000)}")
+  }
+
+  test("fuzzy join pins a block-keyed exchange on the probe side") {
+    // A count-flexible repartition gets folded back to one partition by
+    // AQE's byte-sighted coalescer, serializing the whole Levenshtein
+    // re-score on one core (round 7). The explicit-width repartition must
+    // survive in the plan as a blk-keyed shuffle.
+    val plan = planOf("join_fuzzy")
+    assert(plan.contains("hashpartitioning(blk") && plan.contains("REPARTITION_BY_NUM"),
+      s"probe-side pinned block exchange missing — re-score will serialize:\n$plan")
+  }
+
+  test("repeat executions of a wide pipeline recompile nothing (codegen cache holds)") {
+    import org.apache.spark.metrics.source.CodegenMetrics
+    val fn = SparkEntry.queries("dedup_incremental")
+    fn(spark, dir).count() // populate the cache (and any registry state)
+    val before = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    fn(spark, dir).count()
+    val recompiles = CodegenMetrics.METRIC_COMPILATION_TIME.getCount - before
+    // The default 100-entry cache thrashed here: 130 fresh compiles per
+    // execution (round 7). The deployment-sized cache must make repeat
+    // executions compile-free; a small allowance covers unrelated
+    // concurrent suites sharing the JVM-global metric.
+    assert(recompiles <= 5,
+      s"$recompiles codegen units recompiled on a repeat execution — cache thrash is back")
+  }
 }

@@ -19,6 +19,10 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", // static conf — must be set here
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      // static conf, same value as Sessions.builder: the codegen-cache
+      // tripwire in PlanAuditSpec asserts repeat executions recompile
+      // nothing, which needs the deployment-sized cache
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
