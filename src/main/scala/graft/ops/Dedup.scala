@@ -173,11 +173,18 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 20, bands: Int = 5, shingleN: Int = 3,
       maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
-    // the self-join references the band table twice; Spark's exchange
-    // reuse deduplicates the shingle→signature→band subtree (verified in
-    // PlanAuditSpec — an eager localCheckpoint here measured SLOWER, it
-    // serializes the pipeline into extra jobs)
+    // The self-join references the band table twice. Materialize it ONCE
+    // (eager localCheckpoint): runtime stage reuse does NOT deduplicate
+    // the shingle→signature→band subtree here — the two join sides prune
+    // columns and push predicates differently, so their canonical plans
+    // differ and each side re-runs the tokenize+digest+20-min-agg
+    // pipeline (round 7 A/B: 2.2–2.9 s recomputed vs 1.9 s checkpointed
+    // at sf0.1; an earlier round-3 measurement favoring recompute
+    // predates the codegen-cache fix and no longer reproduces). At
+    // 100 TB the skinny (doc_id, band, bh) frame is exactly what the
+    // incremental path persists to parquet as state — same trade.
     val bl = bandTable(docs, idCol, textCol, k, bands, shingleN, maxDocFreq)
+      .localCheckpoint()
     val a = bl.as("a")
     val b = bl.as("b")
     a.join(b,

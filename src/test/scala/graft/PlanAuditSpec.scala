@@ -84,17 +84,25 @@ class PlanAuditSpec extends SparkSpec {
 
   test("multi-reference dedup plans dedupe their shared subtrees via exchange reuse") {
     // ngram: grouped shingle table feeds the pair explosion AND both size
-    // joins; lsh: the band table feeds both sides of the candidate
-    // self-join. AQE's runtime exchange reuse must fold these to ONE
-    // computation each — if this breaks, the shingle subtree runs 2-3×
-    // and the round-2 bench regression returns. Reuse only shows in the
-    // EXECUTED adaptive plan, so run the query first.
-    for (name <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh")) {
-      val df = SparkEntry.queries(name)(spark, dir)
-      df.collect()
-      val executed = df.queryExecution.executedPlan.toString
-      assert(executed.contains("ReusedExchange"), s"$name: ${executed.take(4000)}")
-    }
+    // joins — AQE's runtime exchange reuse must fold these to ONE
+    // computation; if this breaks, the shingle subtree runs 2-3× and the
+    // round-2 bench regression returns. Reuse only shows in the EXECUTED
+    // adaptive plan, so run the query first.
+    val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"), executed.take(4000))
+    // lsh: the band table is MATERIALIZED once (localCheckpoint, round 7
+    // — measured faster than relying on runtime reuse) and both self-join
+    // sides must read that frame, never recompute the signature pipeline
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
+    lsh.collect()
+    val lshPlan = lsh.queryExecution.executedPlan.toString
+    val rddScans = lshPlan.linesIterator.count(_.contains("Scan ExistingRDD"))
+    val parquetScans = lshPlan.linesIterator.count(_.contains("Scan parquet"))
+    assert(rddScans >= 2 && parquetScans == 0,
+      s"band self-join must read the checkpointed band table on both sides " +
+        s"(rdd=$rddScans parquet=$parquetScans):\n${lshPlan.take(4000)}")
   }
 
   test("sink_influx_lines is a narrow scan→codec→sort plan") {
