@@ -1044,6 +1044,26 @@ object SparkEntry {
       .orderBy("qid", "rnk")
   }
 
+  /** Spark-only: product-quantization ANN — the 32×-compression storage
+    * path (m=8 subspace codes per vector instead of 64 floats). Codebook
+    * fit-once under a fingerprinted registry path (the IVF discipline);
+    * search decodes-on-scan and reuses the shared top-k machinery, so
+    * the query measures the PQ serving plan: m literal lookups + native
+    * dot per corpus row. Recall vs brute force is spec'd in
+    * SimilaritySpec; approximate by construction (no nProbe=all-style
+    * exactness identity exists for PQ).
+    */
+  private def q_simsearch_pq(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    val fp = tableFingerprint(s, s"$dir/embeddings.parquet")
+    val key = registryKey(s"pq-v1|$dir|$fp|embedding|m=8|k=64|seed=42")
+    val path = s"$registryRoot/pq_$key.parquet"
+    val model = Similarity.fitOrLoadPq(e, "embedding", path, m = 8, k = 64, seed = 42L)
+    Similarity.pqTopK(model, e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+      .select(col("qid"), col("nid"), round(col("cos_sim"), 6).as("cos_sim"), col("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Oracle leg for the IVF path: probing ALL lists (nProbe = nLists)
     * makes the inverted-file search exhaustive — every corpus vector is
     * scored for every query exactly once, so the result is identical to
@@ -1870,6 +1890,7 @@ object SparkEntry {
     "pipeline_curation" -> (q_pipeline_curation _),
     "sample_pack" -> (q_sample_pack _),
     "simsearch_ivf" -> (q_simsearch_ivf _),
+    "simsearch_pq" -> (q_simsearch_pq _),
     "simsearch_ivf_exact" -> (q_simsearch_ivf_exact _),
     "win_interpolate" -> (q_win_interpolate _),
     "win_cusum" -> (q_win_cusum _),

@@ -319,6 +319,126 @@ object Similarity {
       k: Int, nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame =
     ivfSearch(fitIvf(corpus, vecCol, nLists, seed), queries, corpus, idCol, vecCol, k, nProbe)
 
+  /** Product quantization (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search") — the heavy-compression ANN storage path:
+    * split the vector into `m` subspaces, k-means each subspace
+    * independently, store a vector as its m nearest-subcentroid CODES
+    * (m small ints ≈ m bytes, vs 4·dim float32: 32× smaller at the
+    * 8-subspace/64-dim default). Here decode-on-scan reconstructs the
+    * approximation in-plan and reuses the existing top-k machinery —
+    * the storage/bandwidth win is the point at 100 TB (the corpus ships
+    * and caches as codes), while per-row decode is m literal-array
+    * lookups + the native dot.
+    *
+    * Encoding reuses [[graft.expressions.NearestCentroid]] per subspace
+    * (matrix as a codegen reference object — same compile-cost argument
+    * as IVF assignment). Codebook ids are 0..k−1 per subspace, so codes
+    * index decode literals directly.
+    */
+  final case class PqModel(m: Int, subDim: Int,
+      codebooks: Seq[Seq[Seq[Double]]]) {
+    require(codebooks.length == m && codebooks.forall(_.forall(_.length == subDim)),
+      s"codebooks must be $m x k x $subDim")
+
+    /** `array<int>` of the m subspace codes for a vector. */
+    def encodeExpr(v: Column): Column = {
+      val vd = v.cast("array<double>")
+      array((0 until m).map { j =>
+        org.apache.spark.sql.graft.Bridge.column(
+          graft.expressions.NearestCentroid(
+            org.apache.spark.sql.graft.Bridge.expression(
+              slice(vd, j * subDim + 1, subDim)),
+            codebooks(j).flatten, codebooks(j).indices, subDim))
+      }: _*)
+    }
+
+    /** Reconstructed approximation of a codes column: concat of each
+      * subspace's looked-up centroid (literal array-of-arrays per
+      * subspace — k × subDim doubles, plan-sized like the IVF centroid
+      * table, NOT per-plane literal trees).
+      */
+    def decodeExpr(codes: Column): Column =
+      concat((0 until m).map { j =>
+        element_at(typedLit(codebooks(j)), element_at(codes, j + 1) + 1)
+      }: _*)
+
+    def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      (for (j <- 0 until m; (c, i) <- codebooks(j).zipWithIndex)
+        yield (j, i, c)).toDF("subspace", "cluster", "cvec")
+    }
+
+    def save(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+      toDF(spark).coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  object PqModel {
+    def fromDF(df: DataFrame): PqModel = {
+      val rows = df.select("subspace", "cluster", "cvec").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      val m = rows.map(_._1).max + 1
+      val books = (0 until m).map(j =>
+        rows.filter(_._1 == j).sortBy(_._2).map(_._3.toSeq).toSeq)
+      PqModel(m, books.head.head.length, books)
+    }
+
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): PqModel =
+      fromDF(spark.read.parquet(path))
+
+    def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+  }
+
+  /** Fit the PQ codebooks: m independent seeded k-means fits, one per
+    * subspace slice (driver-scheduled like fitIvf; each collects k ×
+    * subDim doubles — fixed-size, never data-sized).
+    */
+  def fitPq(corpus: DataFrame, vecCol: String, m: Int = 8, k: Int = 64,
+      seed: Long = 42L, maxIter: Int = 8): PqModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vd = col(vecCol).cast("array<double>")
+    val dim = corpus.select(size(vd)).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val books = (0 until m).map { j =>
+      val sub = corpus.select(
+        array_to_vector(slice(vd, j * subDim + 1, subDim)).as("__v"))
+      val km = new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
+        .setFeaturesCol("__v")
+      km.fit(sub).clusterCenters.toSeq.map(_.toArray.toSeq)
+    }
+    PqModel(m, subDim, books)
+  }
+
+  /** Process-level PQ model cache + fit-once registry (the fitOrLoadIvf
+    * discipline; callers must fingerprint the path).
+    */
+  private val pqModels = new java.util.concurrent.ConcurrentHashMap[String, PqModel]()
+  def fitOrLoadPq(corpus: DataFrame, vecCol: String, path: String,
+      m: Int = 8, k: Int = 64, seed: Long = 42L): PqModel = {
+    val cached = pqModels.get(path)
+    if (cached != null) return cached
+    val spark = corpus.sparkSession
+    val model =
+      if (PqModel.exists(spark, path)) PqModel.load(spark, path)
+      else { val f = fitPq(corpus, vecCol, m, k, seed); f.save(spark, path); f }
+    Option(pqModels.putIfAbsent(path, model)).getOrElse(model)
+  }
+
+  /** PQ top-k: encode the corpus to codes, decode-on-scan, rank with the
+    * shared brute-force machinery. Approximate by construction (no
+    * exactness identity like IVF's nProbe=all); recall is spec'd.
+    */
+  def pqTopK(model: PqModel, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val encoded = corpus.select(col(idCol),
+      model.decodeExpr(model.encodeExpr(col(vecCol))).as(vecCol))
+    bruteForceTopK(queries, encoded, idCol, vecCol, k)
+  }
+
   /** Semantic deduplication — the SemDeDup shape (Abbas et al. 2023):
     * partition the embedding space into clusters, find duplicate pairs
     * ONLY within a cluster (cosine ≥ threshold), and keep one canonical

@@ -188,6 +188,33 @@ class SimilaritySpec extends SparkSpec {
     check(ivfPath, exactPairs)
   }
 
+  test("PQ: 32x compression with usable top-k recall, codebook survives persistence") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Similarity.fitPq(e, "embedding", m = 8, k = 64, seed = 7L)
+    // compression: a vector stores as m small ints instead of dim floats
+    val codes = e.select(model.encodeExpr(col("embedding")).as("c")).head().getSeq[Int](0)
+    assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 64), codes.toString)
+    // decode reconstructs a dim-length approximation
+    val dec = e.select(model.decodeExpr(model.encodeExpr(col("embedding"))).as("d"))
+      .head().getSeq[Double](0)
+    assert(dec.length == 64)
+    // recall vs brute force on real embeddings (PQ with k=16/subspace is
+    // coarse; the bar matches the IVF spec's)
+    val queries = e.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(model, queries, e, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.4, s"PQ recall $recall")
+    // persistence round trip serves identical codes
+    val dir = java.nio.file.Files.createTempDirectory("pq").toString + "/model.parquet"
+    model.save(spark, dir)
+    val loaded = Similarity.PqModel.load(spark, dir)
+    val codes2 = e.select(loaded.encodeExpr(col("embedding")).as("c")).head().getSeq[Int](0)
+    assert(codes2 == codes, s"persisted codebook drifted: $codes2 vs $codes")
+  }
+
   test("LSH recall: bucketed pairs recover most high-cosine pairs on real data") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.35)
