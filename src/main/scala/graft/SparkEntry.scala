@@ -196,7 +196,7 @@ object SparkEntry {
       val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(marker))
         graft.ops.ZOrder.layout(E(s, dir),
-            unix_micros(col("ts")), col("user_id"), nFiles = 8)
+            graft.sources.Events.epochMicros(col("ts")), col("user_id"), nFiles = 8)
           .write.mode("overwrite").parquet(out)
       out
     }
@@ -409,7 +409,7 @@ object SparkEntry {
 
   private def q_win_smooth_time(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(unix_seconds(col("ts").cast("timestamp"))) // defensive: NTZ fixture generations
+      .orderBy(graft.sources.Events.epochSeconds(col("ts"))) // defensive: NTZ fixture generations
       .rangeBetween(-600, 0) // trailing 10-minute TIME window (not rows)
     E(s, dir)
       .select(col("event_id"), col("user_id"),
@@ -741,7 +741,7 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   private def q_sort_time(s: SparkSession, dir: String): DataFrame =
     E(s, dir)
-      .select(unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("event_id"),
+      .select(graft.sources.Events.epochMicros(col("ts")).as("ts_us"), col("event_id"),
         col("event_type"), col("value"))
       .orderBy("ts_us", "event_id")
 
@@ -1056,9 +1056,12 @@ object SparkEntry {
   private def q_simsearch_pq(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir, "embeddings")
     val fp = tableFingerprint(s, s"$dir/embeddings.parquet")
-    val key = registryKey(s"pq-v1|$dir|$fp|embedding|m=8|k=64|seed=42")
+    // every fit hyperparameter is IN the key (the IVF discipline): a
+    // changed fit depth must mint a new artifact, never serve a stale one
+    val key = registryKey(s"pq-v1|$dir|$fp|embedding|m=8|k=64|seed=42|maxIter=8")
     val path = s"$registryRoot/pq_$key.parquet"
-    val model = Similarity.fitOrLoadPq(e, "embedding", path, m = 8, k = 64, seed = 42L)
+    val model = Similarity.fitOrLoadPq(e, "embedding", path,
+      m = 8, k = 64, seed = 42L, maxIter = 8)
     Similarity.pqTopK(model, e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
       .select(col("qid"), col("nid"), round(col("cos_sim"), 6).as("cos_sim"), col("rnk"))
       .orderBy("qid", "rnk")

@@ -78,7 +78,7 @@ object SequenceAE {
     } else {
       require(chunkSeconds > 0, "chunkSeconds must be positive")
       val base = wide.withColumn("__chunk",
-        floor(unix_micros(col(orderCol).cast("timestamp")) / lit(chunkSeconds * 1000000L)))
+        floor(graft.sources.Events.epochMicros(col(orderCol)) / lit(chunkSeconds * 1000000L)))
       val tails = base
         .withColumn("__rn", row_number().over(
           Window.partitionBy("__chunk").orderBy(col(orderCol).desc)))

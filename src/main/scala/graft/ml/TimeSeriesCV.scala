@@ -44,8 +44,8 @@ object TimeSeriesCV {
       nSplits: Int): (Seq[java.sql.Timestamp], java.sql.Timestamp) = {
     val fracs = (1 to nSplits).map(i => i.toDouble / (nSplits + 1))
     val row = df.agg(
-      percentile(unix_micros(col(tsCol).cast("timestamp")), lit(fracs.toArray)).as("cuts"),
-      max(unix_micros(col(tsCol).cast("timestamp"))).as("mx")
+      percentile(graft.sources.Events.epochMicros(col(tsCol)), lit(fracs.toArray)).as("cuts"),
+      max(graft.sources.Events.epochMicros(col(tsCol))).as("mx")
     ).head()
     // percentile over zero rows (or all-null ts) is null — fail with a
     // clear message instead of an opaque NPE deep inside a build

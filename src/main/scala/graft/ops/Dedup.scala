@@ -88,8 +88,17 @@ object Dedup {
     val a = df.select(blockCol.as("blk"), col(idCol).as("id_a"),
       col(nameCol).as("name_a"))
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions, col("blk"))
+    // BOTH sides pinned: the planner is free to broadcast either side
+    // (identical size stats), and whichever becomes the broadcast build,
+    // the STREAMED side must still be block-partitioned or the one-task
+    // re-score returns. At scale, where the join degrades to SMJ, both
+    // sides being pre-partitioned on the join key is exactly SMJ's
+    // required distribution — the pins add no exchange SMJ wouldn't.
+    // (A broadcast(b) hint would be wrong here: b is the full table, and
+    // forcing it into a broadcast build at 100 TB is an OOM, not a fix.)
     val b = df.select(blockCol.as("blk"), col(idCol).as("id_b"),
       col(nameCol).as("name_b"))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions, col("blk"))
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("dist") <= maxDist)

@@ -418,13 +418,13 @@ object Similarity {
     */
   private val pqModels = new java.util.concurrent.ConcurrentHashMap[String, PqModel]()
   def fitOrLoadPq(corpus: DataFrame, vecCol: String, path: String,
-      m: Int = 8, k: Int = 64, seed: Long = 42L): PqModel = {
+      m: Int = 8, k: Int = 64, seed: Long = 42L, maxIter: Int = 8): PqModel = {
     val cached = pqModels.get(path)
     if (cached != null) return cached
     val spark = corpus.sparkSession
     val model =
       if (PqModel.exists(spark, path)) PqModel.load(spark, path)
-      else { val f = fitPq(corpus, vecCol, m, k, seed); f.save(spark, path); f }
+      else { val f = fitPq(corpus, vecCol, m, k, seed, maxIter); f.save(spark, path); f }
     Option(pqModels.putIfAbsent(path, model)).getOrElse(model)
   }
 

@@ -43,8 +43,9 @@ object ZOrder {
 
   /** Lay `df` out as `nFiles` files z-ordered on (`colA`, `colB`).
     * Both columns must be numeric-comparable (timestamps: pass
-    * `unix_micros(col)` — the caller chooses the epoch encoding so NTZ
-    * handling stays at the source, see sources/Events).
+    * `Events.epochMicros(col)` / `unix_micros(col.cast("timestamp"))` —
+    * a bare `unix_micros(col)` rejects TIMESTAMP_NTZ at analysis time,
+    * the fixture-generation trap; see sources/Events).
     *
     * The min/max aggregate runs once (4 scalars); rows are then range-
     * partitioned and sorted by z-value, so each file covers one z-curve
@@ -54,6 +55,8 @@ object ZOrder {
     * domain.
     */
   def layout(df: DataFrame, colA: Column, colB: Column, nFiles: Int): DataFrame = {
+    require(!df.columns.contains("__z"),
+      "zorder layout uses a scratch '__z' column; input already has one")
     val row = df.agg(
       min(colA.cast("double")), max(colA.cast("double")),
       min(colB.cast("double")), max(colB.cast("double"))).head()

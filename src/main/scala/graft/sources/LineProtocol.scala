@@ -45,7 +45,7 @@ object LineProtocol {
       lit(" value="),
       col(valueCol).cast("double").cast("string"),
       lit(" "),
-      (unix_micros(col(tsCol).cast("timestamp")) * 1000L).cast("string")
+      (Events.epochMicros(col(tsCol)) * 1000L).cast("string")
     ).as("line")).as[String]
   }
 
