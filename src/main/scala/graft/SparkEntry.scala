@@ -153,8 +153,12 @@ object SparkEntry {
     s"$registryRoot/compact_${registryKey(
       s"compact-v2|$dir|${tableFingerprint(s, s"$dir/events.parquet")}")}"
 
-  private def q_sink_compact(s: SparkSession, dir: String): DataFrame = {
-    val root = fittedModel(s"compact|$dir") {
+  /** Materialize-once compacted events copy (registry-gated) — shared by
+    * the compaction query and the parquet-file-source streaming queries,
+    * which need a real DIRECTORY source.
+    */
+  private def compactMaterialized(s: SparkSession, dir: String): String =
+    fittedModel(s"compact|$dir") {
       val out = compactRoot(s, dir)
       val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
       val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -164,6 +168,9 @@ object SparkEntry {
           .write.mode("overwrite").parquet(out)
       out
     }
+
+  private def q_sink_compact(s: SparkSession, dir: String): DataFrame = {
+    val root = compactMaterialized(s, dir)
     s.read.parquet(root)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
@@ -1583,6 +1590,32 @@ object SparkEntry {
       .orderBy("lang", "rnk")
   }
 
+  /** Anomaly threshold over a LIVE parquet-file stream — the t-digest
+    * native aggregate as a stateful streaming aggregation (the claim in
+    * AnomalyMath.thresholdSketch's doc, proven as a real run): the state
+    * store holds one O(compression) digest per event_type, micro-batch
+    * partial digests merge in, complete mode re-emits the current p99.
+    * The exact sort-based `percentile` is ILLEGAL in this position —
+    * this sketch is how a continuous ingest maintains thresholds at all.
+    * Streams the compacted events registry copy (a real directory
+    * source); executor-parallel end to end.
+    */
+  private def q_stream_threshold(s: SparkSession, dir: String): DataFrame = {
+    val root = compactMaterialized(s, dir)
+    val name = s"thr_stream_${registryKey(dir).take(8)}"
+    val schema = s.read.parquet(root).schema
+    val stream = s.readStream.schema(schema).parquet(root)
+      .groupBy("event_type")
+      .agg(AnomalyMath.thresholdSketch(col("value"), 0.99).as("thr_p99"))
+    s.catalog.dropTempView(name)
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(col("event_type"), round(col("thr_p99"), 6).as("thr_p99"))
+      .orderBy("event_type")
+  }
+
   private def q_stream_score(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val readings = E(s, dir)
@@ -1914,6 +1947,7 @@ object SparkEntry {
     "stream_session" -> (q_stream_session _),
     "stream_score" -> (q_stream_score _),
     "stream_heavyhitters" -> (q_stream_heavyhitters _),
+    "stream_threshold" -> (q_stream_threshold _),
     "ml_pca_anomaly" -> (q_ml_pca_anomaly _),
     "ml_autoencoder" -> (q_ml_autoencoder _),
     "ml_autoencoder_sgd" -> (q_ml_autoencoder_sgd _),

@@ -315,6 +315,26 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming t-digest threshold tracks the exact percentile across micro-batches") {
+    // 3000 values uniform in [0, 1000): exact p99 = ~990; the digest's
+    // state must carry and merge across three micro-batches
+    val vals = (0 until 3000).map(i => ("a", (i * 997 % 3000) / 3.0))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val q = mem.toDF.toDF("tag", "v")
+      .groupBy("tag")
+      .agg(graft.ops.AnomalyMath.thresholdSketch(col("v"), 0.99).as("thr"))
+      .writeStream.format("memory").queryName("thr_out")
+      .outputMode("complete").start()
+    try {
+      vals.grouped(1000).foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("thr_out").select("thr").as[Double].head()
+    val exact = vals.map(_._2).sorted.apply((3000 * 0.99).toInt)
+    assert(math.abs(streamed - exact) / exact < 0.02,
+      s"streaming p99 $streamed vs exact $exact drifted > 2%")
+  }
+
   test("streaming Misra-Gries keeps its guarantees across micro-batch state merges") {
     // A word stream with a known skew: "alpha" 40×, "beta" 25×, tail
     // words 1× each. Split into three micro-batches so the state store
