@@ -1837,6 +1837,140 @@ object SparkEntry {
       .orderBy("media_a", "media_b")
   }
 
+  /** ORC round trip — the second columnar lake format (Spark ships the
+    * reader/writer natively; Hive-heritage lakes are ORC end to end).
+    * Events are materialized ONCE per dir as ORC (registry-gated,
+    * fingerprint-keyed), read BACK, and aggregated; the oracle computes
+    * the same aggregate from the PARQUET table, so any type drift in the
+    * ORC round trip (timestamp precision, double payload, nulls)
+    * hash-fails the query.
+    */
+  private def q_scan_orc(s: SparkSession, dir: String): DataFrame = {
+    val root = fittedModel(s"orc|$dir") {
+      val out = s"$registryRoot/orc_${registryKey(
+        s"orc-v1|$dir|${tableFingerprint(s, s"$dir/events.parquet")}")}"
+      val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker))
+        E(s, dir).write.mode("overwrite").orc(out)
+      out
+    }
+    s.read.orc(root)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+        sum(length(col("props"))).cast("long").as("sum_props_len"))
+      .orderBy("event_type")
+  }
+
+  /** Copy-on-write MERGE ([[graft.ops.Lake.upsert]]): a CDC-shaped update
+    * batch (every 7th event re-valued, every 97th re-keyed as a new
+    * "backfill" insert) merged into the events snapshot, WRITTEN to the
+    * lake (registry-gated), read BACK, and aggregated. The oracle derives
+    * the same merge in SQL (anti-join ∪ updates), so a merge that drops,
+    * duplicates, or fails to overwrite rows hash-fails — including at the
+    * sink boundary, since the aggregate reads the persisted files.
+    */
+  private def q_sink_upsert(s: SparkSession, dir: String): DataFrame = {
+    val root = fittedModel(s"upsert|$dir") {
+      val out = s"$registryRoot/upsert_${registryKey(
+        s"upsert-v1|$dir|${tableFingerprint(s, s"$dir/events.parquet")}")}"
+      val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        val base = E(s, dir)
+        val updates = base.filter(col("event_id") % 7 === 0)
+          .withColumn("value", col("value") + lit(1000.0))
+          .unionByName(base.filter(col("event_id") % 97 === 0)
+            .withColumn("event_id", col("event_id") + lit(1000000L))
+            .withColumn("event_type", lit("backfill")))
+        graft.ops.Lake.upsert(base, updates, Seq("event_id"))
+          .write.mode("overwrite").parquet(out)
+      }
+      out
+    }
+    s.read.parquet(root)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+  }
+
+  /** Additive seasonal decomposition of the hourly per-type series
+    * ([[Timeseries.seasonalDecompose]]): 25-hour centered-MA trend,
+    * hour-of-day seasonal means, residual — the per-stream fingerprint a
+    * diff-detector scores against. Oracle: the same two window passes in
+    * DuckDB SQL.
+    */
+  private def q_win_seasonal_decompose(s: SparkSession, dir: String): DataFrame = {
+    val hourly = E(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("bucket"))
+      .agg(avg(col("value")).as("v"))
+    Timeseries.seasonalDecompose(hourly, Seq("event_type"), "bucket", "v",
+        periodCol = hour(col("bucket")), halfWindow = 12)
+      .select(col("event_type"), col("bucket"),
+        round(col("v"), 6).as("v"), round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("resid"), 6).as("resid"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** BM25 corpus ranking ([[graft.ops.Search.bm25]]) against a fixed
+    * 3-term topic query — every matching doc with its score, ordered by
+    * id (deterministic under cross-engine float ties; top-k is a limit
+    * away). Oracle: the full inverted-index algebra in SQL.
+    */
+  private def q_search_bm25(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Search.bm25(T(s, dir, "documents"), "doc_id", "text",
+        Seq("data", "model", "training"))
+      .orderBy("doc_id")
+
+  /** Exact-substring duplication scan ([[Dedup.duplicatedSpans]], the
+    * Lee et al. suffix-array semantic as strided 64-char fingerprints):
+    * per-doc count of spans shared verbatim with another document.
+    */
+  private def q_dedup_substring(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(T(s, dir, "documents"), "doc_id", "text",
+        spanLen = 64, stride = 32)
+      .orderBy("doc_id")
+
+  /** Split condition shared by the drift queries: cohort A = the first
+    * half of the fixture month. */
+  private def driftIsA: Column =
+    col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+
+  /** Binned two-sample KS drift per event_type between the two halves of
+    * the month ([[graft.ops.Drift.ksStatistic]]). */
+  private def q_agg_ks_drift(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.ksStatistic(E(s, dir), "event_type", "value", driftIsA)
+      .orderBy("event_type")
+
+  /** Population Stability Index per event_type over the same cohort split
+    * ([[graft.ops.Drift.psi]]). */
+  private def q_agg_psi_drift(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.psi(E(s, dir), "event_type", "value", driftIsA)
+      .orderBy("event_type")
+
+  /** Holt-Winters 24-hour-ahead forecast per event_type over the hourly
+    * series ([[graft.ml.HoltWinters]]). Spark-only: the triple-smoothing
+    * recursion is not SQL-expressible; HoltWintersSpec pins the math on
+    * closed-form series.
+    */
+  private def q_ml_holt_winters(s: SparkSession, dir: String): DataFrame = {
+    val hourly = E(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(avg(col("value")).as("v"))
+    graft.ml.HoltWinters.forecast(hourly, "event_type", "bucket", "v",
+        horizon = 24)
+      .select(col("event_type"), col("step").cast("long").as("step"),
+        round(col("yhat"), 6).as("yhat"), round(col("level"), 6).as("level"),
+        round(col("trend"), 6).as("trend"))
+      .orderBy("event_type", "step")
+  }
+
   // ---------------------------------------------------------------------
   // The contract maps
   // ---------------------------------------------------------------------
@@ -1956,7 +2090,15 @@ object SparkEntry {
     "esn_forecast" -> (q_esn_forecast _),
     "multimodal_features" -> (q_multimodal_features _),
     "multimodal_phash_dedup" -> (q_multimodal_phash_dedup _),
-    "multimodal_decode" -> (q_multimodal_decode _)
+    "multimodal_decode" -> (q_multimodal_decode _),
+    "scan_orc" -> (q_scan_orc _),
+    "sink_upsert" -> (q_sink_upsert _),
+    "win_seasonal_decompose" -> (q_win_seasonal_decompose _),
+    "search_bm25" -> (q_search_bm25 _),
+    "dedup_substring" -> (q_dedup_substring _),
+    "agg_ks_drift" -> (q_agg_ks_drift _),
+    "agg_psi_drift" -> (q_agg_psi_drift _),
+    "ml_holt_winters" -> (q_ml_holt_winters _)
   )
 
   // Shared oracle fragments
@@ -3069,6 +3211,116 @@ object SparkEntry {
          |SELECT doc_id, CAST(4 AS BIGINT) AS w, CAST(4 AS BIGINT) AS h,
          |  ${f(0)}, ${f(5)}, ${f(10)}, ${f(15)}
          |FROM b ORDER BY doc_id""".stripMargin
-    }
+    },
+    // the Spark side reads an ORC materialization of the same rows — the
+    // parquet-derived oracle catches any round-trip type drift
+    "scan_orc" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  min(CAST(ts AS TIMESTAMP)) AS min_ts,
+        |  max(CAST(ts AS TIMESTAMP)) AS max_ts,
+        |  CAST(sum(length(props)) AS BIGINT) AS sum_props_len
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the merge algebra (anti-join ∪ updates) derived independently in
+    // SQL; the Spark side aggregates the PERSISTED merged files
+    "sink_upsert" ->
+      """WITH upd AS (
+        |  SELECT event_id, event_type, value + 1000 AS value
+        |  FROM events WHERE event_id % 7 = 0
+        |  UNION ALL
+        |  SELECT event_id + 1000000 AS event_id, 'backfill' AS event_type, value
+        |  FROM events WHERE event_id % 97 = 0),
+        |merged AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE event_id NOT IN (SELECT event_id FROM upd)
+        |  UNION ALL SELECT event_id, event_type, value FROM upd)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "win_seasonal_decompose" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    avg(value) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *, avg(v) OVER (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend FROM h),
+        |ssn AS (
+        |  SELECT *, avg(v - trend) OVER (PARTITION BY event_type, hour(bucket))
+        |    AS seasonal FROM t)
+        |SELECT event_type, bucket, round(v, 6) AS v, round(trend, 6) AS trend,
+        |  round(seasonal, 6) AS seasonal,
+        |  round(v - trend - seasonal, 6) AS resid
+        |FROM ssn ORDER BY event_type, bucket""".stripMargin,
+    "search_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |q(term) AS (SELECT * FROM (VALUES ('data'), ('model'), ('training'))),
+        |tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+        |       FROM toks t JOIN q USING (term) GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+        |      * tf.tf * (1.2 + 1)
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS sterm
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s)
+        |SELECT doc_id, round(sum(sterm), 6) AS bm25
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_substring" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(list_distinct(
+        |    range(1, greatest(length(text) - 63, 1) + 1, 32) ||
+        |    list_filter(range(1, greatest(length(text) - 63, 1) + 1, 1),
+        |      p -> CAST(('0x' || substr(md5(substr(text, CAST(p AS INTEGER), 16)),
+        |        1, 2)) AS INT) % 16 = 0))) AS p
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, md5(substr(text, CAST(p AS INTEGER), 64)) AS h FROM pos),
+        |shared AS (
+        |  SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) > 1)
+        |SELECT doc_id, count(*) AS n_dup_spans
+        |FROM spans JOIN shared USING (h)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_ks_drift" -> driftOracle(
+      """round(max(abs(fa - fb)), 6) AS ks""",
+      """CAST(sum(na) OVER pk AS DOUBLE) / sum(na) OVER pt AS fa,
+        |          CAST(sum(nb) OVER pk AS DOUBLE) / sum(nb) OVER pt AS fb"""
+        .stripMargin),
+    "agg_psi_drift" -> driftOracle(
+      """round(sum((pa - pb) * ln(pa / pb)), 6) AS psi""",
+      """(na + 0.5) / (sum(na) OVER pt + 0.5 * count(*) OVER pt) AS pa,
+        |          (nb + 0.5) / (sum(nb) OVER pt + 0.5 * count(*) OVER pt) AS pb"""
+        .stripMargin)
   )
+
+  /** Shared binned-histogram CTE of the drift oracles (mirrors
+    * [[graft.ops.Drift]]'s binning exactly): cohort A = first half of the
+    * fixture month, 100 equi-width per-type bins, integer counts.
+    */
+  private def driftOracle(finalAgg: String, perBin: String): String =
+    s"""WITH e AS (SELECT event_type, value,
+       |       CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00' AS is_a
+       |     FROM events WHERE value IS NOT NULL),
+       |r AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+       |      FROM e GROUP BY 1),
+       |bb AS (SELECT e.event_type, is_a,
+       |         least(CAST(floor((value - mn) / ((mx - mn) / 100)) AS BIGINT),
+       |           99) AS bin
+       |       FROM e JOIN r USING (event_type)),
+       |c AS (SELECT event_type, bin,
+       |        count(*) FILTER (WHERE is_a) AS na,
+       |        count(*) FILTER (WHERE NOT is_a) AS nb
+       |      FROM bb GROUP BY 1, 2),
+       |cum AS (SELECT event_type, bin,
+       |          $perBin
+       |        FROM c
+       |        WINDOW pk AS (PARTITION BY event_type ORDER BY bin),
+       |               pt AS (PARTITION BY event_type))
+       |SELECT event_type, $finalAgg
+       |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
 }

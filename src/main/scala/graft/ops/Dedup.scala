@@ -676,4 +676,58 @@ object Dedup {
       .join(sz.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
       .join(sz.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
   }
+
+  /** EXACT-SUBSTRING duplication scan — the published "Deduplicating
+    * Training Data Makes Language Models Better" (Lee et al., 2021)
+    * semantic, re-shaped for Spark: that paper builds a corpus-wide suffix
+    * array to find any ≥50-token span shared verbatim between documents; a
+    * suffix array is a total order over 100 TB of text and does not
+    * distribute. The Spark-native estimator fingerprints spanLen-char
+    * windows at TWO kinds of start position, unioned:
+    *   - STRIDED (1, 1+stride, …): catches whole-document and
+    *     aligned-offset copies exactly (and periodic runs at any offset,
+    *     since collision is on span CONTENT, not position);
+    *   - CONTENT-DEFINED anchors (positions whose anchorGram-char prefix
+    *     hashes to 0 mod anchorMod — the CDC/winnowing idea): start
+    *     positions are a pure function of local content, so a shared run
+    *     produces IDENTICAL anchor positions inside the run in both
+    *     documents regardless of alignment; a non-degenerate shared run
+    *     of length L carries an in-run anchor with probability
+    *     ≈ 1 − (1−1/anchorMod)^(L−spanLen), ≈1 beyond a few hundred chars.
+    * Together: aligned copies are detected deterministically, misaligned
+    * copies with probability ≈1 — without any corpus-wide order.
+    *
+    * Plan: explode is bounded (len/stride strided + len/anchorMod expected
+    * anchor spans per doc); the groupBy shuffles md5 keys (uniform by
+    * construction — no skew); the semi-join back against the shared-hash
+    * set is AQE-broadcast when the duplicated-span universe is small (the
+    * usual case). Boilerplate spans shared by half the corpus fan out only
+    * as |docs containing them|, the honest answer for exact duplication.
+    * Anchor detection here prices one md5 per character to stay
+    * cross-engine oracle-parity (DuckDB has no xxhash64); a production
+    * deployment swaps in a rolling-hash codegen Expression — one pass,
+    * same anchor semantics.
+    *
+    * Output: `(doc_id, n_dup_spans)` — spans of the doc whose fingerprint
+    * occurs in ≥2 distinct documents; docs with none are absent.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 64, stride: Int = 32,
+      anchorGram: Int = 16, anchorMod: Int = 16): DataFrame = {
+    val lastStart = greatest(length(col(textCol)) - (spanLen - 1), lit(1))
+    val strided = sequence(lit(1), lastStart, lit(stride))
+    val anchors = filter(sequence(lit(1), lastStart), p =>
+      conv(md5(col(textCol).substr(p, lit(anchorGram))).substr(1, 2), 16, 10)
+        .cast("int") % anchorMod === 0)
+    val spans = docs.select(col(idCol).as("doc_id"),
+      explode(transform(array_union(strided, anchors),
+        p => md5(col(textCol).substr(p, lit(spanLen))))).as("h"))
+    val shared = spans.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("h")
+    spans.join(shared, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"))
+  }
 }

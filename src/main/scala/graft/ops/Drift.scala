@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between two cohorts of the same metric —
+  * the monitoring primitive behind "has this sensor/feature/corpus
+  * shifted since the model was trained?" (the reference's model-watchman
+  * concern re-expressed as data math; a training-data pipeline runs the
+  * same test between crawl snapshots before retraining).
+  *
+  * Both statistics are computed on a FIXED-WIDTH BINNED histogram, not the
+  * raw sample:
+  *   - exact KS needs a full sort of both samples; at 100 TB that is a
+  *     total order over the corpus. 100 equi-width bins give a KS estimate
+  *     with bin-width resolution via ONE groupBy — the classic
+  *     streaming/OLAP trade, and the error is bounded by the max density
+  *     within a bin.
+  *   - PSI is DEFINED on binned data (the industry form: 10–100 bins).
+  *
+  * One aggregation computes both cohorts' histograms simultaneously
+  * (conditional count, no second scan); cumulative fractions are integer
+  * cumsums over bin counts divided as doubles — exact and engine-portable,
+  * so the whole statistic is oracle-checkable to 6 decimals.
+  */
+object Drift {
+
+  /** Per-key binned histogram of `valueCol` split into cohorts A/B by
+    * `isA`: one row per (key, bin) with both cohorts' counts. Bin ranges
+    * are the PER-KEY [min, max] — computed in the same scan's sibling
+    * aggregate and re-joined (broadcast: |keys| rows).
+    */
+  private def binned(df: DataFrame, keyCol: String, valueCol: String,
+      isA: Column, bins: Int): DataFrame = {
+    val v = col(valueCol)
+    val ranged = df.filter(v.isNotNull)
+      .join(broadcast(
+        df.filter(v.isNotNull).groupBy(keyCol)
+          .agg(min(v).as("__mn"), max(v).as("__mx"))),
+        Seq(keyCol))
+    ranged
+      // constant-valued key (mn == mx): everything in bin 0, not NULL via
+      // 0/0 — NULL bins would sort differently across engines.
+      .withColumn("__bin",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(
+            floor((v - col("__mn")) / ((col("__mx") - col("__mn")) / bins))
+              .cast("long"), lit(bins - 1L))))
+      .withColumn("__isa", isA)
+      .groupBy(col(keyCol), col("__bin"))
+      .agg(count(when(col("__isa"), 1)).as("__na"),
+        count(when(!col("__isa"), 1)).as("__nb"))
+  }
+
+  /** Two-sample KS statistic per key (binned): max over bins of
+    * |ECDF_A − ECDF_B|. Output: (key, ks). */
+  def ksStatistic(df: DataFrame, keyCol: String, valueCol: String,
+      isA: Column, bins: Int = 100): DataFrame = {
+    val h = binned(df, keyCol, valueCol, isA, bins)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy("__bin")
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+    h.withColumn("__fa", sum(col("__na")).over(w).cast("double") / sum(col("__na")).over(tot))
+      .withColumn("__fb", sum(col("__nb")).over(w).cast("double") / sum(col("__nb")).over(tot))
+      .groupBy(keyCol)
+      .agg(round(max(abs(col("__fa") - col("__fb"))), 6).as("ks"))
+  }
+
+  /** Population Stability Index per key (binned, 0.5-count smoothing so an
+    * empty bin cannot produce ±∞): Σ (pa − pb)·ln(pa/pb). The standard
+    * alert bands apply (<0.1 stable, 0.1–0.25 drifting, >0.25 shifted).
+    * Output: (key, psi).
+    */
+  def psi(df: DataFrame, keyCol: String, valueCol: String,
+      isA: Column, bins: Int = 100): DataFrame = {
+    val h = binned(df, keyCol, valueCol, isA, bins)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+    val pa = (col("__na") + lit(0.5)) /
+      (sum(col("__na")).over(tot) + lit(0.5) * count(lit(1)).over(tot))
+    val pb = (col("__nb") + lit(0.5)) /
+      (sum(col("__nb")).over(tot) + lit(0.5) * count(lit(1)).over(tot))
+    h.withColumn("__term", (pa - pb) * log(pa / pb))
+      .groupBy(keyCol)
+      .agg(round(sum(col("__term")), 6).as("psi"))
+  }
+}

@@ -176,4 +176,39 @@ object Timeseries {
             vPrev + (vNext - vPrev) * (t - tPrev) / (tNext - tPrev)))
     }
   }
+
+  /** Classical additive seasonal decomposition of a keyed resampled
+    * series (the statsmodels `seasonal_decompose(model="additive")`
+    * shape, moving-average flavor):
+    *   trend_t    = centered moving average over `2·halfWindow+1` rows
+    *   seasonal_t = mean of (v − trend) across all rows sharing the same
+    *                position-in-period (`periodCol`, e.g. hour-of-day)
+    *   resid_t    = v − trend − seasonal
+    * A diff-based anomaly detector watches `resid`; a capacity planner
+    * reads `trend`; the seasonal profile is the per-key fingerprint.
+    *
+    * Edge semantics: the trend at the series edges averages the rows that
+    * exist (ROWS-framed window, not a null-padded convolution) — both
+    * engines agree because the frame is row-count-based, and no rows are
+    * dropped (statsmodels nulls the edge trend instead; keeping the
+    * truncated average keeps every bucket scoreable).
+    *
+    * Scale: two window passes keyed on (key) ordered by bucket + one
+    * partition-framed mean — all three shuffle on the key column only,
+    * and per-key state is the resampled series (len = range/resolution,
+    * thousands of rows), not the raw events.
+    */
+  def seasonalDecompose(resampled: DataFrame, keyCols: Seq[String],
+      bucketCol: String, valueCol: String, periodCol: Column,
+      halfWindow: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val trendW = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(bucketCol)).rowsBetween(-halfWindow, halfWindow)
+    val seasonW = Window.partitionBy(keyCols.map(col) :+ periodCol: _*)
+    resampled
+      .withColumn("trend", avg(col(valueCol)).over(trendW))
+      .withColumn("seasonal",
+        avg(col(valueCol) - col("trend")).over(seasonW))
+      .withColumn("resid", col(valueCol) - col("trend") - col("seasonal"))
+  }
 }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  // cohort A: uniform ints 0..99; cohort B shifted by +50 — KS should be
+  // ~0.5 (half the mass separated), PSI clearly in the "shifted" band.
+  private lazy val shifted = {
+    val a = (0 until 2000).map(i => ("m1", i % 100 * 1.0, true))
+    val b = (0 until 2000).map(i => ("m1", i % 100 * 1.0 + 50.0, false))
+    (a ++ b).toDF("k", "v", "is_a")
+  }
+
+  test("identical cohorts: ks = 0 and psi = 0") {
+    val same = (0 until 1000).flatMap(i =>
+      Seq(("m", i % 40 * 1.0, true), ("m", i % 40 * 1.0, false)))
+      .toDF("k", "v", "is_a")
+    val ks = Drift.ksStatistic(same, "k", "v", col("is_a")).head().getDouble(1)
+    val psi = Drift.psi(same, "k", "v", col("is_a")).head().getDouble(1)
+    assert(ks == 0.0)
+    assert(psi == 0.0)
+  }
+
+  test("a +50% range shift is detected by both statistics") {
+    val ks = Drift.ksStatistic(shifted, "k", "v", col("is_a")).head().getDouble(1)
+    assert(ks > 0.4 && ks <= 0.52, s"ks $ks") // ~half the mass disjoint
+    val psi = Drift.psi(shifted, "k", "v", col("is_a")).head().getDouble(1)
+    assert(psi > 0.25, s"psi $psi") // industry 'significant shift' band
+  }
+
+  test("keys are independent: a stable key is unaffected by a drifted one") {
+    val stable = (0 until 1000).flatMap(i =>
+      Seq(("s", i % 10 * 1.0, true), ("s", i % 10 * 1.0, false)))
+      .toDF("k", "v", "is_a")
+    val out = Drift.ksStatistic(shifted.unionByName(stable), "k", "v", col("is_a"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("s") == 0.0)
+    assert(out("m1") > 0.4)
+  }
+
+  test("constant-valued key yields 0 drift, not NULL/NaN (mn == mx guard)") {
+    val const = (0 until 100).map(i => ("c", 5.0, i % 2 == 0)).toDF("k", "v", "is_a")
+    val ks = Drift.ksStatistic(const, "k", "v", col("is_a")).head()
+    assert(!ks.isNullAt(1) && ks.getDouble(1) == 0.0)
+    val psi = Drift.psi(const, "k", "v", col("is_a")).head()
+    assert(!psi.isNullAt(1) && psi.getDouble(1) == 0.0)
+  }
+
+  test("psi smoothing keeps empty bins finite") {
+    // cohort B entirely inside one bin, A spread out: many B-empty bins
+    val a = (0 until 500).map(i => ("k", i * 1.0, true))
+    val b = (0 until 500).map(_ => ("k", 1.0, false))
+    val psi = Drift.psi((a ++ b).toDF("k", "v", "is_a"), "k", "v", col("is_a"))
+      .head().getDouble(1)
+    assert(!psi.isNaN && !psi.isInfinite && psi > 0.25, s"psi $psi")
+  }
+}

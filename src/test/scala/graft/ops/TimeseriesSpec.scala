@@ -142,4 +142,36 @@ class TimeseriesSpec extends SparkSpec {
       .collect().map(r => (r.getString(1), r.getDouble(2))).toSet
     assert(tickedRows == Set(("t`1", 5.0)))
   }
+
+  test("seasonalDecompose splits trend + seasonal + resid additively and " +
+      "recovers a constructed signal") {
+    // signal = linear trend (0.5/step) + period-4 cycle; 80 buckets
+    val cycle = Array(8.0, 0.0, -8.0, 0.0)
+    val rows = (0 until 80).map(t =>
+      ("k", t.toLong, 100.0 + 0.5 * t + cycle(t % 4)))
+    val df = rows.toDF("key", "bucket", "v")
+    val out = Timeseries.seasonalDecompose(df, Seq("key"), "bucket", "v",
+        periodCol = col("bucket") % 4, halfWindow = 4)
+      .orderBy("bucket").collect()
+    // identity: v == trend + seasonal + resid for every row, exactly
+    out.foreach { r =>
+      val (v, tr, se, re) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(math.abs(v - (tr + se + re)) < 1e-9)
+    }
+    // away from the edges the 9-row centered MA (halfWindow=4) over a
+    // period-4 cycle plus a line tracks the line: trend ≈ 100 + 0.5t
+    // (cycle mean over 9 rows is not exactly 0, so allow the slack the
+    // extra cycle sample contributes: 8/9)
+    out.drop(4).dropRight(4).foreach { r =>
+      val t = r.getLong(1)
+      assert(math.abs(r.getDouble(3) - (100.0 + 0.5 * t)) <= 8.0 / 9 + 1e-9,
+        s"trend at $t: ${r.getDouble(3)}")
+    }
+    // seasonal contrast: position-0 mean minus position-2 mean ≈ 16
+    val sByPos = out.drop(4).dropRight(4)
+      .groupBy(r => (r.getLong(1) % 4).toInt)
+      .view.mapValues(rs => rs.map(_.getDouble(4)).sum / rs.size).toMap
+    assert(math.abs((sByPos(0) - sByPos(2)) - 16.0) < 2.0, s"$sByPos")
+  }
 }
