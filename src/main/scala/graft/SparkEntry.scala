@@ -1936,10 +1936,12 @@ object SparkEntry {
         spanLen = 64, stride = 32)
       .orderBy("doc_id")
 
-  /** Split condition shared by the drift queries: cohort A = the first
-    * half of the fixture month. */
-  private def driftIsA: Column =
-    col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+  /** Split instant shared by the drift queries: cohort A = the first half
+    * of the fixture month. An Instant literal is timezone-fixed (a
+    * java.sql.Timestamp literal would parse in the JVM default zone).
+    */
+  private val driftSplit = java.time.Instant.parse("2024-01-16T00:00:00Z")
+  private def driftIsA: Column = col("ts") < lit(driftSplit)
 
   /** Binned two-sample KS drift per event_type between the two halves of
     * the month ([[graft.ops.Drift.ksStatistic]]). */
@@ -1952,6 +1954,67 @@ object SparkEntry {
   private def q_agg_psi_drift(s: SparkSession, dir: String): DataFrame =
     graft.ops.Drift.psi(E(s, dir), "event_type", "value", driftIsA)
       .orderBy("event_type")
+
+  /** LIVE drift monitor — the deployment form of the KS test: bin edges
+    * frozen from the reference cohort (first half-month, batch), the
+    * live cohort streamed from a real parquet directory source through a
+    * stream-static broadcast range join + a stateful binned-count
+    * aggregation (complete mode), KS computed from the final histograms.
+    * Out-of-range live values clamp into the end bins. The oracle derives
+    * the identical frozen-edge statistic in SQL — the whole
+    * stream-vs-batch path is hash-checked, not just row-counted.
+    */
+  private def q_stream_drift(s: SparkSession, dir: String): DataFrame = {
+    val root = compactMaterialized(s, dir)
+    val ref = s.read.parquet(root).filter(driftIsA)
+    val ranges = graft.ops.Drift.referenceRanges(ref, "event_type", "value")
+    val refHist = graft.ops.Drift.binAgainst(ref, "event_type", "value", ranges)
+      .groupBy("event_type", "__bin").agg(count(lit(1)).as("__na"))
+    val name = s"drift_stream_${registryKey(dir).take(8)}"
+    val schema = s.read.parquet(root).schema
+    val liveStream = graft.ops.Drift.binAgainst(
+        s.readStream.schema(schema).parquet(root).filter(!driftIsA),
+        "event_type", "value", ranges)
+      .groupBy("event_type", "__bin").agg(count(lit(1)).as("__nb"))
+    s.catalog.dropTempView(name)
+    val q = liveStream.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val joint = refHist.join(s.table(name), Seq("event_type", "__bin"), "full_outer")
+      .na.fill(0L, Seq("__na", "__nb"))
+    graft.ops.Drift.ksOfCounts(joint, "event_type").orderBy("event_type")
+  }
+
+  /** HYBRID retrieval — the production search shape: a lexical BM25 leg
+    * and a dense cosine leg fused by Reciprocal Rank Fusion
+    * (rrf = Σ_leg 1/(60 + rank), the Cormack et al. constant). Each leg
+    * contributes its top-50 (selected by a TOTAL order: rounded score
+    * desc, id — cross-engine deterministic); a doc in one leg only gets
+    * that leg's term. Scale: each leg is already bounded (top-k via
+    * TakeOrdered, no global sort); the fusion is a full-outer join of two
+    * 50-row frames — driver-trivial, executor-local.
+    */
+  private def q_simsearch_hybrid(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lexTop = graft.ops.Search.bm25(T(s, dir, "documents"), "doc_id", "text",
+        Seq("data", "model", "training"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+    val lex = lexTop.withColumn("lex_rank",
+      row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id").as("id"), col("lex_rank"))
+    val e = T(s, dir, "embeddings")
+    val dense = Similarity.bruteForceTopK(e.filter(col("vec_id") === 0), e,
+        "vec_id", "embedding", 50)
+      .select(col("nid").as("id"), col("rnk").as("dense_rank"))
+    lex.join(dense, Seq("id"), "full_outer")
+      .select(col("id"),
+        round(coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)), 6)
+          .as("rrf"),
+        col("lex_rank"), col("dense_rank"))
+      .orderBy("id")
+  }
 
   /** Holt-Winters 24-hour-ahead forecast per event_type over the hourly
     * series ([[graft.ml.HoltWinters]]). Spark-only: the triple-smoothing
@@ -2098,7 +2161,9 @@ object SparkEntry {
     "dedup_substring" -> (q_dedup_substring _),
     "agg_ks_drift" -> (q_agg_ks_drift _),
     "agg_psi_drift" -> (q_agg_psi_drift _),
-    "ml_holt_winters" -> (q_ml_holt_winters _)
+    "ml_holt_winters" -> (q_ml_holt_winters _),
+    "simsearch_hybrid" -> (q_simsearch_hybrid _),
+    "stream_drift" -> (q_stream_drift _)
   )
 
   // Shared oracle fragments
@@ -3254,23 +3319,29 @@ object SparkEntry {
         |  round(v - trend - seasonal, 6) AS resid
         |FROM ssn ORDER BY event_type, bucket""".stripMargin,
     "search_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-        |  FROM documents),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-        |q(term) AS (SELECT * FROM (VALUES ('data'), ('model'), ('training'))),
-        |tf AS (SELECT t.doc_id, t.term, count(*) AS tf
-        |       FROM toks t JOIN q USING (term) GROUP BY 1, 2),
-        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
-        |sc AS (
-        |  SELECT tf.doc_id,
-        |    ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
-        |      * tf.tf * (1.2 + 1)
-        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS sterm
-        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s)
-        |SELECT doc_id, round(sum(sterm), 6) AS bm25
-        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH $bm25Cte
+         |SELECT doc_id, bm25 FROM b ORDER BY 1""".stripMargin,
+    "simsearch_hybrid" ->
+      s"""WITH $bm25Cte,
+         |lex AS (SELECT id, lex_rank FROM (
+         |  SELECT doc_id AS id,
+         |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+         |  FROM b) WHERE lex_rank <= 50),
+         |dots AS (SELECT c.vec_id AS id,
+         |    ${dotSql("q.embedding", "c.embedding")}
+         |      / sqrt(NULLIF(${normSqSql("q.embedding")}
+         |          * ${normSqSql("c.embedding")}, 0)) AS cos
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id = 0 AND c.vec_id <> 0),
+         |dense AS (SELECT id, dense_rank FROM (
+         |  SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS dense_rank
+         |  FROM dots) WHERE dense_rank <= 50)
+         |SELECT id,
+         |  round(coalesce(1.0/(60 + lex_rank), 0)
+         |    + coalesce(1.0/(60 + dense_rank), 0), 6) AS rrf,
+         |  lex_rank, dense_rank
+         |FROM lex FULL OUTER JOIN dense USING (id)
+         |ORDER BY id""".stripMargin,
     "dedup_substring" ->
       """WITH pos AS (
         |  SELECT doc_id, text, unnest(list_distinct(
@@ -3295,8 +3366,57 @@ object SparkEntry {
       """round(sum((pa - pb) * ln(pa / pb)), 6) AS psi""",
       """(na + 0.5) / (sum(na) OVER pt + 0.5 * count(*) OVER pt) AS pa,
         |          (nb + 0.5) / (sum(nb) OVER pt + 0.5 * count(*) OVER pt) AS pb"""
-        .stripMargin)
+        .stripMargin),
+    // frozen-reference-edge KS (bin ranges from cohort A only, live values
+    // clamped into the end bins) — the streaming monitor's exact semantic
+    "stream_drift" ->
+      """WITH e AS (SELECT event_type, value,
+        |       CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00' AS is_a
+        |     FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+        |      FROM e WHERE is_a GROUP BY 1),
+        |bb AS (SELECT e.event_type, is_a,
+        |         greatest(least(CAST(floor((value - mn) / ((mx - mn) / 100))
+        |           AS BIGINT), 99), 0) AS bin
+        |       FROM e JOIN r USING (event_type)),
+        |c AS (SELECT event_type, bin,
+        |        count(*) FILTER (WHERE is_a) AS na,
+        |        count(*) FILTER (WHERE NOT is_a) AS nb
+        |      FROM bb GROUP BY 1, 2),
+        |cum AS (SELECT event_type, bin,
+        |          CAST(sum(na) OVER pk AS DOUBLE) / sum(na) OVER pt AS fa,
+        |          CAST(sum(nb) OVER pk AS DOUBLE) / sum(nb) OVER pt AS fb
+        |        FROM c
+        |        WINDOW pk AS (PARTITION BY event_type ORDER BY bin),
+        |               pt AS (PARTITION BY event_type))
+        |SELECT event_type, round(max(abs(fa - fb)), 6) AS ks
+        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  /** Shared BM25 CTE chain ending in `b(doc_id, bm25)` — the full
+    * inverted-index algebra mirrored from [[graft.ops.Search.bm25]]
+    * (k1 = 1.2, b = 0.75, query = data/model/training). Scores are
+    * rounded to 6 INSIDE the CTE so every consumer (the ranking join in
+    * the hybrid oracle included) orders on cross-engine-identical values.
+    */
+  private def bm25Cte: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+      |q(term) AS (SELECT * FROM (VALUES ('data'), ('model'), ('training'))),
+      |tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+      |       FROM toks t JOIN q USING (term) GROUP BY 1, 2),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+      |      * tf.tf * (1.2 + 1)
+      |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS sterm
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+      |b AS (SELECT doc_id, round(sum(sterm), 6) AS bm25 FROM sc GROUP BY 1)"""
+      .stripMargin
 
   /** Shared binned-histogram CTE of the drift oracles (mirrors
     * [[graft.ops.Drift]]'s binning exactly): cohort A = first half of the

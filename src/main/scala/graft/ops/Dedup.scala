@@ -719,7 +719,16 @@ object Dedup {
     val anchors = filter(sequence(lit(1), lastStart), p =>
       conv(md5(col(textCol).substr(p, lit(anchorGram))).substr(1, 2), 16, 10)
         .cast("int") % anchorMod === 0)
-    val spans = docs.select(col(idCol).as("doc_id"),
+    // Pin the anchor scan's width BEFORE the per-character hashing: the
+    // projection below prices one md5 per character of corpus, and a
+    // single-file table otherwise runs it in however few partitions the
+    // scan produced (ONE task on a 32-core box — the fuzzyPairs lesson,
+    // same count-pinned-repartition fix so AQE's byte-sighted coalescer
+    // cannot fold the CPU-dense stage back together).
+    val wide = docs.select(col(idCol).as("doc_id"), col(textCol))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+    val spans = wide.select(col("doc_id"),
       explode(transform(array_union(strided, anchors),
         p => md5(col(textCol).substr(p, lit(spanLen))))).as("h"))
     val shared = spans.groupBy("h")

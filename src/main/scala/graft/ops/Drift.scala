@@ -52,11 +52,11 @@ object Drift {
         count(when(!col("__isa"), 1)).as("__nb"))
   }
 
-  /** Two-sample KS statistic per key (binned): max over bins of
-    * |ECDF_A − ECDF_B|. Output: (key, ks). */
-  def ksStatistic(df: DataFrame, keyCol: String, valueCol: String,
-      isA: Column, bins: Int = 100): DataFrame = {
-    val h = binned(df, keyCol, valueCol, isA, bins)
+  /** KS epilogue over a joint histogram `(key, __bin, __na, __nb)`:
+    * integer cumsums → ECDF fractions → max gap. Shared by the one-scan
+    * batch form and the streaming reference-vs-live form.
+    */
+  def ksOfCounts(h: DataFrame, keyCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy("__bin")
     val tot = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
@@ -64,6 +64,41 @@ object Drift {
       .withColumn("__fb", sum(col("__nb")).over(w).cast("double") / sum(col("__nb")).over(tot))
       .groupBy(keyCol)
       .agg(round(max(abs(col("__fa") - col("__fb"))), 6).as("ks"))
+  }
+
+  /** Two-sample KS statistic per key (binned): max over bins of
+    * |ECDF_A − ECDF_B|. Output: (key, ks). */
+  def ksStatistic(df: DataFrame, keyCol: String, valueCol: String,
+      isA: Column, bins: Int = 100): DataFrame =
+    ksOfCounts(binned(df, keyCol, valueCol, isA, bins), keyCol)
+
+  /** Per-key bin ranges of a REFERENCE cohort — the frozen-at-train-time
+    * bin edges a production monitor scores live data against (the
+    * combined-range form above rebins on every evaluation; frozen edges
+    * are what makes the statistic comparable across days and what a
+    * stream, which cannot rescan history, requires). Output:
+    * `(key, __mn, __mx)`.
+    */
+  def referenceRanges(ref: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    ref.filter(col(valueCol).isNotNull)
+      .groupBy(keyCol)
+      .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
+
+  /** Bin assignment against frozen reference edges: out-of-range live
+    * values clamp into the end bins (the standard monitoring treatment —
+    * mass beyond the training range piles up visibly at the edges).
+    * Streaming-legal: pure column math after a broadcast range join.
+    */
+  def binAgainst(df: DataFrame, keyCol: String, valueCol: String,
+      ranges: DataFrame, bins: Int = 100): DataFrame = {
+    val v = col(valueCol)
+    df.filter(v.isNotNull)
+      .join(broadcast(ranges), Seq(keyCol))
+      .withColumn("__bin",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(greatest(least(
+            floor((v - col("__mn")) / ((col("__mx") - col("__mn")) / bins))
+              .cast("long"), lit(bins - 1L)), lit(0L))))
   }
 
   /** Population Stability Index per key (binned, 0.5-count smoothing so an

@@ -49,6 +49,27 @@ class DriftSpec extends SparkSpec {
     assert(!psi.isNullAt(1) && psi.getDouble(1) == 0.0)
   }
 
+  test("frozen reference edges: out-of-range live mass clamps into the " +
+      "end bins and still registers as drift") {
+    val ref = (0 until 1000).map(i => ("k", i % 100 * 1.0)).toDF("k", "v")
+    // live entirely ABOVE the reference range → everything clamps to bin
+    // 99 → ECDFs disagree maximally until the last bin
+    val live = (0 until 1000).map(i => ("k", 500.0 + i)).toDF("k", "v")
+    val ranges = Drift.referenceRanges(ref, "k", "v")
+    val refH = Drift.binAgainst(ref, "k", "v", ranges)
+      .groupBy("k", "__bin").agg(count(lit(1)).as("__na"))
+    val liveH = Drift.binAgainst(live, "k", "v", ranges)
+      .groupBy("k", "__bin").agg(count(lit(1)).as("__nb"))
+    val joint = refH.join(liveH, Seq("k", "__bin"), "full_outer")
+      .na.fill(0L, Seq("__na", "__nb"))
+    val ks = Drift.ksOfCounts(joint, "k").head().getDouble(1)
+    assert(ks > 0.98, s"ks $ks") // ref ECDF hits ~0.99 before live leaves 0
+    // clamping really used the END bin, not an overflow bin
+    val liveBins = Drift.binAgainst(live, "k", "v", ranges)
+      .select("__bin").distinct().collect().map(_.getLong(0)).toSet
+    assert(liveBins == Set(99L))
+  }
+
   test("psi smoothing keeps empty bins finite") {
     // cohort B entirely inside one bin, A spread out: many B-empty bins
     val a = (0 until 500).map(i => ("k", i * 1.0, true))
