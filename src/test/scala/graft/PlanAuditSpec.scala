@@ -73,10 +73,22 @@ class PlanAuditSpec extends SparkSpec {
     // Exchange SinglePartition — correct at sf0.01, a scale-killer at 100×.
     // Sink-side global orderBy (range exchange) is allowed: it is the
     // oracle's determinism contract and would be dropped in production.
+    // Exception: a window whose input subtree is LIMIT-BOUNDED (top-k
+    // selection before ranking, e.g. the hybrid-retrieval legs) processes
+    // O(k) rows wherever it runs — the exchange it forces is k rows, not
+    // the corpus.
     import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, TakeOrderedAndProjectExec}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.sparkPlan
-      val bad = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      val bad = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+          w.child.collectFirst {
+            case l: GlobalLimitExec => l
+            case l: CollectLimitExec => l
+            case l: TakeOrderedAndProjectExec => l
+          }.isEmpty => w
+      }
       if (bad.nonEmpty) Some(name) else None
     }
     assert(offenders.isEmpty, s"global-window queries: ${offenders.mkString(", ")}")
@@ -256,5 +268,43 @@ class PlanAuditSpec extends SparkSpec {
     // concurrent suites sharing the JVM-global metric.
     assert(recompiles <= 5,
       s"$recompiles codegen units recompiled on a repeat execution — cache thrash is back")
+  }
+
+  test("search_bm25 filters postings to query terms via broadcast BEFORE the tf shuffle") {
+    // the term filter must be a broadcast semi/inner join against the
+    // 3-row query frame, and the documents scan must stay 2-column — at
+    // 100 TB the tf shuffle is |matching postings|, never |tokens|
+    val plan = planOf("search_bm25")
+    assert(plan.contains("BroadcastHashJoin"), s"query terms not broadcast:\n$plan")
+    val read = plan.linesIterator.find(l => l.contains("ReadSchema") &&
+      l.contains("text")).get
+    assert(!read.contains("lang") && !read.contains("source"),
+      s"documents scan reads unused columns: $read")
+  }
+
+  test("Lake.upsert plans a keyed anti join, never a cartesian") {
+    import graft.ops.Lake
+    val base = spark.read.parquet(s"$dir/events.parquet")
+    val updates = base.limit(10)
+    val plan = Lake.upsert(base, updates, Seq("event_id"))
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected an anti join:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"merge degraded to a cartesian:\n$plan")
+  }
+
+  test("dedup_substring pins a doc-keyed exchange before the per-char anchor scan") {
+    // same lesson as join_fuzzy: the hash projection prices one md5 per
+    // corpus character; an unpinned single-file scan serializes it
+    val plan = planOf("dedup_substring")
+    assert(plan.contains("hashpartitioning(doc_id") && plan.contains("REPARTITION_BY_NUM"),
+      s"anchor-scan exchange missing — per-char hashing will serialize:\n$plan")
+  }
+
+  test("drift queries attach per-key bin ranges by broadcast join") {
+    for (q <- Seq("agg_ks_drift", "agg_psi_drift")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q ranges not broadcast:\n$plan")
+    }
   }
 }
