@@ -1896,24 +1896,45 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
-  /** Additive seasonal decomposition of the hourly per-type series
-    * ([[Timeseries.seasonalDecompose]]): 25-hour centered-MA trend,
-    * hour-of-day seasonal means, residual — the per-stream fingerprint a
-    * diff-detector scores against. Oracle: the same two window passes in
-    * DuckDB SQL.
+  /** Additive seasonal decomposition of the hourly per-type series:
+    * 25-hour centered-MA trend (FULL windows only — the statsmodels
+    * edge-null semantic), hour-of-day seasonal means, residual. This is
+    * the FIXED-POINT twin of [[Timeseries.seasonalDecompose]] (the
+    * library op keeps clean double semantics; TimeseriesSpec pins it):
+    * the first cut of this query emitted round(avg, 6) floats and
+    * hash-flipped on a single half-way rounding at sf0.1 (engine window
+    * accumulation order), so like win_cusum/agg_metrics the query works
+    * in exact integer micro-units end to end — hourly mean = truncated
+    * integer division, detrended ×25, seasonal sums over integers — and
+    * every output is ONE exact integer divided by the same small exact
+    * doubles in both engines: bit-identical with NO rounding anywhere.
     */
   private def q_win_seasonal_decompose(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val hourly = E(s, dir)
       .filter(col("value").isNotNull)
-      .groupBy(col("event_type"),
-        date_trunc("hour", col("ts")).as("bucket"))
-      .agg(avg(col("value")).as("v"))
-    Timeseries.seasonalDecompose(hourly, Seq("event_type"), "bucket", "v",
-        periodCol = hour(col("bucket")), halfWindow = 12)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg((sum(col("value").cast("decimal(18,6)")) * lit(1000000L))
+          .cast("long").as("s_micro"),
+        count(lit(1)).as("n"))
+      .withColumn("v6", expr("s_micro div n")) // both operands >= 0: floor
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(-12, 12)
+    val t = hourly
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("sum25", sum(col("v6")).over(w))
+      .filter(col("wn") === 25)
+      .withColumn("detr25", col("v6") * lit(25L) - col("sum25"))
+    val pw = Window.partitionBy(col("event_type"), hour(col("bucket")))
+    t.withColumn("s_sum", sum(col("detr25")).over(pw))
+      .withColumn("cnt", count(lit(1)).over(pw))
       .select(col("event_type"), col("bucket"),
-        round(col("v"), 6).as("v"), round(col("trend"), 6).as("trend"),
-        round(col("seasonal"), 6).as("seasonal"),
-        round(col("resid"), 6).as("resid"))
+        (col("v6").cast("double") / lit(1000000.0)).as("v"),
+        (col("sum25").cast("double") / lit(25.0) / lit(1000000.0)).as("trend"),
+        (col("s_sum").cast("double") / (lit(25.0) * col("cnt")) / lit(1000000.0))
+          .as("seasonal"),
+        ((col("cnt") * col("detr25") - col("s_sum")).cast("double")
+          / (lit(25.0) * col("cnt")) / lit(1000000.0)).as("resid"))
       .orderBy("event_type", "bucket")
   }
 
@@ -3303,21 +3324,28 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // fixed-point micro-unit mirror (see q_win_seasonal_decompose): every
+    // output is one exact integer / the same exact small doubles
     "win_seasonal_decompose" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
-        |    avg(value) AS v
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s_micro,
+        |    count(*) AS n
         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-        |t AS (
-        |  SELECT *, avg(v) OVER (PARTITION BY event_type ORDER BY bucket
-        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend FROM h),
-        |ssn AS (
-        |  SELECT *, avg(v - trend) OVER (PARTITION BY event_type, hour(bucket))
-        |    AS seasonal FROM t)
-        |SELECT event_type, bucket, round(v, 6) AS v, round(trend, 6) AS trend,
-        |  round(seasonal, 6) AS seasonal,
-        |  round(v - trend - seasonal, 6) AS resid
-        |FROM ssn ORDER BY event_type, bucket""".stripMargin,
+        |v AS (SELECT event_type, bucket, s_micro // n AS v6 FROM h),
+        |t AS (SELECT *, count(*) OVER w AS wn, sum(v6) OVER w AS sum25
+        |      FROM v WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |f AS (SELECT event_type, bucket, v6, sum25, v6 * 25 - sum25 AS detr25
+        |      FROM t WHERE wn = 25),
+        |g AS (SELECT *, sum(detr25) OVER pw AS s_sum, count(*) OVER pw AS cnt
+        |      FROM f WINDOW pw AS (PARTITION BY event_type, hour(bucket)))
+        |SELECT event_type, bucket,
+        |  CAST(v6 AS DOUBLE) / 1000000.0 AS v,
+        |  CAST(sum25 AS DOUBLE) / 25.0 / 1000000.0 AS trend,
+        |  CAST(s_sum AS DOUBLE) / (25.0 * cnt) / 1000000.0 AS seasonal,
+        |  CAST(cnt * detr25 - s_sum AS DOUBLE) / (25.0 * cnt) / 1000000.0 AS resid
+        |FROM g ORDER BY event_type, bucket""".stripMargin,
     "search_bm25" ->
       s"""WITH $bm25Cte
          |SELECT doc_id, bm25 FROM b ORDER BY 1""".stripMargin,
