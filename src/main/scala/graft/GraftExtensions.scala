@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DeflateRatio, DotProduct, HeavyHitters, TDigestQuantile}
+import graft.expressions.{DeflateRatio, DotProduct, HeavyHitters, RollingAnchors, TDigestQuantile}
 
 /** Session extension registering graft's native expressions with the SQL
   * function registry, so `spark.sql("SELECT graft_dot(a, b) ...")` works:
@@ -53,5 +53,10 @@ object GraftExtensions {
       require(children.length == 1,
         s"graft_deflate_ratio takes 1 argument, got ${children.length}")
       DeflateRatio(children.head)
+    }),
+    ("graft_anchors", classOf[RollingAnchors], children => {
+      require(children.length == 4,
+        s"graft_anchors takes 4 arguments, got ${children.length}")
+      RollingAnchors(children.head, children(1), children(2), children(3))
     }))
 }

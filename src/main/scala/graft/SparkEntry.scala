@@ -1957,6 +1957,18 @@ object SparkEntry {
         spanLen = 64, stride = 32)
       .orderBy("doc_id")
 
+  /** Production-path substring dedup ([[Dedup.duplicatedSpansRolling]]):
+    * same strided ∪ content-defined-anchor algebra as dedup_substring,
+    * anchors from the native `graft_anchors` rolling hash (one O(1)/char
+    * pass instead of one md5 per corpus character), xxhash64 span
+    * fingerprints. Spark-only: the oracle engine has neither hash family;
+    * SpanDedupSpec pins recall equivalence against the md5 variant.
+    */
+  private def q_dedup_substring_fast(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpansRolling(T(s, dir, "documents"), "doc_id", "text",
+        spanLen = 64, stride = 32)
+      .orderBy("doc_id")
+
   /** Split instant shared by the drift queries: cohort A = the first half
     * of the fixture month. An Instant literal is timezone-fixed (a
     * java.sql.Timestamp literal would parse in the JVM default zone).
@@ -2184,7 +2196,8 @@ object SparkEntry {
     "agg_psi_drift" -> (q_agg_psi_drift _),
     "ml_holt_winters" -> (q_ml_holt_winters _),
     "simsearch_hybrid" -> (q_simsearch_hybrid _),
-    "stream_drift" -> (q_stream_drift _)
+    "stream_drift" -> (q_stream_drift _),
+    "dedup_substring_fast" -> (q_dedup_substring_fast _)
   )
 
   // Shared oracle fragments

@@ -731,6 +731,15 @@ object Dedup {
     val spans = wide.select(col("doc_id"),
       explode(transform(array_union(strided, anchors),
         p => md5(col(textCol).substr(p, lit(spanLen))))).as("h"))
+    spanDupCounts(spans)
+  }
+
+  /** Shared tail of the substring-dedup variants: spans `(doc_id, h)` →
+    * per-doc count of spans whose fingerprint occurs in ≥2 distinct docs.
+    * The groupBy shuffles hash keys (uniform — no skew); the semi-join
+    * back is AQE-broadcast when the duplicated-span universe is small.
+    */
+  private def spanDupCounts(spans: DataFrame): DataFrame = {
     val shared = spans.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
@@ -738,5 +747,34 @@ object Dedup {
     spans.join(shared, Seq("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_spans"))
+  }
+
+  /** Production-path twin of [[duplicatedSpans]]: identical strided ∪
+    * content-defined-anchor algebra, but anchors come from the native
+    * [[graft.expressions.RollingAnchors]] rolling hash (ONE O(1)-per-char
+    * pass — no per-position substring or digest allocation) and span
+    * fingerprints are `xxhash64` instead of md5. Same alignment-free
+    * detection guarantee (anchor selection is content-local either way);
+    * not oracle-expressible because the oracle engine has neither hash,
+    * so [[duplicatedSpans]] stays the hash-checked variant and
+    * SpanDedupSpec pins this one's recall equivalence on constructed
+    * corpora.
+    */
+  def duplicatedSpansRolling(docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 64, stride: Int = 32,
+      anchorGram: Int = 16, anchorMod: Int = 16): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val lastStart = greatest(length(col(textCol)) - (spanLen - 1), lit(1))
+    val strided = sequence(lit(1), lastStart, lit(stride))
+    val anchors = Bridge.column(graft.expressions.RollingAnchors(
+      Bridge.expression(col(textCol)), Bridge.expression(lit(anchorGram)),
+      Bridge.expression(lit(anchorMod)), Bridge.expression(lit(spanLen))))
+    val wide = docs.select(col(idCol).as("doc_id"), col(textCol))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+    val spans = wide.select(col("doc_id"),
+      explode(transform(array_union(strided, anchors),
+        p => xxhash64(col(textCol).substr(p, lit(spanLen))))).as("h"))
+    spanDupCounts(spans)
   }
 }

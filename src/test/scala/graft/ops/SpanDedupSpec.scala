@@ -69,6 +69,24 @@ class SpanDedupSpec extends SparkSpec {
     assert(out == Set(1L, 2L))
   }
 
+  test("rolling-hash variant finds the same duplicate docs as the md5 " +
+      "variant — aligned AND misaligned") {
+    val docs = Seq(
+      (1L, uniq(31) + para + uniq(32)),        // aligned with 2
+      (2L, uniq(33) + para + uniq(34)),
+      (3L, "p" * 7 + para + para + "q" * 5),   // misaligned with 4
+      (4L, "r" * 20 + para + para + "s" * 9),
+      (5L, uniq(35)),                           // unique
+      (6L, uniq(36))
+    ).toDF("doc_id", "text")
+    val md5Docs = Dedup.duplicatedSpans(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val rollDocs = Dedup.duplicatedSpansRolling(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(md5Docs == Set(1L, 2L, 3L, 4L), s"md5: $md5Docs")
+    assert(rollDocs == Set(1L, 2L, 3L, 4L), s"rolling: $rollDocs")
+  }
+
   test("span counts are per-occurrence: a doc repeating the shared span " +
       "counts each strided window") {
     val docs = Seq(
