@@ -1969,6 +1969,97 @@ object SparkEntry {
         spanLen = 64, stride = 32)
       .orderBy("doc_id")
 
+  /** SEGMENT-level exact dedup with text RECONSTRUCTION — the C4 /
+    * Dolma "line dedup" pipeline stage (remove every later occurrence of
+    * a duplicated line/paragraph ACROSS the corpus, keep the document
+    * otherwise), adapted to the unstructured fixture as fixed 50-word
+    * segments. Doc-level dedup ([[Dedup.exact]]) drops whole documents;
+    * this surgically removes the boilerplate inside them.
+    *
+    * Plan: one segment explode (n/50 rows per doc); first-occurrence
+    * selection is a row_number over the segment hash (shuffle keyed on
+    * md5 — uniform; heavy boilerplate groups cost their occurrence count,
+    * no pair explosion); the rebuild groups by doc. Reconstruction makes
+    * the op self-verifying: the oracle string-compares the full cleaned
+    * text, so a mis-ordered or mis-sliced rebuild hash-fails.
+    */
+  private def q_dedup_paragraphs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = split(col("text"), " ")
+    val segs = T(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0L), ceil(size(words) / lit(50.0)).cast("long") - 1),
+          i => struct(i.as("seg_idx"),
+            array_join(slice(words, (i * 50 + 1).cast("int"), lit(50)), " ")
+              .as("seg")))).as("e"))
+      .select(col("doc_id"), col("e.seg_idx").as("seg_idx"), col("e.seg").as("seg"))
+    val ranked = segs.withColumn("rn",
+      row_number().over(Window.partitionBy(md5(col("seg")))
+        .orderBy(col("doc_id"), col("seg_idx"))))
+    val tot = segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+    ranked.filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("seg_idx"), col("seg")))),
+          e => e.getField("seg")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .join(tot, Seq("doc_id"))
+      .select(col("doc_id"), col("clean_text"), col("n_kept"),
+        (col("n_segs") - col("n_kept")).as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
+  /** STREAMING CDC apply — the lakehouse ingest loop: the update batch is
+    * streamed (file source, one file per micro-batch) and each
+    * micro-batch is MERGED into the current table state by
+    * [[graft.ops.Lake.upsert]] copy-on-write inside `foreachBatch`
+    * (versioned snapshot dirs — the Delta-style rewrite; production
+    * rewrites only touched partitions, the merge algebra per partition is
+    * identical). Update keys are unique, so the final state is
+    * batching-order-independent — and it must equal the one-shot batch
+    * merge, which is exactly what the oracle (shared with sink_upsert)
+    * hash-checks.
+    */
+  private def q_stream_upsert(s: SparkSession, dir: String): DataFrame = {
+    val base = E(s, dir)
+    val updatesDir = fittedModel(s"upsertcdc|$dir") {
+      val out = s"$registryRoot/upsertcdc_${registryKey(
+        s"upsertcdc-v1|$dir|${tableFingerprint(s, s"$dir/events.parquet")}")}"
+      val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        base.filter(col("event_id") % 7 === 0)
+          .withColumn("value", col("value") + lit(1000.0))
+          .unionByName(base.filter(col("event_id") % 97 === 0)
+            .withColumn("event_id", col("event_id") + lit(1000000L))
+            .withColumn("event_type", lit("backfill")))
+          .repartition(4) // 4 files -> 4 micro-batches
+          .write.mode("overwrite").parquet(out)
+      }
+      out
+    }
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-stream-upsert").toString
+    base.write.mode("overwrite").parquet(s"$state/v0")
+    var version = 0
+    val stream = s.readStream.schema(s.read.parquet(updatesDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(updatesDir)
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val current = s.read.parquet(s"$state/v$version")
+        graft.ops.Lake.upsert(current, batch.toDF(), Seq("event_id"))
+          .write.mode("overwrite").parquet(s"$state/v${version + 1}")
+        version += 1
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$state/v$version")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+  }
+
   /** Split instant shared by the drift queries: cohort A = the first half
     * of the fixture month. An Instant literal is timezone-fixed (a
     * java.sql.Timestamp literal would parse in the JVM default zone).
@@ -2197,7 +2288,9 @@ object SparkEntry {
     "ml_holt_winters" -> (q_ml_holt_winters _),
     "simsearch_hybrid" -> (q_simsearch_hybrid _),
     "stream_drift" -> (q_stream_drift _),
-    "dedup_substring_fast" -> (q_dedup_substring_fast _)
+    "dedup_substring_fast" -> (q_dedup_substring_fast _),
+    "dedup_paragraphs" -> (q_dedup_paragraphs _),
+    "stream_upsert" -> (q_stream_upsert _)
   )
 
   // Shared oracle fragments
@@ -3408,6 +3501,41 @@ object SparkEntry {
       """(na + 0.5) / (sum(na) OVER pt + 0.5 * count(*) OVER pt) AS pa,
         |          (nb + 0.5) / (sum(nb) OVER pt + 0.5 * count(*) OVER pt) AS pb"""
         .stripMargin),
+    "dedup_paragraphs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |segs AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+        |    array_to_string(list_slice(ws, i * 50 + 1, i * 50 + 50), ' ') AS seg
+        |  FROM w, unnest(range(0, CAST(ceil(length(ws) / 50.0) AS BIGINT))) AS t(i)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(seg)
+        |    ORDER BY doc_id, seg_idx) AS rn
+        |  FROM segs),
+        |kept AS (SELECT doc_id, seg_idx, seg FROM ranked WHERE rn = 1),
+        |tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY 1)
+        |SELECT k.doc_id,
+        |  string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+        |  count(*) AS n_kept,
+        |  any_value(n_segs) - count(*) AS n_dropped
+        |FROM kept k JOIN tot USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the streamed CDC apply must land on the SAME final state as the
+    // one-shot batch merge — sink_upsert's oracle, verbatim
+    "stream_upsert" ->
+      """WITH upd AS (
+        |  SELECT event_id, event_type, value + 1000 AS value
+        |  FROM events WHERE event_id % 7 = 0
+        |  UNION ALL
+        |  SELECT event_id + 1000000 AS event_id, 'backfill' AS event_type, value
+        |  FROM events WHERE event_id % 97 = 0),
+        |merged AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE event_id NOT IN (SELECT event_id FROM upd)
+        |  UNION ALL SELECT event_id, event_type, value FROM upd)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // frozen-reference-edge KS (bin ranges from cohort A only, live values
     // clamped into the end bins) — the streaming monitor's exact semantic
     "stream_drift" ->
