@@ -1983,10 +1983,12 @@ object SparkEntry {
     * the op self-verifying: the oracle string-compares the full cleaned
     * text, so a mis-ordered or mis-sliced rebuild hash-fails.
     */
-  private def q_dedup_paragraphs(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** 50-word segment table `(doc_id, seg_idx, seg)` of the documents
+    * corpus — shared by the segment-dedup and duplication-weight queries.
+    */
+  private def docSegments(s: SparkSession, dir: String): DataFrame = {
     val words = split(col("text"), " ")
-    val segs = T(s, dir, "documents")
+    T(s, dir, "documents")
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(0L), ceil(size(words) / lit(50.0)).cast("long") - 1),
@@ -1994,6 +1996,11 @@ object SparkEntry {
             array_join(slice(words, (i * 50 + 1).cast("int"), lit(50)), " ")
               .as("seg")))).as("e"))
       .select(col("doc_id"), col("e.seg_idx").as("seg_idx"), col("e.seg").as("seg"))
+  }
+
+  private def q_dedup_paragraphs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = docSegments(s, dir)
     val ranked = segs.withColumn("rn",
       row_number().over(Window.partitionBy(md5(col("seg")))
         .orderBy(col("doc_id"), col("seg_idx"))))
@@ -2007,6 +2014,26 @@ object SparkEntry {
       .join(tot, Seq("doc_id"))
       .select(col("doc_id"), col("clean_text"), col("n_kept"),
         (col("n_segs") - col("n_kept")).as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
+  /** DUPLICATION-AWARE sampling weight — the SoftDeDup idea (Xue et al.
+    * 2024): instead of dropping duplicated documents outright, DOWN-WEIGHT
+    * them by commonness. Per doc: mean corpus-wide occurrence count of its
+    * 50-word segments (`mean_df`, 1.0 = fully unique) and the sampling
+    * weight `1/mean_df`. Both are one exact integer sum divided by
+    * another — bit-identical cross-engine, no rounding. Plan: the shared
+    * segment explode + one df hash-agg (uniform keys) + one join back.
+    */
+  private def q_sample_soft_dedup(s: SparkSession, dir: String): DataFrame = {
+    val segs = docSegments(s, dir).withColumn("h", md5(col("seg")))
+    val df = segs.groupBy("h").agg(count(lit(1)).as("df"))
+    segs.join(df, Seq("h"))
+      .groupBy("doc_id")
+      .agg(sum(col("df")).as("sum_df"), count(lit(1)).as("n"))
+      .select(col("doc_id"),
+        (col("sum_df").cast("double") / col("n")).as("mean_df"),
+        (col("n").cast("double") / col("sum_df")).as("weight"))
       .orderBy("doc_id")
   }
 
@@ -2290,7 +2317,8 @@ object SparkEntry {
     "stream_drift" -> (q_stream_drift _),
     "dedup_substring_fast" -> (q_dedup_substring_fast _),
     "dedup_paragraphs" -> (q_dedup_paragraphs _),
-    "stream_upsert" -> (q_stream_upsert _)
+    "stream_upsert" -> (q_stream_upsert _),
+    "sample_soft_dedup" -> (q_sample_soft_dedup _)
   )
 
   // Shared oracle fragments
@@ -3519,6 +3547,20 @@ object SparkEntry {
         |  any_value(n_segs) - count(*) AS n_dropped
         |FROM kept k JOIN tot USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact integer sums divided by exact integer counts — no rounding
+    "sample_soft_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |segs AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(ws, i * 50 + 1, i * 50 + 50), ' ') AS seg
+        |  FROM w, unnest(range(0, CAST(ceil(length(ws) / 50.0) AS BIGINT))) AS t(i)),
+        |df AS (SELECT md5(seg) AS h, count(*) AS df FROM segs GROUP BY 1),
+        |d AS (SELECT s.doc_id, CAST(sum(df.df) AS BIGINT) AS sum_df,
+        |        count(*) AS n
+        |      FROM segs s JOIN df ON md5(s.seg) = df.h GROUP BY 1)
+        |SELECT doc_id, CAST(sum_df AS DOUBLE) / n AS mean_df,
+        |  CAST(n AS DOUBLE) / sum_df AS weight
+        |FROM d ORDER BY doc_id""".stripMargin,
     // the streamed CDC apply must land on the SAME final state as the
     // one-shot batch merge — sink_upsert's oracle, verbatim
     "stream_upsert" ->
