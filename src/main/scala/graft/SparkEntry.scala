@@ -2168,20 +2168,28 @@ object SparkEntry {
   }
 
   /** Holt-Winters 24-hour-ahead forecast per event_type over the hourly
-    * series ([[graft.ml.HoltWinters]]). Spark-only: the triple-smoothing
-    * recursion is not SQL-expressible; HoltWintersSpec pins the math on
-    * closed-form series.
+    * series ([[graft.ml.HoltWinters]]) — ORACLE-CHECKED, bit-exact and
+    * unrounded: the input series is the fixed-point hourly mean (exact
+    * integer micro-units, the win_seasonal_decompose discipline), and the
+    * DuckDB oracle replays the ENTIRE triple-smoothing recursion as a
+    * `list_reduce` fold whose every float op mirrors `HoltWinters.smooth`
+    * verbatim (same literals, same association — even `(1 − 0.3)`, which
+    * is NOT the double `0.7`). A recursive stateful ML fit that
+    * hash-matches SQL exactly, like stream_cusum.
     */
   private def q_ml_holt_winters(s: SparkSession, dir: String): DataFrame = {
     val hourly = E(s, dir)
       .filter(col("value").isNotNull)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
-      .agg(avg(col("value")).as("v"))
+      .agg((sum(col("value").cast("decimal(18,6)")) * lit(1000000L))
+          .cast("long").as("s_micro"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("bucket"),
+        (expr("s_micro div n").cast("double") / lit(1000000.0)).as("v"))
     graft.ml.HoltWinters.forecast(hourly, "event_type", "bucket", "v",
         horizon = 24)
       .select(col("event_type"), col("step").cast("long").as("step"),
-        round(col("yhat"), 6).as("yhat"), round(col("level"), 6).as("level"),
-        round(col("trend"), 6).as("trend"))
+        col("yhat"), col("level"), col("trend"))
       .orderBy("event_type", "step")
   }
 
@@ -3547,6 +3555,55 @@ object SparkEntry {
         |  any_value(n_segs) - count(*) AS n_dropped
         |FROM kept k JOIN tot USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the FULL Holt-Winters recursion replayed as a list_reduce fold —
+    // every float op mirrors HoltWinters.smooth verbatim (literals,
+    // association, the (1 - 0.3)-is-not-0.7 trap), state = 27-double list
+    // [t, level, trend, s0..s23]; input is the fixed-point hourly mean.
+    // Unrounded output: the doubles are bit-identical by construction.
+    "ml_holt_winters" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      // count(*) AS v6
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |ser AS (SELECT event_type,
+        |    list(CAST(v6 AS DOUBLE) / 1000000.0 ORDER BY bucket) AS ys
+        |  FROM h GROUP BY 1),
+        |init AS (SELECT event_type, ys, len(ys) AS n,
+        |    list_sum(ys[1:24]) / 24 AS mean1,
+        |    list_sum(ys[25:48]) / 24 AS mean2
+        |  FROM ser),
+        |st0 AS (SELECT event_type, ys, n,
+        |    ([CAST(24 AS DOUBLE), mean1, (mean2 - mean1) / 24] ||
+        |     list_transform(range(1, 25),
+        |       i -> ys[CAST(i AS INTEGER)] - mean1)) AS s0
+        |  FROM init),
+        |fin AS (SELECT event_type, n,
+        |    list_reduce(
+        |      [s0] || list_transform(ys[25:CAST(n AS INTEGER)], y -> [y]),
+        |      (acc, x) -> [
+        |        acc[1] + 1,
+        |        0.3 * (x[1] - acc[4 + CAST(CAST(acc[1] AS BIGINT) % 24 AS INTEGER)])
+        |          + (1 - 0.3) * (acc[2] + acc[3]),
+        |        0.05 * ((0.3 * (x[1]
+        |            - acc[4 + CAST(CAST(acc[1] AS BIGINT) % 24 AS INTEGER)])
+        |          + (1 - 0.3) * (acc[2] + acc[3])) - acc[2])
+        |          + (1 - 0.05) * acc[3]
+        |      ] || list_transform(range(0, 24), i ->
+        |        CASE WHEN i = CAST(acc[1] AS BIGINT) % 24
+        |          THEN 0.2 * (x[1] - (0.3 * (x[1]
+        |              - acc[4 + CAST(CAST(acc[1] AS BIGINT) % 24 AS INTEGER)])
+        |            + (1 - 0.3) * (acc[2] + acc[3])))
+        |            + (1 - 0.2) * acc[4 + CAST(i AS INTEGER)]
+        |          ELSE acc[4 + CAST(i AS INTEGER)] END)
+        |    ) AS st
+        |  FROM st0)
+        |SELECT event_type, CAST(k AS BIGINT) AS step,
+        |  st[2] + k * st[3]
+        |    + st[4 + CAST((n + k - 1) % 24 AS INTEGER)] AS yhat,
+        |  st[2] AS level, st[3] AS trend
+        |FROM fin, unnest(range(1, 25)) AS t(k)
+        |ORDER BY event_type, step""".stripMargin,
     // exact integer sums divided by exact integer counts — no rounding
     "sample_soft_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
