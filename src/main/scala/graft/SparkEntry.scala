@@ -2087,6 +2087,65 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Cross-stream CORRELATION MATRIX — the feature-engineering staple
+    * over the aligned wide matrix (which sensors co-move? what does a
+    * model's input covariance look like?): pairwise Pearson r between
+    * every pair of event-type hourly series, aligned on the bucket.
+    *
+    * Exactness discipline (the win_autocorr pattern): the hourly means
+    * are quantized to integer CENTS via pure integer ops (micro-sum →
+    * div n → div 10000 — never a fractional decimal→BIGINT cast, which
+    * truncates in Spark but ROUNDS in DuckDB), all six sufficient sums
+    * per pair are exact BIGINTs (bounded ≪ 2^53 by |buckets|·cents²),
+    * and the Pearson combination is one verbatim-mirrored IEEE
+    * expression — bit-identical output, no rounding.
+    *
+    * Plan: ONE resample shuffle → one conditional-aggregation pivot row
+    * per bucket → one tiny aggregation computing all 10 pairs' sums
+    * simultaneously (60 agg exprs, map-side combined) → literal unpivot.
+    * Nothing is quadratic in rows; pairs are quadratic in TAGS only.
+    */
+  private def q_agg_corr_matrix(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val hourly = E(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg((sum(col("value").cast("decimal(18,6)")) * lit(1000000L))
+          .cast("long").as("s_micro"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("bucket"),
+        expr("(s_micro div n) div 10000").as("c"))
+    val wide = hourly.groupBy("bucket")
+      .agg(types.map(t =>
+        max(when(col("event_type") === t, col("c"))).as(s"c_$t")).head,
+        types.tail.map(t =>
+          max(when(col("event_type") === t, col("c"))).as(s"c_$t")): _*)
+    val pairs = for { i <- types.indices; j <- i + 1 until types.length }
+      yield (types(i), types(j))
+    val aggs = pairs.flatMap { case (a, b) =>
+      val (ca, cb) = (col(s"c_$a"), col(s"c_$b"))
+      val both = ca.isNotNull && cb.isNotNull
+      Seq(
+        count(when(both, 1)).as(s"n_${a}_$b"),
+        sum(when(both, ca)).as(s"sa_${a}_$b"),
+        sum(when(both, cb)).as(s"sb_${a}_$b"),
+        sum(when(both, ca * ca)).as(s"saa_${a}_$b"),
+        sum(when(both, cb * cb)).as(s"sbb_${a}_$b"),
+        sum(when(both, ca * cb)).as(s"sab_${a}_$b"))
+    }
+    val stats = wide.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      val (n, sa, sb) = (col(s"n_${a}_$b"), col(s"sa_${a}_$b"), col(s"sb_${a}_$b"))
+      val (saa, sbb, sab) =
+        (col(s"saa_${a}_$b"), col(s"sbb_${a}_$b"), col(s"sab_${a}_$b"))
+      stats.select(lit(a).as("tag_a"), lit(b).as("tag_b"), n.as("n"),
+        ((n * sab - sa * sb).cast("double") /
+          (sqrt((n * saa - sa * sa).cast("double"))
+            * sqrt((n * sbb - sb * sb).cast("double")))).as("r"))
+    }
+    rows.reduce(_ unionByName _).orderBy("tag_a", "tag_b")
+  }
+
   /** Split instant shared by the drift queries: cohort A = the first half
     * of the fixture month. An Instant literal is timezone-fixed (a
     * java.sql.Timestamp literal would parse in the JVM default zone).
@@ -2326,7 +2385,8 @@ object SparkEntry {
     "dedup_substring_fast" -> (q_dedup_substring_fast _),
     "dedup_paragraphs" -> (q_dedup_paragraphs _),
     "stream_upsert" -> (q_stream_upsert _),
-    "sample_soft_dedup" -> (q_sample_soft_dedup _)
+    "sample_soft_dedup" -> (q_sample_soft_dedup _),
+    "agg_corr_matrix" -> (q_agg_corr_matrix _)
   )
 
   // Shared oracle fragments
@@ -3555,6 +3615,7 @@ object SparkEntry {
         |  any_value(n_segs) - count(*) AS n_dropped
         |FROM kept k JOIN tot USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_corr_matrix" -> corrMatrixOracle,
     // the FULL Holt-Winters recursion replayed as a list_reduce fold —
     // every float op mirrors HoltWinters.smooth verbatim (literals,
     // association, the (1 - 0.3)-is-not-0.7 trap), state = 27-double list
@@ -3685,6 +3746,41 @@ object SparkEntry {
       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
       |b AS (SELECT doc_id, round(sum(sterm), 6) AS bm25 FROM sc GROUP BY 1)"""
       .stripMargin
+
+  /** Correlation-matrix oracle (mirrors q_agg_corr_matrix): integer-cents
+    * hourly means via pure integer division (never a fractional
+    * decimal→BIGINT cast — DuckDB rounds those, Spark truncates), exact
+    * sufficient sums, one verbatim-mirrored IEEE Pearson combination per
+    * pair. Generated over the same pair list as the Spark side.
+    */
+  private def corrMatrixOracle: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wideCols = types.map(t =>
+      s"max(CASE WHEN event_type = '$t' THEN c END) AS c_$t").mkString(",\n|    ")
+    val selects = (for {
+      i <- types.indices; j <- i + 1 until types.length
+    } yield {
+      val (a, b) = (types(i), types(j))
+      s"""SELECT '$a' AS tag_a, '$b' AS tag_b, count(*) AS n,
+         |  CAST(count(*) * sum(ca * cb) - sum(ca) * sum(cb) AS DOUBLE)
+         |    / (sqrt(CAST(count(*) * sum(ca * ca) - sum(ca) * sum(ca) AS DOUBLE))
+         |       * sqrt(CAST(count(*) * sum(cb * cb) - sum(cb) * sum(cb) AS DOUBLE))) AS r
+         |FROM (SELECT c_$a AS ca, c_$b AS cb FROM wide
+         |      WHERE c_$a IS NOT NULL AND c_$b IS NOT NULL)"""
+    }).mkString("\n|UNION ALL\n|")
+    s"""WITH h AS (
+       |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+       |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+       |      // count(*)) // 10000 AS c
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |wide AS (
+       |  SELECT bucket,
+       |    $wideCols
+       |  FROM h GROUP BY 1)
+       |SELECT * FROM (
+       |$selects
+       |) ORDER BY tag_a, tag_b""".stripMargin
+  }
 
   /** Shared binned-histogram CTE of the drift oracles (mirrors
     * [[graft.ops.Drift]]'s binning exactly): cohort A = first half of the
