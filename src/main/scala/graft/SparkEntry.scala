@@ -2146,6 +2146,35 @@ object SparkEntry {
     rows.reduce(_ unionByName _).orderBy("tag_a", "tag_b")
   }
 
+  /** Streaming AS-OF enrichment in batch replay
+    * ([[graft.streaming.Streams.asofOnline]]): clicks joined to the
+    * latest same-user view at-or-before them through one O(1) state slot
+    * per user. A single-batch replay is bit-identical to the batch as-of
+    * join, so this STATEFUL streaming op carries join_asof's full oracle
+    * (the stream_cusum discipline); StreamsSpec pins the multi-batch
+    * incremental run against the batch result.
+    */
+  private def q_stream_asof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = E(s, dir)
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("user"),
+        graft.sources.Events.epochMicros(col("ts")).as("tsMicros"),
+        lit(false).as("isRight"), col("event_id").as("eventId"),
+        col("value"))
+    val r = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(avg(col("value")).as("vv"))
+      .select(col("user_id").as("user"),
+        graft.sources.Events.epochMicros(col("ts")).as("tsMicros"),
+        lit(true).as("isRight"), lit(-1L).as("eventId"),
+        col("vv").as("value"))
+    graft.streaming.Streams.asofOnline(l.unionByName(r).as[graft.streaming.AsOfIn])
+      .toDF()
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(col("asof_vv"), 6).as("asof_view"))
+      .orderBy("event_id")
+  }
+
   /** Split instant shared by the drift queries: cohort A = the first half
     * of the fixture month. An Instant literal is timezone-fixed (a
     * java.sql.Timestamp literal would parse in the JVM default zone).
@@ -2386,7 +2415,8 @@ object SparkEntry {
     "dedup_paragraphs" -> (q_dedup_paragraphs _),
     "stream_upsert" -> (q_stream_upsert _),
     "sample_soft_dedup" -> (q_sample_soft_dedup _),
-    "agg_corr_matrix" -> (q_agg_corr_matrix _)
+    "agg_corr_matrix" -> (q_agg_corr_matrix _),
+    "stream_asof" -> (q_stream_asof _)
   )
 
   // Shared oracle fragments
@@ -3616,6 +3646,15 @@ object SparkEntry {
         |FROM kept k JOIN tot USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_corr_matrix" -> corrMatrixOracle,
+    // the streamed as-of must equal the batch as-of — join_asof's oracle
+    "stream_asof" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) t, value
+        |           FROM events WHERE event_type = 'click'),
+        |     r AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, avg(value) AS vv
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.value, round(r.vv, 6) AS asof_view
+        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.t >= r.t
+        |ORDER BY event_id""".stripMargin,
     // the FULL Holt-Winters recursion replayed as a list_reduce fold —
     // every float op mirrors HoltWinters.smooth verbatim (literals,
     // association, the (1 - 0.3)-is-not-0.7 trap), state = 27-double list

@@ -39,6 +39,20 @@ case class AutoCorrScored(tag: String, ts: java.sql.Timestamp, value: Double,
 case class Drifted(tag: String, ts: java.sql.Timestamp, value: Double,
     cusum_up: Double, cusum_dn: Double, alarm_up: Int, alarm_dn: Int)
 
+/** One side-tagged as-of event: probe (isRight=false, carries eventId) or
+  * reference (isRight=true, value = the reference reading) — see
+  * Streams.asofOnline. Event time as epoch micros for exact ordering.
+  */
+case class AsOfIn(user: Long, tsMicros: Long, isRight: Boolean,
+    eventId: Long, value: Option[Double])
+
+/** Latest reference value per key (None = reference row with null value). */
+case class AsOfState(vv: Option[Double])
+
+/** A probe joined to the latest reference state at-or-before it. */
+case class AsOfOut(event_id: Long, user_id: Long, value: Option[Double],
+    asof_vv: Option[Double])
+
 /** Structured Streaming forms of the engine's core ops. The reference is
   * batch + request/response — its closest streaming analogue is the bulk
   * client's chunked date-range loop (`client/client.py::Client.predict`,
@@ -175,6 +189,40 @@ object Streams {
               if (s.up > hMicros) 1 else 0, if (s.dn > hMicros) 1 else 0)
           }
           state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Online AS-OF join per key — the streaming enrichment shape: a probe
+    * stream (clicks) joined to the MOST RECENT state of a reference
+    * stream (views) at-or-before each probe's event time. The batch form
+    * is `ops.AsOf.join` (backward, inclusive, inner); the streaming form
+    * carries one O(1) slot per key — the latest reference value — and
+    * emits each probe against it. Both sides arrive as ONE side-tagged
+    * stream (the only way two sources share ordered per-key state);
+    * within a micro-batch events process in event-time order with
+    * reference rows first on ties (the `l.t >= r.t` inclusive bound), so
+    * a single-batch replay is bit-identical to the batch as-of join and
+    * the query shares its oracle. Cross-batch correctness needs the
+    * feed time-ordered across batches (the file-source norm); a late
+    * reference row cannot retro-correct already-emitted probes — that is
+    * the streaming trade, watermark your ingest accordingly.
+    */
+  def asofOnline(events: Dataset[AsOfIn]): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[AsOfIn],
+         state: org.apache.spark.sql.streaming.GroupState[AsOfState]) =>
+          var st = state.getOption
+          // rights first at equal timestamps: false < true on !isRight
+          val out = it.toSeq.sortBy(e => (e.tsMicros, !e.isRight, e.eventId))
+            .flatMap { e =>
+              if (e.isRight) { st = Some(AsOfState(e.value)); None }
+              else st.map(s => AsOfOut(e.eventId, user, e.value, s.vv))
+            }
+          st.foreach(state.update)
           out.iterator
       }
   }

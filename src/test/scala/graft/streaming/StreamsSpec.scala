@@ -367,4 +367,41 @@ class StreamsSpec extends SparkSpec {
       assert(est <= t && est >= t - n / 5, s"$item est $est outside [${t - n / 5}, $t]")
     }
   }
+
+  test("asofOnline matches the batch as-of join on a single-batch replay " +
+      "and carries state across time-ordered micro-batches") {
+    def in(user: Long, tsm: Long, right: Boolean, id: Long, v: Option[Double]) =
+      AsOfIn(user, tsm, right, id, v)
+    val events = Seq(
+      in(1, 100, right = true, -1, Some(10.0)),
+      in(1, 150, right = false, 1, Some(0.5)), // joins vv=10
+      in(1, 200, right = true, -1, Some(20.0)),
+      in(1, 200, right = false, 2, Some(0.6)), // tie: inclusive -> vv=20
+      in(1, 300, right = false, 3, None), // null probe value still joins
+      in(2, 50, right = false, 4, Some(9.9)), // probe before ANY ref: dropped
+      in(2, 60, right = true, -1, None), // ref with null value
+      in(2, 70, right = false, 5, Some(1.0)) // joins vv=null
+    )
+    def key(o: AsOfOut) = (o.event_id, o.user_id, o.value, o.asof_vv)
+    val single = Streams.asofOnline(events.toDS).collect().map(key).sortBy(_._1)
+    assert(single.toSeq == Seq(
+      (1L, 1L, Some(0.5), Some(10.0)),
+      (2L, 1L, Some(0.6), Some(20.0)),
+      (3L, 1L, None, Some(20.0)),
+      (5L, 2L, Some(1.0), None)))
+    // incremental: split at t=175 (time-ordered batches) — state carries
+    // the latest reference across the boundary and the result is identical
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[AsOfIn]
+    val q = Streams.asofOnline(mem.toDS)
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(events.filter(_.tsMicros < 175)); q.processAllAvailable()
+      mem.addData(events.filter(_.tsMicros >= 175)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("asof_out").as[AsOfOut]
+      .collect().map(key).sortBy(_._1)
+    assert(streamed.toSeq == single.toSeq)
+  }
 }
