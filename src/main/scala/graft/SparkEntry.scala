@@ -215,6 +215,47 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Hive-style PARTITIONED lake layout — the fourth sink beside
+    * compaction (file size), z-order (multi-dim locality), and upsert
+    * (merge): events written `partitionBy(event_date)` (registry-gated,
+    * fingerprint-keyed), read BACK with a partition-column predicate so
+    * the listing itself prunes non-matching date directories (cheaper
+    * than row-group pruning: pruned partitions are never even listed as
+    * splits — the dominant scan-reduction lever for time-partitioned
+    * 100 TB tables), then aggregated. The oracle computes the same
+    * date-bounded aggregate from the UNPARTITIONED original, so a
+    * partition-key derivation or pruning bug hash-fails. PlanAuditSpec
+    * asserts the shipped query's scan carries only in-range partitions.
+    */
+  private[graft] def partitionedRoot(s: SparkSession, dir: String): String =
+    s"$registryRoot/part_${registryKey(
+      s"part-v1|$dir|${tableFingerprint(s, s"$dir/events.parquet")}")}"
+
+  private def partitionedMaterialized(s: SparkSession, dir: String): String =
+    fittedModel(s"part|$dir") {
+      val out = partitionedRoot(s, dir)
+      val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker))
+        E(s, dir).withColumn("event_date", to_date(col("ts")))
+          .write.partitionBy("event_date").mode("overwrite").parquet(out)
+      out
+    }
+
+  private def q_sink_partitioned(s: SparkSession, dir: String): DataFrame = {
+    val root = partitionedMaterialized(s, dir)
+    s.read.parquet(root)
+      .filter(col("event_date") >= lit(java.sql.Date.valueOf("2024-01-08")) &&
+        col("event_date") < lit(java.sql.Date.valueOf("2024-01-15")))
+      .groupBy("event_date", "event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      // DATE parquet surfaces as python `object` in the compare while
+      // DuckDB DATE lands as datetime64 — emit midnight timestamps
+      .select(col("event_date").cast("timestamp").as("event_date"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("event_date", "event_type")
+  }
+
   /** The FULL Influx client↔server leg over a live loopback socket:
     * events → `InfluxStore.write` (line-protocol POST batches from
     * executor partitions) → [[graft.sources.InfluxEmulator]] (the real
@@ -2416,7 +2457,8 @@ object SparkEntry {
     "stream_upsert" -> (q_stream_upsert _),
     "sample_soft_dedup" -> (q_sample_soft_dedup _),
     "agg_corr_matrix" -> (q_agg_corr_matrix _),
-    "stream_asof" -> (q_stream_asof _)
+    "stream_asof" -> (q_stream_asof _),
+    "sink_partitioned" -> (q_sink_partitioned _)
   )
 
   // Shared oracle fragments
@@ -3646,6 +3688,17 @@ object SparkEntry {
         |FROM kept k JOIN tot USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_corr_matrix" -> corrMatrixOracle,
+    // date-bounded aggregate on the UNPARTITIONED original — a partition
+    // derivation or pruning bug in the layout read-back hash-fails
+    "sink_partitioned" ->
+      """SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS TIMESTAMP)
+        |    AS event_date, event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-08'
+        |  AND CAST(CAST(ts AS TIMESTAMP) AS DATE) < DATE '2024-01-15'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the streamed as-of must equal the batch as-of — join_asof's oracle
     "stream_asof" ->
       """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) t, value

@@ -307,4 +307,31 @@ class PlanAuditSpec extends SparkSpec {
       assert(plan.contains("BroadcastHashJoin"), s"$q ranges not broadcast:\n$plan")
     }
   }
+
+  test("sink_partitioned's read-back prunes non-matching date partitions " +
+      "at the scan") {
+    val df = SparkEntry.queries("sink_partitioned")(spark, dir)
+    // the layout must actually CONTAIN out-of-range dates, or the prune
+    // assertion below is vacuous (the fixture month spans 2024-01)
+    val root = SparkEntry.partitionedRoot(spark, dir)
+    val all = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+      .map(_.getName.stripPrefix("event_date=")).sorted
+    assert(all.exists(_ < "2024-01-08") || all.exists(_ >= "2024-01-15"),
+      s"layout has no out-of-range partitions: ${all.mkString(",")}")
+    // the physical scan's selected partitions are the post-pruning list
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = df.queryExecution.sparkPlan
+      .collectFirst { case s: FileSourceScanExec => s }.get
+    val dates = scan.selectedPartitions.toPartitionArray
+      .map(_.urlEncodedPath)
+      .flatMap(_.split("/").find(_.startsWith("event_date=")))
+      .map(_.stripPrefix("event_date=")).distinct.sorted
+    assert(dates.nonEmpty &&
+      dates.forall(d => d >= "2024-01-08" && d < "2024-01-15"),
+      s"scan listed out-of-range partitions: ${dates.mkString(",")}")
+    val plan = df.queryExecution.explainString(FormattedMode)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_date"), s"date bound not a partition filter:\n$plan")
+  }
 }
