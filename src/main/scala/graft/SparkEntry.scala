@@ -2216,6 +2216,28 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** OHLC downsampling — the classic financial/sensor compaction: per
+    * (stream, hour) the opening reading, extrema, and closing reading.
+    * first/last are made DETERMINISTIC under timestamp ties by taking
+    * min/max over the total-order struct (ts, event_id, value) — both
+    * engines compare structs lexicographically, so the pick is identical
+    * (a bare min_by/arg_min tie is engine-arbitrary). ONE hash aggregate,
+    * map-side combined — the O(1)-state-per-bucket shape that holds at
+    * any scale.
+    */
+  private def q_agg_resample_ohlc(s: SparkSession, dir: String): DataFrame = {
+    val e = E(s, dir).filter(col("value").isNotNull)
+    val ord = struct(col("ts").as("t"), col("event_id").as("id"),
+      col("value").as("v"))
+    e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("bucket"))
+      .agg(min(ord).getField("v").as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max(ord).getField("v").as("close"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket")
+  }
+
   /** Split instant shared by the drift queries: cohort A = the first half
     * of the fixture month. An Instant literal is timezone-fixed (a
     * java.sql.Timestamp literal would parse in the JVM default zone).
@@ -2458,7 +2480,8 @@ object SparkEntry {
     "sample_soft_dedup" -> (q_sample_soft_dedup _),
     "agg_corr_matrix" -> (q_agg_corr_matrix _),
     "stream_asof" -> (q_stream_asof _),
-    "sink_partitioned" -> (q_sink_partitioned _)
+    "sink_partitioned" -> (q_sink_partitioned _),
+    "agg_resample_ohlc" -> (q_agg_resample_ohlc _)
   )
 
   // Shared oracle fragments
@@ -3699,6 +3722,19 @@ object SparkEntry {
         |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-08'
         |  AND CAST(CAST(ts AS TIMESTAMP) AS DATE) < DATE '2024-01-15'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // open/close picked through the total-order struct (t, id, v) — both
+    // engines compare structs lexicographically, so ties resolve identically
+    "agg_resample_ohlc" ->
+      """WITH e AS (SELECT event_type,
+        |       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |       CAST(ts AS TIMESTAMP) AS t, event_id, value
+        |     FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, bucket,
+        |  min({'t': t, 'id': event_id, 'v': value}).v AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max({'t': t, 'id': event_id, 'v': value}).v AS close,
+        |  count(*) AS n
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the streamed as-of must equal the batch as-of — join_asof's oracle
     "stream_asof" ->
       """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) t, value
