@@ -2179,10 +2179,12 @@ object SparkEntry {
       val (n, sa, sb) = (col(s"n_${a}_$b"), col(s"sa_${a}_$b"), col(s"sb_${a}_$b"))
       val (saa, sbb, sab) =
         (col(s"saa_${a}_$b"), col(s"sbb_${a}_$b"), col(s"sab_${a}_$b"))
+      // nullif: a zero-variance side yields NULL r (matching DuckDB's
+      // x/0 → NULL; Spark's default ANSI mode would throw instead)
       stats.select(lit(a).as("tag_a"), lit(b).as("tag_b"), n.as("n"),
         ((n * sab - sa * sb).cast("double") /
-          (sqrt((n * saa - sa * sa).cast("double"))
-            * sqrt((n * sbb - sb * sb).cast("double")))).as("r"))
+          nullif(sqrt((n * saa - sa * sa).cast("double"))
+            * sqrt((n * sbb - sb * sb).cast("double")), lit(0.0))).as("r"))
     }
     rows.reduce(_ unionByName _).orderBy("tag_a", "tag_b")
   }
@@ -2236,6 +2238,34 @@ object SparkEntry {
         max(ord).getField("v").as("close"),
         count(lit(1)).as("n"))
       .orderBy("event_type", "bucket")
+  }
+
+  /** CONTINUOUS OHLC — the same compaction as agg_resample_ohlc running
+    * as a live streaming aggregation over the compacted-events directory
+    * source: struct-min/max and count are all mergeable O(1)-state
+    * aggregates, so each (stream, hour) bucket's candles update in place
+    * in the state store (complete mode re-emits). Shares
+    * agg_resample_ohlc's oracle — the streamed candles must equal the
+    * batch candles exactly, ties included.
+    */
+  private def q_stream_ohlc(s: SparkSession, dir: String): DataFrame = {
+    val root = compactMaterialized(s, dir)
+    val name = s"ohlc_stream_${registryKey(dir).take(8)}"
+    val schema = s.read.parquet(root).schema
+    val ord = struct(col("ts").as("t"), col("event_id").as("id"),
+      col("value").as("v"))
+    val stream = s.readStream.schema(schema).parquet(root)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(min(ord).getField("v").as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max(ord).getField("v").as("close"),
+        count(lit(1)).as("n"))
+    s.catalog.dropTempView(name)
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy("event_type", "bucket")
   }
 
   /** Split instant shared by the drift queries: cohort A = the first half
@@ -2481,7 +2511,8 @@ object SparkEntry {
     "agg_corr_matrix" -> (q_agg_corr_matrix _),
     "stream_asof" -> (q_stream_asof _),
     "sink_partitioned" -> (q_sink_partitioned _),
-    "agg_resample_ohlc" -> (q_agg_resample_ohlc _)
+    "agg_resample_ohlc" -> (q_agg_resample_ohlc _),
+    "stream_ohlc" -> (q_stream_ohlc _)
   )
 
   // Shared oracle fragments
@@ -3725,6 +3756,18 @@ object SparkEntry {
     // open/close picked through the total-order struct (t, id, v) — both
     // engines compare structs lexicographically, so ties resolve identically
     "agg_resample_ohlc" ->
+      """WITH e AS (SELECT event_type,
+        |       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |       CAST(ts AS TIMESTAMP) AS t, event_id, value
+        |     FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, bucket,
+        |  min({'t': t, 'id': event_id, 'v': value}).v AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max({'t': t, 'id': event_id, 'v': value}).v AS close,
+        |  count(*) AS n
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the streamed candles must equal the batch candles exactly
+    "stream_ohlc" ->
       """WITH e AS (SELECT event_type,
         |       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
         |       CAST(ts AS TIMESTAMP) AS t, event_id, value

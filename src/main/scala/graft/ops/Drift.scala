@@ -60,8 +60,13 @@ object Drift {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy("__bin")
     val tot = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
-    h.withColumn("__fa", sum(col("__na")).over(w).cast("double") / sum(col("__na")).over(tot))
-      .withColumn("__fb", sum(col("__nb")).over(w).cast("double") / sum(col("__nb")).over(tot))
+    // nullif on the totals: an EMPTY cohort yields a NULL ks (undefined —
+    // a silent 0.0 would read as "no drift"), matching DuckDB's x/0 →
+    // NULL; under Spark's default ANSI mode a bare division would THROW.
+    h.withColumn("__fa", sum(col("__na")).over(w).cast("double")
+        / nullif(sum(col("__na")).over(tot), lit(0L)))
+      .withColumn("__fb", sum(col("__nb")).over(w).cast("double")
+        / nullif(sum(col("__nb")).over(tot), lit(0L)))
       .groupBy(keyCol)
       .agg(round(max(abs(col("__fa") - col("__fb"))), 6).as("ks"))
   }

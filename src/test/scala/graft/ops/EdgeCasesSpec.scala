@@ -152,4 +152,48 @@ class EdgeCasesSpec extends SparkSpec {
     assert(noRows.count() == 0)
     assert(graft.sources.TagSources.randomSeries(spark, Seq.empty, 10L, 0L, 60L).count() == 0)
   }
+
+  test("bm25 with query terms absent from the corpus is empty, not an error") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    assert(Search.bm25(docs, "doc_id", "text", Seq("zzz", "qqq")).count() == 0)
+    // and an empty query list is empty output too
+    assert(Search.bm25(docs, "doc_id", "text", Seq.empty).count() == 0)
+  }
+
+  test("upsert keeps EVERY row of a duplicate-keyed update batch (the " +
+      "documented divergence from SQL MERGE, which errors)") {
+    val base = Seq((1L, 10.0)).toDF("id", "v")
+    val dup = Seq((1L, 1.0), (1L, 2.0)).toDF("id", "v")
+    val out = Lake.upsert(base, dup, Seq("id")).collect()
+    assert(out.length == 2) // base row replaced; both update rows kept
+    assert(out.map(_.getDouble(1)).toSet == Set(1.0, 2.0))
+  }
+
+  test("drift on a single-cohort frame yields ks=1 (all mass on one side), " +
+      "never NaN") {
+    val onlyA = (0 until 100).map(i => ("k", i * 1.0, true)).toDF("k", "v", "is_a")
+    val ks = Drift.ksStatistic(onlyA, "k", "v", col("is_a")).head()
+    // fb = 0/0 -> NULL in both engines; max(abs(fa - NULL)) skips nulls ->
+    // the row is NULL, not NaN — pin that the result is NULL (undefined),
+    // because a silent 0.0 would read as "no drift"
+    assert(ks.isNullAt(1))
+  }
+
+  test("duplicatedSpans on an empty corpus and a whitespace-only doc " +
+      "returns no rows, not an error") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(empty, "doc_id", "text").count() == 0)
+    val blank = Seq((1L, "   "), (2L, "other words here")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(blank, "doc_id", "text").count() == 0)
+  }
+
+  test("HoltWinters.forecast drops null buckets before smoothing and the " +
+      "horizon-0 case is empty") {
+    val rows = (0 until 20).map(i => ("k", i, if (i == 7) None else Some(5.0)))
+    val df = rows.toDF("k", "bucket", "v")
+    val p = graft.ml.HoltWinters.HwParams(period = 4)
+    val out = graft.ml.HoltWinters.forecast(df, "k", "bucket", "v", 4, p)
+    assert(out.count() == 4) // 19 non-null points >= 2 seasons of 4
+    assert(graft.ml.HoltWinters.forecast(df, "k", "bucket", "v", 0, p).count() == 0)
+  }
 }
