@@ -2268,6 +2268,58 @@ object SparkEntry {
     s.table(name).orderBy("event_type", "bucket")
   }
 
+  /** LIVE seasonal-residual monitor — the deployment form of seasonal
+    * scoring: the hour-of-day profile is FROZEN from the reference
+    * cohort (first half-month, batch, exact integer micro-units), the
+    * live cohort streams through a stateful hourly-mean aggregation
+    * (sum+count are mergeable; the mean forms AFTER the stream stops),
+    * and each live bucket is scored against the broadcast profile:
+    * resid = live mean − expected-at-this-hour. Every output is one
+    * exact integer over the same exact divisor — unrounded, bit-exact,
+    * and the whole stream path is hash-checked by a frozen-profile SQL
+    * mirror.
+    */
+  private def q_stream_seasonal(s: SparkSession, dir: String): DataFrame = {
+    val root = compactMaterialized(s, dir)
+    val ref = s.read.parquet(root)
+      .filter(driftIsA && col("value").isNotNull)
+    val profile = ref
+      .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+      .agg((sum(col("value").cast("decimal(18,6)")) * lit(1000000L))
+          .cast("long").as("sp"), count(lit(1)).as("pn"))
+      .select(col("event_type"), col("hod"), expr("sp div pn").as("p6"))
+    val name = s"seasonal_stream_${registryKey(dir).take(8)}"
+    val schema = s.read.parquet(root).schema
+    val liveStream = s.readStream.schema(schema).parquet(root)
+      .filter(!driftIsA && col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("sdec"),
+        count(lit(1)).as("n"))
+    s.catalog.dropTempView(name)
+    val q = liveStream.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val live = s.table(name)
+      .withColumn("v6", expr("cast(sdec * 1000000 as long) div n"))
+      .withColumn("hod", hour(col("bucket")))
+    val prof = profile.select(col("event_type").as("p_type"),
+      col("hod").as("p_hod"), col("p6"))
+    live.join(broadcast(prof),
+        col("event_type") === col("p_type") && col("hod") === col("p_hod"))
+      .select(col("event_type"), col("bucket"),
+        (col("v6").cast("double") / lit(1000000.0)).as("v"),
+        (col("p6").cast("double") / lit(1000000.0)).as("expected"),
+        ((col("v6") - col("p6")).cast("double") / lit(1000000.0)).as("resid"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Per-doc TF-IDF top-5 signature terms ([[graft.ops.Search.tfidfTopTerms]])
+    * — keyword extraction beside text_topterms' per-language raw counts.
+    */
+  private def q_text_tfidf(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Search.tfidfTopTerms(T(s, dir, "documents"), "doc_id", "text", 5)
+      .orderBy("doc_id", "rnk")
+
   /** Split instant shared by the drift queries: cohort A = the first half
     * of the fixture month. An Instant literal is timezone-fixed (a
     * java.sql.Timestamp literal would parse in the JVM default zone).
@@ -2512,7 +2564,9 @@ object SparkEntry {
     "stream_asof" -> (q_stream_asof _),
     "sink_partitioned" -> (q_sink_partitioned _),
     "agg_resample_ohlc" -> (q_agg_resample_ohlc _),
-    "stream_ohlc" -> (q_stream_ohlc _)
+    "stream_ohlc" -> (q_stream_ohlc _),
+    "text_tfidf" -> (q_text_tfidf _),
+    "stream_seasonal" -> (q_stream_seasonal _)
   )
 
   // Shared oracle fragments
@@ -3753,6 +3807,40 @@ object SparkEntry {
         |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-08'
         |  AND CAST(CAST(ts AS TIMESTAMP) AS DATE) < DATE '2024-01-15'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // frozen hour-of-day profile from cohort A; live buckets scored
+    // against it — exact integer micro-units, unrounded outputs
+    "stream_seasonal" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS t, value
+        |     FROM events WHERE value IS NOT NULL),
+        |p AS (SELECT event_type, hour(t) AS hod,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |          // count(*) AS p6
+        |      FROM e WHERE t < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1, 2),
+        |l AS (SELECT event_type, date_trunc('hour', t) AS bucket,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |          // count(*) AS v6
+        |      FROM e WHERE t >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1, 2)
+        |SELECT l.event_type, bucket,
+        |  CAST(v6 AS DOUBLE) / 1000000.0 AS v,
+        |  CAST(p6 AS DOUBLE) / 1000000.0 AS expected,
+        |  CAST(v6 - p6 AS DOUBLE) / 1000000.0 AS resid
+        |FROM l JOIN p ON l.event_type = p.event_type AND hour(bucket) = p.hod
+        |ORDER BY 1, 2""".stripMargin,
+    // smooth idf (sklearn form); rank over (rounded score, term) — total
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+        |sc AS (SELECT doc_id, term,
+        |    round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rnk FROM sc)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tfidf
+        |FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
     // open/close picked through the total-order struct (t, id, v) — both
     // engines compare structs lexicographically, so ties resolve identically
     "agg_resample_ohlc" ->

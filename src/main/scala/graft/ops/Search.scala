@@ -32,6 +32,32 @@ object Search {
       explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
         .as("term"))
 
+  /** Per-document TF-IDF top-k terms — the classic document-signature /
+    * keyword-extraction primitive (what "this doc is about X" audits and
+    * sparse retrieval indexes store). Smooth idf (the sklearn form):
+    * idf(t) = ln((N+1)/(df(t)+1)) + 1, score = tf·idf, top k per doc by
+    * (rounded score desc, term) — a TOTAL order, so ranking is
+    * cross-engine deterministic. Plan: one tokenize-explode → (doc,term)
+    * tf groupBy → term df groupBy (vocabulary-sized) joined back → one
+    * doc-partitioned rank window. All shuffles keyed; nothing global.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = tokens(docs, idCol, textCol)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+    val df = tf.groupBy("term").agg(countDistinct(idCol).as("__df"))
+    val n = tf.agg(countDistinct(idCol).as("__n"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("__tf") *
+        (log((col("__n") + lit(1.0)) / (col("__df") + lit(1.0))) + lit(1.0)), 6))
+      .withColumn("rnk", row_number().over(Window.partitionBy(idCol)
+        .orderBy(col("tfidf").desc, col("term"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("term"), col("tfidf"))
+  }
+
   /** Full BM25 ranking of the corpus against `query` terms: one row per
     * document matching ≥1 term — (idCol, bm25 DOUBLE rounded to 6).
     * Emitted for EVERY matching doc ordered by id (a top-k is a `limit`
