@@ -45,9 +45,12 @@ case class RollingAnchors(text: Expression, gram: Expression,
     if (text.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(s"$prettyName needs a string column")
     else if (!Seq(gram, mod, spanLen).forall(e =>
-        e.dataType == IntegerType && e.foldable))
+        e.dataType == IntegerType && e.foldable && e.eval() != null))
+      // non-null required: a foldable NULL int would make the null-
+      // intolerant eval return null while `nullable` (text-only) claims
+      // non-null — parent codegen would then skip its null check and NPE
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName needs foldable int gram/mod/spanLen")
+        s"$prettyName needs foldable non-null int gram/mod/spanLen")
     else TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(t: Any, g: Any, m: Any, sl: Any): Any =
@@ -104,9 +107,11 @@ object RollingAnchors {
     i = 0
     while (i < gram) { h = h * B + cps(i); i += 1 }
     val out = new scala.collection.mutable.ArrayBuffer[Int]()
-    var p = 0 // 0-based window start
-    while (p + gram <= n) {
-      if (p + 1 <= maxStart && java.lang.Long.remainderUnsigned(mix(h), mod) == 0L)
+    var p = 0 // 0-based window start; nothing past maxStart can emit, so
+    // don't slide the hash through the dead tail (over half the per-doc
+    // work for short documents at the default spanLen)
+    while (p < maxStart && p + gram <= n) {
+      if (java.lang.Long.remainderUnsigned(mix(h), mod) == 0L)
         out += p + 1
       if (p + gram < n) h = (h - cps(p) * bg) * B + cps(p + gram)
       p += 1

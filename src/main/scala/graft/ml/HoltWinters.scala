@@ -79,6 +79,10 @@ object HoltWinters {
       .groupBy(keyCol)
       .agg(sort_array(collect_list(struct(col(bucketCol).as("b"),
         col(valueCol).cast("double").as("v")))).as("ys"))
+      // keys with fewer than 2 full seasons are SKIPPED, not fatal: one
+      // newly-onboarded short series must not fail the whole fleet's
+      // forecast job (smooth() itself stays strict for direct callers)
+      .filter(size(col("ys")) >= 2 * params.period)
       .select(col(keyCol).cast("string"), col("ys").getField("v").as("ys"))
       .as[(String, Seq[Double])]
     series.flatMap { case (key, ys) =>

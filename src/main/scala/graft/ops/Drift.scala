@@ -30,12 +30,22 @@ object Drift {
     * are the PER-KEY [min, max] — computed in the same scan's sibling
     * aggregate and re-joined (broadcast: |keys| rows).
     */
+  /** Finite-value gate shared by every histogram path: one NaN in a key
+    * makes the bin width NaN and ANSI mode turns `floor(NaN).cast(long)`
+    * into a job-killing exception; one ±Inf collapses every finite value
+    * into an end bin (width = Inf) — silent "no drift". Non-finite
+    * readings are excluded from the distribution, like NULLs.
+    */
+  private def finite(v: Column): Column =
+    v.isNotNull && !isnan(v) &&
+      v > Double.NegativeInfinity && v < Double.PositiveInfinity
+
   private def binned(df: DataFrame, keyCol: String, valueCol: String,
       isA: Column, bins: Int): DataFrame = {
     val v = col(valueCol)
-    val ranged = df.filter(v.isNotNull)
+    val ranged = df.filter(finite(v))
       .join(broadcast(
-        df.filter(v.isNotNull).groupBy(keyCol)
+        df.filter(finite(v)).groupBy(keyCol)
           .agg(min(v).as("__mn"), max(v).as("__mx"))),
         Seq(keyCol))
     ranged
@@ -85,7 +95,7 @@ object Drift {
     * `(key, __mn, __mx)`.
     */
   def referenceRanges(ref: DataFrame, keyCol: String, valueCol: String): DataFrame =
-    ref.filter(col(valueCol).isNotNull)
+    ref.filter(finite(col(valueCol)))
       .groupBy(keyCol)
       .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
 
@@ -97,13 +107,18 @@ object Drift {
   def binAgainst(df: DataFrame, keyCol: String, valueCol: String,
       ranges: DataFrame, bins: Int = 100): DataFrame = {
     val v = col(valueCol)
-    df.filter(v.isNotNull)
+    // clamp in DOUBLE space BEFORE the long cast: a live spike far beyond
+    // the frozen reference range produces a floor() result past
+    // Long.MaxValue, and the ANSI cast would throw instead of clamping
+    // into the end bin — the exact out-of-range case this function
+    // advertises it handles.
+    df.filter(finite(v))
       .join(broadcast(ranges), Seq(keyCol))
       .withColumn("__bin",
         when(col("__mx") === col("__mn"), lit(0L))
           .otherwise(greatest(least(
-            floor((v - col("__mn")) / ((col("__mx") - col("__mn")) / bins))
-              .cast("long"), lit(bins - 1L)), lit(0L))))
+            floor((v - col("__mn")) / ((col("__mx") - col("__mn")) / bins)),
+            lit((bins - 1).toDouble)), lit(0.0)).cast("long")))
   }
 
   /** Population Stability Index per key (binned, 0.5-count smoothing so an

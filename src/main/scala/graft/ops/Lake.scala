@@ -29,9 +29,15 @@ object Lake {
     // schema (a partial-column update is the caller's responsibility to
     // complete — SQL MERGE has the base row in scope, a distributed merge
     // does not without paying the join anyway).
-    require(base.columns.sorted.sameElements(updates.columns.sorted),
-      s"upsert schemas differ: base ${base.columns.sorted.mkString(",")} vs " +
-        s"updates ${updates.columns.sorted.mkString(",")}")
+    // names AND types: unionByName would silently WIDEN a type mismatch
+    // (INT base ∪ BIGINT updates → BIGINT), and in a copy-on-write loop
+    // that drifts the persisted table's schema — the failure MERGE INTO's
+    // schema enforcement exists to prevent
+    def sig(df: DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    require(sig(base) == sig(updates),
+      s"upsert schemas differ: base ${sig(base).mkString(",")} vs " +
+        s"updates ${sig(updates).mkString(",")}")
     base.join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates)
   }

@@ -71,7 +71,12 @@ object Search {
     val toks = tokens(docs, idCol, textCol)
     val dl = toks.groupBy(idCol).agg(count(lit(1)).as("__dl"))
     val stats = dl.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
-    val q = query.distinct.toDF("term")
+    // normalize the query with the SAME tokenization as the corpus: a
+    // capitalized or hyphenated query term would otherwise silently match
+    // nothing ("Training" vs the lowercased postings; "machine-learning"
+    // becomes the two tokens it indexes as)
+    val q = query.flatMap(_.toLowerCase.split("[^a-z0-9]+"))
+      .filter(_.nonEmpty).distinct.toDF("term")
     val tf = toks.join(broadcast(q), Seq("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
     val df = tf.groupBy("term").agg(countDistinct(idCol).as("__df"))

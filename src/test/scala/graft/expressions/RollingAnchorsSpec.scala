@@ -75,6 +75,16 @@ class RollingAnchorsSpec extends SparkSpec {
     assert(out.isNullAt(0))
   }
 
+  test("a foldable NULL parameter is an analysis error, not a codegen NPE") {
+    val s = spark.newSession()
+    Bridge.registerFunctions(s)
+    val e = intercept[Exception] {
+      s.sql("SELECT size(graft_anchors('abc', CAST(NULL AS INT), 16, 64))")
+        .collect()
+    }
+    assert(e.getMessage.contains("non-null"), e.getMessage)
+  }
+
   test("graft_anchors is SQL-registered") {
     val s = spark.newSession()
     Bridge.registerFunctions(s)

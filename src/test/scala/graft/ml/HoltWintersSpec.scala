@@ -75,4 +75,13 @@ class HoltWintersSpec extends SparkSpec {
       HoltWinters.smooth(Array.fill(7)(1.0), p)
     }
   }
+
+  test("forecast() SKIPS under-length keys instead of failing the fleet") {
+    val rows = (0 until 40).map(t => ("long", t, 5.0)) ++
+      (0 until 5).map(t => ("short", t, 9.0)) // < 2*4 points
+    val out = HoltWinters.forecast(rows.toDF("k", "bucket", "v"),
+        "k", "bucket", "v", horizon = 2, p)
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("long"), s"$out") // healthy key forecast survives
+  }
 }

@@ -70,6 +70,30 @@ class DriftSpec extends SparkSpec {
     assert(liveBins == Set(99L))
   }
 
+  test("NaN and infinite readings are excluded like NULLs, not a crash " +
+      "or a collapsed histogram") {
+    val rows = (0 until 250).flatMap(i =>
+      Seq(("k", i % 50 * 1.0, true), ("k", i % 50 * 1.0, false))) ++
+      Seq(("k", Double.NaN, true), ("k", Double.PositiveInfinity, false),
+        ("k", Double.NegativeInfinity, true))
+    val df = rows.toDF("k", "v", "is_a")
+    val ks = Drift.ksStatistic(df, "k", "v", col("is_a")).head().getDouble(1)
+    // identical finite cohorts: the non-finite rows must not move ks off 0
+    assert(ks == 0.0, s"ks $ks")
+    val psi = Drift.psi(df, "k", "v", col("is_a")).head().getDouble(1)
+    assert(psi == 0.0, s"psi $psi")
+  }
+
+  test("a live value astronomically beyond the frozen range clamps into " +
+      "the end bin instead of overflowing the long cast") {
+    val ref = (0 until 100).map(i => ("k", i * 0.001)).toDF("k", "v")
+    val live = Seq(("k", 1.0e18), ("k", -1.0e18)).toDF("k", "v")
+    val ranges = Drift.referenceRanges(ref, "k", "v")
+    val bins = Drift.binAgainst(live, "k", "v", ranges)
+      .select("__bin").collect().map(_.getLong(0)).toSet
+    assert(bins == Set(99L, 0L), s"$bins")
+  }
+
   test("psi smoothing keeps empty bins finite") {
     // cohort B entirely inside one bin, A spread out: many B-empty bins
     val a = (0 until 500).map(i => ("k", i * 1.0, true))

@@ -50,4 +50,12 @@ class LakeSpec extends SparkSpec {
       Lake.upsert(base, base.drop("v"), Seq("id"))
     }
   }
+
+  test("TYPE mismatch is an explicit error too — unionByName would " +
+      "silently widen the persisted schema") {
+    val intUpdates = Seq((9L, "z", 5)).toDF("id", "kind", "v") // v: INT
+    intercept[IllegalArgumentException] {
+      Lake.upsert(base, intUpdates, Seq("id"))
+    }
+  }
 }

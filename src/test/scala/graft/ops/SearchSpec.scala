@@ -46,6 +46,19 @@ class SearchSpec extends SparkSpec {
     assert(out(10L) > out(11L), s"$out")
   }
 
+  test("query terms are normalized with the corpus tokenization: case " +
+      "and punctuation cannot silently zero the recall") {
+    val raw = Search.bm25(docs, "doc_id", "text", Seq("cat", "mat"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val messy = Search.bm25(docs, "doc_id", "text", Seq("CAT", "Mat!"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(messy == raw, s"$messy vs $raw")
+    // a hyphenated query splits into the tokens it indexes as
+    val hyph = Search.bm25(docs, "doc_id", "text", Seq("cat-mat"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hyph == raw)
+  }
+
   test("deterministic under repartition") {
     val a = Search.bm25(docs, "doc_id", "text", Seq("cat", "mat")).collect()
     val b = Search.bm25(docs.repartition(7), "doc_id", "text", Seq("cat", "mat"))
