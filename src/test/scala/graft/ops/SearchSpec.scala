@@ -59,6 +59,36 @@ class SearchSpec extends SparkSpec {
     assert(hyph == raw)
   }
 
+  test("tfidfTopTerms surfaces distinctive terms above ubiquitous ones") {
+    val corpus = Seq(
+      (1L, "zebra zebra zebra common common"),
+      (2L, "common words only here"),
+      (3L, "more common words again"),
+      (4L, "common here again words")
+    ).toDF("doc_id", "text")
+    val top = Search.tfidfTopTerms(corpus, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // doc 1's signature term is its df=1 'zebra', not the df=4 'common'
+    assert(top((1L, 1L)) == "zebra", s"$top")
+    // every doc gets at most k ranked rows, rnk starts at 1
+    val byDoc = Search.tfidfTopTerms(corpus, "doc_id", "text", 2)
+      .collect().groupBy(_.getLong(0))
+    byDoc.values.foreach { rows =>
+      assert(rows.length <= 2)
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
+  test("tfidfTopTerms is deterministic under ties: equal scores order by term") {
+    val corpus = Seq((1L, "aaa bbb"), (2L, "ccc ddd")).toDF("doc_id", "text")
+    // within doc 1, 'aaa' and 'bbb' have identical tf and df → identical
+    // score; rank must break the tie lexicographically
+    val rows = Search.tfidfTopTerms(corpus, "doc_id", "text", 2)
+      .filter($"doc_id" === 1L).orderBy("rnk")
+      .collect().map(_.getString(2)).toSeq
+    assert(rows == Seq("aaa", "bbb"))
+  }
+
   test("deterministic under repartition") {
     val a = Search.bm25(docs, "doc_id", "text", Seq("cat", "mat")).collect()
     val b = Search.bm25(docs.repartition(7), "doc_id", "text", Seq("cat", "mat"))
