@@ -2146,8 +2146,17 @@ object SparkEntry {
     * simultaneously (60 agg exprs, map-side combined) → literal unpivot.
     * Nothing is quadratic in rows; pairs are quadratic in TAGS only.
     */
-  private def q_agg_corr_matrix(s: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+  private val corrTypes = Seq("click", "error", "purchase", "signup", "view")
+  private def corrPairs: Seq[(String, String)] =
+    for { i <- corrTypes.indices; j <- i + 1 until corrTypes.length }
+      yield (corrTypes(i), corrTypes(j))
+
+  /** Aligned wide frame of integer-CENTS hourly means, one row per bucket
+    * with a `c_<type>` column per stream — shared by the correlation
+    * matrix and the rolling-correlation window query. Pure integer
+    * quantization (see q_agg_corr_matrix's doc).
+    */
+  private def hourlyCentsWide(s: SparkSession, dir: String): DataFrame = {
     val hourly = E(s, dir)
       .filter(col("value").isNotNull)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
@@ -2156,13 +2165,16 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .select(col("event_type"), col("bucket"),
         expr("(s_micro div n) div 10000").as("c"))
-    val wide = hourly.groupBy("bucket")
-      .agg(types.map(t =>
+    hourly.groupBy("bucket")
+      .agg(corrTypes.map(t =>
         max(when(col("event_type") === t, col("c"))).as(s"c_$t")).head,
-        types.tail.map(t =>
+        corrTypes.tail.map(t =>
           max(when(col("event_type") === t, col("c"))).as(s"c_$t")): _*)
-    val pairs = for { i <- types.indices; j <- i + 1 until types.length }
-      yield (types(i), types(j))
+  }
+
+  private def q_agg_corr_matrix(s: SparkSession, dir: String): DataFrame = {
+    val wide = hourlyCentsWide(s, dir)
+    val pairs = corrPairs
     val aggs = pairs.flatMap { case (a, b) =>
       val (ca, cb) = (col(s"c_$a"), col(s"c_$b"))
       val both = ca.isNotNull && cb.isNotNull
@@ -2311,6 +2323,41 @@ object SparkEntry {
         (col("p6").cast("double") / lit(1000000.0)).as("expected"),
         ((col("v6") - col("p6")).cast("double") / lit(1000000.0)).as("resid"))
       .orderBy("event_type", "bucket")
+  }
+
+  /** ROLLING pairwise correlation — correlation-STRUCTURE drift between
+    * streams (the pairs-trading / co-moving-sensors primitive): Pearson r
+    * over the trailing 24 aligned hourly buckets for every stream pair,
+    * emitted per bucket once the window is full. Same exactness
+    * discipline as agg_corr_matrix (integer cents, exact window sums,
+    * one verbatim-mirrored IEEE combination — unrounded bit-exact) and
+    * the win_autocorr plan shape: all six sufficient sums share ONE
+    * (pair, bucket) window spec, partitioned by pair — never a global
+    * window.
+    */
+  private def q_win_rolling_corr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wide = hourlyCentsWide(s, dir)
+    val long = corrPairs.map { case (a, b) =>
+      wide.filter(col(s"c_$a").isNotNull && col(s"c_$b").isNotNull)
+        .select(lit(s"${a}_$b").as("pair"), col("bucket"),
+          col(s"c_$a").as("ca"), col(s"c_$b").as("cb"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("pair").orderBy("bucket").rowsBetween(-23, 0)
+    long
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("sa", sum(col("ca")).over(w))
+      .withColumn("sb", sum(col("cb")).over(w))
+      .withColumn("saa", sum(col("ca") * col("ca")).over(w))
+      .withColumn("sbb", sum(col("cb") * col("cb")).over(w))
+      .withColumn("sab", sum(col("ca") * col("cb")).over(w))
+      .filter(col("wn") === 24)
+      .select(col("pair"), col("bucket"),
+        ((col("wn") * col("sab") - col("sa") * col("sb")).cast("double") /
+          nullif(sqrt((col("wn") * col("saa") - col("sa") * col("sa")).cast("double"))
+            * sqrt((col("wn") * col("sbb") - col("sb") * col("sb")).cast("double")),
+            lit(0.0))).as("r"))
+      .orderBy("pair", "bucket")
   }
 
   /** Per-doc TF-IDF top-5 signature terms ([[graft.ops.Search.tfidfTopTerms]])
@@ -2566,7 +2613,8 @@ object SparkEntry {
     "agg_resample_ohlc" -> (q_agg_resample_ohlc _),
     "stream_ohlc" -> (q_stream_ohlc _),
     "text_tfidf" -> (q_text_tfidf _),
-    "stream_seasonal" -> (q_stream_seasonal _)
+    "stream_seasonal" -> (q_stream_seasonal _),
+    "win_rolling_corr" -> (q_win_rolling_corr _)
   )
 
   // Shared oracle fragments
@@ -3796,6 +3844,7 @@ object SparkEntry {
         |FROM kept k JOIN tot USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_corr_matrix" -> corrMatrixOracle,
+    "win_rolling_corr" -> rollingCorrOracle,
     // date-bounded aggregate on the UNPARTITIONED original — a partition
     // derivation or pruning bug in the layout read-back hash-fails
     "sink_partitioned" ->
@@ -4039,6 +4088,45 @@ object SparkEntry {
        |SELECT * FROM (
        |$selects
        |) ORDER BY tag_a, tag_b""".stripMargin
+  }
+
+  /** Rolling-correlation oracle (mirrors q_win_rolling_corr): the same
+    * cents/wide CTEs, a per-pair long unpivot, one windowed pass for all
+    * six sufficient sums, the identical IEEE combination. Generated over
+    * the same pair list as the Spark side.
+    */
+  private def rollingCorrOracle: String = {
+    val wideCols = corrTypes.map(t =>
+      s"max(CASE WHEN event_type = '$t' THEN c END) AS c_$t").mkString(",\n|    ")
+    val unpivot = corrPairs.map { case (a, b) =>
+      s"""SELECT '${a}_$b' AS pair, bucket, c_$a AS ca, c_$b AS cb
+         |FROM wide WHERE c_$a IS NOT NULL AND c_$b IS NOT NULL"""
+    }.mkString("\n|UNION ALL\n|")
+    s"""WITH h AS (
+       |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+       |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+       |      // count(*)) // 10000 AS c
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |wide AS (
+       |  SELECT bucket,
+       |    $wideCols
+       |  FROM h GROUP BY 1),
+       |long AS (
+       |$unpivot
+       |),
+       |roll AS (
+       |  SELECT pair, bucket,
+       |    count(*) OVER pk AS wn, sum(ca) OVER pk AS sa, sum(cb) OVER pk AS sb,
+       |    sum(ca * ca) OVER pk AS saa, sum(cb * cb) OVER pk AS sbb,
+       |    sum(ca * cb) OVER pk AS sab
+       |  FROM long
+       |  WINDOW pk AS (PARTITION BY pair ORDER BY bucket
+       |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+       |SELECT pair, bucket,
+       |  CAST(wn * sab - sa * sb AS DOUBLE)
+       |    / (sqrt(CAST(wn * saa - sa * sa AS DOUBLE))
+       |       * sqrt(CAST(wn * sbb - sb * sb AS DOUBLE))) AS r
+       |FROM roll WHERE wn = 24 ORDER BY 1, 2""".stripMargin
   }
 
   /** Shared binned-histogram CTE of the drift oracles (mirrors
