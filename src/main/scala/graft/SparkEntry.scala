@@ -2156,8 +2156,11 @@ object SparkEntry {
     * matrix and the rolling-correlation window query. Pure integer
     * quantization (see q_agg_corr_matrix's doc).
     */
-  private def hourlyCentsWide(s: SparkSession, dir: String): DataFrame = {
-    val hourly = E(s, dir)
+  /** Long frame of integer-cents hourly means `(event_type, bucket, c)`
+    * — the exact-arithmetic input of the correlation and trend queries.
+    */
+  private def hourlyCentsLong(s: SparkSession, dir: String): DataFrame =
+    E(s, dir)
       .filter(col("value").isNotNull)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
       .agg((sum(col("value").cast("decimal(18,6)")) * lit(1000000L))
@@ -2165,6 +2168,9 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .select(col("event_type"), col("bucket"),
         expr("(s_micro div n) div 10000").as("c"))
+
+  private def hourlyCentsWide(s: SparkSession, dir: String): DataFrame = {
+    val hourly = hourlyCentsLong(s, dir)
     hourly.groupBy("bucket")
       .agg(corrTypes.map(t =>
         max(when(col("event_type") === t, col("c"))).as(s"c_$t")).head,
@@ -2358,6 +2364,31 @@ object SparkEntry {
             * sqrt((col("wn") * col("sbb") - col("sb") * col("sb")).cast("double")),
             lit(0.0))).as("r"))
       .orderBy("pair", "bucket")
+  }
+
+  /** Mann-Kendall TREND test per stream — the standard nonparametric
+    * monotonic-trend detector (environmental/sensor drift over time,
+    * complementing the DISTRIBUTION drift of agg_ks_drift): over the
+    * hourly cents series, S = Σ_{i<j} sign(x_j − x_i) and Kendall's
+    * tau-a = S / (n(n−1)/2). All integers until the final division —
+    * bit-exact, unrounded. The pair join is keyed on the stream and
+    * bounded by the RESAMPLED series length (n²/2 per key over n ≈
+    * range/resolution rows, thousands — never raw events), the honest
+    * exact form; a windowed/sampled variant is the >100k-bucket path.
+    */
+  private def q_agg_trend_mk(s: SparkSession, dir: String): DataFrame = {
+    val h = hourlyCentsLong(s, dir)
+    val a = h.select(col("event_type"), col("bucket").as("ba"), col("c").as("ca"))
+    val b = h.select(col("event_type"), col("bucket").as("bb"), col("c").as("cb"))
+    val sg = when(col("cb") > col("ca"), 1L)
+      .when(col("cb") < col("ca"), -1L).otherwise(0L)
+    val n = h.groupBy("event_type").agg(count(lit(1)).as("n"))
+    a.join(b, Seq("event_type")).filter(col("ba") < col("bb"))
+      .groupBy("event_type").agg(sum(sg).as("s"))
+      .join(n, Seq("event_type"))
+      .select(col("event_type"), col("s"), col("n"),
+        (col("s").cast("double") / expr("n * (n - 1) div 2")).as("tau"))
+      .orderBy("event_type")
   }
 
   /** Per-doc TF-IDF top-5 signature terms ([[graft.ops.Search.tfidfTopTerms]])
@@ -2614,7 +2645,8 @@ object SparkEntry {
     "stream_ohlc" -> (q_stream_ohlc _),
     "text_tfidf" -> (q_text_tfidf _),
     "stream_seasonal" -> (q_stream_seasonal _),
-    "win_rolling_corr" -> (q_win_rolling_corr _)
+    "win_rolling_corr" -> (q_win_rolling_corr _),
+    "agg_trend_mk" -> (q_agg_trend_mk _)
   )
 
   // Shared oracle fragments
@@ -3845,6 +3877,24 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_corr_matrix" -> corrMatrixOracle,
     "win_rolling_corr" -> rollingCorrOracle,
+    // all integers until the final tau division — bit-exact, unrounded
+    "agg_trend_mk" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      // count(*)) // 10000 AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |        CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sg
+        |      FROM h a JOIN h b
+        |        ON a.event_type = b.event_type AND a.bucket < b.bucket),
+        |n AS (SELECT event_type, count(*) AS n FROM h GROUP BY 1)
+        |SELECT p.event_type, CAST(sum(sg) AS BIGINT) AS s,
+        |  any_value(n.n) AS n,
+        |  CAST(sum(sg) AS DOUBLE) / (any_value(n.n) * (any_value(n.n) - 1) // 2)
+        |    AS tau
+        |FROM p JOIN n USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // date-bounded aggregate on the UNPARTITIONED original — a partition
     // derivation or pruning bug in the layout read-back hash-fails
     "sink_partitioned" ->
