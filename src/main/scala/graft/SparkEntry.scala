@@ -2391,6 +2391,30 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Theil–Sen slope per stream — the robust trend MAGNITUDE companion to
+    * agg_trend_mk's direction test: the median of all pairwise slopes
+    * (cents per hour) over the hourly series, immune to outliers that
+    * drag a least-squares fit. Slopes are ratios of exact integers
+    * (cents Δ / hour Δ) — deterministic doubles — and the median is the
+    * exact interpolated percentile (the agg_threshold_pctl precedent).
+    * Same keyed, resample-bounded pair join as the MK test.
+    */
+  private def q_agg_trend_sen(s: SparkSession, dir: String): DataFrame = {
+    val h = hourlyCentsLong(s, dir)
+      .withColumn("es", graft.sources.Events.epochSeconds(col("bucket")))
+      .withColumn("t", expr("es div 3600"))
+    val a = h.select(col("event_type"), col("t").as("ta"), col("c").as("ca"))
+    val b = h.select(col("event_type"), col("t").as("tb"), col("c").as("cb"))
+    a.join(b, Seq("event_type")).filter(col("ta") < col("tb"))
+      .withColumn("slope",
+        (col("cb") - col("ca")).cast("double") /
+          (col("tb") - col("ta")).cast("double"))
+      .groupBy("event_type")
+      .agg(round(expr("percentile(slope, 0.5)"), 6).as("sen_slope"),
+        count(lit(1)).as("n_pairs"))
+      .orderBy("event_type")
+  }
+
   /** Per-doc TF-IDF top-5 signature terms ([[graft.ops.Search.tfidfTopTerms]])
     * — keyword extraction beside text_topterms' per-language raw counts.
     */
@@ -2646,7 +2670,8 @@ object SparkEntry {
     "text_tfidf" -> (q_text_tfidf _),
     "stream_seasonal" -> (q_stream_seasonal _),
     "win_rolling_corr" -> (q_win_rolling_corr _),
-    "agg_trend_mk" -> (q_agg_trend_mk _)
+    "agg_trend_mk" -> (q_agg_trend_mk _),
+    "agg_trend_sen" -> (q_agg_trend_sen _)
   )
 
   // Shared oracle fragments
@@ -3953,6 +3978,23 @@ object SparkEntry {
         |  max({'t': t, 'id': event_id, 'v': value}).v AS close,
         |  count(*) AS n
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // slopes are exact-integer ratios; median = interpolated percentile
+    "agg_trend_sen" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      // count(*)) // 10000 AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT event_type,
+        |        CAST(floor(epoch(bucket)) AS BIGINT) // 3600 AS t, c
+        |      FROM h),
+        |p AS (SELECT a.event_type,
+        |        CAST(b.c - a.c AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope
+        |      FROM t a JOIN t b
+        |        ON a.event_type = b.event_type AND a.t < b.t)
+        |SELECT event_type, round(quantile_cont(slope, 0.5), 6) AS sen_slope,
+        |  count(*) AS n_pairs
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // the streamed candles must equal the batch candles exactly
     "stream_ohlc" ->
       """WITH e AS (SELECT event_type,
