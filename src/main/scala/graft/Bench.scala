@@ -33,16 +33,23 @@ object Bench {
       // never enters the recorded warm number (a median over {cold, warm1,
       // warm2} would let the cold rep or one contended warm rep set it).
       // Queries whose reps agree stay at n=2, keeping wall-clock flat.
+      // Heavy queries (warm1 > 2 s) ALWAYS get a second warm rep: round 7's
+      // driver run recorded dedup_ngram_jaccard at 13 s where every local
+      // shape (fresh JVM, cold registry, idle box) measures ~2 s — when
+      // cold and warm1 are BOTH inflated they agree, the disagree guard
+      // never fires, and one bad execution window sets the recorded
+      // number. Min-of-2 on the ~10 heavy queries costs ~20 s wall-clock
+      // and caps that failure mode at one extra rep.
       val disagree = math.max(cold, warm1) > 2.0 * math.min(cold, warm1)
       val (warm, okWarm) =
-        if (disagree) {
+        if (disagree || warm1 > 2.0) {
           val (warm2, okWarm2) = once()
           (math.min(warm1, warm2), okWarm1 && okWarm2)
         } else (warm1, okWarm1)
       // per-query progress on stderr: partial evidence survives even if the
       // final artifact line is lost to a log-tail capture window
       System.err.println(f"[bench] $name%-28s cold=$cold%.3f warm=$warm%.3f" +
-        (if (disagree) " (min of 2 warm reps)" else ""))
+        (if (disagree || warm1 > 2.0) " (min of 2 warm reps)" else ""))
       (name, cold, warm, okCold && okWarm)
     }
     // millisecond precision keeps the artifact line short enough for the

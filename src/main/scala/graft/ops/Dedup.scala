@@ -655,13 +655,20 @@ object Dedup {
     val d = shingleTable(docs, idCol, textCol, shingleN, dedupe = true,
       maxDocFreq = Int.MaxValue)
     // three consumers (pair explosion + both size joins) reference this
-    // frame; Spark's exchange reuse computes the shuffle once. (A pinned
-    // same-key repartition here — the join_fuzzy fix — measured neutral:
-    // this path's explosion is already spread across the aggregate's
-    // partitions, so AQE's coalescing is not the binding constraint.)
+    // frame — MATERIALIZE it once (localCheckpoint, the bandTable/round-7
+    // simsearch_lsh discipline) instead of relying on AQE runtime
+    // exchange reuse: reuse recomputes the whole scan→explode→aggregate
+    // subtree if plan canonicalization ever diverges between consumers,
+    // and simsearch_lsh's driver-only 9× outlier (r6) traced to exactly
+    // this class of fragility. The checkpointed frame pins the
+    // aggregate's partitioning for the pair explosion and every consumer
+    // reads materialized blocks. At cluster scale the equivalent is
+    // persist(DISK_ONLY)/durable checkpoint of the same frame — the
+    // design point is materialize-once, O(capped shingle table) storage.
     val grouped = d.groupBy("s")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) <= maxDocFreq)
+      .localCheckpoint()
     // all ordered pairs (ds[i], ds[j]) with i < j, built inside codegen
     val pairs = grouped.select(explode(flatten(
         transform(col("ds"), (x, i) =>
