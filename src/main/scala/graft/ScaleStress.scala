@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale-stress probe — the "would this survive 100 TB" evidence run.
+  *
+  * Correctness is graded at sf0.01 and throughput at sf0.1; every heavy
+  * operator is ARGUED scale-safe (banded/blocked/df-capped designs). This
+  * main produces measurements instead of argument: it deterministically
+  * expands the sf0.1 fixture 10× (≈ sf1) and times the heaviest operator
+  * plans at both scales, printing the per-probe scaling exponent
+  * e = log10(t_10x / t_1x) — e ≈ 1 is linear (good), e ≪ 1 means fixed
+  * costs still dominate at sf1, e > 1.2 names a super-linear stage to fix.
+  *
+  * Expansion (all derivations deterministic, no RNG):
+  *   - documents ×R: replica r rewrites every word w → "w~r", so shingle
+  *     sets are DISJOINT across replicas — corpus grows 10× with the
+  *     within-replica duplicate structure intact, instead of turning every
+  *     doc into a 10-way near-duplicate cluster (which would measure a
+  *     pathological corpus, not scale);
+  *   - events ×R: replica r shifts ts by r×35 days (disjoint time ranges —
+  *     a 10× longer history at identical density) and offsets
+  *     event_id/user_id into disjoint ranges;
+  *   - embeddings ×R: vec_id offset per replica; vectors kept verbatim
+  *     (10× corpus density — bucketed ANN must absorb denser buckets).
+  *
+  * The dedup twin-family (minhash/near-dup/clusters) is probed at the
+  * OPERATOR level with a replica-safe twin offset: the registry queries'
+  * `docsWithDups` pins its +100000 twin offset to the driver fixture's
+  * id domain (mirrored literally in the DuckDB oracles), which a 500k-doc
+  * corpus legitimately outgrows.
+  *
+  * Usage: `sbt "runMain graft.ScaleStress [baseDir] [replicas]"`.
+  * Artifacts land under target/scale-stress/ (SUCCESS-gated, reused);
+  * results print as one JSON line + a markdown table for BASELINE.md.
+  */
+object ScaleStress {
+
+  private def gated(s: SparkSession, out: String)(write: => Unit): String = {
+    val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) write
+    out
+  }
+
+  /** Expand the three extension tables ×R into `outDir` (same layout as a
+    * testdata dir, so dir-parameterized query fns run on it unchanged).
+    */
+  def expand(s: SparkSession, baseDir: String, outDir: String, r: Int): Unit = {
+    val reps = s.range(r).select(col("id").cast("int").as("rep"))
+
+    gated(s, s"$outDir/documents.parquet") {
+      val docs = s.read.parquet(s"$baseDir/documents.parquet")
+      docs.crossJoin(broadcast(reps)).select(
+          (col("doc_id") + col("rep").cast("long") * 1000000L).as("doc_id"),
+          when(col("rep") === 0, col("text")).otherwise(concat_ws(" ",
+            transform(split(col("text"), " "),
+              w => concat(w, lit("~"), col("rep"))))).as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
+
+    gated(s, s"$outDir/events.parquet") {
+      val ev = graft.sources.Events.read(s, s"$baseDir/events.parquet")
+      ev.crossJoin(broadcast(reps)).select(
+          (col("event_id") + col("rep").cast("long") * 100000000L).as("event_id"),
+          expr("timestampadd(DAY, rep * 35, ts)").as("ts"),
+          (col("user_id") + col("rep").cast("long") * 1000000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
+
+    gated(s, s"$outDir/embeddings.parquet") {
+      val em = s.read.parquet(s"$baseDir/embeddings.parquet")
+      em.crossJoin(broadcast(reps)).select(
+          (col("vec_id") + col("rep").cast("long") * 10000000L).as("vec_id"),
+          col("embedding"), col("label"))
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+  }
+
+  /** Replica-safe analogue of SparkEntry's docsWithDups: case-mutated
+    * twins of every 10th doc at an offset clear of any replica id range.
+    */
+  private def withTwins(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"),
+          upper(col("text")).as("text")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 10
+    val scaledDir = new java.io.File(
+      s"target/scale-stress/x$reps").getAbsolutePath
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    System.err.println(s"[scale] expanding $baseDir x$reps -> $scaledDir")
+    expand(spark, baseDir, scaledDir, reps)
+
+    import graft.ops.{Dedup, Drift}
+
+    // Registry-query probes: dir-parameterized fns that only touch
+    // documents/events/embeddings, so they run on the expanded dir as-is.
+    val queryProbes = Seq(
+      "dedup_ngram_jaccard", "text_langid_trained",
+      "dedup_substring_fast", "text_tfidf", "search_bm25",
+      "stream_drift", "stream_ohlc", "agg_resample_mean",
+      "simsearch_lsh", "simsearch_ivf", "dedup_semantic")
+    // Operator probes for the twin-offset dedup family (see scaladoc).
+    val opProbes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "op_minhash_lsh" -> ((s: SparkSession, d: String) =>
+        Dedup.minhashLshPairs(withTwins(s, d), "doc_id", "text")),
+      "op_near_duplicates" -> ((s: SparkSession, d: String) =>
+        Dedup.nearDuplicates(withTwins(s, d), "doc_id", "text", 0.6)),
+      "op_dup_clusters" -> ((s: SparkSession, d: String) =>
+        Dedup.duplicateClusters(
+          Dedup.minhashLshPairs(withTwins(s, d), "doc_id", "text"))),
+      "op_containment" -> ((s: SparkSession, d: String) =>
+        Dedup.containmentPairs(withTwins(s, d), "doc_id", "text", 0.7,
+          maxDocFreq = 20)),
+      // decontamination: the benchmark side stays FIXED (real pipelines
+      // scan a growing corpus against a fixed eval set), so the probe
+      // measures corpus-side scaling only
+      "op_decontaminate" -> ((s: SparkSession, d: String) =>
+        Dedup.decontaminationMatches(
+          s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
+          s.read.parquet(s"$baseDir/documents.parquet")
+            .filter(col("doc_id") % 50 === 0)
+            .select(col("doc_id").as("bench_id"), col("text")),
+          "bench_id", "text", shingleN = 8)),
+      "op_ks_drift" -> ((s: SparkSession, d: String) => {
+        val ev = graft.sources.Events.read(s, s"$d/events.parquet")
+        Drift.ksStatistic(ev, "event_type", "value",
+          graft.sources.Events.epochMicros(col("ts")) <
+            graft.sources.Events.epochMicros(
+              ev.agg(min(col("ts")).as("m")).select(
+                expr("timestampadd(DAY, 15, m)").as("c")).head().getTimestamp(0)
+                match { case t => lit(t) }))
+      }))
+
+    def time(fn: => Long): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    def steadyState(fn: (SparkSession, String) => DataFrame, d: String): Double = {
+      time(fn(spark, d).count()) // cold: JIT + one-time fits on this dir
+      math.min(time(fn(spark, d).count()), time(fn(spark, d).count()))
+    }
+
+    val all: Seq[(String, (SparkSession, String) => DataFrame)] =
+      queryProbes.map(n => n -> SparkEntry.queries(n)) ++ opProbes
+    val rows = all.map { case (name, fn) =>
+      val t1 = steadyState(fn, baseDir)
+      val tR = steadyState(fn, scaledDir)
+      val e = math.log(tR / t1) / math.log(reps.toDouble)
+      System.err.println(f"[scale] $name%-22s 1x=$t1%7.2fs ${reps}x=$tR%7.2fs e=$e%.2f")
+      (name, t1, tR, e)
+    }
+
+    def s3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", x)
+    println(rows.map { case (n, t1, tR, e) =>
+      s""""$n":{"t1":${s3(t1)},"t$reps":${s3(tR)},"exp":${s3(e)}}"""
+    }.mkString("{\"replicas\":" + reps + ",\"probes\":{", ",", "}}"))
+    System.err.println("| probe | sf0.1 (s) | ~sf1 (s) | exponent |")
+    System.err.println("|---|---|---|---|")
+    rows.foreach { case (n, t1, tR, e) =>
+      System.err.println(f"| `$n` | ${t1}%.2f | ${tR}%.2f | ${e}%.2f |")
+    }
+    spark.stop()
+  }
+}

@@ -1587,6 +1587,102 @@ object SparkEntry {
     * per duplicate pair. Production swaps seeds for fitIvf centroids
     * (same downstream stages — spec'd equivalent in SimilaritySpec).
     */
+  /** Bloom-pruned incremental EXACT dedup (see
+    * [[graft.ops.Dedup.bloomPrunedExactMatches]]): the delta is a
+    * recrawl mix — exact re-fetches of every 11th doc (text verbatim in
+    * the base, new doc_id) plus genuinely-novel docs (suffix-mutated) the
+    * sketch must NOT confirm. The bloom bounds the exact semi-join's
+    * probe side; the output is exact regardless of the sketch's FP rate,
+    * so the oracle is the plain semi-join SQL. The driver-collected
+    * state is the sketch itself (numBits/8 = 128 KiB — model-sized).
+    */
+  private def q_dedup_bloom_incremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select("doc_id", "text")
+    val delta = docs.filter(col("doc_id") % 11 === 5)
+      .select((col("doc_id") + lit(200000L)).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 11 === 7)
+        .select((col("doc_id") + lit(300000L)).as("doc_id"),
+          concat(col("text"), lit(" graft-novel")).as("text")))
+    Dedup.bloomPrunedExactMatches(docs, delta, "text",
+        expectedItems = 100000L, numBits = 1048576L)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Per-stream EWMA snapshot — s ← s + α·(x − s) folded over the hourly
+    * integer-cents series in bucket order (α = 0.2). The fold is the
+    * win_holt_winters discipline: Spark `aggregate` over the per-key
+    * sorted array and DuckDB `list_reduce` replay the IDENTICAL
+    * double-arithmetic association (init = first element, same literal,
+    * same order), so the smoothed value is bit-exact before the
+    * defensive round. Per-key state is the bounded bucket array
+    * (|time range| / 1h), not the raw rows — the same per-key memory
+    * bound every win_* fold query documents.
+    */
+  private def q_win_ewma(s: SparkSession, dir: String): DataFrame = {
+    val h = hourlyCentsLong(s, dir)
+    h.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("bucket"), col("c")))).as("xs"))
+      .select(col("event_type"), size(col("xs")).cast("long").as("n"),
+        round(aggregate(expr("slice(xs, 2, size(xs) - 1)"),
+          element_at(col("xs"), 1).getField("c").cast("double"),
+          (acc, x) => acc + lit(0.2) * (x.getField("c").cast("double") - acc)),
+          6).as("ewma"))
+      .orderBy("event_type")
+  }
+
+  /** Rolling 24-bucket MEDIAN of the hourly cents series — the robust
+    * twin of win_smooth's trailing mean (one outlier hour cannot drag a
+    * median baseline). Exactness: the window holds integers, and both
+    * engines define even-count medians as the midpoint of the two middle
+    * values — (a+b)/2 over cents is exact in a double, no rounding
+    * needed. Emitted only for full windows (wn = 24), the rolling_corr
+    * convention. O(w log w) per row at w = 24 is flat; the partition-key
+    * window distributes per stream like every win_* query.
+    */
+  private def q_win_rolling_median(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(-23, 0)
+    hourlyCentsLong(s, dir)
+      .select(col("event_type"), col("bucket"),
+        count(lit(1)).over(w).as("wn"),
+        // percentile (NOT median): Spark's median rejects window frames;
+        // percentile(·, 0.5) is frame-legal and interpolates identically
+        percentile(col("c"), lit(0.5)).over(w).as("med"))
+      .filter(col("wn") === 24)
+      .select("event_type", "bucket", "med")
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Ordered conversion funnel click → view → purchase per user: each
+    * stage takes the user's FIRST qualifying event strictly after the
+    * previous stage's timestamp (the product-analytics staple). Stage
+    * frames aggregate to one row per user BEFORE joining, so each join's
+    * build side is |users|, broadcast-sized relative to the event
+    * stream; timestamps compare as epoch-µs longs (exact, tz-free).
+    */
+  private def q_agg_funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = E(s, dir).select(col("user_id"), col("event_type"),
+      graft.sources.Events.epochMicros(col("ts")).as("us"))
+    val c = e.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(col("us")).as("c_us"))
+    val v = e.filter(col("event_type") === "view").join(c, "user_id")
+      .filter(col("us") > col("c_us"))
+      .groupBy("user_id").agg(min(col("us")).as("v_us"))
+    val p = e.filter(col("event_type") === "purchase").join(v, "user_id")
+      .filter(col("us") > col("v_us"))
+      .groupBy("user_id").agg(min(col("us")).as("p_us"))
+    c.select(lit(1L).as("stage"), lit("click").as("stage_name"), col("user_id"))
+      .unionByName(v.select(lit(2L).as("stage"),
+        lit("view_after_click").as("stage_name"), col("user_id")))
+      .unionByName(p.select(lit(3L).as("stage"),
+        lit("purchase_after_view").as("stage_name"), col("user_id")))
+      .groupBy("stage", "stage_name")
+      .agg(count_distinct(col("user_id")).as("users"))
+      .orderBy("stage")
+  }
+
   private def q_dedup_semantic(s: SparkSession, dir: String): DataFrame =
     Similarity.semanticDedup(T(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, nSeeds = 8)
@@ -2722,6 +2818,10 @@ object SparkEntry {
     "text_repetition" -> (q_text_repetition _),
     "text_pii_mask" -> (q_text_pii_mask _),
     "dedup_semantic" -> (q_dedup_semantic _),
+    "dedup_bloom_incremental" -> (q_dedup_bloom_incremental _),
+    "win_ewma" -> (q_win_ewma _),
+    "win_rolling_median" -> (q_win_rolling_median _),
+    "agg_funnel" -> (q_agg_funnel _),
     "join_fuzzy" -> (q_join_fuzzy _),
     "agg_hll_distinct" -> (q_agg_hll_distinct _),
     "agg_heavyhitters" -> (q_agg_heavyhitters _),
@@ -3259,6 +3359,64 @@ object SparkEntry {
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
         |  event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // bloom candidates are exact-confirmed, so the oracle is the PLAIN
+    // semi-join — any bloom false positive surviving to output hash-fails
+    "dedup_bloom_incremental" ->
+      """WITH delta AS (
+        |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 11 = 5
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id, text || ' graft-novel' AS text
+        |  FROM documents WHERE doc_id % 11 = 7)
+        |SELECT d.doc_id FROM delta d
+        |WHERE EXISTS (SELECT 1 FROM documents b WHERE b.text = d.text)
+        |ORDER BY doc_id""".stripMargin,
+    // list_reduce replays the identical fold (init = first element,
+    // acc + 0.2*(x - acc), bucket order) — bit-exact before the round
+    "win_ewma" ->
+      """WITH h AS (SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      // count(*)) // 10000 AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |l AS (SELECT event_type,
+        |    list_transform(list(c ORDER BY bucket),
+        |      x -> CAST(x AS DOUBLE)) AS xs
+        |  FROM h GROUP BY 1)
+        |SELECT event_type, len(xs) AS n,
+        |  round(list_reduce(xs, (acc, x) -> acc + 0.2 * (x - acc)), 6) AS ewma
+        |FROM l ORDER BY 1""".stripMargin,
+    // both engines define the even-count median as the midpoint of the
+    // two middle INTEGER cents — exact in a double, no rounding
+    "win_rolling_median" ->
+      """WITH h AS (SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      // count(*)) // 10000 AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, bucket, count(*) OVER pk AS wn,
+        |    median(c) OVER pk AS med
+        |  FROM h
+        |  WINDOW pk AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, bucket, med FROM r WHERE wn = 24
+        |ORDER BY 1, 2""".stripMargin,
+    "agg_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT user_id, min(us) AS c_us FROM e
+        |      WHERE event_type = 'click' GROUP BY 1),
+        |v AS (SELECT e.user_id, min(us) AS v_us FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'view' AND us > c_us GROUP BY 1),
+        |p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'purchase' AND us > v_us GROUP BY 1),
+        |st AS (SELECT 1 AS stage, 'click' AS stage_name, user_id FROM c
+        |       UNION ALL
+        |       SELECT 2, 'view_after_click', user_id FROM v
+        |       UNION ALL
+        |       SELECT 3, 'purchase_after_view', user_id FROM p)
+        |SELECT stage, stage_name, count(DISTINCT user_id) AS users
+        |FROM st GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "limit_head" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100""".stripMargin,

@@ -784,4 +784,44 @@ object Dedup {
         p => xxhash64(col(textCol).substr(p, lit(spanLen))))).as("h"))
     spanDupCounts(spans)
   }
+
+  /** Bloom-pruned EXACT-duplicate detection for the incremental ingest
+    * path: which delta documents carry text already present verbatim in
+    * the base corpus? The naive answer is one delta⋈base semi-join on the
+    * text — correct, but at 100 TB it shuffles the ENTIRE delta against
+    * the ENTIRE base every ingest. This operator builds Spark's own
+    * `BloomFilterAggregate` sketch (the runtime-row-level-filter
+    * machinery, here driven explicitly) over `xxhash64(text)` of the
+    * base, prunes the delta to bloom candidates — false-positive rate set
+    * by `numBits`/`expectedItems`, false NEGATIVES impossible — and
+    * exact-confirms only the survivors with the semi-join. Output is
+    * EXACT regardless of the bloom's FP rate (every candidate is
+    * re-checked), so the operator is oracle-checkable against the plain
+    * semi-join SQL; the bloom only bounds the join's probe side to
+    * |true dups| + fpp·|delta|. Driver state is the sketch (numBits/8
+    * bytes — model-sized, like the IVF centroid table), broadcast to
+    * executors as a literal. In production the base-side sketch is
+    * persisted with the corpus and merged incrementally
+    * (BloomFilterAggregate partials are mergeable), so a daily ingest
+    * never re-scans the base — the same economics as
+    * [[incrementalStepExact]], for the exact-match tier.
+    */
+  def bloomPrunedExactMatches(base: DataFrame, delta: DataFrame,
+      textCol: String, expectedItems: Long = 1000000L,
+      numBits: Long = 8388608L): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val bloomBytes = base.agg(Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col(textCol))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+        .as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val baseTexts = base.select(col(textCol)).distinct()
+    if (bloomBytes == null) delta.limit(0) // empty base: no sketch, no dups
+    else delta
+      .filter(Bridge.column(BloomFilterMightContain(Literal(bloomBytes),
+        Bridge.expression(xxhash64(col(textCol))))))
+      .join(baseTexts, Seq(textCol), "left_semi")
+  }
 }

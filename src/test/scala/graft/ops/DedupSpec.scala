@@ -280,4 +280,29 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(tight == Set((1L, 2L), (1L, 3L), (1L, 6L), (2L, 6L), (3L, 6L)))
   }
+
+  test("bloom-pruned exact matches equal the plain semi-join at ANY sketch size") {
+    val base = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota")).toDF("doc_id", "text")
+    val delta = Seq((10L, "alpha beta gamma"), // exact dup of 1
+      (11L, "eta theta iota"),                 // exact dup of 3
+      (12L, "totally novel content here"),
+      (13L, "ALPHA BETA GAMMA")                // case-mutated: NOT exact
+    ).toDF("doc_id", "text")
+    val expected = Set(10L, 11L)
+    // generous sketch: near-zero FPP — candidates ≈ true dups
+    val wide = Dedup.bloomPrunedExactMatches(base, delta, "text",
+      expectedItems = 100L, numBits = 4096L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(wide == expected)
+    // pathologically tiny sketch: FPP near 1, every delta row a candidate
+    // — the exact confirm step must still produce the identical output
+    val tiny = Dedup.bloomPrunedExactMatches(base, delta, "text",
+      expectedItems = 1L, numBits = 8L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tiny == expected, s"FP survived the exact confirm: $tiny")
+    // empty base: no sketch to build, no matches — and no NPE
+    assert(Dedup.bloomPrunedExactMatches(base.limit(0), delta, "text")
+      .count() == 0)
+  }
 }
