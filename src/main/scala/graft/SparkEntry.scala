@@ -1655,6 +1655,77 @@ object SparkEntry {
       .orderBy("event_type", "bucket")
   }
 
+  /** Hampel outlier filter over the hourly cents series — the rolling
+    * robust anomaly detector (flag where |x − med| > 3·MAD over the
+    * trailing 24-bucket window): one outlier cannot inflate its own
+    * rejection threshold, unlike z-scores on a rolling mean/stddev.
+    * ALL-INTEGER exactness: with w = 24 and integer cents, twice-median
+    * m2 = s₍₁₂₎+s₍₁₃₎ and quadruple-MAD mad4 = sd₍₁₂₎+sd₍₁₃₎ (sd sorts
+    * |2c−m2|, which is 2·|c−med| kept integral) are exact BIGINTs, and
+    * the flag |c−med| > 3·MAD rearranges to the pure-integer comparison
+    * 2·|2c−m2| > 3·mad4 — no float enters until the final /2.0 and /4.0
+    * display columns (exact halves/quarters in a double). Per-row cost
+    * is two w·log w sorts at w = 24 — flat; windows partition per
+    * stream like every win_* query.
+    */
+  private def q_win_hampel(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(-23, 0)
+    hourlyCentsLong(s, dir)
+      .select(col("event_type"), col("bucket"), col("c"),
+        count(lit(1)).over(w).as("wn"),
+        sort_array(collect_list(col("c")).over(w)).as("arr"))
+      .filter(col("wn") === 24)
+      .withColumn("m2", element_at(col("arr"), 12) + element_at(col("arr"), 13))
+      .withColumn("sd", sort_array(transform(col("arr"),
+        x => abs(x * lit(2L) - col("m2")))))
+      .withColumn("mad4", element_at(col("sd"), 12) + element_at(col("sd"), 13))
+      .select(col("event_type"), col("bucket"), col("c"),
+        (col("m2") / 2.0).as("med"), (col("mad4") / 4.0).as("mad"),
+        when(abs(col("c") * 2 - col("m2")) * 2 > col("mad4") * 3, 1L)
+          .otherwise(0L).as("outlier"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Cohort retention — users grouped by their FIRST-seen day, activity
+    * counted per (cohort, day-offset): the standard product-analytics
+    * retention triangle. The per-user cohort frame is one row per user
+    * (broadcast-sized vs the event stream); activity is day-distinct
+    * before the join, so the shuffle carries |user-days|, not raw events.
+    */
+  private def q_agg_retention(s: SparkSession, dir: String): DataFrame = {
+    val e = E(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val cohort = e.groupBy("user_id").agg(min(col("d")).as("cohort"))
+    e.join(cohort, "user_id")
+      .withColumn("day_offset", datediff(col("d"), col("cohort")).cast("long"))
+      .groupBy("cohort", "day_offset")
+      .agg(count_distinct(col("user_id")).as("active_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
+  /** Temperature-scaled sampling weights over the corpus language mix —
+    * the published multilingual recipe (sample language l with
+    * probability ∝ (n_l/N)^α, α < 1, so low-resource languages are
+    * up-weighted relative to their raw share). α is pinned to 0.5
+    * DELIBERATELY: sqrt is correctly-rounded under IEEE-754 in every
+    * engine, where a general pow(x, α) is not — the exponent choice is
+    * what keeps this oracle-checkable bit-for-bit (before the defensive
+    * round on the normalized share, whose 5-term sum is order-sensitive).
+    * One groupBy + a broadcast scalar: nothing scales beyond |langs|.
+    */
+  private def q_sample_temperature(s: SparkSession, dir: String): DataFrame = {
+    val counts = T(s, dir, "documents").groupBy("lang")
+      .agg(count(lit(1)).as("n"))
+    val z = counts.agg(sum(sqrt(col("n").cast("double"))).as("z"))
+    counts.crossJoin(broadcast(z))
+      .select(col("lang"), col("n"),
+        round(sqrt(col("n").cast("double")) / col("z"), 6).as("w"))
+      .orderBy("lang")
+  }
+
   /** Ordered conversion funnel click → view → purchase per user: each
     * stage takes the user's FIRST qualifying event strictly after the
     * previous stage's timestamp (the product-analytics staple). Stage
@@ -2120,6 +2191,76 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
       .orderBy("event_type")
+  }
+
+  /** SCD TYPE-2 dimension merge ([[graft.ops.Lake.scd2Merge]]) over the
+    * customer dimension: one CDC batch carrying balance changes for
+    * every 9th customer (close v1, open v2), a NO-OP re-statement of
+    * every 9th-offset-7 customer (must produce zero version churn), and
+    * net-new customer keys (first open row at v2). The emitted history
+    * table is checked row-for-row against the SQL that states the SCD2
+    * contract directly — a spurious close, a missed insert, or no-op
+    * churn all change the row set. `v_to` is COALESCEd to 0 in the
+    * emitted projection (nullable-int columns land as float64 in both
+    * engines' pandas bridges, hashing "2.0" vs "2" — the round-2 repr
+    * class; the operator itself keeps NULL-means-open semantics).
+    */
+  private def q_sink_scd2(s: SparkSession, dir: String): DataFrame = {
+    val cust = T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val current = cust
+      .withColumn("v_from", lit(1L))
+      .withColumn("v_to", lit(null).cast("long"))
+    val updates = cust.filter(col("c_custkey") % 9 === 4)
+        .withColumn("c_acctbal", col("c_acctbal") + lit(500.0))
+      .unionByName(cust.filter(col("c_custkey") % 9 === 7)) // no-op batch
+      .unionByName(cust.filter(col("c_custkey") % 13 === 6)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000L)))
+    graft.ops.Lake.scd2Merge(current, updates, Seq("c_custkey"),
+        "v_from", "v_to", version = 2L)
+      .withColumn("v_to", coalesce(col("v_to"), lit(0L)))
+      .orderBy("c_custkey", "v_from")
+  }
+
+  /** Corrupt-tolerant JSONL ingest — the PERMISSIVE-mode contract a
+    * 100 TB crawl ingest lives by: a registry-materialized copy of the
+    * documents JSONL with every 17th line TRUNCATED mid-record
+    * (deterministically invalid JSON), read with
+    * `columnNameOfCorruptRecord` so bad lines land in a quarantine
+    * column instead of killing the job or silently vanishing
+    * (FAILFAST/DROPMALFORMED respectively). The per-language aggregate
+    * plus the `__corrupt` bucket must reconcile EXACTLY with the parquet
+    * ground truth of which doc_ids were corrupted — a dropped bad line
+    * or a half-parsed good line both break the counts.
+    */
+  private def q_scan_jsonl_corrupt(s: SparkSession, dir: String): DataFrame = {
+    val root = fittedModel(s"jsonlcorrupt|$dir") {
+      val out = s"$registryRoot/jsonlcorrupt_${registryKey(
+        s"jsonlcorrupt-v1|$dir|${tableFingerprint(s, s"$dir/documents.parquet")}")}"
+      val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        T(s, dir, "documents")
+          .select(col("doc_id"), to_json(struct(col("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars"))).as("j"))
+          .select(when(col("doc_id") % 17 === 3, substring(col("j"), 1, 25))
+            .otherwise(col("j")).as("value"))
+          .write.mode("overwrite").text(out)
+      }
+      out
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      s"$jsonlSchema, _bad STRING")
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(root)
+      .select(when(col("_bad").isNotNull, lit("__corrupt"))
+        .otherwise(col("lang")).as("lang"), col("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("n_chars"), lit(0L))).cast("long").as("sum_chars"))
+      .orderBy("lang")
   }
 
   /** Additive seasonal decomposition of the hourly per-type series:
@@ -2822,6 +2963,11 @@ object SparkEntry {
     "win_ewma" -> (q_win_ewma _),
     "win_rolling_median" -> (q_win_rolling_median _),
     "agg_funnel" -> (q_agg_funnel _),
+    "win_hampel" -> (q_win_hampel _),
+    "agg_retention" -> (q_agg_retention _),
+    "sample_temperature" -> (q_sample_temperature _),
+    "sink_scd2" -> (q_sink_scd2 _),
+    "scan_jsonl_corrupt" -> (q_scan_jsonl_corrupt _),
     "join_fuzzy" -> (q_join_fuzzy _),
     "agg_hll_distinct" -> (q_agg_hll_distinct _),
     "agg_heavyhitters" -> (q_agg_heavyhitters _),
@@ -3401,6 +3547,69 @@ object SparkEntry {
         |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
         |SELECT event_type, bucket, med FROM r WHERE wn = 24
         |ORDER BY 1, 2""".stripMargin,
+    // pure-integer Hampel: m2 = 2*median, mad4 = 4*MAD, flag
+    // 2*|2c-m2| > 3*mad4 — no float until the display /2.0, /4.0
+    "win_hampel" ->
+      """WITH h AS (SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      // count(*)) // 10000 AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, bucket, c, count(*) OVER pk AS wn,
+        |    list_sort(list(c) OVER pk) AS arr
+        |  FROM h
+        |  WINDOW pk AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT event_type, bucket, c, arr,
+        |    arr[12] + arr[13] AS m2 FROM r WHERE wn = 24),
+        |g AS (SELECT event_type, bucket, c, m2,
+        |    list_sort(list_transform(arr, x -> abs(x * 2 - m2))) AS sd
+        |  FROM f),
+        |m AS (SELECT event_type, bucket, c, m2,
+        |    sd[12] + sd[13] AS mad4 FROM g)
+        |SELECT event_type, bucket, c, m2 / 2.0 AS med, mad4 / 4.0 AS mad,
+        |  CASE WHEN abs(c * 2 - m2) * 2 > mad4 * 3 THEN 1 ELSE 0 END
+        |    AS outlier
+        |FROM m ORDER BY 1, 2""".stripMargin,
+    "agg_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1)
+        |SELECT cohort, date_diff('day', cohort, d) AS day_offset,
+        |  count(DISTINCT user_id) AS active_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the SCD2 contract stated directly: v1 rows (closed iff changed),
+    // v2 re-opens for changed keys, v2 first-opens for new keys; the
+    // no-op batch (c_custkey % 9 = 7) must contribute NOTHING
+    "sink_scd2" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment, 1 AS v_from,
+        |  CASE WHEN c_custkey % 9 = 4 THEN 2 ELSE 0 END AS v_to
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal + 500.0, c_mktsegment, 2, 0
+        |FROM customer WHERE c_custkey % 9 = 4
+        |UNION ALL
+        |SELECT c_custkey + 1000000, c_acctbal, c_mktsegment, 2, 0
+        |FROM customer WHERE c_custkey % 13 = 6
+        |ORDER BY c_custkey, v_from""".stripMargin,
+    // ground truth of WHICH lines were corrupted lives in the parquet
+    // table; the PERMISSIVE read must reconcile exactly
+    "scan_jsonl_corrupt" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 17 <> 3 GROUP BY 1
+        |UNION ALL
+        |SELECT '__corrupt', count(*), 0
+        |FROM documents WHERE doc_id % 17 = 3
+        |ORDER BY lang""".stripMargin,
+    // alpha = 0.5 via sqrt on purpose: sqrt is IEEE-correctly-rounded in
+    // both engines where a general pow is not
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |z AS (SELECT sum(sqrt(CAST(n AS DOUBLE))) AS z FROM c)
+        |SELECT lang, n, round(sqrt(CAST(n AS DOUBLE)) / z, 6) AS w
+        |FROM c CROSS JOIN z ORDER BY 1""".stripMargin,
     "agg_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -41,4 +41,54 @@ object Lake {
     base.join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates)
   }
+
+  /** Slowly-changing-dimension TYPE-2 merge — the dimension-table
+    * counterpart of [[upsert]]: instead of overwriting, history is kept
+    * as versioned rows. `current` carries `fromCol`/`toCol` (NULL toCol =
+    * the open row); applying `updates` at `version`:
+    *   - an update whose values EQUAL the open row's is a no-op (no
+    *     spurious version churn — the equality test is a struct compare
+    *     over all non-key columns, null-safe);
+    *   - a changed key CLOSES the open row (`toCol` = version) and
+    *     INSERTS the new values as the open row (`fromCol` = version);
+    *   - a new key inserts its first open row;
+    *   - untouched keys and already-closed history pass through verbatim.
+    * Scale design: one key-shuffled full-outer join between the OPEN
+    * subset and the update batch decides every case; closed history —
+    * the bulk of a long-lived dimension — is never joined, only unioned
+    * back. With a CDC-sized batch AQE broadcasts the update side.
+    */
+  def scd2Merge(current: DataFrame, updates: DataFrame, keys: Seq[String],
+      fromCol: String, toCol: String, version: Long): DataFrame = {
+    require(keys.nonEmpty, "scd2Merge needs at least one key")
+    val valueCols = current.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == fromCol || c == toCol)
+    require(updates.columns.toSet == (keys ++ valueCols).toSet,
+      s"updates must carry exactly keys+values: ${(keys ++ valueCols).sorted}")
+    // presence markers, NOT value-null probes: an update legitimately
+    // setting every value NULL is still an update, and a full-outer join
+    // leaves the absent side's columns null — only a column that cannot
+    // be null when the side is present can detect presence.
+    val open = current.filter(col(toCol).isNull)
+      .withColumn("__o_present", lit(true))
+    val closed = current.filter(col(toCol).isNotNull)
+    val u = updates.select(
+      keys.map(col) ++ valueCols.map(c => col(c).as(s"__u_$c")) :+
+        lit(true).as("__u_present"): _*)
+    val j = open.join(u, keys, "full_outer")
+    val hasUpdate = col("__u_present").isNotNull
+    val openExisted = col("__o_present").isNotNull
+    // null-safe struct compare: a value column going NULL is a change
+    val same = struct(valueCols.map(col): _*) <=>
+      struct(valueCols.map(c => col(s"__u_$c")): _*)
+    val keep = j.filter(openExisted && (!hasUpdate || same)) // untouched / no-op
+      .select(current.columns.map(col): _*)
+    val closedNow = j.filter(openExisted && hasUpdate && !same)
+      .select(keys.map(col) ++ valueCols.map(col) ++
+        Seq(col(fromCol), lit(version).as(toCol)): _*)
+    val inserted = j.filter(!openExisted || (hasUpdate && !same))
+      .select(keys.map(col) ++ valueCols.map(c => col(s"__u_$c").as(c)) ++
+        Seq(lit(version).as(fromCol), lit(null).cast("long").as(toCol)): _*)
+    closed.unionByName(keep).unionByName(closedNow).unionByName(inserted)
+  }
 }

@@ -58,4 +58,40 @@ class LakeSpec extends SparkSpec {
       Lake.upsert(base, intUpdates, Seq("id"))
     }
   }
+
+  test("scd2Merge: change closes+reopens, no-op keeps, new key inserts, " +
+      "null-valued update is a CHANGE not a miss, closed history untouched") {
+    import org.apache.spark.sql.functions.col
+    val current = Seq(
+      (1L, Option("a"), 1L, Option(2L)), // closed history row
+      (1L, Option("b"), 2L, None),       // open: will change to "c"
+      (2L, Option("x"), 1L, None),       // open: no-op re-statement
+      (3L, Option("y"), 1L, None),       // open: untouched (no update)
+      (4L, Option("q"), 1L, None)        // open: update sets value NULL
+    ).toDF("id", "kind", "v_from", "v_to")
+    val updates = Seq(
+      (1L, Option("c")),  // change
+      (2L, Option("x")),  // no-op
+      (4L, None: Option[String]), // null-valued update: still a change
+      (9L, Option("new")) // new key
+    ).toDF("id", "kind")
+    val out = Lake.scd2Merge(current, updates, Seq("id"),
+        "v_from", "v_to", version = 3L)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(out == Set(
+      (1L, Some("a"), 1L, Some(2L)), // history verbatim
+      (1L, Some("b"), 2L, Some(3L)), // closed at v3
+      (1L, Some("c"), 3L, None),     // reopened
+      (2L, Some("x"), 1L, None),     // no churn for the no-op
+      (3L, Some("y"), 1L, None),     // untouched
+      (4L, Some("q"), 1L, Some(3L)), // null-update closed it...
+      (4L, None, 3L, None),          // ...and opened the null state
+      (9L, Some("new"), 3L, None)))  // first open row
+    // exactly one open row per live key
+    val opens = out.toSeq.filter(_._4.isEmpty).groupBy(_._1).view.mapValues(_.size)
+    assert(opens.values.forall(_ == 1))
+  }
 }
