@@ -1726,6 +1726,66 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Rolling active users (DAU/WAU) — the engagement dashboard staple.
+    * The WAU side REPLICATES each distinct user-day to the 7 window days
+    * it contributes to (explode of a 7-element sequence) instead of
+    * self-joining the day grid against the activity table: at 100 TB the
+    * replicate-then-aggregate shape is one shuffle over 7·|user-days|
+    * with map-side distinct, while a range self-join re-scans activity
+    * once per window day. Inner join on the DAU frame restricts output
+    * to days with actual activity.
+    */
+  private def q_agg_active_users(s: SparkSession, dir: String): DataFrame = {
+    val ud = E(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count_distinct(col("user_id")).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(col("day"),
+        col("day") + expr("INTERVAL 6 DAYS"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      .groupBy("day").agg(count_distinct(col("user_id")).as("wau"))
+    dau.join(wau, "day").orderBy("day")
+  }
+
+  /** Welch two-sample t statistic per event_type between the A/B user
+    * split (`user_id % 2`) — the experimentation primitive. Exactness:
+    * values quantize to integer CENTS through the micro-unit route
+    * (DECIMAL·10⁶ → BIGINT, exact — then integer-divide by 10⁴, floor ≡
+    * truncate on the non-negative domain ContractSpec pins), sufficient
+    * sums Σc and Σc² stay in BIGINTs (≪ 2⁵³, so the cast to double is
+    * value-preserving), and the t combination is ONE verbatim-mirrored
+    * IEEE expression — bit-exact before the defensive round. One scan,
+    * one groupBy; nothing scales past |event types|.
+    */
+  private def q_agg_ab_ttest(s: SparkSession, dir: String): DataFrame = {
+    val cents = expr(
+      "cast(cast(value as decimal(18,6)) * 1000000 as bigint) div 10000")
+    val g = E(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), (col("user_id") % 2 === 0).as("isa"),
+        cents.as("c"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("isa"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("nb"),
+        sum(when(col("isa"), col("c")).otherwise(0L)).as("s1a"),
+        sum(when(!col("isa"), col("c")).otherwise(0L)).as("s1b"),
+        sum(when(col("isa"), col("c") * col("c")).otherwise(0L)).as("s2a"),
+        sum(when(!col("isa"), col("c") * col("c")).otherwise(0L)).as("s2b"))
+    val ma = col("s1a").cast("double") / col("na")
+    val mb = col("s1b").cast("double") / col("nb")
+    val va = (col("s2a").cast("double") -
+      col("s1a").cast("double") * col("s1a").cast("double") / col("na")) /
+      (col("na") - 1)
+    val vb = (col("s2b").cast("double") -
+      col("s1b").cast("double") * col("s1b").cast("double") / col("nb")) /
+      (col("nb") - 1)
+    g.select(col("event_type"), col("na"), col("nb"),
+        round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+        round((ma - mb) / sqrt(va / col("na") + vb / col("nb")), 6).as("t"))
+      .orderBy("event_type")
+  }
+
   /** Ordered conversion funnel click → view → purchase per user: each
     * stage takes the user's FIRST qualifying event strictly after the
     * previous stage's timestamp (the product-analytics staple). Stage
@@ -2968,6 +3028,8 @@ object SparkEntry {
     "sample_temperature" -> (q_sample_temperature _),
     "sink_scd2" -> (q_sink_scd2 _),
     "scan_jsonl_corrupt" -> (q_scan_jsonl_corrupt _),
+    "agg_active_users" -> (q_agg_active_users _),
+    "agg_ab_ttest" -> (q_agg_ab_ttest _),
     "join_fuzzy" -> (q_join_fuzzy _),
     "agg_hll_distinct" -> (q_agg_hll_distinct _),
     "agg_heavyhitters" -> (q_agg_heavyhitters _),
@@ -3579,6 +3641,42 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS active_users
         |FROM e JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "agg_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau
+        |        FROM ud GROUP BY 1),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM (
+        |    SELECT user_id, day + i * (INTERVAL 1 DAY) AS day
+        |    FROM ud, range(0, 7) t(i)) GROUP BY 1)
+        |SELECT day, dau, wau FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
+    // integer-cents sufficient sums (exact BIGINTs << 2^53) + ONE
+    // mirrored IEEE Welch combination — bit-exact before the round
+    "agg_ab_ttest" ->
+      """WITH c AS (SELECT event_type,
+        |    user_id % 2 = 0 AS isa,
+        |    (CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      // 10000) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT event_type,
+        |    sum(CASE WHEN isa THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS nb,
+        |    sum(CASE WHEN isa THEN c ELSE 0 END) AS s1a,
+        |    sum(CASE WHEN NOT isa THEN c ELSE 0 END) AS s1b,
+        |    sum(CASE WHEN isa THEN c * c ELSE 0 END) AS s2a,
+        |    sum(CASE WHEN NOT isa THEN c * c ELSE 0 END) AS s2b
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  round(CAST(s1a AS DOUBLE) / na, 6) AS mean_a,
+        |  round(CAST(s1b AS DOUBLE) / nb, 6) AS mean_b,
+        |  round((CAST(s1a AS DOUBLE) / na - CAST(s1b AS DOUBLE) / nb)
+        |    / sqrt((CAST(s2a AS DOUBLE)
+        |        - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / na) / (na - 1) / na
+        |      + (CAST(s2b AS DOUBLE)
+        |        - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / nb) / (nb - 1) / nb),
+        |    6) AS t
+        |FROM g ORDER BY 1""".stripMargin,
     // the SCD2 contract stated directly: v1 rows (closed iff changed),
     // v2 re-opens for changed keys, v2 first-opens for new keys; the
     // no-op batch (c_custkey % 9 = 7) must contribute NOTHING

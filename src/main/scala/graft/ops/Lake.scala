@@ -57,6 +57,12 @@ object Lake {
     * subset and the update batch decides every case; closed history —
     * the bulk of a long-lived dimension — is never joined, only unioned
     * back. With a CDC-sized batch AQE broadcasts the update side.
+    *
+    * Contract: `updates` carries AT MOST ONE row per key (the standard
+    * compacted-CDC shape — a batch with several versions of one key has
+    * no defined order here; compact to last-per-key upstream first), and
+    * `current` has at most one OPEN row per key (which this function
+    * preserves, so the invariant holds across repeated applications).
     */
   def scd2Merge(current: DataFrame, updates: DataFrame, keys: Seq[String],
       fromCol: String, toCol: String, version: Long): DataFrame = {
