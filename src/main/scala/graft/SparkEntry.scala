@@ -1726,6 +1726,54 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Hourly-grid gap detection per stream — the data-quality monitor a
+    * sensor pipeline runs before trusting any resampled series: how many
+    * expected buckets are MISSING, and how long is the worst outage?
+    * Consecutive present buckets are diffed with one lag window per
+    * stream (epoch-hour integer arithmetic — exact); the aggregate emits
+    * missing-bucket count and max gap. O(present buckets) after the
+    * resample-shaped distinct, windows partition per stream.
+    */
+  private def q_agg_gap_detect(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hb"))
+    E(s, dir)
+      .select(col("event_type"),
+        graft.sources.Events.epochSeconds(date_trunc("hour", col("ts")))
+          .as("es"))
+      .select(col("event_type"), expr("es div 3600").as("hb")) // long, not /'s double
+      .distinct()
+      .withColumn("gap", col("hb") - lag(col("hb"), 1).over(w) - 1L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_buckets"),
+        coalesce(sum(col("gap")), lit(0L)).cast("long").as("missing"),
+        coalesce(max(col("gap")), lit(0L)).cast("long").as("max_gap"))
+      .orderBy("event_type")
+  }
+
+  /** Longest consecutive-day activity streak per user — gaps-and-islands
+    * over the distinct user-day grid: island anchor = daynum − rank
+    * (consecutive days share one anchor), all-integer. The engagement
+    * twin of [[q_agg_retention]]; per-user window over user-days only.
+    */
+  private def q_agg_streaks(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("dn"))
+    val ud = E(s, dir)
+      .select(col("user_id"),
+        datediff(date_trunc("day", col("ts")),
+          to_date(lit("1970-01-01"))).cast("long").as("dn"))
+      .distinct()
+    ud.withColumn("anchor", col("dn") - row_number().over(w))
+      .groupBy("user_id", "anchor")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).cast("long").as("active_days"))
+      .orderBy("user_id")
+  }
+
   /** Rolling active users (DAU/WAU) — the engagement dashboard staple.
     * The WAU side REPLICATES each distinct user-day to the 7 window days
     * it contributes to (explode of a 7-element sequence) instead of
@@ -1971,6 +2019,22 @@ object SparkEntry {
         graft.sources.Events.epochMicros(col("ts")).as("ts_us"),
         col("event_type"), col("value"))
       .orderBy("event_id")
+  }
+
+  /** Streaming gap detection in batch replay — bit-identical to the
+    * batch lag formulation (integer bucket arithmetic, single batch =
+    * the full ordered replay), so it carries a full oracle; the
+    * cross-batch state carry is MemoryStream-spec'd. The live form is
+    * the O(tags)-state liveness monitor.
+    */
+  private def q_stream_gap_detect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val readings = E(s, dir)
+      .select(col("event_type").as("tag"), col("ts"), col("value"))
+      .as[graft.streaming.Reading]
+    graft.streaming.Streams.gapsOnline(readings, 3600L)
+      .toDF()
+      .orderBy("tag", "gap_start_hb")
   }
 
   private def q_stream_score(s: SparkSession, dir: String): DataFrame = {
@@ -3030,6 +3094,9 @@ object SparkEntry {
     "scan_jsonl_corrupt" -> (q_scan_jsonl_corrupt _),
     "agg_active_users" -> (q_agg_active_users _),
     "agg_ab_ttest" -> (q_agg_ab_ttest _),
+    "agg_gap_detect" -> (q_agg_gap_detect _),
+    "agg_streaks" -> (q_agg_streaks _),
+    "stream_gap_detect" -> (q_stream_gap_detect _),
     "join_fuzzy" -> (q_join_fuzzy _),
     "agg_hll_distinct" -> (q_agg_hll_distinct _),
     "agg_heavyhitters" -> (q_agg_heavyhitters _),
@@ -3641,6 +3708,45 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS active_users
         |FROM e JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "agg_gap_detect" ->
+      """WITH hb AS (SELECT DISTINCT event_type,
+        |    CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |      AS BIGINT) // 3600 AS hb
+        |  FROM events),
+        |g AS (SELECT event_type, hb,
+        |    hb - lag(hb) OVER (PARTITION BY event_type ORDER BY hb) - 1
+        |      AS gap
+        |  FROM hb)
+        |SELECT event_type, count(*) AS n_buckets,
+        |  CAST(coalesce(sum(gap), 0) AS BIGINT) AS missing,
+        |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // one row per detected outage — the replay of gapsOnline's emission
+    "stream_gap_detect" ->
+      """WITH hb AS (SELECT DISTINCT event_type AS tag,
+        |    CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |      AS BIGINT) // 3600 AS hb
+        |  FROM events),
+        |g AS (SELECT tag, hb,
+        |    lag(hb) OVER (PARTITION BY tag ORDER BY hb) AS p
+        |  FROM hb)
+        |SELECT tag, p + 1 AS gap_start_hb, hb - p - 1 AS missing
+        |FROM g WHERE p IS NOT NULL AND hb > p + 1
+        |ORDER BY tag, gap_start_hb""".stripMargin,
+    "agg_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01',
+        |      date_trunc('day', CAST(ts AS TIMESTAMP))) AS dn
+        |  FROM events),
+        |i AS (SELECT user_id, dn,
+        |    dn - row_number() OVER (PARTITION BY user_id ORDER BY dn)
+        |      AS anchor
+        |  FROM ud),
+        |st AS (SELECT user_id, anchor, count(*) AS len
+        |       FROM i GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS longest_streak,
+        |  count(*) AS n_streaks, CAST(sum(len) AS BIGINT) AS active_days
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),

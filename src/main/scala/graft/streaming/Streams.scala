@@ -43,6 +43,13 @@ case class Drifted(tag: String, ts: java.sql.Timestamp, value: Double,
   * reference (isRight=true, value = the reference reading) — see
   * Streams.asofOnline. Event time as epoch micros for exact ordering.
   */
+/** Last present bucket per tag — [[Streams.gapsOnline]] state. */
+case class GapState(lastHb: Long)
+
+/** One detected outage: `missing` consecutive absent buckets starting at
+  * `gap_start_hb` (bucket index = epoch-seconds div bucket width). */
+case class GapOut(tag: String, gap_start_hb: Long, missing: Long)
+
 case class AsOfIn(user: Long, tsMicros: Long, isRight: Boolean,
     eventId: Long, value: Option[Double])
 
@@ -253,6 +260,43 @@ object Streams {
             Smoothed(tag, r.ts, r.value, next)
           }
           s.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Online GAP detection per tag — the live twin of the batch
+    * `agg_gap_detect` monitor: as readings stream in, emit one row per
+    * detected outage (first absent bucket + how many buckets were
+    * missed) the moment the stream resumes. State is ONE long per tag
+    * (the last present bucket index) — O(tags) total, the cheapest
+    * possible liveness monitor, vs the batch form's full lag window.
+    * Within a micro-batch buckets process in ascending order
+    * (distinct+sorted), so a single-batch replay is bit-identical to
+    * the batch lag SQL and the query shares its oracle; across batches
+    * the carried `lastHb` detects gaps spanning batch boundaries (the
+    * MemoryStream spec pins both).
+    */
+  def gapsOnline(readings: Dataset[Reading], bucketSeconds: Long): Dataset[GapOut] = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.tag)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tag: String, it: Iterator[Reading],
+         state: org.apache.spark.sql.streaming.GroupState[GapState]) =>
+          var last = state.getOption.map(_.lastHb)
+          val hbs = it.map(r => Math.floorDiv(
+              Math.floorDiv(r.ts.getTime, 1000L), bucketSeconds))
+            .toSeq.distinct.sorted
+          val out = hbs.flatMap { hb =>
+            val gap = last match {
+              case Some(p) if hb > p + 1 => Some(GapOut(tag, p + 1, hb - p - 1))
+              case _ => None
+            }
+            if (last.forall(_ < hb)) last = Some(hb)
+            gap
+          }
+          last.foreach(hb => state.update(GapState(hb)))
           out.iterator
       }
   }

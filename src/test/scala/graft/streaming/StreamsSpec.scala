@@ -404,4 +404,42 @@ class StreamsSpec extends SparkSpec {
       .collect().map(key).sortBy(_._1)
     assert(streamed.toSeq == single.toSeq)
   }
+
+  test("gapsOnline emits each outage once, carries state across batches") {
+    // tag a: hours 0, 1, 4 (gap: start 2, missing 2), then 5 (no gap),
+    //        then 9 in a LATER batch (gap spanning the boundary: 6..8)
+    // tag b: hours 0, 2 (gap: start 1, missing 1)
+    def r(tag: String, hour: Int) =
+      Reading(tag, new Timestamp(hour * 3600L * 1000L), 1.0)
+    val batch1 = Seq(r("a", 0), r("a", 1), r("a", 4), r("a", 5),
+      r("b", 0), r("b", 2))
+    val batch2 = Seq(r("a", 9))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val q = Streams.gapsOnline(mem.toDS, 3600L)
+      .writeStream.format("memory").queryName("gaps_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("gaps_out").as[GapOut].collect()
+      .map(g => (g.tag, g.gap_start_hb, g.missing)).sortBy(x => (x._1, x._2))
+    assert(out.toSeq == Seq(
+      ("a", 2L, 2L),  // within batch 1
+      ("a", 6L, 3L),  // across the batch boundary (state-carried lastHb=5)
+      ("b", 1L, 1L)))
+    // duplicate/unordered arrivals within a batch change nothing
+    val mem2 = MemoryStream[Reading]
+    val q2 = Streams.gapsOnline(mem2.toDS, 3600L)
+      .writeStream.format("memory").queryName("gaps_out2")
+      .outputMode("append").start()
+    try {
+      mem2.addData(Seq(r("a", 4), r("a", 0), r("a", 4), r("a", 1), r("a", 5)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out2 = spark.table("gaps_out2").as[GapOut].collect()
+      .map(g => (g.tag, g.gap_start_hb, g.missing)).toSeq
+    assert(out2 == Seq(("a", 2L, 2L)))
+  }
 }
