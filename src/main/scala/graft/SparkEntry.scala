@@ -1116,6 +1116,15 @@ object SparkEntry {
     Similarity.lshCosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
       .orderBy("vec_a", "vec_b")
 
+  /** Approximate k-NN graph ([[graft.ops.Similarity.knnGraph]]) — each
+    * vector's top-3 among its LSH candidates; the neighbor-graph step
+    * behind SemDeDup clustering and graph-based ANN. Oracle-checked via
+    * inlined plane literals (the simsearch_lsh pattern).
+    */
+  private def q_simsearch_knn_graph(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id", "embedding", 3)
+      .orderBy("qid", "rnk")
+
   /** Spark-only: IVF coarse-quantizer ANN — probe-limited top-k with a
     * PREFIT quantizer. The k-means fit runs once per corpus and is
     * persisted under a content-keyed registry path (the disk-registry
@@ -1774,6 +1783,52 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Event-type Markov transition matrix — the behavioral-analytics
+    * primitive (what follows what): consecutive pairs in each user's
+    * event sequence (lag window ordered by event time, unique event id
+    * as the total-order tiebreak), counted per (prev, next) and
+    * normalized per source state. All-integer until the single
+    * count/total division (two exact BIGINT→double casts, one IEEE
+    * division, round 6). Two shuffles — by user for the sequence
+    * window, by prev-state for the matrix — both on natural keys;
+    * output is |event types|², never data-sized.
+    */
+  private def q_agg_transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy("prev_type")
+    E(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(wp).cast("double"), 6))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** LIVE transition feed ([[graft.streaming.Streams.transitionsOnline]])
+    * aggregated into the same matrix — per-user last-event state only,
+    * O(users); ordered replay is row-identical to the batch lag window,
+    * so the query shares [[q_agg_transitions]]' oracle verbatim.
+    */
+  private def q_stream_transitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy("prev_type")
+    val evs = E(s, dir)
+      .select(col("user_id").as("user"),
+        graft.sources.Events.epochMicros(col("ts")).as("tsMicros"),
+        col("event_id").as("eventId"), col("event_type").as("etype"))
+      .as[graft.streaming.UserEvent]
+    graft.streaming.Streams.transitionsOnline(evs)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(wp).cast("double"), 6))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** Rolling active users (DAU/WAU) — the engagement dashboard staple.
     * The WAU side REPLICATES each distinct user-day to the 7 window days
     * it contributes to (explode of a 7-element sequence) instead of
@@ -2314,6 +2369,58 @@ object SparkEntry {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+  }
+
+  /** TIME TRAVEL over a versioned lake table: two committed snapshots
+    * (v1 = the raw events table, v2 = v1 upserted with a deterministic
+    * CDC batch — every (id % 11 == 3) value doubled, every
+    * (id % 101 == 0) row re-ingested under a new id as 'lateload'),
+    * both registry-persisted once per fixture fingerprint; the query
+    * reads BOTH versions — the thing time travel is for — and emits the
+    * per-type snapshot diff (added / changed / unchanged row counts +
+    * the exact DECIMAL delta of changed values). Presence markers, not
+    * value-null probes, classify added-vs-changed (the scd2Merge
+    * discipline: a NULL old value is not "added"); null-safe equality
+    * decides changed (a NULL→NULL or 0→0 "update" is no change). The
+    * diff join keys on the snapshot's primary key only — at 100 TB both
+    * sides shuffle once on id, or zero times if the snapshots are
+    * written bucketed-by-key (sink_partitioned's layout note).
+    */
+  private def q_sink_time_travel(s: SparkSession, dir: String): DataFrame = {
+    val root = fittedModel(s"timetravel|$dir") {
+      val out = s"$registryRoot/timetravel_${registryKey(
+        s"timetravel-v1|$dir|${tableFingerprint(s, s"$dir/events.parquet")}")}"
+      val marker = new org.apache.hadoop.fs.Path(s"$out/v2", "_SUCCESS")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        E(s, dir).select("event_id", "event_type", "value")
+          .write.mode("overwrite").parquet(s"$out/v1")
+        val v1 = s.read.parquet(s"$out/v1")
+        val cdc = v1.filter(col("event_id") % 11 === 3)
+            .withColumn("value", col("value") * 2.0)
+          .unionByName(v1.filter(col("event_id") % 101 === 0)
+            .withColumn("event_id", col("event_id") + lit(2000000L))
+            .withColumn("event_type", lit("lateload")))
+        graft.ops.Lake.upsert(v1, cdc, Seq("event_id"))
+          .write.mode("overwrite").parquet(s"$out/v2")
+      }
+      out
+    }
+    val v1 = s.read.parquet(s"$root/v1")
+      .select(col("event_id"), col("value").as("v_old"), lit(1).as("in_old"))
+    val v2 = s.read.parquet(s"$root/v2")
+      .select(col("event_id"), col("event_type"), col("value").as("v_new"))
+    val changed = col("in_old").isNotNull && !(col("v_new") <=> col("v_old"))
+    val same = col("in_old").isNotNull && (col("v_new") <=> col("v_old"))
+    v2.join(v1, Seq("event_id"), "left_outer") // no deletes: v2 keys ⊇ v1
+      .groupBy("event_type")
+      .agg(sum(when(col("in_old").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_added"),
+        sum(when(changed, 1L).otherwise(0L)).cast("long").as("n_changed"),
+        sum(when(same, 1L).otherwise(0L)).cast("long").as("n_same"),
+        coalesce(dsum(when(changed, col("v_new") - col("v_old"))), lit(0.0))
+          .as("delta_sum"))
       .orderBy("event_type")
   }
 
@@ -2870,6 +2977,146 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Per-stream OLS trend fit (slope, intercept, R²) over the hourly
+    * cents series — the parametric companion of the Theil-Sen /
+    * Mann-Kendall pair: one pass of BIGINT sufficient statistics
+    * (n, Σt, Σc, Σt², Σc², Σtc). `t` is the hour index SHIFTED to each
+    * stream's own origin (window min over the same partition key the
+    * aggregate shuffles on — one exchange total), which caps every
+    * BIGINT product at ~10⁶× below overflow regardless of the epoch.
+    * All algebra is exact until three IEEE divisions (slope, intercept,
+    * R²) on exact-BIGINT-derived doubles, then round(6); zero-variance
+    * streams NULL out via nullif.
+    */
+  private def q_ml_ols_trend(s: SparkSession, dir: String): DataFrame = {
+    val wmin = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    hourlyCentsLong(s, dir)
+      .withColumn("es", graft.sources.Events.epochSeconds(col("bucket")))
+      .withColumn("t0", expr("es div 3600"))
+      .withColumn("t", col("t0") - min(col("t0")).over(wmin))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("t")).as("st"), sum(col("c")).as("sc"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("c") * col("c")).as("scc"),
+        sum(col("t") * col("c")).as("stc"))
+      .withColumn("num", (col("n") * col("stc") - col("st") * col("sc")))
+      .withColumn("dent", (col("n") * col("stt") - col("st") * col("st")))
+      .withColumn("denc", (col("n") * col("scc") - col("sc") * col("sc")))
+      .withColumn("slope_raw", col("num").cast("double") /
+        expr("nullif(CAST(dent AS DOUBLE), 0.0D)"))
+      .select(col("event_type"), col("n"),
+        round(col("slope_raw"), 6).as("slope"),
+        round((col("sc").cast("double") - col("slope_raw") *
+          col("st").cast("double")) / col("n").cast("double"), 6)
+          .as("intercept"),
+        round(col("num").cast("double") * col("num").cast("double") /
+          expr("nullif(CAST(dent AS DOUBLE) * CAST(denc AS DOUBLE), 0.0D)"), 6)
+          .as("r2"))
+      .orderBy("event_type")
+  }
+
+  /** Single change-point detection per stream — the offline CUSUM
+    * estimator (Page/Hinkley form): over the hourly cents series, pick
+    * the split k maximizing the standardized between-segment statistic
+    * G(k) = (k·S − n·S_k)² / (k·(n−k)·n) — equivalently the k
+    * minimizing two-segment SSE. Prefix sums via one ordered window on
+    * the same key the final argmax partitions on (hour buckets are
+    * unique per stream, so the running frame is deterministic);
+    * everything integer until the one score expression (exact BIGINTs
+    * cast to double, squared in IEEE), ties broken toward the earliest
+    * k — bit-reproducible in any engine. O(n) per stream, one shuffle.
+    */
+  private def q_ml_changepoint(s: SparkSession, dir: String): DataFrame = {
+    val wo = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("t")
+    val wa = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("score").desc, col("k"))
+    hourlyCentsLong(s, dir)
+      .withColumn("es", graft.sources.Events.epochSeconds(col("bucket")))
+      .withColumn("t", expr("es div 3600"))
+      .withColumn("k", row_number().over(wo))
+      .withColumn("sk", sum(col("c")).over(wo))
+      .withColumn("change_bucket", lead(col("bucket"), 1).over(wo))
+      .withColumn("nn", count(lit(1)).over(wa))
+      .withColumn("stot", sum(col("c")).over(wa))
+      .filter(col("k") < col("nn"))
+      .withColumn("numd",
+        (col("k") * col("stot") - col("nn") * col("sk")).cast("double"))
+      .withColumn("score", col("numd") * col("numd") /
+        (col("k") * (col("nn") - col("k")) * col("nn")).cast("double"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") === 1)
+      .select(col("event_type"), col("nn").as("n"), col("k").as("split_k"),
+        col("change_bucket"), round(col("score"), 6).as("score"),
+        round(col("sk").cast("double") / col("k").cast("double"), 6)
+          .as("mean_left"),
+        round((col("stot") - col("sk")).cast("double") /
+          (col("nn") - col("k")).cast("double"), 6).as("mean_right"))
+      .orderBy("event_type")
+  }
+
+  /** Shannon entropy of the per-user event distribution per event_type —
+    * the concentration/diversity monitor (is one user generating all the
+    * purchases?), the log-scale companion of agg_diversity's
+    * Gini-Simpson. Computed as H = ln(N) − (Σ nᵤ·ln nᵤ)/N so every
+    * input to the transcendentals is an EXACT integer count (the same
+    * portable-ln discipline as the PSI oracle: ulp-level libm skew and
+    * double-sum ordering both sit ~7 orders below the round-6
+    * threshold). Also emits H normalized by ln(users) — 1.0 = perfectly
+    * even. Two key-shuffles, output is |event types| rows.
+    */
+  private def q_agg_entropy(s: SparkSession, dir: String): DataFrame = {
+    E(s, dir)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("nu"))
+      .groupBy("event_type")
+      .agg(sum(col("nu")).as("n_events"), count(lit(1)).as("n_users"),
+        sum(col("nu").cast("double") * log(col("nu").cast("double")))
+          .as("snl"))
+      .withColumn("hraw", log(col("n_events").cast("double")) -
+        col("snl") / col("n_events").cast("double"))
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        round(col("hraw"), 6).as("entropy"),
+        round(col("hraw") /
+          expr("nullif(ln(CAST(n_users AS DOUBLE)), 0.0D)"), 6)
+          .as("norm_entropy"))
+      .orderBy("event_type")
+  }
+
+  /** Per-doc readability scoring (Flesch reading ease + Flesch-Kincaid
+    * grade) — the classic text-quality gate beside the Gopher/stopword
+    * ones. Every input is an exact integer surface count: words =
+    * split on the fixture's single-space separator; syllable groups =
+    * maximal [aeiouy]+ runs counted by the replace-length identity
+    * G = len(runs→"#") − len(runs→"") (exact even if the text contains
+    * '#'); sentences = 1 + terminal-punctuation runs. The two formula
+    * divisions are the only floats — identical literal/operation order
+    * on both sides, round(4). Pure map-side scan, no shuffle at all.
+    */
+  private def q_text_readability(s: SparkSession, dir: String): DataFrame = {
+    val lw = lower(col("text"))
+    T(s, dir, "documents")
+      .withColumn("words", size(split(col("text"), " ", -1)).cast("long"))
+      .withColumn("syllables",
+        (length(regexp_replace(lw, "[aeiouy]+", "#")) -
+          length(regexp_replace(lw, "[aeiouy]+", ""))).cast("long"))
+      .withColumn("sentences", lit(1L) +
+        (length(regexp_replace(col("text"), "[.!?]+", "#")) -
+          length(regexp_replace(col("text"), "[.!?]+", ""))).cast("long"))
+      .withColumn("wps", col("words").cast("double") /
+        expr("nullif(CAST(sentences AS DOUBLE), 0.0D)"))
+      .withColumn("spw", col("syllables").cast("double") /
+        expr("nullif(CAST(words AS DOUBLE), 0.0D)"))
+      .select(col("doc_id"), col("lang"), col("words"), col("sentences"),
+        col("syllables"),
+        round(lit(206.835) - lit(1.015) * col("wps") -
+          lit(84.6) * col("spw"), 4).as("flesch"),
+        round(lit(0.39) * col("wps") + lit(11.8) * col("spw") -
+          lit(15.59), 4).as("fk_grade"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc TF-IDF top-5 signature terms ([[graft.ops.Search.tfidfTopTerms]])
     * — keyword extraction beside text_topterms' per-language raw counts.
     */
@@ -3051,6 +3298,7 @@ object SparkEntry {
     "dedup_embed_cosine" -> (q_dedup_embed_cosine _),
     "simsearch_topk" -> (q_simsearch_topk _),
     "simsearch_lsh" -> (q_simsearch_lsh _),
+    "simsearch_knn_graph" -> (q_simsearch_knn_graph _),
     "simsearch_int8" -> (q_simsearch_int8 _),
     "text_langid" -> (q_text_langid _),
     "text_quality" -> (q_text_quality _),
@@ -3091,11 +3339,14 @@ object SparkEntry {
     "agg_retention" -> (q_agg_retention _),
     "sample_temperature" -> (q_sample_temperature _),
     "sink_scd2" -> (q_sink_scd2 _),
+    "sink_time_travel" -> (q_sink_time_travel _),
     "scan_jsonl_corrupt" -> (q_scan_jsonl_corrupt _),
     "agg_active_users" -> (q_agg_active_users _),
     "agg_ab_ttest" -> (q_agg_ab_ttest _),
     "agg_gap_detect" -> (q_agg_gap_detect _),
     "agg_streaks" -> (q_agg_streaks _),
+    "agg_transitions" -> (q_agg_transitions _),
+    "stream_transitions" -> (q_stream_transitions _),
     "stream_gap_detect" -> (q_stream_gap_detect _),
     "join_fuzzy" -> (q_join_fuzzy _),
     "agg_hll_distinct" -> (q_agg_hll_distinct _),
@@ -3141,7 +3392,11 @@ object SparkEntry {
     "stream_seasonal" -> (q_stream_seasonal _),
     "win_rolling_corr" -> (q_win_rolling_corr _),
     "agg_trend_mk" -> (q_agg_trend_mk _),
-    "agg_trend_sen" -> (q_agg_trend_sen _)
+    "agg_trend_sen" -> (q_agg_trend_sen _),
+    "ml_ols_trend" -> (q_ml_ols_trend _),
+    "ml_changepoint" -> (q_ml_changepoint _),
+    "agg_entropy" -> (q_agg_entropy _),
+    "text_readability" -> (q_text_readability _)
   )
 
   // Shared oracle fragments
@@ -3286,6 +3541,22 @@ object SparkEntry {
     * re-scores are then bit-identical. Mirrors `lshCosinePairs`
     * (8 tables × 8 planes, dim 64, threshold 0.3).
     */
+  /** Transition-matrix oracle — shared verbatim by `agg_transitions`
+    * (batch lag window) and `stream_transitions` (stateful replay):
+    * ordered single-pass emission is row-identical to the lag form.
+    */
+  private def transitionsOracleSql: String =
+    """WITH sq AS (SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      |  FROM events),
+      |c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+      |      FROM sq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n,
+      |  round(CAST(n AS DOUBLE)
+      |    / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+      |FROM c ORDER BY 1, 2""".stripMargin
+
   /** Brute-force cosine top-k oracle — shared by simsearch_topk and
     * simsearch_ivf_exact (IVF with nProbe = nLists is exhaustive, so the
     * two queries are value-identical by construction).
@@ -3303,8 +3574,11 @@ object SparkEntry {
        | FROM dots)
        |SELECT qid, nid, cos_sim, rnk FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
-  private def lshOracleSql: String = {
-    val (nTables, nPlanes, dim) = (8, 8, 64)
+  /** The shared `v/b/bl` CTE prefix reproducing HyperplaneBuckets' exact
+    * per-table bucket longs in SQL (plane literals inlined) — used by the
+    * lsh-pairs and knn-graph oracles.
+    */
+  private def lshBucketCtes(nTables: Int, nPlanes: Int, dim: Int): String = {
     def planeLit(t: Int, p: Int): String =
       Similarity.planeVector(t, p, dim).map(_.toString).mkString("[", ", ", "]")
     def bucketSql(t: Int): String = (0 until nPlanes).map { p =>
@@ -3314,10 +3588,14 @@ object SparkEntry {
     val blUnion = (0 until nTables)
       .map(t => s"SELECT vec_id, $t AS tbl, bk$t AS bucket FROM b")
       .mkString(" UNION ALL ")
-    s"""WITH v AS (SELECT vec_id,
+    s"""v AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
        |b AS (SELECT vec_id, $bucketCols FROM v),
-       |bl AS ($blUnion),
+       |bl AS ($blUnion)""".stripMargin
+  }
+
+  private def lshOracleSql: String = {
+    s"""WITH ${lshBucketCtes(8, 8, 64)},
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
        |         FROM bl a JOIN bl b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
        |          AND a.vec_id < b2.vec_id),
@@ -3333,6 +3611,33 @@ object SparkEntry {
        |SELECT vec_a, vec_b, round(dot / sqrt(naa * nbb), 6) AS cos_sim
        |FROM sc WHERE dot / sqrt(naa * nbb) >= 0.3
        |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** k-NN graph oracle: identical plane literals → identical buckets →
+    * identical candidate sets; the per-source rank then agrees because
+    * the cosine arithmetic is the same IEEE sequence on both sides and
+    * ties break by neighbor id.
+    */
+  private def knnGraphOracleSql: String = {
+    s"""WITH ${lshBucketCtes(8, 8, 64)},
+       |cand AS (SELECT DISTINCT a.vec_id AS qid, b2.vec_id AS nid
+       |         FROM bl a JOIN bl b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+       |          AND a.vec_id <> b2.vec_id),
+       |n AS (SELECT vec_id, ${normSqSql("embedding")} AS nsq FROM embeddings),
+       |sc AS (SELECT c.qid, c.nid,
+       |         ${dotSql("ea.embedding", "eb.embedding")} AS dot,
+       |         na.nsq AS naa, nb.nsq AS nbb
+       |       FROM cand c
+       |       JOIN embeddings ea ON ea.vec_id = c.qid
+       |       JOIN embeddings eb ON eb.vec_id = c.nid
+       |       JOIN n na ON na.vec_id = c.qid
+       |       JOIN n nb ON nb.vec_id = c.nid),
+       |r AS (SELECT qid, nid, dot / sqrt(naa * nbb) AS cr,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY dot / sqrt(naa * nbb) DESC, nid) AS rnk
+       |      FROM sc)
+       |SELECT qid, nid, round(cr, 6) AS cos_sim, rnk
+       |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
   }
 
   private val bucket10m = "time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))"
@@ -3733,6 +4038,9 @@ object SparkEntry {
         |SELECT tag, p + 1 AS gap_start_hb, hb - p - 1 AS missing
         |FROM g WHERE p IS NOT NULL AND hb > p + 1
         |ORDER BY tag, gap_start_hb""".stripMargin,
+    "agg_transitions" -> transitionsOracleSql,
+    // ordered replay of the stateful feed ≡ the batch lag window
+    "stream_transitions" -> transitionsOracleSql,
     "agg_streaks" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |    date_diff('day', DATE '1970-01-01',
@@ -3786,6 +4094,30 @@ object SparkEntry {
     // the SCD2 contract stated directly: v1 rows (closed iff changed),
     // v2 re-opens for changed keys, v2 first-opens for new keys; the
     // no-op batch (c_custkey % 9 = 7) must contribute NOTHING
+    // the v1↔v2 snapshot diff restated directly over the base table:
+    // the CDC rules are deterministic, so the oracle never needs the lake
+    "sink_time_travel" ->
+      """WITH t AS (SELECT event_type, count(*) AS n_rows
+        |           FROM events GROUP BY 1),
+        |c AS (SELECT event_type,
+        |        CAST(count(*) FILTER (WHERE (value * 2) IS DISTINCT FROM value)
+        |          AS BIGINT) AS n_changed,
+        |        CAST(SUM(CAST(CASE WHEN (value * 2) IS DISTINCT FROM value
+        |          THEN value * 2 - value END AS DECIMAL(18,6))) AS DOUBLE)
+        |          AS delta_sum
+        |      FROM events WHERE event_id % 11 = 3 GROUP BY 1),
+        |orig AS (SELECT t.event_type, CAST(0 AS BIGINT) AS n_added,
+        |           coalesce(c.n_changed, 0) AS n_changed,
+        |           t.n_rows - coalesce(c.n_changed, 0) AS n_same,
+        |           coalesce(c.delta_sum, 0.0) AS delta_sum
+        |         FROM t LEFT JOIN c USING (event_type)),
+        |late AS (SELECT 'lateload' AS event_type,
+        |           CAST(count(*) AS BIGINT) AS n_added,
+        |           CAST(0 AS BIGINT) AS n_changed, CAST(0 AS BIGINT) AS n_same,
+        |           0.0 AS delta_sum
+        |         FROM events WHERE event_id % 101 = 0)
+        |SELECT * FROM orig UNION ALL SELECT * FROM late
+        |ORDER BY event_type""".stripMargin,
     "sink_scd2" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment, 1 AS v_from,
         |  CASE WHEN c_custkey % 9 = 4 THEN 2 ELSE 0 END AS v_to
@@ -3963,6 +4295,7 @@ object SparkEntry {
          |SELECT va AS vec_a, vb AS vec_b, dot/sqrt(naa*nbb) AS cos_sim
          |FROM dots WHERE dot/sqrt(naa*nbb) >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
     "simsearch_lsh" -> lshOracleSql,
+    "simsearch_knn_graph" -> knnGraphOracleSql,
     "simsearch_topk" -> topkOracleSql,
     // nProbe = nLists makes IVF exhaustive ≡ brute force: same oracle
     "simsearch_ivf_exact" -> topkOracleSql,
@@ -4650,6 +4983,105 @@ object SparkEntry {
         |  max({'t': t, 'id': event_id, 'v': value}).v AS close,
         |  count(*) AS n
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // integer counts into ln; PSI's portable-ln discipline, round(6)
+    "agg_entropy" ->
+      """WITH u AS (SELECT event_type, user_id, count(*) AS nu
+        |           FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(sum(nu) AS BIGINT) AS n_events,
+        |        count(*) AS n_users,
+        |        sum(CAST(nu AS DOUBLE) * ln(CAST(nu AS DOUBLE))) AS snl
+        |      FROM u GROUP BY 1),
+        |h AS (SELECT *, ln(CAST(n_events AS DOUBLE))
+        |        - snl / CAST(n_events AS DOUBLE) AS hraw FROM g)
+        |SELECT event_type, n_events, n_users, round(hraw, 6) AS entropy,
+        |  round(hraw / nullif(ln(CAST(n_users AS DOUBLE)), 0.0), 6)
+        |    AS norm_entropy
+        |FROM h ORDER BY 1""".stripMargin,
+    // exact integer surface counts; two mirrored IEEE divisions, round(4)
+    "text_readability" ->
+      """WITH c AS (SELECT doc_id, lang,
+        |    CAST(length(string_split(text, ' ')) AS BIGINT) AS words,
+        |    CAST(length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+        |      - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+        |      AS BIGINT) AS syllables,
+        |    1 + CAST(length(regexp_replace(text, '[.!?]+', '#', 'g'))
+        |      - length(regexp_replace(text, '[.!?]+', '', 'g'))
+        |      AS BIGINT) AS sentences
+        |  FROM documents),
+        |r AS (SELECT *,
+        |    CAST(words AS DOUBLE) / nullif(CAST(sentences AS DOUBLE), 0.0)
+        |      AS wps,
+        |    CAST(syllables AS DOUBLE) / nullif(CAST(words AS DOUBLE), 0.0)
+        |      AS spw
+        |  FROM c)
+        |SELECT doc_id, lang, words, sentences, syllables,
+        |  round(206.835 - 1.015 * wps - 84.6 * spw, 4) AS flesch,
+        |  round(0.39 * wps + 11.8 * spw - 15.59, 4) AS fk_grade
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // exact BIGINT sufficient statistics; three mirrored IEEE divisions
+    "ml_ols_trend" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      // count(*)) // 10000 AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT event_type,
+        |        CAST(floor(epoch(bucket)) AS BIGINT) // 3600 AS t0, c
+        |      FROM h),
+        |sh AS (SELECT event_type,
+        |        t0 - min(t0) OVER (PARTITION BY event_type) AS t, c FROM t),
+        |g AS (SELECT event_type, count(*) AS n,
+        |        CAST(sum(t) AS BIGINT) AS st, CAST(sum(c) AS BIGINT) AS sc,
+        |        CAST(sum(t*t) AS BIGINT) AS stt,
+        |        CAST(sum(c*c) AS BIGINT) AS scc,
+        |        CAST(sum(t*c) AS BIGINT) AS stc
+        |      FROM sh GROUP BY 1),
+        |d AS (SELECT event_type, n, st, sc,
+        |        n*stc - st*sc AS num, n*stt - st*st AS dent,
+        |        n*scc - sc*sc AS denc
+        |      FROM g),
+        |sl AS (SELECT *,
+        |        CAST(num AS DOUBLE) / nullif(CAST(dent AS DOUBLE), 0.0)
+        |          AS slope_raw
+        |      FROM d)
+        |SELECT event_type, n, round(slope_raw, 6) AS slope,
+        |  round((CAST(sc AS DOUBLE) - slope_raw * CAST(st AS DOUBLE))
+        |    / CAST(n AS DOUBLE), 6) AS intercept,
+        |  round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        |    / nullif(CAST(dent AS DOUBLE) * CAST(denc AS DOUBLE), 0.0), 6)
+        |    AS r2
+        |FROM sl ORDER BY 1""".stripMargin,
+    // integer prefix sums; the one score division mirrored in IEEE
+    "ml_changepoint" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      // count(*)) // 10000 AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT event_type, bucket,
+        |        CAST(floor(epoch(bucket)) AS BIGINT) // 3600 AS t, c
+        |      FROM h),
+        |w AS (SELECT event_type, bucket, t, c,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY t) AS k,
+        |        CAST(sum(c) OVER (PARTITION BY event_type ORDER BY t)
+        |          AS BIGINT) AS sk,
+        |        lead(bucket) OVER (PARTITION BY event_type ORDER BY t)
+        |          AS change_bucket,
+        |        count(*) OVER (PARTITION BY event_type) AS nn,
+        |        CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS stot
+        |      FROM t),
+        |sc AS (SELECT *, CAST(k*stot - nn*sk AS DOUBLE) AS numd
+        |       FROM w WHERE k < nn),
+        |g AS (SELECT *, numd*numd / CAST(k*(nn-k)*nn AS DOUBLE) AS score
+        |      FROM sc),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY score DESC, k) AS rnk FROM g)
+        |SELECT event_type, nn AS n, k AS split_k, change_bucket,
+        |  round(score, 6) AS score,
+        |  round(CAST(sk AS DOUBLE) / CAST(k AS DOUBLE), 6) AS mean_left,
+        |  round(CAST(stot - sk AS DOUBLE) / CAST(nn - k AS DOUBLE), 6)
+        |    AS mean_right
+        |FROM r WHERE rnk = 1 ORDER BY 1""".stripMargin,
     // slopes are exact-integer ratios; median = interpolated percentile
     "agg_trend_sen" ->
       """WITH h AS (

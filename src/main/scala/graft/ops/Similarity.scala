@@ -537,4 +537,47 @@ object Similarity {
       .filter(col("cos_raw") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cos_sim"))
   }
+
+  /** Approximate k-NN GRAPH over the corpus — each vector's top-k
+    * neighbors among its LSH candidates (same bucket in ANY of the
+    * `nTables` tables), exact-rescored and ranked per source node. The
+    * neighbor-graph construction step behind SemDeDup-style clustering,
+    * graph-based ANN indexes, and label propagation — the corpus×corpus
+    * sibling of `lshCosinePairs`' undirected thresholded pairs.
+    * Same 100 TB shape: buckets are a narrow native-expression map,
+    * the candidate equi-join and dedup shuffle IDS ONLY (both
+    * directions here, since the graph is per-source), vectors re-attach
+    * by id for the re-score, and the per-node top-k is a bounded window
+    * over candidates (≤ bucket collisions, never the corpus). Ties
+    * break by neighbor id — deterministic, oracle-mirrorable.
+    */
+  def knnGraph(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 8, nTables: Int = 8, dim: Int = 64): DataFrame = {
+    val withVd = vecs.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__vd"))
+    val tb = withVd.select(col(idCol),
+      posexplode(bucketsExpr(col("__vd"), nTables, nPlanes, dim)).as(Seq("tbl", "bucket")))
+    val a = tb.select(col("tbl"), col("bucket"), col(idCol).as("qid"))
+    val b = tb.select(col("tbl").as("tbl_b"), col("bucket").as("bucket_b"),
+      col(idCol).as("nid"))
+    val candIds = a.join(b,
+        col("tbl") === col("tbl_b") && col("bucket") === col("bucket_b") &&
+          col("qid") =!= col("nid"))
+      .select("qid", "nid")
+      .distinct() // collide in several tables → rank the neighbor once
+    val withN = vecs.select(col(idCol), col(vecCol), normSq(col(vecCol)).as("nsq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos_raw").desc, col("nid"))
+    candIds
+      .join(withN.select(col(idCol).as("qid"), col(vecCol).as("va"),
+        col("nsq").as("naa")), "qid")
+      .join(withN.select(col(idCol).as("nid"), col(vecCol).as("vb"),
+        col("nsq").as("nbb")), "nid")
+      .withColumn("cos_raw",
+        dot(col("va"), col("vb")) / sqrt(nullif(col("naa") * col("nbb"), lit(0.0))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("cos_raw"), 6).as("cos_sim"),
+        col("rnk"))
+  }
 }

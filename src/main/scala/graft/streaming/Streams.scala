@@ -43,6 +43,18 @@ case class Drifted(tag: String, ts: java.sql.Timestamp, value: Double,
   * reference (isRight=true, value = the reference reading) — see
   * Streams.asofOnline. Event time as epoch micros for exact ordering.
   */
+/** One user event for sequence-order streaming ops — event time as epoch
+  * micros so ordering is exact, with the unique event id as the
+  * total-order tiebreak.
+  */
+case class UserEvent(user: Long, tsMicros: Long, eventId: Long, etype: String)
+
+/** Latest event in a user's sequence — [[Streams.transitionsOnline]] state. */
+case class TransState(tsMicros: Long, eventId: Long, etype: String)
+
+/** One observed consecutive transition in a user's event sequence. */
+case class TransitionOut(user_id: Long, prev_type: String, next_type: String)
+
 /** Last present bucket per tag — [[Streams.gapsOnline]] state. */
 case class GapState(lastHb: Long)
 
@@ -260,6 +272,38 @@ object Streams {
             Smoothed(tag, r.ts, r.value, next)
           }
           s.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Online per-user event-sequence transitions — the live feed of the
+    * Markov-chain matrix (`agg_transitions`): each consecutive pair in a
+    * user's event sequence, ordered by event time with the unique event
+    * id as the total-order tiebreak, emits one `(prev_type, next_type)`
+    * row. State is ONE small record per user (its latest event) —
+    * O(users), watermark-free. Within a micro-batch events process
+    * sorted by `(tsMicros, eventId)`, so a single-batch replay is
+    * row-identical to the batch lag-window form and the driver query
+    * shares `agg_transitions`' oracle; across batches the carried last
+    * event stitches boundary pairs (MemoryStream spec). An out-of-order
+    * cross-batch straggler pairs against the latest-seen event —
+    * at-arrival semantics, the documented contract of every
+    * watermark-free op here.
+    */
+  def transitionsOnline(events: Dataset[UserEvent]): Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[UserEvent],
+         state: org.apache.spark.sql.streaming.GroupState[TransState]) =>
+          var last = state.getOption
+          val out = it.toSeq.sortBy(e => (e.tsMicros, e.eventId)).flatMap { e =>
+            val pair = last.map(p => TransitionOut(user, p.etype, e.etype))
+            last = Some(TransState(e.tsMicros, e.eventId, e.etype))
+            pair
+          }
+          last.foreach(state.update)
           out.iterator
       }
   }

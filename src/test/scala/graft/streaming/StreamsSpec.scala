@@ -442,4 +442,30 @@ class StreamsSpec extends SparkSpec {
       .map(g => (g.tag, g.gap_start_hb, g.missing)).toSeq
     assert(out2 == Seq(("a", 2L, 2L)))
   }
+
+  test("transitionsOnline orders within a batch and stitches across batches") {
+    def e(user: Long, t: Long, id: Long, ty: String) = UserEvent(user, t, id, ty)
+    // user 1: view(t1) → click(t2) → purchase(t3 in batch 2, stitched)
+    //   batch 1 arrives UNORDERED (click before view) — must sort by (ts,id)
+    // user 2: same-timestamp tie broken by event_id: a(id=1) → b(id=2)
+    val batch1 = Seq(e(1, 2000L, 11, "click"), e(1, 1000L, 10, "view"),
+      e(2, 500L, 2, "b"), e(2, 500L, 1, "a"))
+    val batch2 = Seq(e(1, 3000L, 12, "purchase"))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = Streams.transitionsOnline(mem.toDS)
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("trans_out").as[TransitionOut].collect()
+      .map(t => (t.user_id, t.prev_type, t.next_type))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(out == Seq(
+      (1L, "click", "purchase"), // across the batch boundary (carried state)
+      (1L, "view", "click"),     // in-batch, after sorting the unordered pair
+      (2L, "a", "b")))           // same-ts tie broken by event_id
+  }
 }
