@@ -1640,6 +1640,57 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** LIVE EWMA ([[graft.streaming.Streams.ewmaOnline]]) driven over the
+    * hourly cents series — the streaming deployment of win_ewma's
+    * α-smoothing. The recursion is the textbook αx + (1−α)s (NOT
+    * win_ewma's algebraically-equal but IEEE-different s + α(x−s)), so
+    * the oracle replays THIS association — including writing (1.0 − 0.2)
+    * rather than a 0.8 literal, which is a different double. Output is
+    * the final smoothed level per stream; state is ONE double per tag.
+    */
+  private def q_stream_ewma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val readings = hourlyCentsLong(s, dir)
+      .select(col("event_type").as("tag"), col("bucket").as("ts"),
+        col("c").cast("double").as("value"))
+      .as[graft.streaming.Reading]
+    graft.streaming.Streams.ewmaOnline(readings, 0.2)
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(max_by(col("ewma"), col("ts")), 6).as("ewma"))
+      .select(col("tag").as("event_type"), col("n"), col("ewma"))
+      .orderBy("event_type")
+  }
+
+  /** Bollinger bands per stream — trailing-24 mean ± 2σ over the hourly
+    * cents series, the volatility-aware envelope beside win_hampel's
+    * median/MAD one. The exactness trick: the band test never touches a
+    * float — |c − mean| > 2σ  ⟺  (24c − S)² > 4·(24·SS − S²), all exact
+    * BIGINTs from the two windowed integer sums (bounded ~10²× under
+    * overflow at 10⁷-cent hourly levels). mean and σ are display-only
+    * doubles (σ via the correctly-rounded sqrt, the sample_temperature
+    * precedent). Full windows only; one per-stream window shuffle.
+    */
+  private def q_win_bollinger(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(-23, 0)
+    hourlyCentsLong(s, dir)
+      .select(col("event_type"), col("bucket"), col("c"),
+        count(lit(1)).over(w).as("wn"),
+        sum(col("c")).over(w).as("s"),
+        sum(col("c") * col("c")).over(w).as("ss"))
+      .filter(col("wn") === 24)
+      .withColumn("dev24", col("c") * lit(24L) - col("s"))
+      .withColumn("var576", col("ss") * lit(24L) - col("s") * col("s"))
+      .select(col("event_type"), col("bucket"), col("c"),
+        round(col("s").cast("double") / lit(24.0), 6).as("mean"),
+        round(sqrt(col("var576").cast("double")) / lit(24.0), 6).as("sigma"),
+        when(col("dev24") * col("dev24") > col("var576") * lit(4L), 1L)
+          .otherwise(0L).as("outside"))
+      .orderBy("event_type", "bucket")
+  }
+
   /** Rolling 24-bucket MEDIAN of the hourly cents series — the robust
     * twin of win_smooth's trailing mean (one outlier hour cannot drag a
     * median baseline). Exactness: the window holds integers, and both
@@ -3333,6 +3384,8 @@ object SparkEntry {
     "dedup_semantic" -> (q_dedup_semantic _),
     "dedup_bloom_incremental" -> (q_dedup_bloom_incremental _),
     "win_ewma" -> (q_win_ewma _),
+    "stream_ewma" -> (q_stream_ewma _),
+    "win_bollinger" -> (q_win_bollinger _),
     "win_rolling_median" -> (q_win_rolling_median _),
     "agg_funnel" -> (q_agg_funnel _),
     "win_hampel" -> (q_win_hampel _),
@@ -3966,6 +4019,42 @@ object SparkEntry {
         |SELECT event_type, len(xs) AS n,
         |  round(list_reduce(xs, (acc, x) -> acc + 0.2 * (x - acc)), 6) AS ewma
         |FROM l ORDER BY 1""".stripMargin,
+    // replays ewmaOnline's αx + (1−α)s association exactly — including
+    // (1.0 - 0.2) in place of a 0.8 literal (a different double)
+    "stream_ewma" ->
+      """WITH h AS (SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      // count(*)) // 10000 AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |l AS (SELECT event_type,
+        |    list_transform(list(c ORDER BY bucket),
+        |      x -> CAST(x AS DOUBLE)) AS xs
+        |  FROM h GROUP BY 1)
+        |SELECT event_type, len(xs) AS n,
+        |  round(list_reduce(xs, (acc, x) -> 0.2 * x + (1.0 - 0.2) * acc), 6)
+        |    AS ewma
+        |FROM l ORDER BY 1""".stripMargin,
+    // the band flag is an all-integer comparison; mean/σ display-only
+    "win_bollinger" ->
+      """WITH h AS (SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      // count(*)) // 10000 AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT event_type, bucket, c,
+        |        count(*) OVER fr AS wn,
+        |        CAST(sum(c) OVER fr AS BIGINT) AS s,
+        |        CAST(sum(c*c) OVER fr AS BIGINT) AS ss
+        |      FROM h WINDOW fr AS (PARTITION BY event_type ORDER BY bucket
+        |        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT *, c * 24 - s AS dev24, ss * 24 - s * s AS var576
+        |      FROM w WHERE wn = 24)
+        |SELECT event_type, bucket, c,
+        |  round(CAST(s AS DOUBLE) / 24.0, 6) AS mean,
+        |  round(sqrt(CAST(var576 AS DOUBLE)) / 24.0, 6) AS sigma,
+        |  CASE WHEN dev24 * dev24 > var576 * 4 THEN 1 ELSE 0 END AS outside
+        |FROM f ORDER BY event_type, bucket""".stripMargin,
     // both engines define the even-count median as the midpoint of the
     // two middle INTEGER cents — exact in a double, no rounding
     "win_rolling_median" ->
