@@ -1880,6 +1880,34 @@ object SparkEntry {
       .orderBy("prev_type", "next_type")
   }
 
+  /** LIVE conversion funnel ([[graft.streaming.Streams.funnelOnline]])
+    * aggregated into the same stage counts — per-user write-once
+    * three-slot state, O(users); first-qualifying-in-order ≡
+    * min-chaining, so the single-batch replay shares [[q_agg_funnel]]'s
+    * oracle verbatim.
+    */
+  private def q_stream_funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evs = E(s, dir)
+      .select(col("user_id").as("user"),
+        graft.sources.Events.epochMicros(col("ts")).as("tsMicros"),
+        col("event_id").as("eventId"), col("event_type").as("etype"))
+      .as[graft.streaming.UserEvent]
+    val snap = graft.streaming.Streams.funnelOnline(evs).toDF()
+    snap.filter(col("c_us").isNotNull)
+      .select(lit(1L).as("stage"), lit("click").as("stage_name"),
+        col("user_id"))
+      .unionByName(snap.filter(col("v_us").isNotNull)
+        .select(lit(2L).as("stage"), lit("view_after_click").as("stage_name"),
+          col("user_id")))
+      .unionByName(snap.filter(col("p_us").isNotNull)
+        .select(lit(3L).as("stage"),
+          lit("purchase_after_view").as("stage_name"), col("user_id")))
+      .groupBy("stage", "stage_name")
+      .agg(count_distinct(col("user_id")).as("users"))
+      .orderBy("stage")
+  }
+
   /** Rolling active users (DAU/WAU) — the engagement dashboard staple.
     * The WAU side REPLICATES each distinct user-day to the 7 window days
     * it contributes to (explode of a 7-element sequence) instead of
@@ -1966,6 +1994,62 @@ object SparkEntry {
       .groupBy("stage", "stage_name")
       .agg(count_distinct(col("user_id")).as("users"))
       .orderBy("stage")
+  }
+
+  /** Time-BOUNDED funnel (the ClickHouse `windowFunnel` shape): stages
+    * click → view → purchase must each land strictly after the previous
+    * stage AND within 24 h of the chain start (the user's first click).
+    * Greedy-from-first-click chaining — deterministic and mirrorable —
+    * is the documented contract (a later click could in principle seed a
+    * deeper chain; the greedy form is what the published operator
+    * computes). Output = users per MAX depth reached (exclusive — each
+    * clicking user counted once). Same 100 TB shape as `agg_funnel`:
+    * stage frames collapse to one row per user before joining, epoch-µs
+    * integer comparisons throughout.
+    */
+  private def q_agg_window_funnel(s: SparkSession, dir: String): DataFrame = {
+    val W = 86400000000L // 24 h in epoch-µs
+    val e = E(s, dir).select(col("user_id"), col("event_type"),
+      graft.sources.Events.epochMicros(col("ts")).as("us"))
+    val c = e.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(col("us")).as("c_us"))
+    val v = e.filter(col("event_type") === "view").join(c, "user_id")
+      .filter(col("us") > col("c_us") && col("us") <= col("c_us") + W)
+      .groupBy("user_id")
+      .agg(min(col("us")).as("v_us"), min(col("c_us")).as("c_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(v.select(col("user_id"), col("v_us"), col("c_us")), "user_id")
+      .filter(col("us") > col("v_us") && col("us") <= col("c_us") + W)
+      .groupBy("user_id").agg(min(col("us")).as("p_us"))
+    c.select(col("user_id"))
+      .join(v.select(col("user_id"), col("v_us")), Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .select(when(col("p_us").isNotNull, 3)
+        .when(col("v_us").isNotNull, 2).otherwise(1).as("depth"))
+      .groupBy("depth").agg(count(lit(1)).as("users"))
+      .orderBy("depth")
+  }
+
+  /** Cohort VALUE triangle — the revenue companion of [[q_agg_retention]]:
+    * total exact-integer cents and event count per (cohort day, day
+    * offset), cohort = the user's first day with a non-null-value event.
+    * The cohort frame is one row per user (broadcast-sized vs the event
+    * stream); the only wide shuffle keys on user_id; output is
+    * |days|·|offsets|. Cents via the micro-unit route (exact; the
+    * ContractSpec non-negative domain makes `div` ≡ `//`), so sums are
+    * BIGINT-exact in both engines — no rounding anywhere.
+    */
+  private def q_agg_cohort_value(s: SparkSession, dir: String): DataFrame = {
+    val cents = expr(
+      "cast(cast(value as decimal(18,6)) * 1000000 as bigint) div 10000")
+    val e = E(s, dir).filter(col("value").isNotNull)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"),
+        cents.as("c"))
+    val coh = e.groupBy("user_id").agg(min(col("d")).as("cohort"))
+    e.join(coh, "user_id")
+      .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_events"), sum(col("c")).as("total_cents"))
+      .orderBy("cohort", "day_offset")
   }
 
   private def q_dedup_semantic(s: SparkSession, dir: String): DataFrame =
@@ -2820,6 +2904,44 @@ object SparkEntry {
     rows.reduce(_ unionByName _).orderBy("tag_a", "tag_b")
   }
 
+  /** Bivariate MAHALANOBIS anomaly score per hourly bucket over the
+    * aligned (click, view) cents-mean pair — the MULTIVARIATE upgrade of
+    * the per-stream z-score family: a bucket where both streams are
+    * individually in-range but their JOINT position violates the
+    * correlation structure scores high (the model-input covariance
+    * audit the reference's anomaly domain calls for). Exactness: the
+    * 2×2 covariance has a closed-form inverse, so
+    * d² = (n−1)·(ax²·Vyy − 2·ax·ay·Vxy + ay²·Vxx) / (n·det V) with
+    * ax = n·x − Sx (n-scaled deviation) and V = n·S₂ − S₁² — every
+    * input an exact BIGINT (magnitudes ≤ ~1e14 ≪ 2⁵³), then ONE
+    * verbatim-mirrored IEEE combination; outlier flag compares the
+    * UNROUNDED d² against χ²₂(0.99) = 9.21. One resample shuffle + a
+    * broadcast 1-row stats frame; nothing scales past |buckets|.
+    */
+  private def q_agg_mahalanobis(s: SparkSession, dir: String): DataFrame = {
+    val wide = hourlyCentsWide(s, dir)
+      .select(col("bucket"), col("c_click").as("x"), col("c_view").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val stats = wide.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val j = wide.crossJoin(broadcast(stats))
+    val ax = (col("n") * col("x") - col("sx")).cast("double")
+    val ay = (col("n") * col("y") - col("sy")).cast("double")
+    val vxx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vyy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val vxy = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val q = ax * ax * vyy - ax * ay * vxy * lit(2.0) + ay * ay * vxx
+    val d2u = (col("n") - 1).cast("double") * q /
+      nullif(col("n").cast("double") * (vxx * vyy - vxy * vxy), lit(0.0))
+    j.select(col("bucket"), col("x").as("c_click"), col("y").as("c_view"),
+        round(d2u, 6).as("d2"),
+        when(d2u > 9.21, 1).otherwise(0).as("outlier"))
+      .orderBy("bucket")
+  }
+
   /** Streaming AS-OF enrichment in batch replay
     * ([[graft.streaming.Streams.asofOnline]]): clicks joined to the
     * latest same-user view at-or-before them through one O(1) state slot
@@ -3400,6 +3522,9 @@ object SparkEntry {
     "agg_streaks" -> (q_agg_streaks _),
     "agg_transitions" -> (q_agg_transitions _),
     "stream_transitions" -> (q_stream_transitions _),
+    "stream_funnel" -> (q_stream_funnel _),
+    "agg_window_funnel" -> (q_agg_window_funnel _),
+    "agg_cohort_value" -> (q_agg_cohort_value _),
     "stream_gap_detect" -> (q_stream_gap_detect _),
     "join_fuzzy" -> (q_join_fuzzy _),
     "agg_hll_distinct" -> (q_agg_hll_distinct _),
@@ -3437,6 +3562,7 @@ object SparkEntry {
     "stream_upsert" -> (q_stream_upsert _),
     "sample_soft_dedup" -> (q_sample_soft_dedup _),
     "agg_corr_matrix" -> (q_agg_corr_matrix _),
+    "agg_mahalanobis" -> (q_agg_mahalanobis _),
     "stream_asof" -> (q_stream_asof _),
     "sink_partitioned" -> (q_sink_partitioned _),
     "agg_resample_ohlc" -> (q_agg_resample_ohlc _),
@@ -3598,6 +3724,23 @@ object SparkEntry {
     * (batch lag window) and `stream_transitions` (stateful replay):
     * ordered single-pass emission is row-identical to the lag form.
     */
+  private def funnelOracleSql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |c AS (SELECT user_id, min(us) AS c_us FROM e
+      |      WHERE event_type = 'click' GROUP BY 1),
+      |v AS (SELECT e.user_id, min(us) AS v_us FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'view' AND us > c_us GROUP BY 1),
+      |p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'purchase' AND us > v_us GROUP BY 1),
+      |st AS (SELECT 1 AS stage, 'click' AS stage_name, user_id FROM c
+      |       UNION ALL
+      |       SELECT 2, 'view_after_click', user_id FROM v
+      |       UNION ALL
+      |       SELECT 3, 'purchase_after_view', user_id FROM p)
+      |SELECT stage, stage_name, count(DISTINCT user_id) AS users
+      |FROM st GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   private def transitionsOracleSql: String =
     """WITH sq AS (SELECT user_id, event_type,
       |    lag(event_type) OVER (PARTITION BY user_id
@@ -4235,22 +4378,38 @@ object SparkEntry {
         |z AS (SELECT sum(sqrt(CAST(n AS DOUBLE))) AS z FROM c)
         |SELECT lang, n, round(sqrt(CAST(n AS DOUBLE)) / z, 6) AS w
         |FROM c CROSS JOIN z ORDER BY 1""".stripMargin,
-    "agg_funnel" ->
+    "agg_funnel" -> funnelOracleSql,
+    // ordered stateful replay ≡ the batch min-chaining funnel
+    "stream_funnel" -> funnelOracleSql,
+    "agg_window_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |c AS (SELECT user_id, min(us) AS c_us FROM e
         |      WHERE event_type = 'click' GROUP BY 1),
-        |v AS (SELECT e.user_id, min(us) AS v_us FROM e JOIN c USING (user_id)
-        |      WHERE event_type = 'view' AND us > c_us GROUP BY 1),
+        |v AS (SELECT e.user_id, min(us) AS v_us, min(c_us) AS c_us
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'view' AND us > c_us
+        |        AND us <= c_us + 86400000000 GROUP BY 1),
         |p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN v USING (user_id)
-        |      WHERE event_type = 'purchase' AND us > v_us GROUP BY 1),
-        |st AS (SELECT 1 AS stage, 'click' AS stage_name, user_id FROM c
-        |       UNION ALL
-        |       SELECT 2, 'view_after_click', user_id FROM v
-        |       UNION ALL
-        |       SELECT 3, 'purchase_after_view', user_id FROM p)
-        |SELECT stage, stage_name, count(DISTINCT user_id) AS users
-        |FROM st GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+        |      WHERE event_type = 'purchase' AND us > v_us
+        |        AND us <= v.c_us + 86400000000 GROUP BY 1),
+        |d AS (SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+        |             WHEN v.user_id IS NOT NULL THEN 2 ELSE 1 END AS depth
+        |      FROM c LEFT JOIN v ON c.user_id = v.user_id
+        |             LEFT JOIN p ON c.user_id = p.user_id)
+        |SELECT depth, count(*) AS users FROM d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_cohort_value" ->
+      """WITH e AS (SELECT user_id,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+        |    (CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      // 10000) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |coh AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1)
+        |SELECT cohort, date_diff('day', cohort, d) AS day_offset,
+        |  count(*) AS n_events, CAST(sum(c) AS BIGINT) AS total_cents
+        |FROM e JOIN coh USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "limit_head" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100""".stripMargin,
@@ -4995,6 +5154,7 @@ object SparkEntry {
         |FROM kept k JOIN tot USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_corr_matrix" -> corrMatrixOracle,
+    "agg_mahalanobis" -> mahalanobisOracle,
     "win_rolling_corr" -> rollingCorrOracle,
     // all integers until the final tau division — bit-exact, unrounded
     "agg_trend_mk" ->
@@ -5346,6 +5506,45 @@ object SparkEntry {
     * sufficient sums, one verbatim-mirrored IEEE Pearson combination per
     * pair. Generated over the same pair list as the Spark side.
     */
+  /** Mahalanobis oracle (mirrors q_agg_mahalanobis): same cents/wide
+    * CTEs as the correlation matrix, exact-BIGINT n-scaled deviations
+    * and covariance terms, the identical IEEE d² combination, flag on
+    * the unrounded value.
+    */
+  private def mahalanobisOracle: String =
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+      |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+      |      // count(*)) // 10000 AS c
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |w AS (
+      |  SELECT bucket,
+      |    max(CASE WHEN event_type = 'click' THEN c END) AS x,
+      |    max(CASE WHEN event_type = 'view' THEN c END) AS y
+      |  FROM h GROUP BY 1
+      |  HAVING max(CASE WHEN event_type = 'click' THEN c END) IS NOT NULL
+      |     AND max(CASE WHEN event_type = 'view' THEN c END) IS NOT NULL),
+      |st AS (SELECT count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy FROM w),
+      |m AS (SELECT bucket, x, y, n,
+      |    CAST(n * x - sx AS DOUBLE) AS ax,
+      |    CAST(n * y - sy AS DOUBLE) AS ay,
+      |    CAST(n * sxx - sx * sx AS DOUBLE) AS vxx,
+      |    CAST(n * syy - sy * sy AS DOUBLE) AS vyy,
+      |    CAST(n * sxy - sx * sy AS DOUBLE) AS vxy
+      |  FROM w CROSS JOIN st),
+      |d AS (SELECT bucket, x, y,
+      |    CAST(n - 1 AS DOUBLE)
+      |      * (ax * ax * vyy - ax * ay * vxy * 2.0 + ay * ay * vxx)
+      |      / NULLIF(CAST(n AS DOUBLE) * (vxx * vyy - vxy * vxy), 0) AS d2u
+      |  FROM m)
+      |SELECT bucket, x AS c_click, y AS c_view, round(d2u, 6) AS d2,
+      |  CASE WHEN d2u > 9.21 THEN 1 ELSE 0 END AS outlier
+      |FROM d ORDER BY bucket""".stripMargin
+
   private def corrMatrixOracle: String = {
     val types = Seq("click", "error", "purchase", "signup", "view")
     val wideCols = types.map(t =>

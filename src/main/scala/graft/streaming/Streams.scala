@@ -55,6 +55,16 @@ case class TransState(tsMicros: Long, eventId: Long, etype: String)
 /** One observed consecutive transition in a user's event sequence. */
 case class TransitionOut(user_id: Long, prev_type: String, next_type: String)
 
+/** Per-user funnel progress — [[Streams.funnelOnline]] state: epoch-µs of
+  * the first qualifying event per stage (`None` until the stage is
+  * reached). Monotone: a slot only ever goes `None` → `Some` once.
+  */
+case class FunnelState(cUs: Option[Long], vUs: Option[Long], pUs: Option[Long])
+
+/** A user's funnel snapshot after a micro-batch advanced it. */
+case class FunnelOut(user_id: Long, c_us: Option[Long], v_us: Option[Long],
+    p_us: Option[Long])
+
 /** Last present bucket per tag — [[Streams.gapsOnline]] state. */
 case class GapState(lastHb: Long)
 
@@ -305,6 +315,50 @@ object Streams {
           }
           last.foreach(state.update)
           out.iterator
+      }
+  }
+
+  /** LIVE conversion funnel — the streaming twin of the batch
+    * `agg_funnel` query: per user, the first `s1` event, the first `s2`
+    * event strictly after it, and the first `s3` event strictly after
+    * that, each recorded as epoch-µs. State is ONE three-slot record per
+    * user and each slot is write-once (monotone), so state size is
+    * O(users) and never grows with stream length — watermark-free by the
+    * same argument as `transitionsOnline`. Within a micro-batch events
+    * process sorted by `(tsMicros, eventId)`; because each stage takes
+    * the FIRST qualifying event in time order, the sequential greedy
+    * scan equals the batch min-chaining form (first qualifying = min
+    * qualifying), so a single-batch replay aggregates to exactly the
+    * batch funnel and the driver query shares `agg_funnel`'s oracle.
+    * A snapshot row is emitted only when a batch ADVANCES a user's
+    * state; across batches the latest snapshot per user is current
+    * (MemoryStream spec pins the cross-batch stitch and the equal-µs
+    * tie exclusion).
+    */
+  def funnelOnline(events: Dataset[UserEvent], s1: String = "click",
+      s2: String = "view", s3: String = "purchase"): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[UserEvent],
+         state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
+          val before = state.getOption.getOrElse(FunnelState(None, None, None))
+          var st = before
+          it.toSeq.sortBy(e => (e.tsMicros, e.eventId)).foreach { e =>
+            if (st.cUs.isEmpty && e.etype == s1)
+              st = st.copy(cUs = Some(e.tsMicros))
+            else if (st.vUs.isEmpty && e.etype == s2 &&
+                st.cUs.exists(_ < e.tsMicros))
+              st = st.copy(vUs = Some(e.tsMicros))
+            else if (st.pUs.isEmpty && e.etype == s3 &&
+                st.vUs.exists(_ < e.tsMicros))
+              st = st.copy(pUs = Some(e.tsMicros))
+          }
+          if (st != before) {
+            state.update(st)
+            Iterator(FunnelOut(user, st.cUs, st.vUs, st.pUs))
+          } else Iterator.empty
       }
   }
 

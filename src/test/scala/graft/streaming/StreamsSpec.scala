@@ -468,4 +468,35 @@ class StreamsSpec extends SparkSpec {
       (1L, "view", "click"),     // in-batch, after sorting the unordered pair
       (2L, "a", "b")))           // same-ts tie broken by event_id
   }
+
+  test("funnelOnline stitches stages across batches and excludes equal-µs ties") {
+    def e(user: Long, t: Long, id: Long, ty: String) = UserEvent(user, t, id, ty)
+    // user 1: click in batch 1, view + purchase in batch 2 (cross-batch
+    //   stitch); the view BEFORE the click (t=500) must not count.
+    // user 2: view at the SAME µs as the click — strictly-after excludes
+    //   it, so user 2 never leaves stage 1 (state unchanged in batch 2 →
+    //   no second snapshot emitted).
+    val batch1 = Seq(e(1, 500L, 9, "view"), e(1, 1000L, 10, "click"),
+      e(2, 1000L, 20, "click"))
+    val batch2 = Seq(e(1, 2000L, 11, "view"), e(1, 3000L, 12, "purchase"),
+      e(2, 1000L, 21, "view"))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = Streams.funnelOnline(mem.toDS)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("funnel_out").as[FunnelOut].collect().toSeq
+    // latest snapshot per user is current
+    val latest = rows.groupBy(_.user_id).map { case (u, rs) => u -> rs.last }
+    assert(latest(1L) == FunnelOut(1L, Some(1000L), Some(2000L), Some(3000L)))
+    assert(latest(2L) == FunnelOut(2L, Some(1000L), None, None))
+    // user 2's batch 2 advanced nothing → exactly one snapshot ever
+    assert(rows.count(_.user_id == 2L) == 1)
+    // user 1 emitted one snapshot per advancing batch
+    assert(rows.count(_.user_id == 1L) == 2)
+  }
 }
