@@ -1413,6 +1413,27 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Quality-IMPORTANCE sampling ([[graft.ops.Sampling.importanceSample]]):
+    * acceptance probability proportional to the doc's stopword ratio (a
+    * prose-quality proxy — 20% stopwords ⇒ certain keep), deterministic
+    * by doc_id. The weight is ALL-INTEGER — (nstop·5e6) div nwords,
+    * clamped to 1e6 — so the acceptance threshold is exact in both
+    * engines (no float ratio ever compared). Pure scan filter.
+    */
+  private def q_sample_importance(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val base = T(s, dir, "documents").select(col("doc_id"), col("lang"),
+      size(filter(toks, w =>
+        w.isInCollection(Seq("the", "a", "of", "to", "and"))))
+        .cast("long").as("nstop"),
+      size(toks).cast("long").as("nw"))
+    val withW = base.select(col("doc_id"), col("lang"),
+      least(lit(1000000L), expr("(nstop * 5000000) div nw")).as("w"))
+    graft.ops.Sampling.importanceSample(withW, "doc_id", col("w"))
+      .select("doc_id", "lang", "w")
+      .orderBy("doc_id")
+  }
+
   /** Data-mixing rates: downsample languages to a 60/25/15 en/zh/de
     * target mix — the scarcest-relative-to-target stratum caps the
     * feasible total, everything else downsamples to match, untargeted
@@ -3486,6 +3507,7 @@ object SparkEntry {
     "pipeline_tokenize_pack" -> (q_pipeline_tokenize_pack _),
     "text_perplexity" -> (q_text_perplexity _),
     "sample_stratified" -> (q_sample_stratified _),
+    "sample_importance" -> (q_sample_importance _),
     "sample_cap_per_key" -> (q_sample_cap_per_key _),
     "sample_target_mix" -> (q_sample_target_mix _),
     "text_decontaminate" -> (q_text_decontaminate _),
@@ -4727,6 +4749,19 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000
         |  < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 1000000 ELSE 250000 END
+        |ORDER BY doc_id""".stripMargin,
+    "sample_importance" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        w -> w IN ('the','a','of','to','and'))) AS nstop,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS nw
+        |  FROM documents),
+        |w AS (SELECT doc_id, lang,
+        |    CAST(least(1000000, nstop * 5000000 // nw) AS BIGINT) AS w
+        |  FROM q)
+        |SELECT doc_id, lang, w FROM w
+        |WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |    % 1000000 < w
         |ORDER BY doc_id""".stripMargin,
     "sample_cap_per_key" ->
       """WITH r AS (SELECT doc_id, lang,

@@ -34,6 +34,20 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < lit((fraction * Buckets).toLong))
   }
 
+  /** IMPORTANCE sampling by a per-row integer weight in [0, 1e6]: keep
+    * the row iff its md5 bucket < weight, i.e. with acceptance
+    * probability weight/1e6 — the quality-weighted acceptance of
+    * published curation recipes ("sample high-quality documents more")
+    * under the repo's RNG-free discipline: membership is a pure function
+    * of the id, reproducible across runs/engines/partition layouts, and
+    * MONOTONE in the weight (raising a row's weight never evicts it —
+    * re-curation with a better quality model only adds rows). Weights
+    * above 1e6 clamp to certain acceptance. Pure scan filter, pushdown-
+    * safe, no shuffle.
+    */
+  def importanceSample(df: DataFrame, idCol: String, weightBuckets: Column): DataFrame =
+    df.filter(hashBucket(col(idCol)) < least(lit(Buckets), weightBuckets))
+
   /** Per-stratum rates (e.g. downsample dominant languages): strata not
     * listed get `defaultFraction`.
     */
