@@ -2268,6 +2268,30 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** Spark-only: ISOLATION FOREST anomaly detection (Liu et al. 2008)
+    * over the aligned hourly streams — the ensemble detector beside the
+    * reconstruction-error family: no distributional assumption, catches
+    * isolated joint positions the covariance models average away. Fit is
+    * bounded by construction (ψ-subsample trees over one md5-ordered
+    * ≤4096-row pool — driver state O(t·ψ), the vocab/centroid-collect
+    * precedent) and memoized per dir (deterministic md5-derived splits
+    * make the memo ≡ a refit); scoring is a broadcast-tree mapPartitions
+    * scan — map-side only, no shuffle, no Janino literal-tree blowup.
+    * Non-SQL: the recursive tree walk.
+    */
+  private def q_ml_isolation_forest(s: SparkSession, dir: String): DataFrame = {
+    val tags = Seq("click", "view", "purchase")
+    val wide = Timeseries.align(E(s, dir), "ts", "event_type", "value",
+      tags, "1 hour").na.drop("any", tags)
+    val model = fittedModel(s"iforest/$dir") {
+      graft.ml.IsolationForest.fit(wide, tags, "bucket")
+    }
+    model.anomaly(wide, "bucket")
+      .select(col("bucket"), round(col("anomaly_score"), 6).as("anomaly_score"),
+        col("anomalous"))
+      .orderBy("bucket")
+  }
+
   /** Spark-only: NONLINEAR trainable autoencoder (KerasAutoEncoder
     * analogue) — random tanh encoder + ridge-trained decoder fitted in
     * one shuffle-free aggregation pass; scoring is coefficient-literal
@@ -3561,6 +3585,7 @@ object SparkEntry {
     "stream_heavyhitters" -> (q_stream_heavyhitters _),
     "stream_threshold" -> (q_stream_threshold _),
     "ml_pca_anomaly" -> (q_ml_pca_anomaly _),
+    "ml_isolation_forest" -> (q_ml_isolation_forest _),
     "ml_autoencoder" -> (q_ml_autoencoder _),
     "ml_autoencoder_sgd" -> (q_ml_autoencoder_sgd _),
     "ml_autoencoder_seq" -> (q_ml_autoencoder_seq _),
