@@ -1532,6 +1532,14 @@ object SparkEntry {
     TextAnalysis.repetitionSignals(T(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** PMI collocations over the corpus — top-50 significant adjacent word
+    * pairs by pointwise mutual information (min count 5); exact-integer
+    * ln inputs, total-order selection. See
+    * [[graft.ops.TextAnalysis.pmiCollocations]].
+    */
+  private def q_text_pmi(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(T(s, dir, "documents"), "text")
+
   /** PII pseudonymization over the customer dimension: stable md5
     * pseudonyms (joinable, irreversible), digit masking, and
     * k-anonymity-style numeric generalization.
@@ -3548,6 +3556,7 @@ object SparkEntry {
     "stream_autocorr" -> (q_stream_autocorr _),
     "agg_robust_zscore" -> (q_agg_robust_zscore _),
     "text_repetition" -> (q_text_repetition _),
+    "text_pmi" -> (q_text_pmi _),
     "text_pii_mask" -> (q_text_pii_mask _),
     "dedup_semantic" -> (q_dedup_semantic _),
     "dedup_bloom_incremental" -> (q_dedup_bloom_incremental _),
@@ -4987,6 +4996,32 @@ object SparkEntry {
         |  round(0.6745 * (e.value - m.med) / NULLIF(d.mad, 0), 6) AS robust_z
         |FROM o e JOIN med m USING (event_type) JOIN mad d USING (event_type)
         |ORDER BY e.event_id""".stripMargin,
+    // six ln-of-exact-integer terms combined in the identical order; the
+    // top-50 is a TOTAL order (rounded pmi desc, term_a, term_b)
+    "text_pmi" ->
+      """WITH w AS (SELECT
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |uw AS (SELECT unnest(ws) AS t FROM w),
+        |uni AS (SELECT t, count(*) AS n FROM uw GROUP BY 1),
+        |tot AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS nn,
+        |    CAST(sum(greatest(len(ws) - 1, 0)) AS BIGINT) AS bb FROM w),
+        |big AS (SELECT unnest(list_transform(range(1, len(ws)),
+        |      i -> ws[i]||' '||ws[i+1])) AS bg
+        |  FROM w WHERE len(ws) >= 2),
+        |nab AS (SELECT split_part(bg, ' ', 1) AS term_a,
+        |    split_part(bg, ' ', 2) AS term_b, count(*) AS nab
+        |  FROM big GROUP BY bg HAVING count(*) >= 5),
+        |j AS (SELECT term_a, term_b, nab,
+        |    ln(CAST(nab AS DOUBLE)) - ln(CAST(bb AS DOUBLE))
+        |      - ln(CAST(na.n AS DOUBLE)) - ln(CAST(nb.n AS DOUBLE))
+        |      + ln(CAST(nn AS DOUBLE)) + ln(CAST(nn AS DOUBLE)) AS pmi
+        |  FROM nab JOIN uni na ON na.t = term_a
+        |           JOIN uni nb ON nb.t = term_b
+        |           CROSS JOIN tot)
+        |SELECT term_a, term_b, CAST(nab AS BIGINT) AS nab,
+        |  round(pmi, 6) AS pmi
+        |FROM j ORDER BY round(pmi, 6) DESC, term_a, term_b
+        |LIMIT 50""".stripMargin,
     "text_repetition" ->
       """WITH w AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),

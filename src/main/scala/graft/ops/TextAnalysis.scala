@@ -469,6 +469,51 @@ object TextAnalysis {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** PMI collocation extraction — the classic corpus-linguistics
+    * "significant word pair" measure: pointwise mutual information
+    * ln(P(a,b) / (P(a)·P(b))) over adjacent-word bigrams, high when a
+    * pair co-occurs far above chance ("machine learning", "new york").
+    * A `minCount` floor drops the unstable low-count tail (the textbook
+    * PMI failure mode: hapax pairs score highest), and the top-k is
+    * selected by the TOTAL order (rounded PMI desc, then both terms) —
+    * the bm25/tfidf float-tie discipline.
+    *
+    * Exactness: every ln argument is an exact integer-valued double
+    * (the agg_entropy portable-ln discipline) and the six-term ln
+    * combination is verbatim-mirrorable. Scale shape: bigrams generate
+    * MAP-SIDE (one transform+explode projection, no per-doc window
+    * shuffle); the only wide stages are the two count hash-aggs and the
+    * vocabulary-keyed joins; totals are broadcast 1-row frames.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Int = 5, k: Int = 50): DataFrame = {
+    val base = docs.select(words(col(textCol)).as("ws"))
+    val uni = base.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val totals = base.agg(
+      sum(size(col("ws"))).cast("long").as("nn"),
+      sum(greatest(size(col("ws")) - 1, lit(0))).cast("long").as("bb"))
+    val big = base.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))"))
+        .as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= minCount)
+      .withColumn("term_a", substring_index(col("bg"), " ", 1))
+      .withColumn("term_b", substring_index(col("bg"), " ", -1))
+    val joined = big
+      .join(uni.select(col("w").as("term_a"), col("n").as("na")), "term_a")
+      .join(uni.select(col("w").as("term_b"), col("n").as("nb")), "term_b")
+      .crossJoin(broadcast(totals))
+    val pmi = log(col("nab").cast("double")) - log(col("bb").cast("double")) -
+      log(col("na").cast("double")) - log(col("nb").cast("double")) +
+      log(col("nn").cast("double")) + log(col("nn").cast("double"))
+    joined.select(col("term_a"), col("term_b"), col("nab"),
+        round(pmi, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+      .limit(k)
+  }
+
   // --------------------------------------------------------------------
   // Trained quality classifier: multinomial Naive Bayes over a hashed
   // vocabulary — the classic corpus-filter model (train "good" vs "bad"
