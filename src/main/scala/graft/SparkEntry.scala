@@ -2695,7 +2695,12 @@ object SparkEntry {
     * every output is ONE exact integer divided by the same small exact
     * doubles in both engines: bit-identical with NO rounding anywhere.
     */
-  private def q_win_seasonal_decompose(s: SparkSession, dir: String): DataFrame = {
+  /** The decomposition's exact-INTEGER grid (v6/sum25/detr25/s_sum/cnt
+    * per bucket) shared by q_win_seasonal_decompose and
+    * q_agg_seasonal_strength — every downstream value is a mirrored
+    * expression over these exact BIGINTs, free of repr traps.
+    */
+  private def seasonalGrid(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hourly = E(s, dir)
       .filter(col("value").isNotNull)
@@ -2714,6 +2719,10 @@ object SparkEntry {
     val pw = Window.partitionBy(col("event_type"), hour(col("bucket")))
     t.withColumn("s_sum", sum(col("detr25")).over(pw))
       .withColumn("cnt", count(lit(1)).over(pw))
+  }
+
+  private def q_win_seasonal_decompose(s: SparkSession, dir: String): DataFrame =
+    seasonalGrid(s, dir)
       .select(col("event_type"), col("bucket"),
         (col("v6").cast("double") / lit(1000000.0)).as("v"),
         (col("sum25").cast("double") / lit(25.0) / lit(1000000.0)).as("trend"),
@@ -2722,6 +2731,46 @@ object SparkEntry {
         ((col("cnt") * col("detr25") - col("s_sum")).cast("double")
           / (lit(25.0) * col("cnt")) / lit(1000000.0)).as("resid"))
       .orderBy("event_type", "bucket")
+
+  /** SEASONAL/TREND STRENGTH per stream (Hyndman & Athanasopoulos, FPP:
+    * F_seasonal = max(0, 1 − Var(resid)/Var(detrended)), F_trend the
+    * same against the deseasonalized series) — the one-number summary
+    * of the decomposition ("is this stream worth a seasonal model?").
+    * Exactness: each component is an exact rational N/d over the grid's
+    * BIGINTs (resid = (cnt·detr25 − s_sum)/(25e6·cnt), detrended =
+    * detr25/25e6, deseasonalized − mean-free offset = (25·cnt·v6 −
+    * s_sum)/(25e6·cnt)), quantized to centi-units by ALL-INTEGER
+    * half-up division — ((N + d·OFF)·2 + d) div (2d) − OFF with the
+    * offset keeping numerators non-negative so Spark's truncating `div`
+    * ≡ DuckDB's flooring `//` (the ContractSpec rule) and NO double ever
+    * meets a decimal cast (the sf0.001 repr trap a DECIMAL(18,2)
+    * quantization hit). Variances from n·Σq² − (Σq)² (every product
+    * ≪ 2⁵³, exact), one mirrored IEEE division at the end. One tiny
+    * aggregation on top of the decompose plan.
+    */
+  private def q_agg_seasonal_strength(s: SparkSession, dir: String): DataFrame = {
+    val d = seasonalGrid(s, dir)
+      // N·100/(250000·cnt) and N·100/250000 rounded half-up, all-integer;
+      // OFF = 1e7 centi (1e5 value units — far above any fixture value)
+      .withColumn("rq", expr(
+        "(((cnt * detr25 - s_sum) + cnt * 2500000000000) * 2 + 250000 * cnt)" +
+          " div (500000 * cnt) - 10000000"))
+      .withColumn("dq", expr(
+        "((detr25 + 2500000000000) * 2 + 250000) div 500000 - 10000000"))
+      .withColumn("tq", expr(
+        "((25 * cnt * v6 - s_sum + cnt * 2500000000000) * 2 + 250000 * cnt)" +
+          " div (500000 * cnt) - 10000000"))
+    val g = d.groupBy("event_type").agg(count(lit(1)).as("n"),
+      sum(col("rq")).as("sr"), sum(col("rq") * col("rq")).as("srr"),
+      sum(col("dq")).as("sd"), sum(col("dq") * col("dq")).as("sdd"),
+      sum(col("tq")).as("st"), sum(col("tq") * col("tq")).as("stt"))
+    def strength(s2: Column, ss2: Column): Column = greatest(lit(0.0),
+      lit(1.0) - (col("n") * col("srr") - col("sr") * col("sr")).cast("double")
+        / nullif((col("n") * ss2 - s2 * s2).cast("double"), lit(0.0)))
+    g.select(col("event_type"), col("n"),
+        round(strength(col("sd"), col("sdd")), 6).as("seasonal_strength"),
+        round(strength(col("st"), col("stt")), 6).as("trend_strength"))
+      .orderBy("event_type")
   }
 
   /** BM25 corpus ranking ([[graft.ops.Search.bm25]]) against a fixed
@@ -3606,6 +3655,7 @@ object SparkEntry {
     "scan_orc" -> (q_scan_orc _),
     "sink_upsert" -> (q_sink_upsert _),
     "win_seasonal_decompose" -> (q_win_seasonal_decompose _),
+    "agg_seasonal_strength" -> (q_agg_seasonal_strength _),
     "search_bm25" -> (q_search_bm25 _),
     "dedup_substring" -> (q_dedup_substring _),
     "agg_ks_drift" -> (q_agg_ks_drift _),
@@ -5181,6 +5231,44 @@ object SparkEntry {
         |  CAST(s_sum AS DOUBLE) / (25.0 * cnt) / 1000000.0 AS seasonal,
         |  CAST(cnt * detr25 - s_sum AS DOUBLE) / (25.0 * cnt) / 1000000.0 AS resid
         |FROM g ORDER BY event_type, bucket""".stripMargin,
+    // the decompose CTEs verbatim, each component quantized to exact
+    // centi-unit BIGINTs (DECIMAL(18,2) HALF_UP), variances from
+    // n·Σq² − (Σq)² (all products ≪ 2^53), one mirrored IEEE division
+    "agg_seasonal_strength" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s_micro,
+        |    count(*) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |v AS (SELECT event_type, bucket, s_micro // n AS v6 FROM h),
+        |t AS (SELECT *, count(*) OVER w AS wn, sum(v6) OVER w AS sum25
+        |      FROM v WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |f AS (SELECT event_type, bucket, v6, sum25, v6 * 25 - sum25 AS detr25
+        |      FROM t WHERE wn = 25),
+        |g AS (SELECT *, sum(detr25) OVER pw AS s_sum, count(*) OVER pw AS cnt
+        |      FROM f WINDOW pw AS (PARTITION BY event_type, hour(bucket))),
+        |q AS (SELECT event_type,
+        |    (((cnt * detr25 - s_sum) + cnt * 2500000000000) * 2
+        |       + 250000 * cnt) // (500000 * cnt) - 10000000 AS rq,
+        |    ((detr25 + 2500000000000) * 2 + 250000) // 500000
+        |       - 10000000 AS dq,
+        |    ((25 * cnt * v6 - s_sum + cnt * 2500000000000) * 2
+        |       + 250000 * cnt) // (500000 * cnt) - 10000000 AS tq
+        |  FROM g),
+        |a AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(rq) AS BIGINT) AS sr, CAST(sum(rq * rq) AS BIGINT) AS srr,
+        |    CAST(sum(dq) AS BIGINT) AS sd, CAST(sum(dq * dq) AS BIGINT) AS sdd,
+        |    CAST(sum(tq) AS BIGINT) AS st, CAST(sum(tq * tq) AS BIGINT) AS stt
+        |  FROM q GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(greatest(0.0, 1.0 - CAST(n * srr - sr * sr AS DOUBLE)
+        |    / NULLIF(CAST(n * sdd - sd * sd AS DOUBLE), 0)), 6)
+        |    AS seasonal_strength,
+        |  round(greatest(0.0, 1.0 - CAST(n * srr - sr * sr AS DOUBLE)
+        |    / NULLIF(CAST(n * stt - st * st AS DOUBLE), 0)), 6)
+        |    AS trend_strength
+        |FROM a ORDER BY event_type""".stripMargin,
     "search_bm25" ->
       s"""WITH $bm25Cte
          |SELECT doc_id, bm25 FROM b ORDER BY 1""".stripMargin,
