@@ -3168,6 +3168,70 @@ object SparkEntry {
       .orderBy("event_type", "bucket")
   }
 
+  /** LIVE multivariate anomaly monitor — Mahalanobis scoring as a
+    * deployment runs it (the stream_seasonal/stream_drift "frozen
+    * reference" discipline): the (click, view) covariance is FROZEN from
+    * the first-half reference cohort (what makes scores comparable
+    * across days, and what a stream — which cannot rescan history —
+    * requires); the live second half streams through a real parquet
+    * readStream into a stateful per-(type, hour) sum+count aggregation
+    * (mergeable, complete mode), aligns to (x, y) pairs post-stream, and
+    * scores each live bucket against the frozen inverse. Arithmetic is
+    * q_agg_mahalanobis' exact-BIGINT + one-mirrored-IEEE-combination
+    * discipline, so the ENTIRE stream path is hash-checked by SQL.
+    */
+  private def q_stream_mahalanobis(s: SparkSession, dir: String): DataFrame = {
+    val root = compactMaterialized(s, dir)
+    val types = Seq("click", "view")
+    def centsOf(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((sum(col("value").cast("decimal(18,6)")) * lit(1000000L))
+            .cast("long").as("s_micro"),
+          count(lit(1)).as("cn"))
+        .select(col("event_type"), col("bucket"),
+          expr("(s_micro div cn) div 10000").as("c"))
+    def widen(cents: DataFrame): DataFrame = cents.groupBy("bucket")
+      .agg(max(when(col("event_type") === "click", col("c"))).as("x"),
+        max(when(col("event_type") === "view", col("c"))).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val ref = widen(centsOf(s.read.parquet(root)
+      .filter(driftIsA && col("value").isNotNull &&
+        col("event_type").isin(types: _*))))
+    val stats = ref.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val name = s"maha_stream_${registryKey(dir).take(8)}"
+    val schema = s.read.parquet(root).schema
+    val liveAgg = s.readStream.schema(schema).parquet(root)
+      .filter(!driftIsA && col("value").isNotNull &&
+        col("event_type").isin(types: _*))
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("sdec"),
+        count(lit(1)).as("cn"))
+    s.catalog.dropTempView(name)
+    val q = liveAgg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val live = widen(s.table(name)
+      .select(col("event_type"), col("bucket"),
+        expr("(cast(sdec * 1000000 as long) div cn) div 10000").as("c")))
+    val j = live.crossJoin(broadcast(stats))
+    val ax = (col("n") * col("x") - col("sx")).cast("double")
+    val ay = (col("n") * col("y") - col("sy")).cast("double")
+    val vxx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vyy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val vxy = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val qd = ax * ax * vyy - ax * ay * vxy * lit(2.0) + ay * ay * vxx
+    val d2u = (col("n") - 1).cast("double") * qd /
+      nullif(col("n").cast("double") * (vxx * vyy - vxy * vxy), lit(0.0))
+    j.select(col("bucket"), col("x").as("c_click"), col("y").as("c_view"),
+        round(d2u, 6).as("d2"),
+        when(d2u > 9.21, 1).otherwise(0).as("outlier"))
+      .orderBy("bucket")
+  }
+
   /** ROLLING pairwise correlation — correlation-STRUCTURE drift between
     * streams (the pairs-trading / co-moving-sensors primitive): Pearson r
     * over the trailing 24 aligned hourly buckets for every stream pair,
@@ -3669,6 +3733,7 @@ object SparkEntry {
     "sample_soft_dedup" -> (q_sample_soft_dedup _),
     "agg_corr_matrix" -> (q_agg_corr_matrix _),
     "agg_mahalanobis" -> (q_agg_mahalanobis _),
+    "stream_mahalanobis" -> (q_stream_mahalanobis _),
     "stream_asof" -> (q_stream_asof _),
     "sink_partitioned" -> (q_sink_partitioned _),
     "agg_resample_ohlc" -> (q_agg_resample_ohlc _),
@@ -5338,6 +5403,45 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_corr_matrix" -> corrMatrixOracle,
     "agg_mahalanobis" -> mahalanobisOracle,
+    // frozen-covariance scoring of the streamed second half — the whole
+    // stream path (readStream → stateful agg → align → d²) hash-checked
+    "stream_mahalanobis" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      // count(*)) // 10000 AS c
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |  GROUP BY 1, 2),
+        |wide AS (
+        |  SELECT bucket,
+        |    max(CASE WHEN event_type = 'click' THEN c END) AS x,
+        |    max(CASE WHEN event_type = 'view' THEN c END) AS y
+        |  FROM h GROUP BY 1
+        |  HAVING max(CASE WHEN event_type = 'click' THEN c END) IS NOT NULL
+        |     AND max(CASE WHEN event_type = 'view' THEN c END) IS NOT NULL),
+        |st AS (SELECT count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM wide WHERE bucket < TIMESTAMP '2024-01-16 00:00:00'),
+        |m AS (SELECT bucket, x, y, n,
+        |    CAST(n * x - sx AS DOUBLE) AS ax,
+        |    CAST(n * y - sy AS DOUBLE) AS ay,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS vxx,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS vyy,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS vxy
+        |  FROM wide CROSS JOIN st
+        |  WHERE bucket >= TIMESTAMP '2024-01-16 00:00:00'),
+        |d AS (SELECT bucket, x, y,
+        |    CAST(n - 1 AS DOUBLE)
+        |      * (ax * ax * vyy - ax * ay * vxy * 2.0 + ay * ay * vxx)
+        |      / NULLIF(CAST(n AS DOUBLE) * (vxx * vyy - vxy * vxy), 0) AS d2u
+        |  FROM m)
+        |SELECT bucket, x AS c_click, y AS c_view, round(d2u, 6) AS d2,
+        |  CASE WHEN d2u > 9.21 THEN 1 ELSE 0 END AS outlier
+        |FROM d ORDER BY bucket""".stripMargin,
     "win_rolling_corr" -> rollingCorrOracle,
     // all integers until the final tau division — bit-exact, unrounded
     "agg_trend_mk" ->
