@@ -3168,6 +3168,87 @@ object SparkEntry {
       .orderBy("event_type", "bucket")
   }
 
+  /** Running MAXIMUM DRAWDOWN per stream — the finance/SRE classic
+    * ("how far below its best has this series fallen"): running max and
+    * drawdown = runmax − value over the hourly integer-cents series.
+    * ALL-INTEGER (exact cents, no floats anywhere), one per-stream
+    * window shuffle — never global.
+    */
+  private def q_win_drawdown(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourlyCentsLong(s, dir)
+      .withColumn("runmax", max(col("c")).over(w))
+      .select(col("event_type"), col("bucket"), col("c"), col("runmax"),
+        (col("runmax") - col("c")).as("drawdown"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** GINI concentration per stream over per-event cents — the
+    * inequality audit ("is one whale driving this stream's value?"):
+    * G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over the value-sorted
+    * series. Ties pair equal values with consecutive ranks, so the rank
+    * sum is tie-order-invariant; every sum is an exact BIGINT (i·x ≤
+    * ~1e9, totals ≪ 2⁵³) and the combination is ONE mirrored IEEE
+    * expression. The per-stream sort is the same exact-order-statistic
+    * trade as agg_trend_sen's median — documented, keyed, never global.
+    */
+  private def q_agg_gini(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = expr(
+      "cast(cast(value as decimal(18,6)) * 1000000 as bigint) div 10000")
+    val w = Window.partitionBy("event_type").orderBy("c")
+    val r = E(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), cents.as("c"))
+      .withColumn("i", row_number().over(w))
+    val g = r.groupBy("event_type").agg(count(lit(1)).as("n"),
+      sum(col("c")).as("sx"), sum(col("i") * col("c")).as("si"))
+    g.select(col("event_type"), col("n"),
+        round((lit(2L) * col("si") - (col("n") + 1L) * col("sx")).cast("double")
+          / nullif((col("n") * col("sx")).cast("double"), lit(0.0)), 6)
+          .as("gini"))
+      .orderBy("event_type")
+  }
+
+  /** ZIPF-law fit per language — the corpus-statistics audit ("does this
+    * source's vocabulary follow the natural power law?"; machine-generated
+    * or templated corpora visibly don't): OLS of ln(freq) on ln(rank)
+    * over the ≥5-occurrence vocabulary — slope ≈ −Zipf exponent, R² =
+    * power-law fit quality. Portability: each ln is taken of an EXACT
+    * integer (rank / frequency — the agg_entropy discipline), quantized
+    * to milli-units (round half-up of a positive double — identical in
+    * both engines), so the OLS sufficient sums are exact BIGINTs and the
+    * two final divisions are mirrored IEEE ops (BIGINT→DOUBLE casts are
+    * correctly-rounded conversions of identical integers). Rank ties
+    * break on the term — total order. Shuffles bounded by |vocab|.
+    */
+  private def q_agg_zipf_fit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = T(s, dir, "documents")
+      .select(col("lang"), explode(graft.ops.Dedup.words(col("text"))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("f"))
+      .filter(col("f") >= 5)
+    val r = tf.withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("f").desc, col("w"))))
+      .withColumn("lq",
+        round(log(col("rnk").cast("double")) * lit(1000.0), 0).cast("long"))
+      .withColumn("lf",
+        round(log(col("f").cast("double")) * lit(1000.0), 0).cast("long"))
+    val g = r.groupBy("lang").agg(count(lit(1)).as("n"),
+      sum(col("lq")).as("sq"), sum(col("lf")).as("sf"),
+      sum(col("lq") * col("lq")).as("sqq"),
+      sum(col("lf") * col("lf")).as("sff"),
+      sum(col("lq") * col("lf")).as("sqf"))
+    val sxy = (col("n") * col("sqf") - col("sq") * col("sf")).cast("double")
+    val sxx = (col("n") * col("sqq") - col("sq") * col("sq")).cast("double")
+    val syy = (col("n") * col("sff") - col("sf") * col("sf")).cast("double")
+    g.select(col("lang"), col("n"),
+        round(sxy / nullif(sxx, lit(0.0)), 6).as("slope"),
+        round((sxy * sxy) / nullif(sxx * syy, lit(0.0)), 6).as("r2"))
+      .orderBy("lang")
+  }
+
   /** LIVE multivariate anomaly monitor — Mahalanobis scoring as a
     * deployment runs it (the stream_seasonal/stream_drift "frozen
     * reference" discipline): the (click, view) covariance is FROZEN from
@@ -3734,6 +3815,9 @@ object SparkEntry {
     "agg_corr_matrix" -> (q_agg_corr_matrix _),
     "agg_mahalanobis" -> (q_agg_mahalanobis _),
     "stream_mahalanobis" -> (q_stream_mahalanobis _),
+    "win_drawdown" -> (q_win_drawdown _),
+    "agg_gini" -> (q_agg_gini _),
+    "agg_zipf_fit" -> (q_agg_zipf_fit _),
     "stream_asof" -> (q_stream_asof _),
     "sink_partitioned" -> (q_sink_partitioned _),
     "agg_resample_ohlc" -> (q_agg_resample_ohlc _),
@@ -5403,6 +5487,61 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_corr_matrix" -> corrMatrixOracle,
     "agg_mahalanobis" -> mahalanobisOracle,
+    "win_drawdown" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      // count(*)) // 10000 AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, bucket, c,
+        |    max(c) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+        |  FROM h)
+        |SELECT event_type, bucket, c, runmax, runmax - c AS drawdown
+        |FROM r ORDER BY 1, 2""".stripMargin,
+    // every ln over an exact integer, milli-quantized half-up (positive
+    // → identical both engines); OLS sums exact BIGINTs
+    "agg_zipf_fit" ->
+      """WITH w AS (SELECT lang,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |tf AS (SELECT lang, t, count(*) AS f FROM w GROUP BY 1, 2
+        |       HAVING count(*) >= 5),
+        |r AS (SELECT lang, f,
+        |    row_number() OVER (PARTITION BY lang ORDER BY f DESC, t) AS rnk
+        |  FROM tf),
+        |q AS (SELECT lang,
+        |    CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000.0, 0) AS BIGINT) AS lq,
+        |    CAST(round(ln(CAST(f AS DOUBLE)) * 1000.0, 0) AS BIGINT) AS lf
+        |  FROM r),
+        |g AS (SELECT lang, count(*) AS n,
+        |    CAST(sum(lq) AS BIGINT) AS sq, CAST(sum(lf) AS BIGINT) AS sf,
+        |    CAST(sum(lq * lq) AS BIGINT) AS sqq,
+        |    CAST(sum(lf * lf) AS BIGINT) AS sff,
+        |    CAST(sum(lq * lf) AS BIGINT) AS sqf
+        |  FROM q GROUP BY 1)
+        |SELECT lang, n,
+        |  round(CAST(n * sqf - sq * sf AS DOUBLE)
+        |    / NULLIF(CAST(n * sqq - sq * sq AS DOUBLE), 0), 6) AS slope,
+        |  round((CAST(n * sqf - sq * sf AS DOUBLE)
+        |      * CAST(n * sqf - sq * sf AS DOUBLE))
+        |    / NULLIF(CAST(n * sqq - sq * sq AS DOUBLE)
+        |      * CAST(n * sff - sf * sf AS DOUBLE), 0), 6) AS r2
+        |FROM g ORDER BY lang""".stripMargin,
+    "agg_gini" ->
+      """WITH e AS (SELECT event_type,
+        |    (CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      // 10000) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS i
+        |  FROM e),
+        |g AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS sx,
+        |    CAST(sum(i * c) AS BIGINT) AS si FROM r GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(CAST(2 * si - (n + 1) * sx AS DOUBLE)
+        |    / NULLIF(CAST(n * sx AS DOUBLE), 0), 6) AS gini
+        |FROM g ORDER BY event_type""".stripMargin,
     // frozen-covariance scoring of the streamed second half — the whole
     // stream path (readStream → stateful agg → align → d²) hash-checked
     "stream_mahalanobis" ->
