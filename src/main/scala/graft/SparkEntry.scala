@@ -3211,6 +3211,66 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** BURSTINESS per stream over hourly event counts — Fano factor
+    * (variance/mean; 1 = Poisson, ≫1 = bursty) and the Goh–Barabási
+    * burstiness coefficient B = (σ−μ)/(σ+μ) — the arrival-process audit
+    * behind capacity planning and bot detection. Counts are exact
+    * integers over PRESENT buckets (absent hours are gap_detect's job);
+    * sufficient sums exact BIGINTs; σ via the correctly-rounded sqrt;
+    * the combinations are mirrored IEEE ops. One resample + one tiny agg.
+    */
+  private def q_agg_burstiness(s: SparkSession, dir: String): DataFrame = {
+    val k = E(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("k"))
+    val g = k.groupBy("event_type").agg(count(lit(1)).as("n"),
+      sum(col("k")).as("sk"), sum(col("k") * col("k")).as("skk"))
+    val vr = (col("n") * col("skk") - col("sk") * col("sk")).cast("double") /
+      (col("n") * (col("n") - 1)).cast("double")
+    val mu = col("sk").cast("double") / col("n")
+    g.select(col("event_type"), col("n"),
+        round(mu, 6).as("mean_per_hour"),
+        round(vr / nullif(mu, lit(0.0)), 6).as("fano"),
+        round((sqrt(vr) - mu) / nullif(sqrt(vr) + mu, lit(0.0)), 6)
+          .as("burstiness"))
+      .orderBy("event_type")
+  }
+
+  /** USER SEGMENTATION by one-pass seed assignment — the SemDeDup-oracle
+    * trick applied to k-means ("which behavioral archetype is each user
+    * closest to?"): features = per-user event-type count vectors (exact
+    * integers), centroids = the k lowest-user_id users' vectors
+    * (deterministic, SQL-derivable seeds), assignment = argmin exact
+    * INTEGER squared L2 with seed-id tie-break. Output segment sizes +
+    * per-type totals — zero floats anywhere. |users|×k assignment rows,
+    * one rank window keyed by user.
+    */
+  private def q_agg_user_segments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val types = Seq("click", "view", "purchase", "error", "signup")
+    val users = E(s, dir).groupBy("user_id")
+      .agg(types.map(t =>
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t")).head,
+        types.tail.map(t =>
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t")): _*)
+    val seeds = users.orderBy("user_id").limit(4)
+      .select(col("user_id").as("seed_id") +:
+        types.map(t => col(s"c_$t").as(s"s_$t")): _*)
+    val dist = types.map(t =>
+      (col(s"c_$t") - col(s"s_$t")) * (col(s"c_$t") - col(s"s_$t")))
+      .reduce(_ + _)
+    val assigned = users.crossJoin(broadcast(seeds))
+      .withColumn("d2", dist)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("d2"), col("seed_id"))))
+      .filter(col("rn") === 1)
+    val aggs = count(lit(1)).as("n_users") +:
+      types.map(t => sum(col(s"c_$t")).as(s"tot_$t"))
+    assigned.groupBy(col("seed_id").as("segment"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("segment")
+  }
+
   /** ZIPF-law fit per language — the corpus-statistics audit ("does this
     * source's vocabulary follow the natural power law?"; machine-generated
     * or templated corpora visibly don't): OLS of ln(freq) on ln(rank)
@@ -3818,6 +3878,8 @@ object SparkEntry {
     "win_drawdown" -> (q_win_drawdown _),
     "agg_gini" -> (q_agg_gini _),
     "agg_zipf_fit" -> (q_agg_zipf_fit _),
+    "agg_burstiness" -> (q_agg_burstiness _),
+    "agg_user_segments" -> (q_agg_user_segments _),
     "stream_asof" -> (q_stream_asof _),
     "sink_partitioned" -> (q_sink_partitioned _),
     "agg_resample_ohlc" -> (q_agg_resample_ohlc _),
@@ -5528,6 +5590,55 @@ object SparkEntry {
         |    / NULLIF(CAST(n * sqq - sq * sq AS DOUBLE)
         |      * CAST(n * sff - sf * sf AS DOUBLE), 0), 6) AS r2
         |FROM g ORDER BY lang""".stripMargin,
+    "agg_burstiness" ->
+      """WITH k AS (SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    count(*) AS k
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(k) AS BIGINT) AS sk,
+        |    CAST(sum(k * k) AS BIGINT) AS skk
+        |  FROM k GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(CAST(sk AS DOUBLE) / n, 6) AS mean_per_hour,
+        |  round((CAST(n * skk - sk * sk AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE))
+        |    / NULLIF(CAST(sk AS DOUBLE) / n, 0), 6) AS fano,
+        |  round((sqrt(CAST(n * skk - sk * sk AS DOUBLE)
+        |        / CAST(n * (n - 1) AS DOUBLE)) - CAST(sk AS DOUBLE) / n)
+        |    / NULLIF(sqrt(CAST(n * skk - sk * sk AS DOUBLE)
+        |        / CAST(n * (n - 1) AS DOUBLE)) + CAST(sk AS DOUBLE) / n, 0), 6)
+        |    AS burstiness
+        |FROM g ORDER BY event_type""".stripMargin,
+    "agg_user_segments" ->
+      """WITH u AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c_click,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c_view,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c_purchase,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c_error,
+        |    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c_signup
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT user_id AS seed_id, c_click AS s_click, c_view AS s_view,
+        |    c_purchase AS s_purchase, c_error AS s_error, c_signup AS s_signup
+        |  FROM u ORDER BY user_id LIMIT 4),
+        |a AS (SELECT u.*, seed_id,
+        |    (c_click - s_click) * (c_click - s_click)
+        |      + (c_view - s_view) * (c_view - s_view)
+        |      + (c_purchase - s_purchase) * (c_purchase - s_purchase)
+        |      + (c_error - s_error) * (c_error - s_error)
+        |      + (c_signup - s_signup) * (c_signup - s_signup) AS d2
+        |  FROM u CROSS JOIN s),
+        |r AS (SELECT *, row_number()
+        |    OVER (PARTITION BY user_id ORDER BY d2, seed_id) AS rn
+        |  FROM a)
+        |SELECT seed_id AS segment, count(*) AS n_users,
+        |  CAST(sum(c_click) AS BIGINT) AS tot_click,
+        |  CAST(sum(c_view) AS BIGINT) AS tot_view,
+        |  CAST(sum(c_purchase) AS BIGINT) AS tot_purchase,
+        |  CAST(sum(c_error) AS BIGINT) AS tot_error,
+        |  CAST(sum(c_signup) AS BIGINT) AS tot_signup
+        |FROM r WHERE rn = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_gini" ->
       """WITH e AS (SELECT event_type,
         |    (CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
