@@ -1125,6 +1125,42 @@ object SparkEntry {
     Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id", "embedding", 3)
       .orderBy("qid", "rnk")
 
+  /** PAGERANK over the kNN similarity graph — graph centrality as a
+    * data-curation signal (representativeness of each vector in the
+    * corpus neighborhood structure; the graph-analytics flagship beside
+    * dedup_clusters' label propagation). ALL-INTEGER damped power
+    * iteration in micro-units: pr₀ = 1e6; each round contrib = pr div
+    * outdeg (non-negative ⇒ Spark div ≡ DuckDB //), inflow = exact
+    * BIGINT sum, pr' = 150000 + (850·inflow) div 1000 (d = 0.85) — ten
+    * rounds, bit-exact, no float ever. Dangling/orphan LSH nodes keep
+    * the base mass (leak accepted and mirrored — the textbook
+    * simplification, documented). Plan: edge table built once (the
+    * oracle-checked knnGraph), localCheckpoint'd and reused across
+    * rounds; each round is one keyed join + one hash-agg — the
+    * dedup_clusters iterative discipline (per-round job overhead
+    * amortizes at scale; lineage truncated every round).
+    */
+  private def q_graph_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id",
+        "embedding", 3)
+      .select(col("qid").as("src"), col("nid").as("dst"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "src").localCheckpoint()
+    val nodes = T(s, dir, "embeddings").select(col("vec_id")).localCheckpoint()
+    var pr = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to 10) {
+      val inflow = e.join(pr, e("src") === pr("vec_id"))
+        .select(col("dst"), expr("pr div deg").as("contrib"))
+        .groupBy("dst").agg(sum(col("contrib")).as("inflow"))
+      pr = nodes.join(inflow, nodes("vec_id") === inflow("dst"), "left_outer")
+        .select(nodes("vec_id"),
+          (lit(150000L) + expr("(850 * coalesce(inflow, 0L)) div 1000"))
+            .as("pr"))
+        .localCheckpoint()
+    }
+    pr.orderBy("vec_id")
+  }
+
   /** Spark-only: IVF coarse-quantizer ANN — probe-limited top-k with a
     * PREFIT quantizer. The k-means fit runs once per corpus and is
     * persisted under a content-keyed registry path (the disk-registry
@@ -3880,6 +3916,7 @@ object SparkEntry {
     "agg_zipf_fit" -> (q_agg_zipf_fit _),
     "agg_burstiness" -> (q_agg_burstiness _),
     "agg_user_segments" -> (q_agg_user_segments _),
+    "graph_pagerank" -> (q_graph_pagerank _),
     "stream_asof" -> (q_stream_asof _),
     "sink_partitioned" -> (q_sink_partitioned _),
     "agg_resample_ohlc" -> (q_agg_resample_ohlc _),
@@ -4151,6 +4188,46 @@ object SparkEntry {
        |      FROM sc)
        |SELECT qid, nid, round(cr, 6) AS cos_sim, rnk
        |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** PageRank oracle: the knn-graph CTEs verbatim (same edges), then ten
+    * UNROLLED power-iteration CTEs (a recursive CTE cannot aggregate in
+    * its recursive member) replaying the identical integer arithmetic.
+    */
+  private def pagerankOracle: String = {
+    val iters = (1 to 10).map { k =>
+      s"""p$k AS (SELECT nn.vec_id,
+         |    150000 + (850 * COALESCE(f.inflow, 0)) // 1000 AS pr
+         |  FROM (SELECT vec_id FROM embeddings) nn
+         |  LEFT JOIN (SELECT ed.dst AS vec_id,
+         |      CAST(sum(p${k - 1}.pr // ed.deg) AS BIGINT) AS inflow
+         |    FROM ed JOIN p${k - 1} ON p${k - 1}.vec_id = ed.src
+         |    GROUP BY 1) f USING (vec_id))"""
+    }.mkString(",\n|")
+    s"""WITH ${lshBucketCtes(8, 8, 64)},
+       |cand AS (SELECT DISTINCT a.vec_id AS qid, b2.vec_id AS nid
+       |         FROM bl a JOIN bl b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+       |          AND a.vec_id <> b2.vec_id),
+       |n0 AS (SELECT vec_id, ${normSqSql("embedding")} AS nsq FROM embeddings),
+       |sc AS (SELECT c.qid, c.nid,
+       |         ${dotSql("ea.embedding", "eb.embedding")} AS dot,
+       |         na.nsq AS naa, nb.nsq AS nbb
+       |       FROM cand c
+       |       JOIN embeddings ea ON ea.vec_id = c.qid
+       |       JOIN embeddings eb ON eb.vec_id = c.nid
+       |       JOIN n0 na ON na.vec_id = c.qid
+       |       JOIN n0 nb ON nb.vec_id = c.nid),
+       |r AS (SELECT qid, nid,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY dot / sqrt(naa * nbb) DESC, nid) AS rnk
+       |      FROM sc),
+       |e AS (SELECT qid AS src, nid AS dst FROM r WHERE rnk <= 3),
+       |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN d USING (src)),
+       |p0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS pr FROM embeddings),
+       |$iters
+       |SELECT vec_id, CAST(pr AS BIGINT) AS pr FROM p10
+       |ORDER BY vec_id""".stripMargin
   }
 
   private val bucket10m = "time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))"
@@ -5549,6 +5626,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_corr_matrix" -> corrMatrixOracle,
     "agg_mahalanobis" -> mahalanobisOracle,
+    "graph_pagerank" -> pagerankOracle,
     "win_drawdown" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
