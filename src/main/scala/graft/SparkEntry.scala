@@ -3159,6 +3159,35 @@ object SparkEntry {
     s.table(name).orderBy("event_type", "bucket")
   }
 
+  /** SLIDING-window streaming aggregation — the overlapping-window shape
+    * tumbling stream_resample cannot express (a 1-hour window advancing
+    * every 15 minutes: each event feeds FOUR windows; the state store
+    * holds one mergeable sum+count per open window — the dashboard
+    * "rolling last hour, refreshed every 15 min" semantics). Exactness:
+    * the decimal sum → micro BIGINT → integer mean discipline, so the
+    * streamed windows hash-match a replicate-then-aggregate SQL replay
+    * (each event row contributes to its four window starts — the
+    * agg_active_users WAU trick in time-window form).
+    */
+  private def q_stream_sliding(s: SparkSession, dir: String): DataFrame = {
+    val root = compactMaterialized(s, dir)
+    val name = s"slide_stream_${registryKey(dir).take(8)}"
+    val schema = s.read.parquet(root).schema
+    val stream = s.readStream.schema(schema).parquet(root)
+      .filter(col("value").isNotNull)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("sdec"),
+        count(lit(1)).as("n"))
+    s.catalog.dropTempView(name)
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(col("window.start").as("wstart"), col("event_type"),
+        expr("cast(sdec * 1000000 as long) div n").as("v6"), col("n"))
+      .orderBy("wstart", "event_type")
+  }
+
   /** LIVE seasonal-residual monitor — the deployment form of seasonal
     * scoring: the hour-of-day profile is FROZEN from the reference
     * cohort (first half-month, batch, exact integer micro-units), the
@@ -3219,6 +3248,78 @@ object SparkEntry {
       .select(col("event_type"), col("bucket"), col("c"), col("runmax"),
         (col("runmax") - col("c")).as("drawdown"))
       .orderBy("event_type", "bucket")
+  }
+
+  /** RSI-14 per stream (Wilder's relative strength index, simple-average
+    * form over the hourly cents series): gains/losses are exact integer
+    * lag differences, trailing-14 sums exact BIGINTs (full windows
+    * only), and RSI = 100·SG/(SG+SL) needs ONE mirrored IEEE division —
+    * the flat-window case (SG=SL=0) nulls out via nullif, matching
+    * DuckDB's x/0. One per-stream window shuffle shared by the lag and
+    * both sums.
+    */
+  private def q_win_rsi(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lagW = Window.partitionBy("event_type").orderBy("bucket")
+    val sumW = lagW.rowsBetween(-13, 0)
+    hourlyCentsLong(s, dir)
+      .withColumn("prev", lag(col("c"), 1).over(lagW))
+      .filter(col("prev").isNotNull)
+      .withColumn("gain", greatest(col("c") - col("prev"), lit(0L)))
+      .withColumn("loss", greatest(col("prev") - col("c"), lit(0L)))
+      .withColumn("wn", count(lit(1)).over(sumW))
+      .withColumn("sg", sum(col("gain")).over(sumW))
+      .withColumn("sl", sum(col("loss")).over(sumW))
+      .filter(col("wn") === 14)
+      .select(col("event_type"), col("bucket"),
+        round(lit(100.0) * col("sg").cast("double")
+          / nullif((col("sg") + col("sl")).cast("double"), lit(0.0)), 6)
+          .as("rsi"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** LOG RETURNS per stream — ln(c_t) − ln(c_{t−1}) over hourly cents
+    * (the additive, symmetric change measure of quantitative series
+    * analysis): each ln is over an exact positive integer (the portable-
+    * ln discipline), the difference is one mirrored IEEE op. Pure lag
+    * window, one per-stream shuffle.
+    */
+  private def q_win_log_return(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+    hourlyCentsLong(s, dir)
+      .filter(col("c") > 0)
+      .withColumn("prev", lag(col("c"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), col("bucket"), col("c"),
+        round(log(col("c").cast("double")) - log(col("prev").cast("double")), 6)
+          .as("log_return"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** BENFORD first-digit audit per stream — the classic fraud /
+    * data-fabrication screen: the observed leading-digit distribution of
+    * values vs Benford's law p(d) = ln(1 + 1/d)/ln(10). Digits come from
+    * the exact cents integer's decimal string (no float formatting);
+    * expected probabilities are mirrored transcendental expressions of
+    * exact integers; one row per (stream, digit) — deliberately NO chi²
+    * total, which would sum nine doubles in engine-dependent order.
+    */
+  private def q_agg_benford(s: SparkSession, dir: String): DataFrame = {
+    val cents = expr(
+      "cast(cast(value as decimal(18,6)) * 1000000 as bigint) div 10000")
+    val d = E(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), cents.as("c"))
+      .filter(col("c") > 0)
+      .withColumn("digit", substring(col("c").cast("string"), 1, 1).cast("int"))
+    val g = d.groupBy("event_type", "digit").agg(count(lit(1)).as("obs"))
+    val n = d.groupBy("event_type").agg(count(lit(1)).as("n"))
+    g.join(n, "event_type")
+      .select(col("event_type"), col("digit"), col("obs"),
+        round(col("obs").cast("double") / col("n"), 6).as("observed_p"),
+        round(log((col("digit") + lit(1.0)) / col("digit")) / log(lit(10.0)), 6)
+          .as("benford_p"))
+      .orderBy("event_type", "digit")
   }
 
   /** GINI concentration per stream over per-event cents — the
@@ -3917,6 +4018,10 @@ object SparkEntry {
     "agg_burstiness" -> (q_agg_burstiness _),
     "agg_user_segments" -> (q_agg_user_segments _),
     "graph_pagerank" -> (q_graph_pagerank _),
+    "stream_sliding" -> (q_stream_sliding _),
+    "win_rsi" -> (q_win_rsi _),
+    "win_log_return" -> (q_win_log_return _),
+    "agg_benford" -> (q_agg_benford _),
     "stream_asof" -> (q_stream_asof _),
     "sink_partitioned" -> (q_sink_partitioned _),
     "agg_resample_ohlc" -> (q_agg_resample_ohlc _),
@@ -5668,6 +5773,70 @@ object SparkEntry {
         |    / NULLIF(CAST(n * sqq - sq * sq AS DOUBLE)
         |      * CAST(n * sff - sf * sf AS DOUBLE), 0), 6) AS r2
         |FROM g ORDER BY lang""".stripMargin,
+    // each event contributes to its FOUR window starts — replicate-then-
+    // aggregate (the WAU trick in time-window form); v6 = exact integer
+    // micro mean, so the streamed sliding windows hash-match
+    "stream_sliding" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS t, value
+        |  FROM events WHERE value IS NOT NULL),
+        |ks AS (SELECT unnest(range(0, 4)) AS k),
+        |r AS (SELECT event_type, value,
+        |    time_bucket(INTERVAL '15 minutes', t)
+        |      - k * INTERVAL '15 minutes' AS wstart
+        |  FROM e CROSS JOIN ks)
+        |SELECT wstart, event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |    // count(*) AS v6,
+        |  count(*) AS n
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "win_rsi" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      // count(*)) // 10000 AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |l AS (SELECT event_type, bucket, c,
+        |    lag(c) OVER (PARTITION BY event_type ORDER BY bucket) AS prev
+        |  FROM h),
+        |d AS (SELECT event_type, bucket,
+        |    greatest(c - prev, 0) AS gain, greatest(prev - c, 0) AS loss
+        |  FROM l WHERE prev IS NOT NULL),
+        |w AS (SELECT event_type, bucket, count(*) OVER ww AS wn,
+        |    sum(gain) OVER ww AS sg, sum(loss) OVER ww AS sl
+        |  FROM d WINDOW ww AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, bucket,
+        |  round(100.0 * CAST(sg AS DOUBLE)
+        |    / NULLIF(CAST(sg + sl AS DOUBLE), 0), 6) AS rsi
+        |FROM w WHERE wn = 14 ORDER BY 1, 2""".stripMargin,
+    "win_log_return" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      // count(*)) // 10000 AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT event_type, bucket, c,
+        |    lag(c) OVER (PARTITION BY event_type ORDER BY bucket) AS prev
+        |  FROM h WHERE c > 0)
+        |SELECT event_type, bucket, c,
+        |  round(ln(CAST(c AS DOUBLE)) - ln(CAST(prev AS DOUBLE)), 6)
+        |    AS log_return
+        |FROM p WHERE prev IS NOT NULL ORDER BY 1, 2""".stripMargin,
+    "agg_benford" ->
+      """WITH e AS (SELECT event_type,
+        |    (CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      // 10000) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (SELECT event_type,
+        |    CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM e WHERE c > 0),
+        |g AS (SELECT event_type, digit, count(*) AS obs FROM d GROUP BY 1, 2),
+        |n AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1)
+        |SELECT event_type, digit, obs,
+        |  round(CAST(obs AS DOUBLE) / n, 6) AS observed_p,
+        |  round(ln((digit + 1.0) / digit) / ln(10.0), 6) AS benford_p
+        |FROM g JOIN n USING (event_type)
+        |ORDER BY event_type, digit""".stripMargin,
     "agg_burstiness" ->
       """WITH k AS (SELECT event_type,
         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
