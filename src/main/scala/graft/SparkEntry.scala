@@ -1161,6 +1161,43 @@ object SparkEntry {
     pr.orderBy("vec_id")
   }
 
+  /** TRIANGLE counting + local clustering coefficient over the kNN
+    * similarity graph — the second graph-analytics op beside PageRank
+    * (community tightness per node; the MapReduce triangle-enumeration
+    * classic): symmetrize to ordered (a<b) edges once, enumerate each
+    * triangle exactly once via the a<b<c join chain, credit all three
+    * corners, c_v = 2·T_v/(deg_v·(deg_v−1)) as ONE mirrored division.
+    * All-integer until that division; joins are keyed and bounded by
+    * |E| (k·|V| — the kNN bound, never corpus-quadratic). Nodes the LSH
+    * left edgeless are absent by contract (degree-0 has no coefficient).
+    */
+  private def q_graph_triangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id",
+        "embedding", 3)
+      .select(least(col("qid"), col("nid")).as("a"),
+        greatest(col("qid"), col("nid")).as("b"))
+      .distinct().localCheckpoint()
+    val deg = edges.select(col("a").as("v"))
+      .unionByName(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e2.a") === col("e1.b"))
+      .join(edges.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val cr = tri.select(col("x").as("v"))
+      .unionByName(tri.select(col("y").as("v")))
+      .unionByName(tri.select(col("z").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("triangles"))
+    deg.join(cr, Seq("v"), "left_outer")
+      .select(col("v").as("vec_id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(lit(2.0) * coalesce(col("triangles"), lit(0L)).cast("double")
+          / nullif((col("deg") * (col("deg") - 1)).cast("double"), lit(0.0)), 6)
+          .as("clustering"))
+      .orderBy("vec_id")
+  }
+
   /** Spark-only: IVF coarse-quantizer ANN — probe-limited top-k with a
     * PREFIT quantizer. The k-means fit runs once per corpus and is
     * persisted under a content-keyed registry path (the disk-registry
@@ -4018,6 +4055,7 @@ object SparkEntry {
     "agg_burstiness" -> (q_agg_burstiness _),
     "agg_user_segments" -> (q_agg_user_segments _),
     "graph_pagerank" -> (q_graph_pagerank _),
+    "graph_triangles" -> (q_graph_triangles _),
     "stream_sliding" -> (q_stream_sliding _),
     "win_rsi" -> (q_win_rsi _),
     "win_log_return" -> (q_win_log_return _),
@@ -4334,6 +4372,48 @@ object SparkEntry {
        |SELECT vec_id, CAST(pr AS BIGINT) AS pr FROM p10
        |ORDER BY vec_id""".stripMargin
   }
+
+  /** Triangle/clustering oracle: the knn CTEs verbatim, symmetrized
+    * ordered edges, the identical a<b<c enumeration and corner credits.
+    */
+  private def trianglesOracle: String =
+    s"""WITH ${lshBucketCtes(8, 8, 64)},
+       |cand AS (SELECT DISTINCT a.vec_id AS qid, b2.vec_id AS nid
+       |         FROM bl a JOIN bl b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+       |          AND a.vec_id <> b2.vec_id),
+       |n0 AS (SELECT vec_id, ${normSqSql("embedding")} AS nsq FROM embeddings),
+       |sc AS (SELECT c.qid, c.nid,
+       |         ${dotSql("ea.embedding", "eb.embedding")} AS dot,
+       |         na.nsq AS naa, nb.nsq AS nbb
+       |       FROM cand c
+       |       JOIN embeddings ea ON ea.vec_id = c.qid
+       |       JOIN embeddings eb ON eb.vec_id = c.nid
+       |       JOIN n0 na ON na.vec_id = c.qid
+       |       JOIN n0 nb ON nb.vec_id = c.nid),
+       |r AS (SELECT qid, nid,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY dot / sqrt(naa * nbb) DESC, nid) AS rnk
+       |      FROM sc),
+       |e AS (SELECT qid AS src, nid AS dst FROM r WHERE rnk <= 3),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM e),
+       |deg AS (SELECT v, count(*) AS deg FROM (
+       |          SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+       |        GROUP BY 1),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |        FROM und e1 JOIN und e2 ON e2.a = e1.b
+       |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |cr AS (SELECT v, count(*) AS triangles FROM (
+       |          SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+       |          UNION ALL SELECT z FROM tri)
+       |        GROUP BY 1)
+       |SELECT deg.v AS vec_id, deg.deg,
+       |  COALESCE(cr.triangles, 0) AS triangles,
+       |  round(2.0 * CAST(COALESCE(cr.triangles, 0) AS DOUBLE)
+       |    / NULLIF(CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 0), 6)
+       |    AS clustering
+       |FROM deg LEFT JOIN cr ON cr.v = deg.v
+       |ORDER BY vec_id""".stripMargin
 
   private val bucket10m = "time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))"
   private val bucket1h = "time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))"
@@ -5732,6 +5812,7 @@ object SparkEntry {
     "agg_corr_matrix" -> corrMatrixOracle,
     "agg_mahalanobis" -> mahalanobisOracle,
     "graph_pagerank" -> pagerankOracle,
+    "graph_triangles" -> trianglesOracle,
     "win_drawdown" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
