@@ -2533,6 +2533,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** REAL audio decode, oracle-checked BIT-EXACTLY — the WAV sibling of
+    * q_multimodal_decode: each doc renders a standards-compliant 8-sample
+    * PCM16 WAV from md5(text) ([[graft.multimodal.MediaCodec.digestWav]]),
+    * the REAL javax.sound decoder reads it back, and the exact integer
+    * sample statistics must equal the SQL oracle's re-derivation of the
+    * same samples from `md5()` hex — any header, endianness, or sign
+    * error in the codec leg hash-fails. Map-side only, no shuffle.
+    */
+  private def q_multimodal_wav_decode(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromDigestWav(
+      T(s, dir, "documents").filter(col("text").isNotNull), "doc_id", "text")
+    graft.multimodal.Multimodal.wavSampleStats(media, "media_id", "bytes")
+      .select(col("media_id").as("doc_id"), col("n_samples"),
+        col("s_sum"), col("s_sqsum"), col("s_min"), col("s_max"))
+      .orderBy("doc_id")
+  }
+
   /** Image near-dup by perceptual hash over a corpus with REAL injected
     * image twins. Fixture: each doc's 4×4 digest PNG is bilinear-rendered
     * at 32×32 (the "original" photo); every 10th doc adds a 64×64 render
@@ -4031,6 +4048,7 @@ object SparkEntry {
     "multimodal_features" -> (q_multimodal_features _),
     "multimodal_phash_dedup" -> (q_multimodal_phash_dedup _),
     "multimodal_decode" -> (q_multimodal_decode _),
+    "multimodal_wav_decode" -> (q_multimodal_wav_decode _),
     "scan_orc" -> (q_scan_orc _),
     "sink_upsert" -> (q_sink_upsert _),
     "win_seasonal_decompose" -> (q_win_seasonal_decompose _),
@@ -5644,6 +5662,25 @@ object SparkEntry {
     // byte 4y+x, so the decoded Rec.601 luminance is re-derivable from
     // md5(text) alone. The float truncation is mirrored with CAST(... AS
     // REAL) so both engines round to the same float32 before round(_, 6).
+    // 8 LE int16 samples re-derived from md5 hex; sign via the 32768
+    // two's-complement fold — any codec header/endian/sign bug hash-fails
+    "multimodal_wav_decode" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS hx FROM documents
+        |  WHERE text IS NOT NULL),
+        |i AS (SELECT unnest(range(0, 8)) AS i),
+        |u AS (SELECT doc_id,
+        |    CAST(('0x'||substr(hx, 4 * i + 1, 2)) AS BIGINT)
+        |      + 256 * CAST(('0x'||substr(hx, 4 * i + 3, 2)) AS BIGINT) AS uv
+        |  FROM d CROSS JOIN i),
+        |sv AS (SELECT doc_id,
+        |    CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS s
+        |  FROM u)
+        |SELECT doc_id, count(*) AS n_samples,
+        |  CAST(sum(s) AS BIGINT) AS s_sum,
+        |  CAST(sum(s * s) AS BIGINT) AS s_sqsum,
+        |  CAST(min(s) AS BIGINT) AS s_min,
+        |  CAST(max(s) AS BIGINT) AS s_max
+        |FROM sv GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "multimodal_decode" -> {
       def f(idx: Int) =
         s"round(CAST(CAST((CAST(0.299 AS DOUBLE) * v$idx + CAST(0.587 AS DOUBLE) * v$idx" +

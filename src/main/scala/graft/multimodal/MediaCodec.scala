@@ -445,6 +445,54 @@ object MediaCodec {
     * oracle. TYPE_INT_RGB deliberately: a gray-colorspace image would go
     * through color management in getRGB and break the byte↔pixel map.
     */
+  /** Exact signed 16-bit samples of a PCM stream through the REAL
+    * javax.sound decode leg (endianness honored) — the integer-exact
+    * sibling of [[wavFeatures]] for oracle-checkable audio stats. Null
+    * for unparseable or non-16-bit streams.
+    */
+  def wavSamples(bytes: Array[Byte]): Array[Int] = {
+    val in = try AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    catch { case _: Exception => return null }
+    try {
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16) return null
+      val data = in.readAllBytes()
+      val bigEndian = fmt.isBigEndian
+      val n = data.length / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val lo = data(2 * i + (if (bigEndian) 1 else 0)) & 0xff
+        val hi = data(2 * i + (if (bigEndian) 0 else 1)).toInt
+        out(i) = ((hi << 8) | lo).toShort.toInt
+        i += 1
+      }
+      out
+    } finally in.close()
+  }
+
+  /** Deterministic 8-sample PCM16-LE mono WAV whose data section is the
+    * md5 of `text` verbatim (16 bytes = 8 little-endian samples) — the
+    * audio sibling of [[digestPng]]: a REAL standards-compliant WAV the
+    * javax.sound decoder must round-trip bit-exactly, with the payload
+    * re-derivable from `md5()` in any SQL engine.
+    */
+  def digestWav(text: String): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8"))
+    val bb = java.nio.ByteBuffer.allocate(44 + d.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + d.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(16000) // rate, byte rate
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(d.length)
+      .put(d)
+    bb.array()
+  }
+
   def digestPng(text: String): Array[Byte] = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(text.getBytes("UTF-8"))

@@ -183,6 +183,65 @@ object Multimodal {
     }(enc)
   }
 
+  /** The audio sibling of [[fromDigestPng]]: a REAL 8-sample PCM16 WAV
+    * per row from the md5 of a text column ([[MediaCodec.digestWav]]).
+    */
+  def fromDigestWav(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val src = df.na.drop("any", Seq(idCol))
+    val iIdx = src.schema.fieldIndex(idCol)
+    val tIdx = src.schema.fieldIndex(textCol)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(tIdx))
+          Row(r.getAs[Number](iIdx).longValue(), "audio", null, null)
+        else
+          Row(r.getAs[Number](iIdx).longValue(), "audio",
+            MediaCodec.digestWav(r.getString(tIdx)),
+            Row(null, null, 1L, "audio/wav"))
+      }
+    }(enc)
+  }
+
+  /** Exact integer sample statistics through the REAL javax.sound decode
+    * ([[MediaCodec.wavSamples]]): count, sum, sum of squares, min, max
+    * per media row — every output an exact BIGINT, so the whole
+    * build→decode leg is oracle-checkable bit-exactly (the
+    * multimodal_decode discipline for audio). Map-side only.
+    */
+  def wavSampleStats(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("s_sum", LongType, nullable = true),
+      StructField("s_sqsum", LongType, nullable = true),
+      StructField("s_min", LongType, nullable = true),
+      StructField("s_max", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val src = df.select(col(idCol), col(bytesCol))
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Number](0).longValue()
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val s = if (bytes == null) null else MediaCodec.wavSamples(bytes)
+        if (s == null || s.isEmpty) Row(id, null, null, null, null, null)
+        else {
+          var (sum, sq) = (0L, 0L)
+          var mn = s(0).toLong; var mx = s(0).toLong
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong
+            sum += v; sq += v * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          Row(id, s.length.toLong, sum, sq, mn, mx)
+        }
+      }
+    }(enc)
+  }
+
   /** 64-bit average hash (aHash): decode, sample an 8×8 luminance grid,
     * threshold each cell at the grid mean — the standard perceptual
     * fingerprint for image near-dup (bit i set iff cell i is brighter

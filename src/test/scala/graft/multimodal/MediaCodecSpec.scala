@@ -86,6 +86,21 @@ class MediaCodecSpec extends SparkSpec {
     assert(f(2) > 0.8f && f(3) > 0.8f)
   }
 
+  test("digestWav round-trips its md5 payload bit-exactly through javax.sound") {
+    val bytes = MediaCodec.digestWav("hello world")
+    assert(MediaCodec.sniff(bytes) == "audio/wav")
+    val s = MediaCodec.wavSamples(bytes)
+    assert(s.length == 8)
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello world".getBytes("UTF-8"))
+    for (i <- 0 until 8) {
+      val expect = (((d(2 * i + 1).toInt) << 8) | (d(2 * i) & 0xff)).toShort.toInt
+      assert(s(i) == expect, s"sample $i")
+    }
+    // wavSamples rejects junk
+    assert(MediaCodec.wavSamples("not audio".getBytes) == null)
+  }
+
   test("probe reads image headers and wav duration without full decode") {
     val Some((w, h, _, fmt)) = MediaCodec.probe(gradientPng(37, 11))
     assert(w.contains(37) && h.contains(11) && fmt == "image/png")
