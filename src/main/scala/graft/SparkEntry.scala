@@ -3402,6 +3402,44 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** RFM scoring per user (the CRM segmentation classic — recency /
+    * frequency / monetary quintiles): metrics are exact integers
+    * (epoch-µs last activity, event count, cents total); quintile
+    * boundaries come from EXACT percentiles on the user frame and scores
+    * from threshold comparisons — deliberately NOT ntile, whose global
+    * ORDER BY is a single-partition window (the PlanAuditSpec
+    * scale-killer); thresholds broadcast, scoring is a scan projection.
+    * Epoch-µs values (~1.7e15) stay under 2⁵³, so double promotion in
+    * the comparisons is value-preserving.
+    */
+  private def q_agg_rfm(s: SparkSession, dir: String): DataFrame = {
+    val cents = expr(
+      "cast(cast(value as decimal(18,6)) * 1000000 as bigint) div 10000")
+    val u = E(s, dir).filter(col("value").isNotNull)
+      .select(col("user_id"),
+        graft.sources.Events.epochMicros(col("ts")).as("us"), cents.as("c"))
+      .groupBy("user_id")
+      .agg(max(col("us")).as("last_us"), count(lit(1)).as("freq"),
+        sum(col("c")).as("monetary"))
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    val thrAggs = (for {
+      (m, tag) <- Seq("last_us" -> "r", "freq" -> "f", "monetary" -> "m")
+      q <- qs
+    } yield expr(s"percentile($m, $q)").as(s"${tag}_${(q * 100).toInt}"))
+    val thr = u.agg(thrAggs.head, thrAggs.tail: _*)
+    def score(m: String, tag: String): Column = qs.map { q =>
+      when(col(m) > col(s"${tag}_${(q * 100).toInt}"), 1).otherwise(0)
+    }.reduce(_ + _) + lit(1)
+    u.crossJoin(broadcast(thr))
+      .select(col("user_id"), col("last_us"), col("freq"), col("monetary"),
+        score("last_us", "r").as("r_score"),
+        score("freq", "f").as("f_score"),
+        score("monetary", "m").as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy("user_id")
+  }
+
   /** BURSTINESS per stream over hourly event counts — Fano factor
     * (variance/mean; 1 = Poisson, ≫1 = bursty) and the Goh–Barabási
     * burstiness coefficient B = (σ−μ)/(σ+μ) — the arrival-process audit
@@ -4071,6 +4109,7 @@ object SparkEntry {
     "agg_gini" -> (q_agg_gini _),
     "agg_zipf_fit" -> (q_agg_zipf_fit _),
     "agg_burstiness" -> (q_agg_burstiness _),
+    "agg_rfm" -> (q_agg_rfm _),
     "agg_user_segments" -> (q_agg_user_segments _),
     "graph_pagerank" -> (q_graph_pagerank _),
     "graph_triangles" -> (q_graph_triangles _),
@@ -5955,6 +5994,38 @@ object SparkEntry {
         |  round(ln((digit + 1.0) / digit) / ln(10.0), 6) AS benford_p
         |FROM g JOIN n USING (event_type)
         |ORDER BY event_type, digit""".stripMargin,
+    "agg_rfm" ->
+      """WITH u AS (SELECT user_id,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      // 10000) AS BIGINT) AS monetary
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |t AS (SELECT
+        |    quantile_cont(last_us, 0.2) AS r_20, quantile_cont(last_us, 0.4) AS r_40,
+        |    quantile_cont(last_us, 0.6) AS r_60, quantile_cont(last_us, 0.8) AS r_80,
+        |    quantile_cont(freq, 0.2) AS f_20, quantile_cont(freq, 0.4) AS f_40,
+        |    quantile_cont(freq, 0.6) AS f_60, quantile_cont(freq, 0.8) AS f_80,
+        |    quantile_cont(monetary, 0.2) AS m_20, quantile_cont(monetary, 0.4) AS m_40,
+        |    quantile_cont(monetary, 0.6) AS m_60, quantile_cont(monetary, 0.8) AS m_80
+        |  FROM u),
+        |sc AS (SELECT user_id, last_us, freq, monetary,
+        |    (CASE WHEN last_us > r_20 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN last_us > r_40 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN last_us > r_60 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN last_us > r_80 THEN 1 ELSE 0 END) + 1 AS r_score,
+        |    (CASE WHEN freq > f_20 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN freq > f_40 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN freq > f_60 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN freq > f_80 THEN 1 ELSE 0 END) + 1 AS f_score,
+        |    (CASE WHEN monetary > m_20 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN monetary > m_40 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN monetary > m_60 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN monetary > m_80 THEN 1 ELSE 0 END) + 1 AS m_score
+        |  FROM u CROSS JOIN t)
+        |SELECT user_id, last_us, freq, monetary, r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS rfm
+        |FROM sc ORDER BY user_id""".stripMargin,
     "agg_burstiness" ->
       """WITH k AS (SELECT event_type,
         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
