@@ -3602,6 +3602,41 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** ACF correlogram per stream — autocorrelation at lags 1..12 over the
+    * hourly cents series (the model-identification staple behind
+    * AR-order choice and seasonality detection; win_autocorr's single
+    * rolling lag-1 generalized to the full lag grid). ONE (stream,
+    * order) window spec produces all 12 lag columns, a stack generator
+    * unpivots map-side, one hash-agg per (stream, lag) collects the six
+    * exact-BIGINT sufficient sums, and the Pearson combination is the
+    * corr-matrix's verbatim-mirrored IEEE expression — unrounded,
+    * bit-exact.
+    */
+  private def q_agg_acf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxLag = 12
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+    val lagged = (1 to maxLag).foldLeft(hourlyCentsLong(s, dir)) { (df, k) =>
+      df.withColumn(s"l$k", lag(col("c"), k).over(w))
+    }
+    val stackArgs = (1 to maxLag).map(k => s"$k, l$k").mkString(", ")
+    val long = lagged
+      .select(col("event_type"), col("c").as("ca"),
+        expr(s"stack($maxLag, $stackArgs) as (lag, cb)"))
+      .filter(col("cb").isNotNull)
+    val g = long.groupBy("event_type", "lag").agg(count(lit(1)).as("n"),
+      sum(col("ca")).as("sa"), sum(col("cb")).as("sb"),
+      sum(col("ca") * col("ca")).as("saa"),
+      sum(col("cb") * col("cb")).as("sbb"),
+      sum(col("ca") * col("cb")).as("sab"))
+    g.select(col("event_type"), col("lag"), col("n"),
+        ((col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
+          nullif(sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double"))
+            * sqrt((col("n") * col("sbb") - col("sb") * col("sb")).cast("double")),
+            lit(0.0))).as("r"))
+      .orderBy("event_type", "lag")
+  }
+
   /** ROLLING pairwise correlation — correlation-STRUCTURE drift between
     * streams (the pairs-trading / co-moving-sensors primitive): Pearson r
     * over the trailing 24 aligned hourly buckets for every stream pair,
@@ -4110,6 +4145,7 @@ object SparkEntry {
     "agg_zipf_fit" -> (q_agg_zipf_fit _),
     "agg_burstiness" -> (q_agg_burstiness _),
     "agg_rfm" -> (q_agg_rfm _),
+    "agg_acf" -> (q_agg_acf _),
     "agg_user_segments" -> (q_agg_user_segments _),
     "graph_pagerank" -> (q_graph_pagerank _),
     "graph_triangles" -> (q_graph_triangles _),
@@ -5887,6 +5923,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_corr_matrix" -> corrMatrixOracle,
     "agg_mahalanobis" -> mahalanobisOracle,
+    "agg_acf" -> acfOracle,
     "graph_pagerank" -> pagerankOracle,
     "graph_triangles" -> trianglesOracle,
     "win_drawdown" ->
@@ -6517,6 +6554,35 @@ object SparkEntry {
       |SELECT bucket, x AS c_click, y AS c_view, round(d2u, 6) AS d2,
       |  CASE WHEN d2u > 9.21 THEN 1 ELSE 0 END AS outlier
       |FROM d ORDER BY bucket""".stripMargin
+
+  /** ACF oracle (mirrors q_agg_acf): one windowed CTE with all 12 lag
+    * columns, 12 UNION ALL legs unpivoting, the corr-matrix Pearson
+    * combination verbatim.
+    */
+  private def acfOracle: String = {
+    val maxLag = 12
+    val lagCols = (1 to maxLag)
+      .map(k => s"lag(c, $k) OVER w AS l$k").mkString(",\n|    ")
+    val legs = (1 to maxLag).map(k =>
+      s"SELECT event_type, $k AS lag, c AS ca, l$k AS cb FROM l WHERE l$k IS NOT NULL")
+      .mkString("\n|  UNION ALL\n|  ")
+    s"""WITH h AS (
+       |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+       |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+       |      // count(*)) // 10000 AS c
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |l AS (SELECT event_type, bucket, c,
+       |    $lagCols
+       |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+       |u AS (
+       |  $legs
+       |)
+       |SELECT event_type, lag, count(*) AS n,
+       |  CAST(count(*) * sum(ca * cb) - sum(ca) * sum(cb) AS DOUBLE)
+       |    / NULLIF(sqrt(CAST(count(*) * sum(ca * ca) - sum(ca) * sum(ca) AS DOUBLE))
+       |       * sqrt(CAST(count(*) * sum(cb * cb) - sum(cb) * sum(cb) AS DOUBLE)), 0) AS r
+       |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   private def corrMatrixOracle: String = {
     val types = Seq("click", "error", "purchase", "signup", "view")
