@@ -3948,6 +3948,50 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** MMR diversified retrieval (Carbonell & Goldstein 1998 — the RAG
+    * re-ranking staple): greedy top-10 from the query's top-50 cosine
+    * candidates maximizing λ·relevance − (1−λ)·max-sim-to-selected
+    * (λ = 0.7), so near-duplicate hits can't crowd the result list.
+    * The greedy loop is EXPRESSED RELATIONALLY over the bounded 50-row
+    * candidate frame (anti-join selected → join max-sim → TakeOrdered 1
+    * on the UNROUNDED score with id tie-break — the bruteForceTopK
+    * discipline), ten micro-steps on localCheckpoint'd 50-row frames;
+    * candidate generation is the only corpus-scale stage. Pairwise sims
+    * and scores reuse the oracle-proven cosine expression tree, so the
+    * WHOLE greedy selection is hash-checked.
+    */
+  private def q_simsearch_mmr(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    val cand = Similarity.bruteForceTopK(e.filter(col("vec_id") === 0), e,
+        "vec_id", "embedding", 50)
+      .select(col("nid").as("id"), col("cos_sim").as("rel"))
+      .localCheckpoint()
+    val ce = cand.select("id")
+      .join(e, col("id") === col("vec_id"))
+      .select(col("id"), col("embedding"))
+    val half = Similarity.cosinePairs(ce, "id", "embedding", threshold = -1.0)
+    val pairsim = half
+      .select(col("vec_a").as("ida"), col("vec_b").as("idb"), col("cos_sim"))
+      .unionByName(half
+        .select(col("vec_b").as("ida"), col("vec_a").as("idb"), col("cos_sim")))
+      .localCheckpoint()
+    var sel = cand.orderBy(col("rel").desc, col("id")).limit(1)
+      .select(col("id"), lit(1L).as("rank"), col("rel").as("mmr"))
+      .localCheckpoint()
+    for (k <- 2 to 10) {
+      val mx = pairsim.join(sel.select(col("id").as("idb")), "idb")
+        .groupBy("ida").agg(max(col("cos_sim")).as("mx"))
+      val next = cand.join(sel.select(col("id")), Seq("id"), "left_anti")
+        .join(mx, col("id") === col("ida"))
+        .withColumn("sc", lit(0.7) * col("rel") - lit(0.3) * col("mx"))
+        .orderBy(col("sc").desc, col("id")).limit(1)
+        .select(col("id"), lit(k.toLong).as("rank"), col("sc").as("mmr"))
+      sel = sel.unionByName(next).localCheckpoint()
+    }
+    sel.select(col("rank"), col("id"), round(col("mmr"), 6).as("mmr"))
+      .orderBy("rank")
+  }
+
   /** Holt-Winters 24-hour-ahead forecast per event_type over the hourly
     * series ([[graft.ml.HoltWinters]]) — ORACLE-CHECKED, bit-exact and
     * unrounded: the input series is the fixed-point hourly mean (exact
@@ -4149,6 +4193,7 @@ object SparkEntry {
     "agg_user_segments" -> (q_agg_user_segments _),
     "graph_pagerank" -> (q_graph_pagerank _),
     "graph_triangles" -> (q_graph_triangles _),
+    "simsearch_mmr" -> (q_simsearch_mmr _),
     "stream_sliding" -> (q_stream_sliding _),
     "win_rsi" -> (q_win_rsi _),
     "win_log_return" -> (q_win_log_return _),
@@ -4347,6 +4392,42 @@ object SparkEntry {
     * simsearch_ivf_exact (IVF with nProbe = nLists is exhaustive, so the
     * two queries are value-identical by construction).
     */
+  /** MMR oracle (mirrors q_simsearch_mmr): top-50 candidates, full
+    * pairwise sims, ten unrolled greedy steps each picking the argmax of
+    * the identical unrounded score with id tie-break.
+    */
+  private def mmrOracle: String = {
+    val steps = (2 to 10).map { k =>
+      s"""s$k AS (SELECT c.id, $k AS rank, 0.7 * c.rel - 0.3 * m.mx AS mmr
+         |  FROM cand c JOIN (SELECT ida, max(sim) AS mx FROM ps
+         |      WHERE idb IN (SELECT id FROM u${k - 1}) GROUP BY 1) m
+         |    ON m.ida = c.id
+         |  WHERE c.id NOT IN (SELECT id FROM u${k - 1})
+         |  ORDER BY 0.7 * c.rel - 0.3 * m.mx DESC, c.id LIMIT 1),
+         |u$k AS MATERIALIZED (SELECT * FROM u${k - 1} UNION ALL SELECT * FROM s$k)"""
+    }.mkString(",\n|")
+    s"""WITH dots AS (
+       |  SELECT c.vec_id AS id, c.embedding,
+       |    ${dotSql("q.embedding", "c.embedding")} AS dot,
+       |    ${normSqSql("q.embedding")} AS nq,
+       |    ${normSqSql("c.embedding")} AS nc
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id = 0 AND c.vec_id <> 0),
+       |cand AS MATERIALIZED (SELECT id, embedding, dot / sqrt(nq * nc) AS rel
+       |  FROM dots ORDER BY dot / sqrt(nq * nc) DESC, id LIMIT 50),
+       |ps AS MATERIALIZED (SELECT a.id AS ida, b.id AS idb,
+       |    ${dotSql("a.embedding", "b.embedding")}
+       |      / sqrt(NULLIF(${normSqSql("a.embedding")}
+       |          * ${normSqSql("b.embedding")}, 0)) AS sim
+       |  FROM cand a JOIN cand b ON a.id <> b.id),
+       |s1 AS (SELECT id, 1 AS rank, rel AS mmr FROM cand
+       |  ORDER BY rel DESC, id LIMIT 1),
+       |u1 AS MATERIALIZED (SELECT * FROM s1),
+       |$steps
+       |SELECT CAST(rank AS BIGINT) AS rank, id, round(mmr, 6) AS mmr
+       |FROM u10 ORDER BY rank""".stripMargin
+  }
+
   private def topkOracleSql: String =
     s"""WITH dots AS (
        | SELECT q.vec_id AS qid, c.vec_id AS nid,
@@ -5926,6 +6007,7 @@ object SparkEntry {
     "agg_acf" -> acfOracle,
     "graph_pagerank" -> pagerankOracle,
     "graph_triangles" -> trianglesOracle,
+    "simsearch_mmr" -> mmrOracle,
     "win_drawdown" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
