@@ -3992,6 +3992,36 @@ object SparkEntry {
       .orderBy("rank")
   }
 
+  /** ONLINE Kalman local-level filter in batch replay
+    * ([[graft.streaming.Streams.kalmanOnline]], Q=1, R=10) over the
+    * exact-integer hourly mean series: the terminal posterior per stream
+    * must equal a DuckDB `list_reduce` replay of the identical recursion
+    * (the ml_holt_winters discipline — same literals, same association),
+    * so the whole adaptive-gain filter path is hash-checked. Unrounded:
+    * the doubles are bit-identical by construction.
+    */
+  private def q_stream_kalman(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = E(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg((sum(col("value").cast("decimal(18,6)")) * lit(1000000L))
+          .cast("long").as("s_micro"),
+        count(lit(1)).as("cn"))
+      .select(col("event_type").as("tag"), col("bucket").as("ts"),
+        (expr("s_micro div cn").cast("double") / lit(1000000.0)).as("value"))
+      .as[graft.streaming.Reading]
+    val filtered = graft.streaming.Streams.kalmanOnline(hourly, q = 1.0, r = 10.0)
+      .toDF()
+    filtered.groupBy(col("tag").as("event_type"))
+      .agg(max(struct(col("ts"), col("level"), col("p"), col("k"), col("n")))
+        .as("fin"))
+      .select(col("event_type"), col("fin.n").as("n"),
+        col("fin.level").as("level"), col("fin.p").as("p"),
+        col("fin.k").as("k"))
+      .orderBy("event_type")
+  }
+
   /** Holt-Winters 24-hour-ahead forecast per event_type over the hourly
     * series ([[graft.ml.HoltWinters]]) — ORACLE-CHECKED, bit-exact and
     * unrounded: the input series is the fixed-point hourly mean (exact
@@ -4184,6 +4214,7 @@ object SparkEntry {
     "agg_corr_matrix" -> (q_agg_corr_matrix _),
     "agg_mahalanobis" -> (q_agg_mahalanobis _),
     "stream_mahalanobis" -> (q_stream_mahalanobis _),
+    "stream_kalman" -> (q_stream_kalman _),
     "win_drawdown" -> (q_win_drawdown _),
     "agg_gini" -> (q_agg_gini _),
     "agg_zipf_fit" -> (q_agg_zipf_fit _),
@@ -6461,6 +6492,34 @@ object SparkEntry {
         |SELECT l.event_id, l.user_id, l.value, round(r.vv, 6) AS asof_view
         |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.t >= r.t
         |ORDER BY event_id""".stripMargin,
+    // the FULL Kalman recursion replayed as a list_reduce fold — every
+    // float op mirrors Streams.kalmanOnline verbatim (association
+    // included); state = [level, P, K]; unrounded by construction
+    "stream_kalman" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      // count(*) AS v6
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |ser AS (SELECT event_type,
+        |    list(CAST(v6 AS DOUBLE) / 1000000.0 ORDER BY bucket) AS ys
+        |  FROM h GROUP BY 1),
+        |fin AS (SELECT event_type, len(ys) AS n,
+        |    list_reduce(
+        |      [[ys[1], 10.0, 0.0]] ||
+        |        list_transform(ys[2:CAST(len(ys) AS INTEGER)],
+        |          y -> [y, 0.0, 0.0]),
+        |      (acc, x) -> [
+        |        acc[1] + (acc[2] + 1.0) / (acc[2] + 1.0 + 10.0)
+        |          * (x[1] - acc[1]),
+        |        (1.0 - (acc[2] + 1.0) / (acc[2] + 1.0 + 10.0))
+        |          * (acc[2] + 1.0),
+        |        (acc[2] + 1.0) / (acc[2] + 1.0 + 10.0)
+        |      ]) AS st
+        |  FROM ser)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  st[1] AS level, st[2] AS p, st[3] AS k
+        |FROM fin ORDER BY event_type""".stripMargin,
     // the FULL Holt-Winters recursion replayed as a list_reduce fold —
     // every float op mirrors HoltWinters.smooth verbatim (literals,
     // association, the (1 - 0.3)-is-not-0.7 trap), state = 27-double list

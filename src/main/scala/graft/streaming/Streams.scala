@@ -65,6 +65,13 @@ case class FunnelState(cUs: Option[Long], vUs: Option[Long], pUs: Option[Long])
 case class FunnelOut(user_id: Long, c_us: Option[Long], v_us: Option[Long],
     p_us: Option[Long])
 
+/** Local-level Kalman state per tag — [[Streams.kalmanOnline]]. */
+case class KalmanState(level: Double, p: Double, k: Double, n: Long)
+
+/** One filtered reading: posterior level / variance / gain after `ts`. */
+case class KalmanOut(tag: String, ts: java.sql.Timestamp, level: Double,
+    p: Double, k: Double, n: Long)
+
 /** Last present bucket per tag — [[Streams.gapsOnline]] state. */
 case class GapState(lastHb: Long)
 
@@ -359,6 +366,43 @@ object Streams {
             state.update(st)
             Iterator(FunnelOut(user, st.cUs, st.vUs, st.pUs))
           } else Iterator.empty
+      }
+  }
+
+  /** ONLINE local-level Kalman filter per tag (the classic optimal
+    * recursive smoother — unlike EWMA's fixed α, the gain ADAPTS: high
+    * while the level is uncertain, settling toward the steady state):
+    * per reading, Pp = P + Q; K = Pp/(Pp + R); level += K·(x − level);
+    * P = (1 − K)·Pp. State is O(1) per tag; the first reading
+    * initializes (level = x, P = R). Within a micro-batch readings
+    * process sorted by (ts, value), so a single-batch replay is
+    * bit-identical to a batch fold over the ordered series and the
+    * driver query's terminal state carries a FULL `list_reduce` oracle
+    * (the stream_cusum discipline); every float op here must stay
+    * verbatim-mirrorable — association matters, do not refactor the
+    * arithmetic.
+    */
+  def kalmanOnline(readings: Dataset[Reading], q: Double, r: Double): Dataset[KalmanOut] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.tag)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tag: String, it: Iterator[Reading],
+         state: org.apache.spark.sql.streaming.GroupState[KalmanState]) =>
+          var st = state.getOption.orNull
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.value)).map { e =>
+            st =
+              if (st == null) KalmanState(e.value, r, 0.0, 1L)
+              else {
+                val kp = st.p + q
+                val k = kp / (kp + r)
+                KalmanState(st.level + k * (e.value - st.level),
+                  (1.0 - k) * kp, k, st.n + 1)
+              }
+            KalmanOut(tag, e.ts, st.level, st.p, st.k, st.n)
+          }
+          if (st != null) state.update(st)
+          out.iterator
       }
   }
 

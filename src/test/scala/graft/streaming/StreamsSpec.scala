@@ -469,6 +469,32 @@ class StreamsSpec extends SparkSpec {
       (2L, "a", "b")))           // same-ts tie broken by event_id
   }
 
+  test("kalmanOnline: multi-batch replay is bit-identical to one batch, gain settles") {
+    def r(t: Long, v: Double) = Reading("a", new Timestamp(t), v)
+    val all = (1 to 40).map(i => r(i * 1000L, if (i % 2 == 0) 10.0 else 12.0))
+    implicit val sq = spark.sqlContext
+    def run(batches: Seq[Seq[Reading]]): Seq[KalmanOut] = {
+      val mem = MemoryStream[Reading]
+      val name = s"kal_out_${batches.size}"
+      val q = Streams.kalmanOnline(mem.toDS, q = 1.0, r = 10.0)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).as[KalmanOut].collect().sortBy(_.ts.getTime).toSeq
+    }
+    val one = run(Seq(all))
+    val split = run(Seq(all.take(13), all.slice(13, 14), all.drop(14)))
+    assert(one == split) // state carries across batches bit-exactly
+    assert(one.size == 40)
+    // the gain adapts: high at start (uncertain), settling later
+    assert(one(1).k > one.last.k)
+    // steady-state gain of (Q=1, R=10) local-level model ≈ 0.27
+    assert(math.abs(one.last.k - 0.27) < 0.02)
+    // filtered level sits between the two alternating observations
+    assert(one.last.level > 10.0 && one.last.level < 12.0)
+  }
+
   test("funnelOnline stitches stages across batches and excludes equal-µs ties") {
     def e(user: Long, t: Long, id: Long, ty: String) = UserEvent(user, t, id, ty)
     // user 1: click in batch 1, view + purchase in batch 2 (cross-batch
