@@ -3304,6 +3304,46 @@ object SparkEntry {
       .orderBy("event_type", "bucket")
   }
 
+  /** PEAK detection per stream — strict local maxima over the hourly
+    * cents series with a minimum PROMINENCE over the trailing/leading
+    * 6-bucket neighborhood (c must exceed both immediate neighbors AND
+    * clear the neighborhood minimum by ≥ 500 cents) — the alerting
+    * primitive behind "spike at 14:00" dashboards. ALL-INTEGER: lag/
+    * lead/min windows over exact cents, no floats anywhere; one
+    * per-stream window shuffle shared by every frame.
+    */
+  private def q_win_peaks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+    val nb = w.rowsBetween(-6, 6)
+    hourlyCentsLong(s, dir)
+      .withColumn("prev", lag(col("c"), 1).over(w))
+      .withColumn("nxt", lead(col("c"), 1).over(w))
+      .withColumn("nbmin", min(col("c")).over(nb))
+      .filter(col("prev").isNotNull && col("nxt").isNotNull)
+      .filter(col("c") > col("prev") && col("c") > col("nxt") &&
+        col("c") - col("nbmin") >= 500)
+      .select(col("event_type"), col("bucket"), col("c"),
+        (col("c") - col("nbmin")).as("prominence"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Hour-of-day × day-of-week PROFILE per stream — the seasonality
+    * heatmap grid behind capacity dashboards: exact integer micro-unit
+    * means per (stream, dow, hod) cell plus sample counts. One hash-agg;
+    * output bounded by |streams|·168.
+    */
+  private def q_agg_hod_profile(s: SparkSession, dir: String): DataFrame =
+    E(s, dir).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"),
+        hour(col("ts")).as("hod"))
+      .agg((sum(col("value").cast("decimal(18,6)")) * lit(1000000L))
+          .cast("long").as("s_micro"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("dow"), col("hod"), col("n"),
+        (expr("s_micro div n").cast("double") / lit(1000000.0)).as("mean_v"))
+      .orderBy("event_type", "dow", "hod")
+
   /** RSI-14 per stream (Wilder's relative strength index, simple-average
     * form over the hourly cents series): gains/losses are exact integer
     * lag differences, trailing-14 sums exact BIGINTs (full windows
@@ -4227,6 +4267,8 @@ object SparkEntry {
     "simsearch_mmr" -> (q_simsearch_mmr _),
     "stream_sliding" -> (q_stream_sliding _),
     "win_rsi" -> (q_win_rsi _),
+    "win_peaks" -> (q_win_peaks _),
+    "agg_hod_profile" -> (q_agg_hod_profile _),
     "win_log_return" -> (q_win_log_return _),
     "agg_benford" -> (q_agg_benford _),
     "stream_asof" -> (q_stream_asof _),
@@ -6096,6 +6138,29 @@ object SparkEntry {
         |    // count(*) AS v6,
         |  count(*) AS n
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "win_peaks" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      // count(*)) // 10000 AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |l AS (SELECT event_type, bucket, c,
+        |    lag(c) OVER w AS prev, lead(c) OVER w AS nxt,
+        |    min(c) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS nbmin
+        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+        |SELECT event_type, bucket, c, c - nbmin AS prominence
+        |FROM l WHERE prev IS NOT NULL AND nxt IS NOT NULL
+        |  AND c > prev AND c > nxt AND c - nbmin >= 500
+        |ORDER BY 1, 2""".stripMargin,
+    "agg_hod_profile" ->
+      """SELECT event_type,
+        |  dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+        |  hour(CAST(ts AS TIMESTAMP)) AS hod, count(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |    // count(*) AS DOUBLE) / 1000000.0 AS mean_v
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "win_rsi" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
