@@ -117,7 +117,12 @@ object ScaleStress {
       "dedup_ngram_jaccard", "text_langid_trained",
       "dedup_substring_fast", "text_tfidf", "search_bm25",
       "stream_drift", "stream_ohlc", "agg_resample_mean",
-      "simsearch_lsh", "simsearch_ivf", "dedup_semantic")
+      "simsearch_lsh", "simsearch_ivf", "dedup_semantic",
+      // round-8 session-3 additions: graph, MMR, streaming multivariate,
+      // sliding windows, correlogram, per-stream sorts
+      "graph_pagerank", "graph_triangles", "simsearch_mmr",
+      "stream_mahalanobis", "stream_sliding", "agg_acf", "agg_gini",
+      "agg_rfm", "text_pmi")
     // Operator probes for the twin-offset dedup family (see scaladoc).
     val opProbes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "op_minhash_lsh" -> ((s: SparkSession, d: String) =>

@@ -1961,6 +1961,42 @@ object SparkEntry {
       .orderBy("prev_type", "next_type")
   }
 
+  /** STATIONARY distribution of the behavioral Markov chain — the
+    * long-run fraction of time the user population spends in each event
+    * state (power iteration over agg_transitions' matrix; the
+    * steady-state companion of the transition feed). ALL-INTEGER in
+    * micro-units (the graph_pagerank discipline): contrib =
+    * (π(prev)·n(prev,next)) div rowsum(prev) — multiply-before-divide
+    * keeps precision, floor ≡ // on the non-negative domain; 12 rounds
+    * over a |states|² matrix, bit-exact, zero floats. States with no
+    * outgoing transitions leak their mass (deterministic, mirrored).
+    */
+  private def q_agg_markov_stationary(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = E(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val rs = trans.groupBy("prev_type").agg(sum(col("n")).as("rs"))
+    val m = trans.join(rs, "prev_type").localCheckpoint()
+    val states = m.select(col("prev_type").as("state")).distinct()
+      .localCheckpoint()
+    var pi = states.withColumn("pi", lit(1000000L))
+    for (_ <- 1 to 12) {
+      val inflow = m.join(pi, m("prev_type") === pi("state"))
+        .select(col("next_type"), expr("(pi * n) div rs").as("contrib"))
+        .groupBy("next_type").agg(sum(col("contrib")).as("inflow"))
+      pi = states.join(inflow, states("state") === inflow("next_type"),
+          "left_outer")
+        .select(states("state"), coalesce(col("inflow"), lit(0L)).as("pi"))
+        .localCheckpoint()
+    }
+    pi.orderBy("state")
+  }
+
   /** LIVE transition feed ([[graft.streaming.Streams.transitionsOnline]])
     * aggregated into the same matrix — per-user last-event state only,
     * O(users); ordered replay is row-identical to the batch lag window,
@@ -4208,6 +4244,7 @@ object SparkEntry {
     "agg_gap_detect" -> (q_agg_gap_detect _),
     "agg_streaks" -> (q_agg_streaks _),
     "agg_transitions" -> (q_agg_transitions _),
+    "agg_markov_stationary" -> (q_agg_markov_stationary _),
     "stream_transitions" -> (q_stream_transitions _),
     "stream_funnel" -> (q_stream_funnel _),
     "agg_window_funnel" -> (q_agg_window_funnel _),
@@ -4448,6 +4485,36 @@ object SparkEntry {
       |       SELECT 3, 'purchase_after_view', user_id FROM p)
       |SELECT stage, stage_name, count(DISTINCT user_id) AS users
       |FROM st GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  /** Stationary-distribution oracle: the transitions lag CTE, then 12
+    * unrolled integer power-iteration CTEs (the pagerank pattern).
+    */
+  private def markovStationaryOracle: String = {
+    val iters = (1 to 12).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT st.state,
+         |    COALESCE(f.inflow, 0) AS pi
+         |  FROM states st
+         |  LEFT JOIN (SELECT m.next_type AS state,
+         |      CAST(sum((p${k - 1}.pi * m.n) // m.rs) AS BIGINT) AS inflow
+         |    FROM m JOIN p${k - 1} ON p${k - 1}.state = m.prev_type
+         |    GROUP BY 1) f USING (state))"""
+    }.mkString(",\n|")
+    s"""WITH sq AS (SELECT user_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+       |  FROM events),
+       |c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+       |      FROM sq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |rs AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS rs
+       |       FROM c GROUP BY 1),
+       |m AS MATERIALIZED (SELECT c.prev_type, c.next_type, c.n, rs.rs
+       |     FROM c JOIN rs USING (prev_type)),
+       |states AS MATERIALIZED (SELECT DISTINCT prev_type AS state FROM m),
+       |p0 AS (SELECT state, CAST(1000000 AS BIGINT) AS pi FROM states),
+       |$iters
+       |SELECT state, CAST(pi AS BIGINT) AS pi FROM p12
+       |ORDER BY state""".stripMargin
+  }
 
   private def transitionsOracleSql: String =
     """WITH sq AS (SELECT user_id, event_type,
@@ -5097,6 +5164,7 @@ object SparkEntry {
         |FROM g WHERE p IS NOT NULL AND hb > p + 1
         |ORDER BY tag, gap_start_hb""".stripMargin,
     "agg_transitions" -> transitionsOracleSql,
+    "agg_markov_stationary" -> markovStationaryOracle,
     // ordered replay of the stateful feed ≡ the batch lag window
     "stream_transitions" -> transitionsOracleSql,
     "agg_streaks" ->
