@@ -3516,6 +3516,31 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** VALUE HISTOGRAM per stream — 20 equi-width bins between the
+    * stream's own min/max (the dashboard distribution panel,
+    * first-class beside the drift ops that bin internally). ALL-INTEGER
+    * binning over exact cents: bin = ((c − lo)·20) div (hi − lo + 1)
+    * (the +1 keeps the max in the last bin; every product ≪ 2⁵³); the
+    * only float is the mirrored share division. Two passes: a tiny
+    * per-stream extrema agg broadcast back, then one hash-agg.
+    */
+  private def q_agg_value_histogram(s: SparkSession, dir: String): DataFrame = {
+    val cents = expr(
+      "cast(cast(value as decimal(18,6)) * 1000000 as bigint) div 10000")
+    val e = E(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), cents.as("c"))
+    val ext = e.groupBy("event_type")
+      .agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
+        count(lit(1)).as("n"))
+    val b = e.join(broadcast(ext), "event_type")
+      .withColumn("bin", expr("((c - lo) * 20) div (hi - lo + 1)"))
+    b.groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("cnt"), min(col("n")).as("n"))
+      .select(col("event_type"), col("bin"), col("cnt"),
+        round(col("cnt").cast("double") / col("n"), 6).as("share"))
+      .orderBy("event_type", "bin")
+  }
+
   /** BURSTINESS per stream over hourly event counts — Fano factor
     * (variance/mean; 1 = Poisson, ≫1 = bursty) and the Goh–Barabási
     * burstiness coefficient B = (σ−μ)/(σ+μ) — the arrival-process audit
@@ -4296,6 +4321,7 @@ object SparkEntry {
     "agg_gini" -> (q_agg_gini _),
     "agg_zipf_fit" -> (q_agg_zipf_fit _),
     "agg_burstiness" -> (q_agg_burstiness _),
+    "agg_value_histogram" -> (q_agg_value_histogram _),
     "agg_rfm" -> (q_agg_rfm _),
     "agg_acf" -> (q_agg_acf _),
     "agg_user_segments" -> (q_agg_user_segments _),
@@ -6309,6 +6335,18 @@ object SparkEntry {
         |SELECT user_id, last_us, freq, monetary, r_score, f_score, m_score,
         |  r_score * 100 + f_score * 10 + m_score AS rfm
         |FROM sc ORDER BY user_id""".stripMargin,
+    "agg_value_histogram" ->
+      """WITH e AS (SELECT event_type,
+        |    (CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      // 10000) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |ext AS (SELECT event_type, min(c) AS lo, max(c) AS hi,
+        |    count(*) AS n FROM e GROUP BY 1),
+        |b AS (SELECT e.event_type, ((c - lo) * 20) // (hi - lo + 1) AS bin, n
+        |  FROM e JOIN ext USING (event_type))
+        |SELECT event_type, bin, count(*) AS cnt,
+        |  round(CAST(count(*) AS DOUBLE) / min(n), 6) AS share
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "agg_burstiness" ->
       """WITH k AS (SELECT event_type,
         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
