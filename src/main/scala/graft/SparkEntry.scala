@@ -2190,6 +2190,86 @@ object SparkEntry {
       .orderBy("cohort", "day_offset")
   }
 
+  /** TIME-TO-CONVERT per funnel transition — the funnel's companion
+    * metric ("how long from click to view, view to purchase?"): exact
+    * median / p90 / max over the integer epoch-µs stage gaps of
+    * converting users (the agg_funnel min-chaining stages). Percentiles
+    * are exact (the agg_threshold_pctl discipline); gaps are exact
+    * BIGINTs; output is 2 rows.
+    */
+  private def q_agg_funnel_time(s: SparkSession, dir: String): DataFrame = {
+    val e = E(s, dir).select(col("user_id"), col("event_type"),
+      graft.sources.Events.epochMicros(col("ts")).as("us"))
+    val c = e.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(col("us")).as("c_us"))
+    val v = e.filter(col("event_type") === "view").join(c, "user_id")
+      .filter(col("us") > col("c_us"))
+      .groupBy("user_id").agg(min(col("us")).as("v_us"), min(col("c_us")).as("c_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(v.select(col("user_id"), col("v_us")), "user_id")
+      .filter(col("us") > col("v_us"))
+      .groupBy("user_id").agg(min(col("us")).as("p_us"), min(col("v_us")).as("v_us2"))
+    val g1 = v.select(lit("click_to_view").as("transition"),
+      (col("v_us") - col("c_us")).as("gap_us"))
+    val g2 = p.select(lit("view_to_purchase").as("transition"),
+      (col("p_us") - col("v_us2")).as("gap_us"))
+    g1.unionByName(g2).groupBy("transition")
+      .agg(count(lit(1)).as("n_users"),
+        round(expr("percentile(gap_us, 0.5)"), 6).as("median_us"),
+        round(expr("percentile(gap_us, 0.9)"), 6).as("p90_us"),
+        max(col("gap_us")).as("max_us"))
+      .orderBy("transition")
+  }
+
+  /** NEW vs RETURNING daily split — the acquisition-vs-retention
+    * dashboard staple: per activity day, users whose FIRST-seen day it
+    * is vs users seen before. Cohort frame = one row per user; activity
+    * day-distinct before the join (the agg_retention shuffle shape).
+    */
+  private def q_agg_new_returning(s: SparkSession, dir: String): DataFrame = {
+    val ud = E(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val coh = ud.groupBy("user_id").agg(min(col("d")).as("first_d"))
+    ud.join(coh, "user_id")
+      .groupBy(col("d").as("day"))
+      .agg(sum(when(col("d") === col("first_d"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("d") =!= col("first_d"), 1L).otherwise(0L))
+          .as("returning_users"))
+      .orderBy("day")
+  }
+
+  /** PARETO concentration per stream — "what share of value do the top
+    * 20% of users drive?": per-user cents totals ranked descending, the
+    * cumulative share at the 20%-of-users cutoff (ceil). All-integer
+    * until ONE mirrored share division; the per-stream user sort is the
+    * agg_gini order-statistic trade (keyed, never global).
+    */
+  private def q_agg_pareto(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = expr(
+      "cast(cast(value as decimal(18,6)) * 1000000 as bigint) div 10000")
+    val u = E(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), col("user_id"), cents.as("c"))
+      .groupBy("event_type", "user_id").agg(sum(col("c")).as("uc"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("uc").desc, col("user_id"))
+    val cum = Window.partitionBy("event_type")
+      .orderBy(col("uc").desc, col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = u.withColumn("rnk", row_number().over(w))
+      .withColumn("cumc", sum(col("uc")).over(cum))
+    val tot = u.groupBy("event_type")
+      .agg(count(lit(1)).as("nu"), sum(col("uc")).as("total"))
+    r.join(broadcast(tot), "event_type")
+      .filter(col("rnk") === expr("cast(ceil(nu / 5.0) as bigint)"))
+      .select(col("event_type"), col("nu").as("n_users"),
+        col("rnk").as("top_users"),
+        round(col("cumc").cast("double") / col("total"), 6)
+          .as("top20_value_share"))
+      .orderBy("event_type")
+  }
+
   private def q_dedup_semantic(s: SparkSession, dir: String): DataFrame =
     Similarity.semanticDedup(T(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, nSeeds = 8)
@@ -4258,6 +4338,9 @@ object SparkEntry {
     "win_bollinger" -> (q_win_bollinger _),
     "win_rolling_median" -> (q_win_rolling_median _),
     "agg_funnel" -> (q_agg_funnel _),
+    "agg_funnel_time" -> (q_agg_funnel_time _),
+    "agg_new_returning" -> (q_agg_new_returning _),
+    "agg_pareto" -> (q_agg_pareto _),
     "win_hampel" -> (q_win_hampel _),
     "agg_retention" -> (q_agg_retention _),
     "sample_temperature" -> (q_sample_temperature _),
@@ -5298,6 +5381,55 @@ object SparkEntry {
         |z AS (SELECT sum(sqrt(CAST(n AS DOUBLE))) AS z FROM c)
         |SELECT lang, n, round(sqrt(CAST(n AS DOUBLE)) / z, 6) AS w
         |FROM c CROSS JOIN z ORDER BY 1""".stripMargin,
+    "agg_funnel_time" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT user_id, min(us) AS c_us FROM e
+        |      WHERE event_type = 'click' GROUP BY 1),
+        |v AS (SELECT e.user_id, min(us) AS v_us, min(c_us) AS c_us
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'view' AND us > c_us GROUP BY 1),
+        |p AS (SELECT e.user_id, min(us) AS p_us, min(v_us) AS v_us2
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'purchase' AND us > v_us GROUP BY 1),
+        |g AS (SELECT 'click_to_view' AS transition, v_us - c_us AS gap_us
+        |      FROM v
+        |      UNION ALL
+        |      SELECT 'view_to_purchase', p_us - v_us2 FROM p)
+        |SELECT transition, count(*) AS n_users,
+        |  round(quantile_cont(gap_us, 0.5), 6) AS median_us,
+        |  round(quantile_cont(gap_us, 0.9), 6) AS p90_us,
+        |  CAST(max(gap_us) AS BIGINT) AS max_us
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_new_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS first_d FROM ud GROUP BY 1)
+        |SELECT d AS day,
+        |  CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_users,
+        |  CAST(sum(CASE WHEN d <> first_d THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS returning_users
+        |FROM ud JOIN c USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_pareto" ->
+      """WITH u AS (SELECT event_type, user_id,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      // 10000) AS BIGINT) AS uc
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, uc,
+        |    row_number() OVER w AS rnk,
+        |    sum(uc) OVER (PARTITION BY event_type ORDER BY uc DESC, user_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+        |  FROM u WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY uc DESC, user_id)),
+        |t AS (SELECT event_type, count(*) AS nu,
+        |    CAST(sum(uc) AS BIGINT) AS total FROM u GROUP BY 1)
+        |SELECT r.event_type, nu AS n_users, rnk AS top_users,
+        |  round(CAST(cumc AS DOUBLE) / total, 6) AS top20_value_share
+        |FROM r JOIN t USING (event_type)
+        |WHERE rnk = CAST(ceil(nu / 5.0) AS BIGINT)
+        |ORDER BY event_type""".stripMargin,
     "agg_funnel" -> funnelOracleSql,
     // ordered stateful replay ≡ the batch min-chaining funnel
     "stream_funnel" -> funnelOracleSql,
