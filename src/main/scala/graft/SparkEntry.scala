@@ -2888,6 +2888,40 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** GZIP-compressed text ingest — the crawl-archive reality (WET/WARC
+    * dumps, log shipping): documents materialized once as gzip JSONL
+    * (registry-gated), read BACK through the codec, aggregated against
+    * the parquet ground truth. THE scale note this query exists to
+    * carry: gzip is NOT SPLITTABLE — each .gz file is one task, so
+    * parallelism = file count, not bytes; the materialization
+    * repartitions to 32 files to keep the read parallel (production:
+    * many medium files, or zstd/bzip2, or decompress-on-ingest; a
+    * single multi-GB .gz serializes the whole scan).
+    */
+  private def q_scan_jsonl_gz(s: SparkSession, dir: String): DataFrame = {
+    val root = fittedModel(s"jsonlgz|$dir") {
+      val out = s"$registryRoot/jsonlgz_${registryKey(
+        s"jsonlgz-v1|$dir|${tableFingerprint(s, s"$dir/documents.parquet")}")}"
+      val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        T(s, dir, "documents")
+          .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))).as("value"))
+          .repartition(32) // parallelism = .gz file count (non-splittable)
+          .write.mode("overwrite")
+          .option("compression", "gzip").text(out)
+      }
+      out
+    }
+    s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(jsonlSchema))
+      .json(root)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("sum_chars"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy("lang")
+  }
+
   /** Additive seasonal decomposition of the hourly per-type series:
     * 25-hour centered-MA trend (FULL windows only — the statsmodels
     * edge-null semantic), hour-of-day seasonal means, residual. This is
@@ -4347,6 +4381,7 @@ object SparkEntry {
     "sink_scd2" -> (q_sink_scd2 _),
     "sink_time_travel" -> (q_sink_time_travel _),
     "scan_jsonl_corrupt" -> (q_scan_jsonl_corrupt _),
+    "scan_jsonl_gz" -> (q_scan_jsonl_gz _),
     "agg_active_users" -> (q_agg_active_users _),
     "agg_ab_ttest" -> (q_agg_ab_ttest _),
     "agg_gap_detect" -> (q_agg_gap_detect _),
@@ -5366,6 +5401,11 @@ object SparkEntry {
         |ORDER BY c_custkey, v_from""".stripMargin,
     // ground truth of WHICH lines were corrupted lives in the parquet
     // table; the PERMISSIVE read must reconcile exactly
+    "scan_jsonl_gz" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "scan_jsonl_corrupt" ->
       """SELECT lang, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
