@@ -1605,6 +1605,56 @@ object SparkEntry {
     TextAnalysis.repetitionSignals(T(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** TextRank extractive summarization (Mihalcea & Tarau 2004) — the
+    * graph-ranking answer to "which segment best represents this doc":
+    * fixed 10-word segments (the fixture has no sentence punctuation —
+    * the dedup_paragraphs fixed-window precedent), edge weight = DISTINCT
+    * shared-word count between a doc's segment pair (all-integer — the
+    * classic log-length normalization would be transcendental), damped
+    * PageRank over each doc's segment graph in exact micro-units (the
+    * graph_pagerank discipline, 8 rounds), winner per doc by (score
+    * desc, segment). Every stage keys on doc_id — thousands of tiny
+    * graphs ranked in parallel, the per-doc twin of the corpus-level
+    * graph ops.
+    */
+  private def q_text_textrank(s: SparkSession, dir: String): DataFrame = {
+    val toks = T(s, dir, "documents")
+      .select(col("doc_id"), posexplode(graft.ops.Dedup.words(col("text")))
+        .as(Seq("pos", "w")))
+      .select(col("doc_id"), expr("pos div 10").as("seg"), col("w"))
+      .distinct()
+    val edges = toks.as("a")
+      .join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") === col("b.w") &&
+          col("a.seg") =!= col("b.seg"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.seg").as("sa"),
+        col("b.seg").as("sb"))
+      .agg(count(lit(1)).as("wt"))
+    val wsum = edges.groupBy("doc_id", "sa").agg(sum(col("wt")).as("ws"))
+    val m = edges.join(wsum, Seq("doc_id", "sa")).localCheckpoint()
+    val nodes = toks.select(col("doc_id"), col("seg")).distinct()
+      .localCheckpoint()
+    var pi = nodes.withColumn("pi", lit(1000000L))
+    for (_ <- 1 to 8) {
+      val inflow = m.join(pi,
+          m("doc_id") === pi("doc_id") && m("sa") === pi("seg"))
+        .select(m("doc_id"), col("sb"), expr("(pi * wt) div ws").as("contrib"))
+        .groupBy("doc_id", "sb").agg(sum(col("contrib")).as("inflow"))
+      pi = nodes.join(inflow,
+          nodes("doc_id") === inflow("doc_id") && nodes("seg") === inflow("sb"),
+          "left_outer")
+        .select(nodes("doc_id"), nodes("seg"),
+          (lit(150000L) + expr("(850 * coalesce(inflow, 0L)) div 1000"))
+            .as("pi"))
+        .localCheckpoint()
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("pi").desc, col("seg"))
+    pi.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("seg").as("top_segment"), col("pi"))
+      .orderBy("doc_id")
+  }
+
   /** PMI collocations over the corpus — top-50 significant adjacent word
     * pairs by pointwise mutual information (min count 5); exact-integer
     * ln inputs, total-order selection. See
@@ -4364,6 +4414,7 @@ object SparkEntry {
     "agg_robust_zscore" -> (q_agg_robust_zscore _),
     "text_repetition" -> (q_text_repetition _),
     "text_pmi" -> (q_text_pmi _),
+    "text_textrank" -> (q_text_textrank _),
     "text_pii_mask" -> (q_text_pii_mask _),
     "dedup_semantic" -> (q_dedup_semantic _),
     "dedup_bloom_incremental" -> (q_dedup_bloom_incremental _),
@@ -4629,6 +4680,47 @@ object SparkEntry {
       |       SELECT 3, 'purchase_after_view', user_id FROM p)
       |SELECT stage, stage_name, count(DISTINCT user_id) AS users
       |FROM st GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  /** TextRank oracle: segment/word triples via WITH ORDINALITY, the
+    * identical overlap edges, 8 unrolled integer PageRank CTEs per doc,
+    * winner by (pi desc, seg).
+    */
+  private def textrankOracle: String = {
+    val iters = (1 to 8).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT n.doc_id, n.seg,
+         |    150000 + (850 * COALESCE(f.inflow, 0)) // 1000 AS pi
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT m.doc_id, m.sb AS seg,
+         |      CAST(sum((p${k - 1}.pi * m.wt) // m.ws) AS BIGINT) AS inflow
+         |    FROM m JOIN p${k - 1}
+         |      ON p${k - 1}.doc_id = m.doc_id AND p${k - 1}.seg = m.sa
+         |    GROUP BY 1, 2) f
+         |    ON f.doc_id = n.doc_id AND f.seg = n.seg)"""
+    }.mkString(",\n|")
+    s"""WITH t0 AS (SELECT doc_id,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |toks0 AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(ws) + 1),
+       |      i -> {'seg': (i - 1) // 10, 'w': ws[i]})) AS sw
+       |  FROM t0),
+       |toks AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |    CAST(sw.seg AS BIGINT) AS seg, sw.w AS w FROM toks0),
+       |e AS (SELECT a.doc_id, a.seg AS sa, b.seg AS sb, count(*) AS wt
+       |  FROM toks a JOIN toks b
+       |    ON a.doc_id = b.doc_id AND a.w = b.w AND a.seg <> b.seg
+       |  GROUP BY 1, 2, 3),
+       |wsum AS (SELECT doc_id, sa, CAST(sum(wt) AS BIGINT) AS ws
+       |  FROM e GROUP BY 1, 2),
+       |m AS MATERIALIZED (SELECT e.doc_id, e.sa, e.sb, e.wt, wsum.ws
+       |  FROM e JOIN wsum USING (doc_id, sa)),
+       |nodes AS MATERIALIZED (SELECT DISTINCT doc_id, seg FROM toks),
+       |p0 AS (SELECT doc_id, seg, CAST(1000000 AS BIGINT) AS pi FROM nodes),
+       |$iters,
+       |r AS (SELECT doc_id, seg, pi, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY pi DESC, seg) AS rn FROM p8)
+       |SELECT doc_id, seg AS top_segment, CAST(pi AS BIGINT) AS pi
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
 
   /** Stationary-distribution oracle: the transitions lag CTE, then 12
     * unrolled integer power-iteration CTEs (the pagerank pattern).
@@ -5309,6 +5401,7 @@ object SparkEntry {
         |ORDER BY tag, gap_start_hb""".stripMargin,
     "agg_transitions" -> transitionsOracleSql,
     "agg_markov_stationary" -> markovStationaryOracle,
+    "text_textrank" -> textrankOracle,
     // ordered replay of the stateful feed ≡ the batch lag window
     "stream_transitions" -> transitionsOracleSql,
     "agg_streaks" ->
