@@ -2515,6 +2515,46 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** Spark-only: ADABOOST over decision stumps (Freund & Schapire) —
+    * the second trained classifier family beside Naive Bayes, fitted
+    * with the histogram trick (binned stump search: one tiny hash-agg
+    * per round, NO sort, NO weight table — weights recomputed as a
+    * column from the accumulated stump literals). Task: is this doc
+    * English, from five integer surface features. Deterministic (no
+    * RNG; refit bit-identical, spec'd); memoized per dir. Output:
+    * per-lang confusion counts. The fixture's text is language-
+    * independent by construction (the langid note in SURVEY §2.10), so
+    * this exercises the machinery; the LEARNING guarantee (boosted
+    * stumps carve an interval a single stump cannot, >97% on a
+    * separable corpus) lives in AdaBoostSpec — the text_nb_classifier
+    * framing. Non-SQL: the iterative reweighted fit.
+    */
+  private def q_ml_adaboost(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.ops.Dedup.words(col("text"))
+    val feats = T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("double").as("f_chars"),
+        size(toks).cast("double").as("f_words"),
+        size(array_distinct(toks)).cast("double").as("f_distinct"),
+        size(filter(toks, w =>
+          w.isInCollection(Seq("the", "a", "of", "to", "and"))))
+          .cast("double").as("f_stop"),
+        length(regexp_replace(col("text"), "\\s+", ""))
+          .cast("double").as("f_nospace"),
+        when(col("lang") === "en", 1).otherwise(-1).as("y"))
+    val fcols = Seq("f_chars", "f_words", "f_distinct", "f_stop", "f_nospace")
+    val model = fittedModel(s"adaboost/$dir") {
+      graft.ml.AdaBoost.fit(feats, fcols, "y", rounds = 10, bins = 32)
+    }
+    model.score(feats)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("prediction") === 1, 1L).otherwise(0L)).as("pred_en"),
+        sum(when(col("prediction") === col("y"), 1L).otherwise(0L))
+          .as("correct"))
+      .orderBy("lang")
+  }
+
   /** Spark-only: ISOLATION FOREST anomaly detection (Liu et al. 2008)
     * over the aligned hourly streams — the ensemble detector beside the
     * reconstruction-error family: no distributional assumption, catches
@@ -4458,6 +4498,7 @@ object SparkEntry {
     "stream_threshold" -> (q_stream_threshold _),
     "ml_pca_anomaly" -> (q_ml_pca_anomaly _),
     "ml_isolation_forest" -> (q_ml_isolation_forest _),
+    "ml_adaboost" -> (q_ml_adaboost _),
     "ml_autoencoder" -> (q_ml_autoencoder _),
     "ml_autoencoder_sgd" -> (q_ml_autoencoder_sgd _),
     "ml_autoencoder_seq" -> (q_ml_autoencoder_seq _),
