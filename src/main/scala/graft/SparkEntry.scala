@@ -2017,9 +2017,13 @@ object SparkEntry {
     * steady-state companion of the transition feed). ALL-INTEGER in
     * micro-units (the graph_pagerank discipline): contrib =
     * (π(prev)·n(prev,next)) div rowsum(prev) — multiply-before-divide
-    * keeps precision, floor ≡ // on the non-negative domain; 12 rounds
-    * over a |states|² matrix, bit-exact, zero floats. States with no
-    * outgoing transitions leak their mass (deterministic, mirrored).
+    * keeps precision, truncating Long division ≡ // on the non-negative
+    * domain; 12 rounds, bit-exact, zero floats. The counts matrix is
+    * |event types|² — model-sized — so the iteration runs on the DRIVER
+    * over the collected matrix (the targetMix bounded-scalars precedent;
+    * 12 join jobs over a 5-row frame would be pure scheduler overhead).
+    * States with no outgoing transitions leak their mass
+    * (deterministic, mirrored).
     */
   private def q_agg_markov_stationary(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -2030,21 +2034,24 @@ object SparkEntry {
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(count(lit(1)).as("n"))
-    val rs = trans.groupBy("prev_type").agg(sum(col("n")).as("rs"))
-    val m = trans.join(rs, "prev_type").localCheckpoint()
-    val states = m.select(col("prev_type").as("state")).distinct()
-      .localCheckpoint()
-    var pi = states.withColumn("pi", lit(1000000L))
+    // the matrix is |event types|² — MODEL-sized: collect it and iterate
+    // on the driver (the targetMix bounded-scalars precedent) instead of
+    // paying 12 tiny-frame join jobs; identical integer arithmetic
+    val mat = trans.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rs = mat.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val states = mat.map(_._1).distinct.sorted
+    var pi = states.map(st => st -> 1000000L).toMap
     for (_ <- 1 to 12) {
-      val inflow = m.join(pi, m("prev_type") === pi("state"))
-        .select(col("next_type"), expr("(pi * n) div rs").as("contrib"))
-        .groupBy("next_type").agg(sum(col("contrib")).as("inflow"))
-      pi = states.join(inflow, states("state") === inflow("next_type"),
-          "left_outer")
-        .select(states("state"), coalesce(col("inflow"), lit(0L)).as("pi"))
-        .localCheckpoint()
+      val inflow = mat.groupBy(_._2).map { case (next, edges) =>
+        next -> edges.map { case (prev, _, n) =>
+          pi.getOrElse(prev, 0L) * n / rs(prev)
+        }.sum
+      }
+      pi = states.map(st => st -> inflow.getOrElse(st, 0L)).toMap
     }
-    pi.orderBy("state")
+    import s.implicits._
+    states.map(st => (st, pi(st))).toSeq.toDF("state", "pi").orderBy("state")
   }
 
   /** LIVE transition feed ([[graft.streaming.Streams.transitionsOnline]])
