@@ -3752,6 +3752,68 @@ object SparkEntry {
       .orderBy("event_type", "bin")
   }
 
+  /** MASE BASELINES per stream — the forecast-evaluation yardstick
+    * (Hyndman & Koehler's scale): in-sample one-step MAE of the naive
+    * (lag-1) and seasonal-naive (lag-24) forecasters over hourly cents,
+    * plus their ratio ("does this stream even have exploitable
+    * seasonality?"). Every model query quotes against these. Exact
+    * integer absolute errors; one mirrored division per output.
+    */
+  private def q_ml_mase_baselines(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+    val d = hourlyCentsLong(s, dir)
+      .withColumn("l1", lag(col("c"), 1).over(w))
+      .withColumn("l24", lag(col("c"), 24).over(w))
+      .filter(col("l24").isNotNull) // same support for both baselines
+    d.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("c") - col("l1"))).as("se1"),
+        sum(abs(col("c") - col("l24"))).as("se24"))
+      .select(col("event_type"), col("n"),
+        round(col("se1").cast("double") / col("n"), 6).as("mae_naive"),
+        round(col("se24").cast("double") / col("n"), 6).as("mae_seasonal"),
+        round(col("se24").cast("double") /
+          nullif(col("se1").cast("double"), lit(0.0)), 6)
+          .as("seasonal_vs_naive"))
+      .orderBy("event_type")
+  }
+
+  /** INTERVAL-UNION coverage per (user, day) — the classic sweep-line
+    * "total covered time from overlapping intervals" (service/session
+    * coverage; each event covers [ts, ts + value seconds)). All-integer
+    * epoch-µs: islands form where a start exceeds the running max of
+    * prior ends (one keyed window chain — never a global sort), covered
+    * = Σ island spans. The gaps-and-islands discipline of agg_streaks
+    * applied to continuous time.
+    */
+  private def q_agg_interval_union(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = expr(
+      "cast(cast(value as decimal(18,6)) * 1000000 as bigint) div 10000")
+    val iv = E(s, dir).filter(col("value").isNotNull)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        graft.sources.Events.epochMicros(col("ts")).as("st"),
+        col("event_id"), cents.as("c"))
+      .withColumn("en", col("st") + col("c") * 10000L) // value seconds in µs
+    val w = Window.partitionBy("user_id", "day")
+      .orderBy(col("st"), col("en"), col("event_id"))
+    val withRun = iv
+      .withColumn("prevmax",
+        max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("flag",
+        when(col("prevmax").isNull || col("st") > col("prevmax"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("flag")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withRun.groupBy("user_id", "day", "island")
+      .agg(min(col("st")).as("is_st"), max(col("en")).as("is_en"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("is_en") - col("is_st")).as("covered_us"))
+      .orderBy("user_id", "day")
+  }
+
   /** BURSTINESS per stream over hourly event counts — Fano factor
     * (variance/mean; 1 = Poisson, ≫1 = bursty) and the Goh–Barabási
     * burstiness coefficient B = (σ−μ)/(σ+μ) — the arrival-process audit
@@ -4539,6 +4601,8 @@ object SparkEntry {
     "agg_zipf_fit" -> (q_agg_zipf_fit _),
     "agg_burstiness" -> (q_agg_burstiness _),
     "agg_value_histogram" -> (q_agg_value_histogram _),
+    "ml_mase_baselines" -> (q_ml_mase_baselines _),
+    "agg_interval_union" -> (q_agg_interval_union _),
     "agg_rfm" -> (q_agg_rfm _),
     "agg_acf" -> (q_agg_acf _),
     "agg_user_segments" -> (q_agg_user_segments _),
@@ -6648,6 +6712,53 @@ object SparkEntry {
         |SELECT user_id, last_us, freq, monetary, r_score, f_score, m_score,
         |  r_score * 100 + f_score * 10 + m_score AS rfm
         |FROM sc ORDER BY user_id""".stripMargin,
+    "ml_mase_baselines" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      // count(*)) // 10000 AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |l AS (SELECT event_type, bucket, c,
+        |    lag(c, 1) OVER w AS l1, lag(c, 24) OVER w AS l24
+        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+        |d AS (SELECT * FROM l WHERE l24 IS NOT NULL),
+        |g AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(abs(c - l1)) AS BIGINT) AS se1,
+        |    CAST(sum(abs(c - l24)) AS BIGINT) AS se24
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(CAST(se1 AS DOUBLE) / n, 6) AS mae_naive,
+        |  round(CAST(se24 AS DOUBLE) / n, 6) AS mae_seasonal,
+        |  round(CAST(se24 AS DOUBLE) / NULLIF(CAST(se1 AS DOUBLE), 0), 6)
+        |    AS seasonal_vs_naive
+        |FROM g ORDER BY event_type""".stripMargin,
+    "agg_interval_union" ->
+      """WITH iv AS (SELECT user_id,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS st, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      + (CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |        // 10000) * 10000 AS en
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT user_id, day, st, en, event_id,
+        |    max(en) OVER (PARTITION BY user_id, day
+        |      ORDER BY st, en, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        |  FROM iv),
+        |f AS (SELECT user_id, day, st, en, event_id,
+        |    CASE WHEN prevmax IS NULL OR st > prevmax THEN 1 ELSE 0 END
+        |      AS flag
+        |  FROM r),
+        |i AS (SELECT user_id, day, st, en,
+        |    sum(flag) OVER (PARTITION BY user_id, day
+        |      ORDER BY st, en, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |g AS (SELECT user_id, day, island, min(st) AS is_st, max(en) AS is_en
+        |  FROM i GROUP BY 1, 2, 3)
+        |SELECT user_id, day, count(*) AS n_islands,
+        |  CAST(sum(is_en - is_st) AS BIGINT) AS covered_us
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "agg_value_histogram" ->
       """WITH e AS (SELECT event_type,
         |    (CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
