@@ -1655,6 +1655,49 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** NOVELTY score per doc — the inverse of soft-dedup's duplication
+    * weight: the share of a doc's DISTINCT word trigrams that occur in
+    * no other document (corpus-unique). High novelty = fresh content;
+    * near-zero = boilerplate. One shingle explode → df hash-agg → join
+    * back (the soft-dedup plan shape); output an exact integer pair +
+    * one mirrored division.
+    */
+  private def q_text_novelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = T(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(Dedup.shingles(Dedup.words(col("text")), 3)).as("sh"))
+      .distinct()
+    val df = sh.groupBy("sh").agg(count_distinct(col("doc_id")).as("df"))
+    sh.join(df, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** WEEKLY GROWTH per stream — week-over-week value totals and percent
+    * change (the simplest trend panel): exact integer cents totals per
+    * ISO week start, lag window per stream, ONE mirrored division for
+    * the growth rate.
+    */
+  private def q_agg_growth_rate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = expr(
+      "cast(cast(value as decimal(18,6)) * 1000000 as bigint) div 10000")
+    val wk = E(s, dir).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("week", col("ts")).as("week"))
+      .agg(sum(cents).as("total_cents"), count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("week")
+    wk.withColumn("prev", lag(col("total_cents"), 1).over(w))
+      .select(col("event_type"), col("week"), col("n"), col("total_cents"),
+        round((col("total_cents") - col("prev")).cast("double") /
+          nullif(col("prev").cast("double"), lit(0.0)), 6).as("wow_growth"))
+      .orderBy("event_type", "week")
+  }
+
   /** PMI collocations over the corpus — top-50 significant adjacent word
     * pairs by pointwise mutual information (min count 5); exact-integer
     * ln inputs, total-order selection. See
@@ -4523,6 +4566,8 @@ object SparkEntry {
     "agg_robust_zscore" -> (q_agg_robust_zscore _),
     "text_repetition" -> (q_text_repetition _),
     "text_pmi" -> (q_text_pmi _),
+    "text_novelty" -> (q_text_novelty _),
+    "agg_growth_rate" -> (q_agg_growth_rate _),
     "text_textrank" -> (q_text_textrank _),
     "text_pii_mask" -> (q_text_pii_mask _),
     "dedup_semantic" -> (q_dedup_semantic _),
@@ -6239,6 +6284,36 @@ object SparkEntry {
         |ORDER BY e.event_id""".stripMargin,
     // six ln-of-exact-integer terms combined in the identical order; the
     // top-50 is a TOTAL order (rounded pmi desc, term_a, term_b)
+    "text_novelty" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |    i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sh
+        |  FROM w WHERE len(ws) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |df AS (SELECT sh, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1),
+        |g AS (SELECT doc_id, count(*) AS n_shingles,
+        |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_unique
+        |  FROM sh JOIN df USING (sh) GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_unique,
+        |  round(CAST(n_unique AS DOUBLE) / n_shingles, 6) AS novelty
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "agg_growth_rate" ->
+      """WITH wk AS (SELECT event_type,
+        |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      // 10000) AS BIGINT) AS total_cents,
+        |    count(*) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |l AS (SELECT event_type, week, n, total_cents,
+        |    lag(total_cents) OVER (PARTITION BY event_type ORDER BY week)
+        |      AS prev
+        |  FROM wk)
+        |SELECT event_type, week, n, total_cents,
+        |  round(CAST(total_cents - prev AS DOUBLE)
+        |    / NULLIF(CAST(prev AS DOUBLE), 0), 6) AS wow_growth
+        |FROM l ORDER BY 1, 2""".stripMargin,
     "text_pmi" ->
       """WITH w AS (SELECT
         |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
