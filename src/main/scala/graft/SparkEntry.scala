@@ -1116,6 +1116,27 @@ object SparkEntry {
     Similarity.lshCosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
       .orderBy("vec_a", "vec_b")
 
+  /** LSH RECALL AUDIT — "measure, don't guess" as a first-class query:
+    * the candidate-generation recall of the production LSH path against
+    * the exact all-pairs ground truth at the same threshold (τ = 0.4).
+    * Because LSH candidates are re-scored EXACTLY, the approximate pair
+    * set is a subset of the exact one, so recall = count ratio — no
+    * pair join needed. At scale the exact side is the one-off audit you
+    * run on a sample; the plan shapes are the two already-shipped
+    * pipelines.
+    */
+  private def q_simsearch_recall_audit(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.4)
+      .agg(count(lit(1)).as("n_exact"))
+    val approx = Similarity.lshCosinePairs(e, "vec_id", "embedding", 0.4)
+      .agg(count(lit(1)).as("n_lsh"))
+    exact.crossJoin(approx)
+      .select(col("n_exact"), col("n_lsh"),
+        round(col("n_lsh").cast("double") /
+          nullif(col("n_exact").cast("double"), lit(0.0)), 6).as("recall"))
+  }
+
   /** Approximate k-NN graph ([[graft.ops.Similarity.knnGraph]]) — each
     * vector's top-3 among its LSH candidates; the neighbor-graph step
     * behind SemDeDup clustering and graph-based ANN. Oracle-checked via
@@ -4654,6 +4675,7 @@ object SparkEntry {
     "graph_pagerank" -> (q_graph_pagerank _),
     "graph_triangles" -> (q_graph_triangles _),
     "simsearch_mmr" -> (q_simsearch_mmr _),
+    "simsearch_recall_audit" -> (q_simsearch_recall_audit _),
     "stream_sliding" -> (q_stream_sliding _),
     "win_rsi" -> (q_win_rsi _),
     "win_peaks" -> (q_win_peaks _),
@@ -5011,6 +5033,37 @@ object SparkEntry {
        |SELECT vec_a, vec_b, round(dot / sqrt(naa * nbb), 6) AS cos_sim
        |FROM sc WHERE dot / sqrt(naa * nbb) >= 0.3
        |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** Recall-audit oracle: the lsh CTEs + an exact all-pairs count at
+    * the same threshold; same subset argument, same count ratio.
+    */
+  private def recallAuditOracle: String = {
+    s"""WITH ${lshBucketCtes(8, 8, 64)},
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+       |         FROM bl a JOIN bl b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+       |          AND a.vec_id < b2.vec_id),
+       |n AS (SELECT vec_id, ${normSqSql("embedding")} AS nsq FROM embeddings),
+       |sc AS (SELECT c.vec_a, c.vec_b,
+       |         ${dotSql("ea.embedding", "eb.embedding")} AS dot,
+       |         na.nsq AS naa, nb.nsq AS nbb
+       |       FROM cand c
+       |       JOIN embeddings ea ON ea.vec_id = c.vec_a
+       |       JOIN embeddings eb ON eb.vec_id = c.vec_b
+       |       JOIN n na ON na.vec_id = c.vec_a
+       |       JOIN n nb ON nb.vec_id = c.vec_b),
+       |lp AS (SELECT count(*) AS n_lsh FROM sc
+       |       WHERE dot / sqrt(NULLIF(naa * nbb, 0)) >= 0.4),
+       |ex AS (SELECT count(*) AS n_exact
+       |       FROM embeddings a3 JOIN embeddings b3
+       |         ON a3.vec_id < b3.vec_id
+       |       WHERE ${dotSql("a3.embedding", "b3.embedding")}
+       |         / sqrt(NULLIF(${normSqSql("a3.embedding")}
+       |             * ${normSqSql("b3.embedding")}, 0)) >= 0.4)
+       |SELECT n_exact, n_lsh,
+       |  round(CAST(n_lsh AS DOUBLE) / NULLIF(CAST(n_exact AS DOUBLE), 0), 6)
+       |    AS recall
+       |FROM ex CROSS JOIN lp""".stripMargin
   }
 
   /** k-NN graph oracle: identical plane literals → identical buckets →
@@ -6627,6 +6680,7 @@ object SparkEntry {
     "graph_pagerank" -> pagerankOracle,
     "graph_triangles" -> trianglesOracle,
     "simsearch_mmr" -> mmrOracle,
+    "simsearch_recall_audit" -> recallAuditOracle,
     "win_drawdown" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
