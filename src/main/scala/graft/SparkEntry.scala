@@ -1169,7 +1169,7 @@ object SparkEntry {
     val e = edges.join(deg, "src").localCheckpoint()
     val nodes = T(s, dir, "embeddings").select(col("vec_id")).localCheckpoint()
     var pr = nodes.withColumn("pr", lit(1000000L))
-    for (_ <- 1 to 10) {
+    for (k <- 1 to 10) {
       val inflow = e.join(pr, e("src") === pr("vec_id"))
         .select(col("dst"), expr("pr div deg").as("contrib"))
         .groupBy("dst").agg(sum(col("contrib")).as("inflow"))
@@ -1177,7 +1177,9 @@ object SparkEntry {
         .select(nodes("vec_id"),
           (lit(150000L) + expr("(850 * coalesce(inflow, 0L)) div 1000"))
             .as("pr"))
-        .localCheckpoint()
+      // lineage-truncate every OTHER round: a 2-deep join chain analyzes
+      // fine, and halving the materialization jobs halves the overhead
+      if (k % 2 == 0 || k == 10) pr = pr.localCheckpoint()
     }
     pr.orderBy("vec_id")
   }
@@ -1656,7 +1658,7 @@ object SparkEntry {
     val nodes = toks.select(col("doc_id"), col("seg")).distinct()
       .localCheckpoint()
     var pi = nodes.withColumn("pi", lit(1000000L))
-    for (_ <- 1 to 8) {
+    for (k <- 1 to 8) {
       val inflow = m.join(pi,
           m("doc_id") === pi("doc_id") && m("sa") === pi("seg"))
         .select(m("doc_id"), col("sb"), expr("(pi * wt) div ws").as("contrib"))
@@ -1667,7 +1669,7 @@ object SparkEntry {
         .select(nodes("doc_id"), nodes("seg"),
           (lit(150000L) + expr("(850 * coalesce(inflow, 0L)) div 1000"))
             .as("pi"))
-        .localCheckpoint()
+      if (k % 2 == 0 || k == 8) pi = pi.localCheckpoint()
     }
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(col("pi").desc, col("seg"))
@@ -3174,6 +3176,63 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** SEASONAL-RESIDUAL OUTLIERS — buckets whose decomposition residual
+    * breaks 3σ of the stream's residual distribution (the "this hour
+    * was anomalous EVEN ACCOUNTING for trend and seasonality" alert —
+    * the level detectors' blind spot). ALL-INTEGER: the residual
+    * quantizes through agg_seasonal_strength's offset-protected half-up
+    * division, and the 3σ gate compares n²·rq² > 9·(n·Σrq² − (Σrq)²)
+    * over exact BIGINTs (the win_bollinger never-touch-a-float
+    * discipline; all products ≤ ~1e15 ≪ 2⁵³).
+    */
+  private def q_win_seasonal_outliers(s: SparkSession, dir: String): DataFrame = {
+    val d = seasonalGrid(s, dir)
+      .withColumn("rq", expr(
+        "(((cnt * detr25 - s_sum) + cnt * 2500000000000) * 2 + 250000 * cnt)" +
+          " div (500000 * cnt) - 10000000"))
+    val st = d.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("sn"), sum(col("rq")).as("sr"),
+        sum(col("rq") * col("rq")).as("srr"))
+    d.join(broadcast(st), col("event_type") === col("et"))
+      .filter(col("sn") * col("sn") * col("rq") * col("rq") >
+        lit(9L) * (col("sn") * col("srr") - col("sr") * col("sr")))
+      .select(col("event_type"), col("bucket"),
+        (col("rq").cast("double") / lit(100.0)).as("resid"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** COHEN'S D effect size for the A/B user split per stream — the
+    * experimentation companion of agg_ab_ttest ("significant, but how
+    * BIG?"): pooled-σ standardized mean difference from the SAME exact
+    * integer sufficient sums, one mirrored IEEE combination with the
+    * correctly-rounded sqrt.
+    */
+  private def q_agg_effect_size(s: SparkSession, dir: String): DataFrame = {
+    val cents = expr(
+      "cast(cast(value as decimal(18,6)) * 1000000 as bigint) div 10000")
+    val g = E(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), (col("user_id") % 2 === 0).as("isa"),
+        cents.as("c"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("isa"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("nb"),
+        sum(when(col("isa"), col("c")).otherwise(0L)).as("s1a"),
+        sum(when(!col("isa"), col("c")).otherwise(0L)).as("s1b"),
+        sum(when(col("isa"), col("c") * col("c")).otherwise(0L)).as("s2a"),
+        sum(when(!col("isa"), col("c") * col("c")).otherwise(0L)).as("s2b"))
+    val ma = col("s1a").cast("double") / col("na")
+    val mb = col("s1b").cast("double") / col("nb")
+    val ssa = col("s2a").cast("double") -
+      col("s1a").cast("double") * col("s1a").cast("double") / col("na")
+    val ssb = col("s2b").cast("double") -
+      col("s1b").cast("double") * col("s1b").cast("double") / col("nb")
+    val sp = sqrt((ssa + ssb) / (col("na") + col("nb") - 2).cast("double"))
+    g.select(col("event_type"), col("na"), col("nb"),
+        round((ma - mb) / nullif(sp, lit(0.0)), 6).as("cohens_d"))
+      .orderBy("event_type")
+  }
+
   /** BM25 corpus ranking ([[graft.ops.Search.bm25]]) against a fixed
     * 3-term topic query — every matching doc with its score, ordered by
     * id (deterministic under cross-engine float ties; top-k is a limit
@@ -4646,6 +4705,8 @@ object SparkEntry {
     "scan_orc" -> (q_scan_orc _),
     "sink_upsert" -> (q_sink_upsert _),
     "win_seasonal_decompose" -> (q_win_seasonal_decompose _),
+    "win_seasonal_outliers" -> (q_win_seasonal_outliers _),
+    "agg_effect_size" -> (q_agg_effect_size _),
     "agg_seasonal_strength" -> (q_agg_seasonal_strength _),
     "search_bm25" -> (q_search_bm25 _),
     "dedup_substring" -> (q_dedup_substring _),
@@ -6549,6 +6610,53 @@ object SparkEntry {
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // fixed-point micro-unit mirror (see q_win_seasonal_decompose): every
     // output is one exact integer / the same exact small doubles
+    "win_seasonal_outliers" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s_micro,
+        |    count(*) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |v AS (SELECT event_type, bucket, s_micro // n AS v6 FROM h),
+        |t AS (SELECT *, count(*) OVER w AS wn, sum(v6) OVER w AS sum25
+        |      FROM v WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |f AS (SELECT event_type, bucket, v6, sum25, v6 * 25 - sum25 AS detr25
+        |      FROM t WHERE wn = 25),
+        |g AS (SELECT *, sum(detr25) OVER pw AS s_sum, count(*) OVER pw AS cnt
+        |      FROM f WINDOW pw AS (PARTITION BY event_type, hour(bucket))),
+        |q AS (SELECT event_type, bucket,
+        |    (((cnt * detr25 - s_sum) + cnt * 2500000000000) * 2
+        |       + 250000 * cnt) // (500000 * cnt) - 10000000 AS rq
+        |  FROM g),
+        |st AS (SELECT event_type AS et, count(*) AS n,
+        |    CAST(sum(rq) AS BIGINT) AS sr,
+        |    CAST(sum(rq * rq) AS BIGINT) AS srr
+        |  FROM q GROUP BY 1)
+        |SELECT event_type, bucket, CAST(rq AS DOUBLE) / 100.0 AS resid
+        |FROM q JOIN st ON event_type = et
+        |WHERE n * n * rq * rq > 9 * (n * srr - sr * sr)
+        |ORDER BY 1, 2""".stripMargin,
+    "agg_effect_size" ->
+      """WITH c AS (SELECT event_type,
+        |    user_id % 2 = 0 AS isa,
+        |    (CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      // 10000) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN isa THEN c ELSE 0 END) AS BIGINT) AS s1a,
+        |    CAST(sum(CASE WHEN NOT isa THEN c ELSE 0 END) AS BIGINT) AS s1b,
+        |    CAST(sum(CASE WHEN isa THEN c * c ELSE 0 END) AS BIGINT) AS s2a,
+        |    CAST(sum(CASE WHEN NOT isa THEN c * c ELSE 0 END) AS BIGINT) AS s2b
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, na, nb,
+        |  round((CAST(s1a AS DOUBLE) / na - CAST(s1b AS DOUBLE) / nb)
+        |    / NULLIF(sqrt((
+        |        (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / na)
+        |        + (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / nb))
+        |      / CAST(na + nb - 2 AS DOUBLE)), 0), 6) AS cohens_d
+        |FROM g ORDER BY event_type""".stripMargin,
     "win_seasonal_decompose" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
