@@ -1165,59 +1165,26 @@ object SparkEntry {
     val edges = Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id",
         "embedding", 3)
       .select(col("qid").as("src"), col("nid").as("dst"))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val e = edges.join(deg, "src").localCheckpoint()
-    val nodes = T(s, dir, "embeddings").select(col("vec_id")).localCheckpoint()
-    var pr = nodes.withColumn("pr", lit(1000000L))
-    for (k <- 1 to 10) {
-      val inflow = e.join(pr, e("src") === pr("vec_id"))
-        .select(col("dst"), expr("pr div deg").as("contrib"))
-        .groupBy("dst").agg(sum(col("contrib")).as("inflow"))
-      pr = nodes.join(inflow, nodes("vec_id") === inflow("dst"), "left_outer")
-        .select(nodes("vec_id"),
-          (lit(150000L) + expr("(850 * coalesce(inflow, 0L)) div 1000"))
-            .as("pr"))
-      // lineage-truncate every OTHER round: a 2-deep join chain analyzes
-      // fine, and halving the materialization jobs halves the overhead
-      if (k % 2 == 0 || k == 10) pr = pr.localCheckpoint()
-    }
-    pr.orderBy("vec_id")
+    val nodes = T(s, dir, "embeddings").select(col("vec_id").as("id"))
+    graft.ops.Graph.pagerank(edges, nodes, rounds = 10)
+      .select(col("id").as("vec_id"), col("pr"))
+      .orderBy("vec_id")
   }
 
   /** TRIANGLE counting + local clustering coefficient over the kNN
-    * similarity graph — the second graph-analytics op beside PageRank
-    * (community tightness per node; the MapReduce triangle-enumeration
-    * classic): symmetrize to ordered (a<b) edges once, enumerate each
-    * triangle exactly once via the a<b<c join chain, credit all three
-    * corners, c_v = 2·T_v/(deg_v·(deg_v−1)) as ONE mirrored division.
-    * All-integer until that division; joins are keyed and bounded by
-    * |E| (k·|V| — the kNN bound, never corpus-quadratic). Nodes the LSH
-    * left edgeless are absent by contract (degree-0 has no coefficient).
+    * similarity graph ([[graft.ops.Graph.triangles]]) — community
+    * tightness per node, the MapReduce triangle-enumeration classic;
+    * joins keyed and bounded by k·|V|, all-integer until the one
+    * mirrored coefficient division. Nodes the LSH left edgeless are
+    * absent by contract (degree-0 has no coefficient).
     */
   private def q_graph_triangles(s: SparkSession, dir: String): DataFrame = {
     val edges = Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id",
         "embedding", 3)
-      .select(least(col("qid"), col("nid")).as("a"),
-        greatest(col("qid"), col("nid")).as("b"))
-      .distinct().localCheckpoint()
-    val deg = edges.select(col("a").as("v"))
-      .unionByName(edges.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
-    val tri = edges.as("e1")
-      .join(edges.as("e2"), col("e2.a") === col("e1.b"))
-      .join(edges.as("e3"),
-        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-    val cr = tri.select(col("x").as("v"))
-      .unionByName(tri.select(col("y").as("v")))
-      .unionByName(tri.select(col("z").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("triangles"))
-    deg.join(cr, Seq("v"), "left_outer")
-      .select(col("v").as("vec_id"), col("deg"),
-        coalesce(col("triangles"), lit(0L)).as("triangles"),
-        round(lit(2.0) * coalesce(col("triangles"), lit(0L)).cast("double")
-          / nullif((col("deg") * (col("deg") - 1)).cast("double"), lit(0.0)), 6)
-          .as("clustering"))
+      .select(col("qid").as("src"), col("nid").as("dst"))
+    graft.ops.Graph.triangles(edges)
+      .select(col("v").as("vec_id"), col("deg"), col("triangles"),
+        col("clustering"))
       .orderBy("vec_id")
   }
 
