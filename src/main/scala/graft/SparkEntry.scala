@@ -3143,6 +3143,36 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** JSON SCHEMA-DRIFT monitor over the event payloads — the
+    * data-contract check run before trusting any semi-structured feed:
+    * per day, the distinct top-level key set of `props` and how many
+    * keys are NEW versus the previous day (a producer silently adding/
+    * renaming fields is the classic silent breakage). The fixture's
+    * payloads are single-key by construction, so the output here is the
+    * all-clear baseline; the machinery (key explode → day-distinct →
+    * prev-day anti-join) is what ships. All-integer counts + a sorted
+    * key-list string — no floats.
+    */
+  private def q_agg_schema_drift(s: SparkSession, dir: String): DataFrame = {
+    val keys = E(s, dir).filter(col("props").isNotNull)
+      .select(date_trunc("day", col("ts")).as("day"),
+        explode(json_object_keys(col("props"))).as("k"))
+      .distinct()
+    val perDay = keys.groupBy("day")
+      .agg(count(lit(1)).as("n_keys"),
+        array_join(sort_array(collect_set(col("k"))), ",").as("key_set"))
+    val newKeys = keys.as("cur")
+      .join(keys.as("prev"),
+        col("prev.day") === col("cur.day") - expr("INTERVAL 1 DAY") &&
+          col("prev.k") === col("cur.k"),
+        "left_anti")
+      .groupBy(col("day")).agg(count(lit(1)).as("new_keys"))
+    perDay.join(newKeys, Seq("day"), "left_outer")
+      .select(col("day"), col("n_keys"), col("key_set"),
+        coalesce(col("new_keys"), lit(0L)).as("new_keys"))
+      .orderBy("day")
+  }
+
   /** SEASONAL-RESIDUAL OUTLIERS — buckets whose decomposition residual
     * breaks 3σ of the stream's residual distribution (the "this hour
     * was anomalous EVEN ACCOUNTING for trend and seasonality" alert —
@@ -3447,7 +3477,46 @@ object SparkEntry {
     * UNROUNDED d² against χ²₂(0.99) = 9.21. One resample shuffle + a
     * broadcast 1-row stats frame; nothing scales past |buckets|.
     */
-  private def q_agg_mahalanobis(s: SparkSession, dir: String): DataFrame = {
+  /** CONSENSUS anomaly ensemble — the practitioner's move when no single
+    * detector is trusted: PCA reconstruction error, isolation-forest
+    * depth score, and Mahalanobis d² per hourly bucket, each
+    * z-standardized via broadcast global stats (deliberately NOT a rank
+    * window — ranking all buckets is a single-partition window, the
+    * PlanAudit scale-killer; standardization is one tiny agg), averaged,
+    * top-20 consensus buckets via TakeOrdered. Spark-only: two of the
+    * three components are non-SQL fits.
+    */
+  private def q_ml_anomaly_ensemble(s: SparkSession, dir: String): DataFrame = {
+    val tags = Seq("click", "view", "purchase")
+    val wide = Timeseries.align(E(s, dir), "ts", "event_type", "value",
+      tags, "1 hour").na.drop("any", tags)
+    val pca = graft.ml.PcaAnomaly.fit(wide, tags, k = 2).score(wide)
+      .select(col("bucket"), col("anomaly_score").as("s_pca"))
+    val forest = fittedModel(s"iforest/$dir") {
+      graft.ml.IsolationForest.fit(wide, tags, "bucket")
+    }.score(wide, "bucket")
+      .select(col("bucket"), col("anomaly_score").as("s_if"))
+    val maha = mahalanobisD2(s, dir).select(col("bucket"), col("d2").as("s_mh"))
+    val j = pca.join(forest, "bucket").join(maha, "bucket")
+    val st = j.agg(
+      avg(col("s_pca")).as("m1"), stddev_samp(col("s_pca")).as("d1"),
+      avg(col("s_if")).as("m2"), stddev_samp(col("s_if")).as("d2"),
+      avg(col("s_mh")).as("m3"), stddev_samp(col("s_mh")).as("d3"))
+    j.crossJoin(broadcast(st))
+      .select(col("bucket"),
+        (((col("s_pca") - col("m1")) / nullif(col("d1"), lit(0.0)) +
+          (col("s_if") - col("m2")) / nullif(col("d2"), lit(0.0)) +
+          (col("s_mh") - col("m3")) / nullif(col("d3"), lit(0.0))) / lit(3.0))
+          .as("consensus"),
+        round(col("s_pca"), 6).as("s_pca"), round(col("s_if"), 6).as("s_if"),
+        round(col("s_mh"), 6).as("s_mh"))
+      .orderBy(col("consensus").desc, col("bucket")).limit(20)
+      .withColumn("consensus", round(col("consensus"), 6))
+  }
+
+  /** The (bucket, x, y, d2) Mahalanobis frame shared by the oracle-
+    * checked query and the ensemble. */
+  private def mahalanobisD2(s: SparkSession, dir: String): DataFrame = {
     val wide = hourlyCentsWide(s, dir)
       .select(col("bucket"), col("c_click").as("x"), col("c_view").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
@@ -3470,6 +3539,9 @@ object SparkEntry {
         when(d2u > 9.21, 1).otherwise(0).as("outlier"))
       .orderBy("bucket")
   }
+
+  private def q_agg_mahalanobis(s: SparkSession, dir: String): DataFrame =
+    mahalanobisD2(s, dir)
 
   /** Streaming AS-OF enrichment in batch replay
     * ([[graft.streaming.Streams.asofOnline]]): clicks joined to the
@@ -4660,6 +4732,7 @@ object SparkEntry {
     "ml_pca_anomaly" -> (q_ml_pca_anomaly _),
     "ml_isolation_forest" -> (q_ml_isolation_forest _),
     "ml_adaboost" -> (q_ml_adaboost _),
+    "ml_anomaly_ensemble" -> (q_ml_anomaly_ensemble _),
     "ml_autoencoder" -> (q_ml_autoencoder _),
     "ml_autoencoder_sgd" -> (q_ml_autoencoder_sgd _),
     "ml_autoencoder_seq" -> (q_ml_autoencoder_seq _),
@@ -4673,6 +4746,7 @@ object SparkEntry {
     "sink_upsert" -> (q_sink_upsert _),
     "win_seasonal_decompose" -> (q_win_seasonal_decompose _),
     "win_seasonal_outliers" -> (q_win_seasonal_outliers _),
+    "agg_schema_drift" -> (q_agg_schema_drift _),
     "agg_effect_size" -> (q_agg_effect_size _),
     "agg_seasonal_strength" -> (q_agg_seasonal_strength _),
     "search_bm25" -> (q_search_bm25 _),
@@ -6577,6 +6651,23 @@ object SparkEntry {
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // fixed-point micro-unit mirror (see q_win_seasonal_decompose): every
     // output is one exact integer / the same exact small doubles
+    "agg_schema_drift" ->
+      """WITH keys AS (SELECT DISTINCT
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    unnest(json_keys(props)) AS k
+        |  FROM events WHERE props IS NOT NULL),
+        |pd AS (SELECT day, count(*) AS n_keys,
+        |    string_agg(k, ',' ORDER BY k) AS key_set
+        |  FROM keys GROUP BY 1),
+        |nk AS (SELECT cur.day, count(*) AS new_keys
+        |  FROM keys cur
+        |  WHERE NOT EXISTS (SELECT 1 FROM keys prev
+        |    WHERE prev.day = cur.day - INTERVAL 1 DAY AND prev.k = cur.k)
+        |  GROUP BY 1)
+        |SELECT pd.day, n_keys, key_set,
+        |  COALESCE(nk.new_keys, 0) AS new_keys
+        |FROM pd LEFT JOIN nk ON nk.day = pd.day
+        |ORDER BY pd.day""".stripMargin,
     "win_seasonal_outliers" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
