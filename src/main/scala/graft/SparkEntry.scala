@@ -1653,12 +1653,25 @@ object SparkEntry {
     * one mirrored division.
     */
   private def q_text_novelty(s: SparkSession, dir: String): DataFrame = {
+    // shingles shuffle as md5-derived BIGINT keys, never as strings —
+    // the ids-only-shuffle discipline (trigram volume is ~10× the
+    // 5-gram queries'; string keys made this a 7 s outlier)
+    // words materialize as a column FIRST: a split passed straight into
+    // the shingle lambda re-evaluates the regex per element access
     val sh = T(s, dir, "documents")
+      .select(col("doc_id"), Dedup.words(col("text")).as("ws"))
       .select(col("doc_id"),
-        explode(Dedup.shingles(Dedup.words(col("text")), 3)).as("sh"))
+        explode(Dedup.shingles(col("ws"), 3)).as("sh"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
       .distinct()
-    val df = sh.groupBy("sh").agg(count_distinct(col("doc_id")).as("df"))
-    sh.join(df, "sh")
+      // materialized once: it feeds BOTH the df count and the join back
+      // (the ngram/containment exchange-reuse lesson), and the rows are
+      // already distinct so the df is a PLAIN count — no distinct-agg
+      // expand pass
+      .localCheckpoint()
+    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    sh.join(df, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
@@ -6445,12 +6458,13 @@ object SparkEntry {
         |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
         |    i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sh
         |  FROM w WHERE len(ws) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
-        |df AS (SELECT sh, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    CAST(('0x'||substr(md5(sh), 1, 15)) AS BIGINT) AS h FROM sh0),
+        |df AS (SELECT h, count(*) AS df FROM sh GROUP BY 1),
         |g AS (SELECT doc_id, count(*) AS n_shingles,
         |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |      AS n_unique
-        |  FROM sh JOIN df USING (sh) GROUP BY 1)
+        |  FROM sh JOIN df USING (h) GROUP BY 1)
         |SELECT doc_id, n_shingles, n_unique,
         |  round(CAST(n_unique AS DOUBLE) / n_shingles, 6) AS novelty
         |FROM g ORDER BY doc_id""".stripMargin,
