@@ -3156,6 +3156,39 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** SESSION-LEVEL statistics — the layer above sessionization every
+    * product dashboard wants (how long, how deep): per-stream-free
+    * corpus stats over the 30-minute-gap sessions — session counts,
+    * exact median/p90 of events-per-session, and of ACTIVE duration
+    * (last − first event, exact epoch-µs; single-event sessions are 0).
+    * Same lag+cumsum island SQL as stream_session's oracle; percentiles
+    * exact (the threshold_pctl discipline); one (user)-keyed window +
+    * one session hash-agg + one tiny final agg.
+    */
+  private def q_agg_session_stats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us")
+    val ev = E(s, dir)
+      .select(col("user_id"),
+        graft.sources.Events.epochMicros(col("ts")).as("us"))
+    val marked = ev
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          col("us") - col("prev") >= 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = marked.groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("dur_us"))
+    sessions.agg(count(lit(1)).as("n_sessions"),
+        count_distinct(col("user_id")).as("n_users"),
+        round(expr("percentile(n_events, 0.5)"), 6).as("median_events"),
+        round(expr("percentile(n_events, 0.9)"), 6).as("p90_events"),
+        round(expr("percentile(dur_us, 0.5)"), 6).as("median_dur_us"),
+        round(expr("percentile(dur_us, 0.9)"), 6).as("p90_dur_us"))
+  }
+
   /** JSON SCHEMA-DRIFT monitor over the event payloads — the
     * data-contract check run before trusting any semi-structured feed:
     * per day, the distinct top-level key set of `props` and how many
@@ -4760,6 +4793,7 @@ object SparkEntry {
     "win_seasonal_decompose" -> (q_win_seasonal_decompose _),
     "win_seasonal_outliers" -> (q_win_seasonal_outliers _),
     "agg_schema_drift" -> (q_agg_schema_drift _),
+    "agg_session_stats" -> (q_agg_session_stats _),
     "agg_effect_size" -> (q_agg_effect_size _),
     "agg_seasonal_strength" -> (q_agg_seasonal_strength _),
     "search_bm25" -> (q_search_bm25 _),
@@ -6665,6 +6699,27 @@ object SparkEntry {
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // fixed-point micro-unit mirror (see q_win_seasonal_decompose): every
     // output is one exact integer / the same exact small doubles
+    "agg_session_stats" ->
+      """WITH o AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |m AS (SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w >= 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT user_id, us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m),
+        |g AS (SELECT user_id, sid, count(*) AS n_events,
+        |    max(us) - min(us) AS dur_us FROM s GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(quantile_cont(n_events, 0.5), 6) AS median_events,
+        |  round(quantile_cont(n_events, 0.9), 6) AS p90_events,
+        |  round(quantile_cont(dur_us, 0.5), 6) AS median_dur_us,
+        |  round(quantile_cont(dur_us, 0.9), 6) AS p90_dur_us
+        |FROM g""".stripMargin,
     "agg_schema_drift" ->
       """WITH keys AS (SELECT DISTINCT
         |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
