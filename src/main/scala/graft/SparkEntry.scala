@@ -3799,6 +3799,26 @@ object SparkEntry {
         (expr("s_micro div n").cast("double") / lit(1000000.0)).as("mean_v"))
       .orderBy("event_type", "dow", "hod")
 
+  /** PERCENT-RANK transform per stream — the rank-normalization
+    * feature-engineering staple (maps any value distribution to [0,1]
+    * uniformly, robust to outliers where min-max scaling is not): SQL
+    * `percent_rank` over the stream-keyed order on exact cents.
+    * Tie-safe by construction: tied values share a rank, so the output
+    * is independent of within-tie order (no id tie-break needed —
+    * unlike row_number transforms). One keyed window; round(6) because
+    * (rank−1)/(n−1) is one division — identical, but defensive.
+    */
+  private def q_win_percent_rank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = expr(
+      "cast(cast(value as decimal(18,6)) * 1000000 as bigint) div 10000")
+    E(s, dir).filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), cents.as("c"))
+      .withColumn("pr", round(percent_rank().over(
+        Window.partitionBy("event_type").orderBy("c")), 6))
+      .orderBy("event_id")
+  }
+
   /** RSI-14 per stream (Wilder's relative strength index, simple-average
     * form over the hourly cents series): gains/losses are exact integer
     * lag differences, trailing-14 sums exact BIGINTs (full windows
@@ -4827,6 +4847,7 @@ object SparkEntry {
     "simsearch_recall_audit" -> (q_simsearch_recall_audit _),
     "stream_sliding" -> (q_stream_sliding _),
     "win_rsi" -> (q_win_rsi _),
+    "win_percent_rank" -> (q_win_percent_rank _),
     "win_peaks" -> (q_win_peaks _),
     "agg_hod_profile" -> (q_agg_hod_profile _),
     "win_log_return" -> (q_win_log_return _),
@@ -6996,6 +7017,15 @@ object SparkEntry {
         |    // count(*) AS DOUBLE) / 1000000.0 AS mean_v
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "win_percent_rank" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    (CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      // 10000) AS c
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_id, event_type, c,
+        |  round(percent_rank() OVER (PARTITION BY event_type ORDER BY c), 6)
+        |    AS pr
+        |FROM e ORDER BY event_id""".stripMargin,
     "win_rsi" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
