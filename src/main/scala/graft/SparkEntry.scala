@@ -2973,6 +2973,43 @@ object SparkEntry {
     * engines' pandas bridges, hashing "2.0" vs "2" — the round-2 repr
     * class; the operator itself keeps NULL-means-open semantics).
     */
+  /** TEMPORAL DIMENSION JOIN — the data-warehouse classic the SCD2 sink
+    * exists to serve: each fact row joins the dimension VERSION valid at
+    * its event time (`valid_from ≤ ts < valid_to`), never the current
+    * one. The versioned dimension derives from the data itself (per-user
+    * modal event type per month half — deterministic argmax, count-desc
+    * + type tie-break), facts join on (user, interval predicate), and
+    * the output rolls up joined facts per (segment, version). All
+    * integer epoch-µs bounds; the dimension frame is |users|-sized
+    * (broadcast class).
+    */
+  private def q_join_scd2_asof(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val splitUs = 1705363200000000L // 2024-01-16T00:00:00Z
+    val ev = E(s, dir).select(col("user_id"),
+      graft.sources.Events.epochMicros(col("ts")).as("us"),
+      col("event_type"))
+    def modal(df: DataFrame): DataFrame = df
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("n").desc, col("event_type"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("seg"))
+    val dim = modal(ev.filter(col("us") < splitUs))
+      .withColumn("version", lit(1L))
+      .withColumn("vfrom", lit(0L)).withColumn("vto", lit(splitUs))
+      .unionByName(modal(ev.filter(col("us") >= splitUs))
+        .withColumn("version", lit(2L))
+        .withColumn("vfrom", lit(splitUs))
+        .withColumn("vto", lit(Long.MaxValue)))
+    ev.join(broadcast(dim), Seq("user_id"))
+      .filter(col("us") >= col("vfrom") && col("us") < col("vto"))
+      .groupBy("seg", "version")
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy("version", "seg")
+  }
+
   private def q_sink_scd2(s: SparkSession, dir: String): DataFrame = {
     val cust = T(s, dir, "customer")
       .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
@@ -4769,6 +4806,7 @@ object SparkEntry {
     "agg_retention" -> (q_agg_retention _),
     "sample_temperature" -> (q_sample_temperature _),
     "sink_scd2" -> (q_sink_scd2 _),
+    "join_scd2_asof" -> (q_join_scd2_asof _),
     "sink_time_travel" -> (q_sink_time_travel _),
     "scan_jsonl_corrupt" -> (q_scan_jsonl_corrupt _),
     "scan_jsonl_gz" -> (q_scan_jsonl_gz _),
@@ -5861,6 +5899,30 @@ object SparkEntry {
         |         FROM events WHERE event_id % 101 = 0)
         |SELECT * FROM orig UNION ALL SELECT * FROM late
         |ORDER BY event_type""".stripMargin,
+    "join_scd2_asof" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+        |va AS (SELECT user_id, event_type AS seg FROM (
+        |    SELECT user_id, event_type, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn
+        |    FROM e WHERE us < 1705363200000000 GROUP BY 1, 2)
+        |  WHERE rn = 1),
+        |vb AS (SELECT user_id, event_type AS seg FROM (
+        |    SELECT user_id, event_type, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn
+        |    FROM e WHERE us >= 1705363200000000 GROUP BY 1, 2)
+        |  WHERE rn = 1),
+        |dim AS (
+        |  SELECT user_id, seg, 1 AS version,
+        |    0 AS vfrom, 1705363200000000 AS vto FROM va
+        |  UNION ALL
+        |  SELECT user_id, seg, 2, 1705363200000000,
+        |    9223372036854775807 FROM vb)
+        |SELECT seg, CAST(version AS BIGINT) AS version,
+        |  count(*) AS n_events, count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN dim ON e.user_id = dim.user_id
+        |  AND us >= vfrom AND us < vto
+        |GROUP BY 1, 2 ORDER BY version, seg""".stripMargin,
     "sink_scd2" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment, 1 AS v_from,
         |  CASE WHEN c_custkey % 9 = 4 THEN 2 ELSE 0 END AS v_to
