@@ -3068,6 +3068,43 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** MULTILINE JSON ingest — the "one big JSON array" file shape APIs
+    * export (vs JSONL's record-per-line): documents materialized once as
+    * 16 pretty-printed JSON ARRAY files (registry-gated), read back with
+    * `multiLine=true`, aggregated against the parquet ground truth. THE
+    * scale note this query carries: multiLine JSON is whole-file-parsed
+    * — one task per file and the full file in memory (worse than gzip's
+    * stream decode); a 100 TB feed must be converted to JSONL at the
+    * edge or landed as many bounded files, exactly as materialized here.
+    */
+  private def q_scan_json_multiline(s: SparkSession, dir: String): DataFrame = {
+    val root = fittedModel(s"jsonml|$dir") {
+      val out = s"$registryRoot/jsonml_${registryKey(
+        s"jsonml-v1|$dir|${tableFingerprint(s, s"$dir/documents.parquet")}")}"
+      val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        T(s, dir, "documents")
+          .repartition(16)
+          .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))).as("j"))
+          .mapPartitions { rows =>
+            // one JSON ARRAY document per partition file
+            Iterator(rows.map(_.getString(0)).mkString("[\n", ",\n", "\n]"))
+          }(org.apache.spark.sql.Encoders.STRING)
+          .write.mode("overwrite").text(out)
+      }
+      out
+    }
+    s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(jsonlSchema))
+      .option("multiLine", "true")
+      .json(root)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy("source")
+  }
+
   /** GZIP-compressed text ingest — the crawl-archive reality (WET/WARC
     * dumps, log shipping): documents materialized once as gzip JSONL
     * (registry-gated), read BACK through the codec, aggregated against
@@ -4810,6 +4847,7 @@ object SparkEntry {
     "sink_time_travel" -> (q_sink_time_travel _),
     "scan_jsonl_corrupt" -> (q_scan_jsonl_corrupt _),
     "scan_jsonl_gz" -> (q_scan_jsonl_gz _),
+    "scan_json_multiline" -> (q_scan_json_multiline _),
     "agg_active_users" -> (q_agg_active_users _),
     "agg_ab_ttest" -> (q_agg_ab_ttest _),
     "agg_gap_detect" -> (q_agg_gap_detect _),
@@ -5936,6 +5974,10 @@ object SparkEntry {
         |ORDER BY c_custkey, v_from""".stripMargin,
     // ground truth of WHICH lines were corrupted lives in the parquet
     // table; the PERMISSIVE read must reconcile exactly
+    "scan_json_multiline" ->
+      """SELECT source, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "scan_jsonl_gz" ->
       """SELECT lang, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
