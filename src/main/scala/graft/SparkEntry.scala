@@ -3230,6 +3230,64 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** BASKET LIFT between event types within sessions — the
+    * association-rules primitive ("sessions with X also contain Y more
+    * often than chance"): lift(A,B) = P(A∧B)/(P(A)·P(B)) over the
+    * 30-minute-gap sessions, for every ordered type pair. Session
+    * presence via conditional max aggregation (ONE pass over the
+    * session frame — never a pair self-join); all counts exact
+    * integers, lift = one mirrored IEEE expression ((nab·S)·S is NOT
+    * formed — the association is (nab·S)/(na·nb) with the product kept
+    * in BIGINTs ≪ 2⁵³); output |types|² rows.
+    */
+  private def q_agg_basket_lift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val w = Window.partitionBy("user_id").orderBy("us")
+    val sess = E(s, dir)
+      .select(col("user_id"), col("event_type"),
+        graft.sources.Events.epochMicros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          col("us") - col("prev") >= 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(types.map(t =>
+        max(when(col("event_type") === t, 1L).otherwise(0L)).as(s"has_$t")).head,
+        types.tail.map(t =>
+          max(when(col("event_type") === t, 1L).otherwise(0L)).as(s"has_$t")): _*)
+    val aggs = count(lit(1)).as("n_sessions") +:
+      (types.map(t => sum(col(s"has_$t")).as(s"n_$t")) ++
+        (for { a <- types; b <- types if a != b }
+          yield sum(col(s"has_$a") * col(s"has_$b")).as(s"n_${a}_$b")))
+    val g = sess.agg(aggs.head, aggs.tail: _*)
+    val rows = for { a <- types; b <- types if a != b } yield
+      g.select(lit(a).as("type_a"), lit(b).as("type_b"),
+        col(s"n_${a}_$b").as("n_both"),
+        round((col(s"n_${a}_$b") * col("n_sessions")).cast("double") /
+          nullif((col(s"n_$a") * col(s"n_$b")).cast("double"), lit(0.0)), 6)
+          .as("lift"))
+    rows.reduce(_ unionByName _).orderBy("type_a", "type_b")
+  }
+
+  /** Deterministic TRAIN/VAL/TEST split — the ML-pipeline staple with
+    * the repo's RNG-free discipline: md5-bucket of doc_id → 80/10/10
+    * split labels, reproducible across runs/engines/layouts and STABLE
+    * under corpus growth (a doc's split never changes as others arrive
+    * — the property `randomSplit` lacks). Output: per-(split, lang)
+    * counts — the stratification audit.
+    */
+  private def q_sample_split(s: SparkSession, dir: String): DataFrame = {
+    val b = graft.ops.Sampling.hashBucket(col("doc_id"))
+    T(s, dir, "documents")
+      .withColumn("split",
+        when(b < 800000L, "train").when(b < 900000L, "val").otherwise("test"))
+      .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+      .orderBy("split", "lang")
+  }
+
   /** SESSION-LEVEL statistics — the layer above sessionization every
     * product dashboard wants (how long, how deep): per-stream-free
     * corpus stats over the 30-minute-gap sessions — session counts,
@@ -4890,6 +4948,8 @@ object SparkEntry {
     "win_seasonal_outliers" -> (q_win_seasonal_outliers _),
     "agg_schema_drift" -> (q_agg_schema_drift _),
     "agg_session_stats" -> (q_agg_session_stats _),
+    "agg_basket_lift" -> (q_agg_basket_lift _),
+    "sample_split" -> (q_sample_split _),
     "agg_effect_size" -> (q_agg_effect_size _),
     "agg_seasonal_strength" -> (q_agg_seasonal_strength _),
     "search_bm25" -> (q_search_bm25 _),
@@ -5145,6 +5205,46 @@ object SparkEntry {
        |    ORDER BY pi DESC, seg) AS rn FROM p8)
        |SELECT doc_id, seg AS top_segment, CAST(pi AS BIGINT) AS pi
        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Basket-lift oracle: session islands, one conditional-max presence
+    * pass, the identical lift algebra generated over the same pair list.
+    */
+  private def basketLiftOracle: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val hasCols = types.map(t =>
+      s"max(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS has_$t")
+      .mkString(",\n|    ")
+    val sums = (types.map(t =>
+      s"CAST(sum(has_$t) AS BIGINT) AS n_$t") ++
+      (for { a <- types; b <- types if a != b }
+        yield s"CAST(sum(has_$a * has_$b) AS BIGINT) AS n_${a}_$b"))
+      .mkString(",\n|    ")
+    val selects = (for { a <- types; b <- types if a != b } yield
+      s"""SELECT '$a' AS type_a, '$b' AS type_b, n_${a}_$b AS n_both,
+         |  round(CAST(n_${a}_$b * n_sessions AS DOUBLE)
+         |    / NULLIF(CAST(n_$a * n_$b AS DOUBLE), 0), 6) AS lift
+         |FROM g""").mkString("\n|UNION ALL\n|")
+    s"""WITH o AS (SELECT user_id, event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+       |m AS (SELECT user_id, event_type, us,
+       |    CASE WHEN lag(us) OVER w IS NULL
+       |         OR us - lag(us) OVER w >= 1800000000
+       |    THEN 1 ELSE 0 END AS new_s
+       |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+       |s AS (SELECT user_id, event_type,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM m),
+       |sess AS (SELECT user_id, sid,
+       |    $hasCols
+       |  FROM s GROUP BY 1, 2),
+       |g AS (SELECT count(*) AS n_sessions,
+       |    $sums
+       |  FROM sess)
+       |SELECT * FROM (
+       |$selects
+       |) ORDER BY type_a, type_b""".stripMargin
   }
 
   /** Stationary-distribution oracle: the transitions lag CTE, then 12
@@ -5857,6 +5957,7 @@ object SparkEntry {
         |ORDER BY tag, gap_start_hb""".stripMargin,
     "agg_transitions" -> transitionsOracleSql,
     "agg_markov_stationary" -> markovStationaryOracle,
+    "agg_basket_lift" -> basketLiftOracle,
     "text_textrank" -> textrankOracle,
     // ordered replay of the stateful feed ≡ the batch lag window
     "stream_transitions" -> transitionsOracleSql,
@@ -6392,6 +6493,15 @@ object SparkEntry {
         |WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000
         |  < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 1000000 ELSE 250000 END
         |ORDER BY doc_id""".stripMargin,
+    "sample_split" ->
+      """SELECT CASE
+        |    WHEN CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))
+        |      AS BIGINT) % 1000000 < 800000 THEN 'train'
+        |    WHEN CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))
+        |      AS BIGINT) % 1000000 < 900000 THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  lang, count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000000
