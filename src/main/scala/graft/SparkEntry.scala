@@ -75,16 +75,26 @@ object SparkEntry {
       // any other cwd would otherwise resolve a fresh empty registry
       // every run, silently re-paying every one-time fit (measured: r7
       // driver cold_total 164.5 s vs 112.4 s with the registry warm).
-      // Code source is .../target/scala-2.13/classes (or a jar inside
-      // target/), so walking up to the `target` component lands on the
-      // same physical dir regardless of launch cwd.
+      // Code source is .../target/scala-2.13/classes for tests, but sbt
+      // `runMain` executes a packaged jar at
+      // .../target/bg-jobs/sbt_<id>/job-1/target/<hash>/<hash>/x.jar —
+      // an EPHEMERAL per-invocation dir that itself contains a `target`
+      // component. Walking up to the FIRST `target` ancestor therefore
+      // resolved a fresh empty registry on every runMain, silently
+      // re-paying every one-time fit each round (the r7→r8 cold_total
+      // mystery: artifacts landed in bg-jobs dirs and were never reused).
+      // Take the TOPMOST `target` ancestor — the build's own target dir,
+      // stable across invocations and shared with the test classpath.
       try {
         val loc = SparkEntry.getClass.getProtectionDomain.getCodeSource.getLocation
         var cur = java.nio.file.Paths.get(loc.toURI)
-        while (cur != null && (cur.getFileName == null ||
-            cur.getFileName.toString != "target"))
+        var top: java.nio.file.Path = null
+        while (cur != null) {
+          if (cur.getFileName != null && cur.getFileName.toString == "target")
+            top = cur
           cur = cur.getParent
-        if (cur != null) cur.resolve("graft-registry").toString
+        }
+        if (top != null) top.resolve("graft-registry").toString
         else new java.io.File("target/graft-registry").getAbsolutePath
       } catch { case _: Exception =>
         new java.io.File("target/graft-registry").getAbsolutePath }
@@ -2702,6 +2712,41 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** Spark-only: TRUE BPTT recurrent sequence autoencoder (the faithful
+    * KerasLSTMAutoEncoder slot, closing SURVEY §7.4 item 9) — a GRU
+    * encoder walks each hour's trailing lb=4 window step by step, its
+    * final state is the code, a zero-input GRU decoder unrolls it back
+    * against the reversed window (Srivastava et al. 2015's seq2seq-AE),
+    * and EVERY weight trains by full backpropagation through time via
+    * [[graft.ml.AutoEncoderSGD]]'s distributed-gradient shape (partition-
+    * ordered merge, driver Adam, restore-best). The BPTT gradients are
+    * finite-difference-verified to 1e-6 relative (RnnAutoEncoderSpec).
+    * Fit-once per process (seeded + deterministic); scoring is one
+    * forward pass per independent window in mapPartitions — the genuine-
+    * recurrence escape hatch, embarrassingly parallel at any width.
+    * Non-SQL: the iterative descent and the recurrent forward pass.
+    */
+  private def q_ml_rnn_autoencoder(s: SparkSession, dir: String): DataFrame = {
+    val tags = Seq("click", "view", "purchase")
+    val wide = Timeseries.align(E(s, dir), "ts", "event_type", "value",
+      tags, "1 hour")
+      .na.drop("any", tags)
+    // epochs=25: each epoch is one job over the small embedded series;
+    // the restore-best guard makes more epochs refinement, not risk.
+    // Persisted via the fingerprinted registry (the simsearch_ivf
+    // discipline) so a cold process pays a file read, not 25 jobs.
+    val fp = tableFingerprint(s, s"$dir/events.parquet")
+    val key = registryKey(s"gruae-v1|$dir|$fp|lb=4|h=8|ep=25|seed=42")
+    val model = fittedModel(s"gruae|$dir") {
+      graft.ml.RnnAutoEncoder.fitOrLoad(s"$registryRoot/gruae_$key.txt",
+        wide, tags, lb = 4, orderCol = "bucket", hidden = 8, epochs = 25)
+    }
+    model.score(wide)
+      .select(col("bucket"), round(col("anomaly_score"), 6).as("anomaly_score"),
+        col("anomalous"))
+      .orderBy("bucket")
+  }
+
   /** Spark-only: trainable one-step-ahead AR forecast per tag (the
     * KerasLSTMForecast analogue) — per-tag univariate models on the keyed
     * long format, scored with |y − ŷ| per bucket. Windows partition by
@@ -4936,6 +4981,7 @@ object SparkEntry {
     "ml_autoencoder" -> (q_ml_autoencoder _),
     "ml_autoencoder_sgd" -> (q_ml_autoencoder_sgd _),
     "ml_autoencoder_seq" -> (q_ml_autoencoder_seq _),
+    "ml_rnn_autoencoder" -> (q_ml_rnn_autoencoder _),
     "ml_ar_forecast" -> (q_ml_ar_forecast _),
     "esn_forecast" -> (q_esn_forecast _),
     "multimodal_features" -> (q_multimodal_features _),
