@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.multimodal.Multimodal
-import graft.ops.{AnomalyMath, Dedup, Filters, Scalers, Similarity, Skew, TextAnalysis, Timeseries}
+import graft.ops.{AnomalyMath, Calibration, Dedup, Filters, Linkage, Scalers, Similarity, Skew, Survival, TextAnalysis, Timeseries}
+import graft.expressions.{CountMinEstimates, DtwDistance}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with DuckDB `oracleSql` unless non-SQL-expressible.
@@ -4830,7 +4831,177 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // The contract maps
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // Round 9: record linkage, survival analysis, runtime join pruning,
+  // robust winsorization, CM-sketch frequency, isotonic calibration,
+  // DTW profile similarity, audio zero-crossing features
+  // ---------------------------------------------------------------------
+
+  /** Jaro-Winkler entity resolution over part names, blocked by the noun
+    * token. Scoring runs on the DISTINCT-name vocabulary (Zipfian:
+    * corpus-size-independent), pairs form only within a block, and the
+    * similarity is a native codegen expression pinned bit-identical to
+    * the oracle engine's `jaro_winkler_similarity` (30k-pair fuzz) —
+    * record linkage's standard candidate-generation shape, generalizing
+    * join_fuzzy's edit distance to the census-bureau metric.
+    */
+  private def q_join_entity_jw(s: SparkSession, dir: String): DataFrame =
+    Linkage.jwPairs(T(s, dir, "part"), "p_name",
+        element_at(split(col("name"), " "), 2), minSim = 0.8)
+      .orderBy("name_a", "name_b")
+
+  /** Kaplan-Meier survival over user lifetimes with right-censoring at
+    * a 24-hour activity horizon — the product-limit estimator cohort
+    * retention approximates. All post-groupBy algebra runs on the
+    * distinct-duration frame (bounded by study length in days), so the
+    * ordered windows cost nothing at corpus scale.
+    */
+  private def q_agg_kaplan_meier(s: SparkSession, dir: String): DataFrame =
+    Survival.kaplanMeier(E(s, dir), "user_id", "ts", censorHours = 24)
+      .orderBy("dur_days")
+
+  /** Runtime bloom-filter join pruning — Spark's own
+    * `BloomFilterAggregate`/`BloomFilterMightContain` machinery, driven
+    * explicitly: the filtered dim side aggregates into ONE bloom filter
+    * (model-sized driver state), the fact side prefilters on
+    * `might_contain(xxhash64(key))` BEFORE the join shuffle, then the
+    * exact join runs on the survivors. No false negatives → result ≡
+    * the plain join (the oracle); at 100 TB the prefilter cuts the fact
+    * shuffle to ~the matching fraction, which is the entire point of
+    * runtime filtering. The explicit form (vs AQE's injected filter)
+    * keeps the plan independent of size thresholds and session conf.
+    */
+  private def q_join_bloom_prune(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val B = org.apache.spark.sql.graft.Bridge
+    val dim = T(s, dir, "part").filter(col("p_brand") === "Brand#7")
+      .select("p_partkey", "p_brand", "p_type")
+    val bfAgg = B.column(new BloomFilterAggregate(
+      new XxHash64(Seq(B.expression(col("p_partkey")))),
+      Literal(100000L), Literal(8L * 1024 * 1024)).toAggregateExpression())
+    val bfBytes = dim.agg(bfAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val pruned = T(s, dir, "lineitem").filter(B.column(
+      BloomFilterMightContain(Literal.create(bfBytes,
+        org.apache.spark.sql.types.BinaryType),
+        new XxHash64(Seq(B.expression(col("l_partkey")))))))
+    pruned.join(dim, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(col("p_type"), col("n"), round(col("revenue"), 4).as("revenue"))
+      .orderBy("p_type")
+  }
+
+  /** Per-stream winsorization at [p05, p95] — the robust-stats
+    * pre-clamp before scaler fits. Exact interpolated percentiles per
+    * key (2 values/key: model-sized), broadcast back, pure column
+    * clamp: one shuffle for the percentiles, zero for the clamp.
+    */
+  private def q_win_winsorize(s: SparkSession, dir: String): DataFrame = {
+    val ev = E(s, dir).filter(col("value").isNotNull)
+    val pct = ev.groupBy("event_type").agg(
+      percentile(col("value"), lit(0.05)).as("p05"),
+      percentile(col("value"), lit(0.95)).as("p95"))
+    ev.join(broadcast(pct), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(least(greatest(col("value"), col("p05")), col("p95")), 6)
+          .as("value_w"))
+      .orderBy("event_id")
+  }
+
+  /** Count-Min point-frequency estimates beside exact counts — the
+    * sketch family's frequency member (with t-digest quantiles, HLL++
+    * cardinality, Misra-Gries heavy hitters): depth×width counters,
+    * splitmix-hashed, merge = elementwise add, so the shuffle moves one
+    * small buffer per partition and the estimate is deterministic under
+    * any partitioning. Spark-only (counter layout is engine-specific);
+    * CountMinSpec pins the one-sided-error guarantee vs exact counts.
+    */
+  private def q_agg_countmin(s: SparkSession, dir: String): DataFrame = {
+    val B = org.apache.spark.sql.graft.Bridge
+    val probes = (0 until 20).map(_.toString)
+    val keyed = E(s, dir).select(col("user_id").cast("string").as("k"))
+    val estRow = keyed.agg(B.column(CountMinEstimates(
+      B.expression(col("k")), probes, depth = 4, width = 256)
+      .toAggregateExpression()).as("est"))
+    val est = estRow.select(posexplode(col("est")).as(Seq("i", "est")))
+      .select(col("i").cast("string").as("k"), col("est"))
+    val exact = keyed.filter(col("k").isin(probes: _*))
+      .groupBy("k").agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("k"), "left")
+      .na.fill(0L, Seq("exact"))
+      .select(col("k").cast("int").as("user_id"), col("est"), col("exact"),
+        (col("est") >= col("exact")).as("one_sided"))
+      .orderBy("user_id")
+  }
+
+  /** Isotonic (PAVA) calibration of the en-stopword-ratio score into a
+    * monotone P(lang = en): one binned groupBy over the corpus (the
+    * sufficient statistics), pool-adjacent-violators on the driver over
+    * the 20-bin table. Spark-only: the iterative pooling is not SQL;
+    * CalibrationSpec pins monotonicity, weighted-mean preservation, and
+    * a hand-computed pooling.
+    */
+  private def q_ml_isotonic(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+    val scored = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")), "doc_id")
+    Calibration.isotonicBins(scored, "stopword_ratio", "is_en",
+        nBins = 20, lo = 0.0, hi = 1.0)
+      .orderBy("bin")
+  }
+
+  /** Dynamic-time-warping similarity between per-stream hourly profiles
+    * (Sakoe-Chiba banded DP as a native codegen expression). The
+    * corpus-scale stage is the profile groupBy; the DP runs once per
+    * stream pair over 24-point aggregates — profile-vocabulary-bounded,
+    * never raw-row-quadratic. Spark-only: the DP recurrence is not SQL;
+    * DtwSpec pins identity, symmetry, the banded hand case, and the
+    * phase-shift ranking DTW exists to get right.
+    */
+  private def q_agg_dtw_profiles(s: SparkSession, dir: String): DataFrame = {
+    val B = org.apache.spark.sql.graft.Bridge
+    def dtwCol(a: Column, b: Column): Column =
+      B.column(DtwDistance(B.expression(a), B.expression(b)))
+    val prof = E(s, dir).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), hour(col("ts")).as("h"))
+      .agg(avg("value").as("m"))
+      .groupBy("event_type")
+      .agg(transform(array_sort(collect_list(struct(col("h"), col("m")))),
+        x => x.getField("m")).as("profile"))
+    val a = prof.select(col("event_type").as("tag_a"), col("profile").as("pa"))
+    val b = prof.select(col("event_type").as("tag_b"), col("profile").as("pb"))
+    a.join(b, col("tag_a") < col("tag_b"))
+      .select(col("tag_a"), col("tag_b"),
+        round(dtwCol(col("pa"), col("pb")), 6).as("dtw"))
+      .orderBy("tag_a", "tag_b")
+  }
+
+  /** Audio zero-crossing-rate + RMS features through the REAL
+    * javax.sound decode leg on the digest-WAV corpus — the
+    * signal-analysis sibling of multimodal_wav_decode's moment stats,
+    * oracle-checked sample-exactly: the oracle re-derives the PCM
+    * payload from `md5()` and counts sign transitions with `lag`.
+    */
+  private def q_multimodal_audio_zcr(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromDigestWav(
+      T(s, dir, "documents").filter(col("text").isNotNull), "doc_id", "text")
+    graft.multimodal.Multimodal.wavZcrFeatures(media, "media_id", "bytes")
+      .select(col("media_id").as("doc_id"), col("n_samples"),
+        col("n_zero_cross"), col("rms"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_entity_jw" -> (q_join_entity_jw _),
+    "agg_kaplan_meier" -> (q_agg_kaplan_meier _),
+    "join_bloom_prune" -> (q_join_bloom_prune _),
+    "win_winsorize" -> (q_win_winsorize _),
+    "agg_countmin" -> (q_agg_countmin _),
+    "ml_isotonic" -> (q_ml_isotonic _),
+    "agg_dtw_profiles" -> (q_agg_dtw_profiles _),
+    "multimodal_audio_zcr" -> (q_multimodal_audio_zcr _),
     "scan_parquet" -> (q_scan_parquet _),
     "scan_random" -> (q_scan_random _),
     "sink_influx_lines" -> (q_sink_influx_lines _),
@@ -5586,6 +5757,69 @@ object SparkEntry {
        |FROM c JOIN v ON c.bucket = v.bucket ORDER BY bucket""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "join_entity_jw" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+        |p AS (SELECT a.name AS name_a, b.name AS name_b,
+        |    jaro_winkler_similarity(a.name, b.name) AS s
+        |  FROM n a JOIN n b
+        |    ON split_part(a.name, ' ', 2) = split_part(b.name, ' ', 2)
+        |    AND a.name < b.name)
+        |SELECT name_a, name_b, round(s, 6) AS jw FROM p
+        |WHERE s >= 0.8 ORDER BY name_a, name_b""".stripMargin,
+    "agg_kaplan_meier" ->
+      """WITH u AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS f,
+        |    max(CAST(ts AS TIMESTAMP)) AS l FROM events GROUP BY 1),
+        |mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS study_end FROM events),
+        |d AS (SELECT date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) AS dur_days,
+        |    CASE WHEN l < study_end - INTERVAL 24 HOUR THEN 1 ELSE 0 END AS died
+        |  FROM u, mx),
+        |g AS (SELECT dur_days, CAST(sum(died) AS BIGINT) AS n_events,
+        |    count(*) AS n_ending FROM d GROUP BY 1),
+        |r AS (SELECT dur_days, n_events,
+        |    CAST(sum(n_ending) OVER (ORDER BY dur_days DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+        |  FROM g)
+        |SELECT dur_days, n_risk, n_events,
+        |  round(exp(sum(ln(1.0 - CAST(n_events AS DOUBLE) / n_risk))
+        |    OVER (ORDER BY dur_days ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+        |FROM r WHERE n_events > 0 ORDER BY dur_days""".stripMargin,
+    "join_bloom_prune" ->
+      """SELECT p.p_type, count(*) AS n,
+        |  round(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand = 'Brand#7'
+        |GROUP BY 1 ORDER BY p.p_type""".stripMargin,
+    "win_winsorize" ->
+      """WITH p AS (SELECT event_type,
+        |    quantile_cont(value, 0.05) AS p05,
+        |    quantile_cont(value, 0.95) AS p95
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round(least(greatest(e.value, p.p05), p.p95), 6) AS value_w
+        |FROM events e JOIN p USING (event_type)
+        |WHERE e.value IS NOT NULL ORDER BY e.event_id""".stripMargin,
+    "multimodal_audio_zcr" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS hx FROM documents
+        |  WHERE text IS NOT NULL),
+        |i AS (SELECT unnest(range(0, 8)) AS i),
+        |u AS (SELECT doc_id, i,
+        |    CAST(('0x'||substr(hx, 4 * i + 1, 2)) AS BIGINT)
+        |      + 256 * CAST(('0x'||substr(hx, 4 * i + 3, 2)) AS BIGINT) AS uv
+        |  FROM d CROSS JOIN i),
+        |sv AS (SELECT doc_id, i,
+        |    CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS s
+        |  FROM u),
+        |f AS (SELECT doc_id, i, s,
+        |    CASE WHEN i > 0 AND (s >= 0) <>
+        |      (lag(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+        |      THEN 1 ELSE 0 END AS zc
+        |  FROM sv)
+        |SELECT doc_id, count(*) AS n_samples,
+        |  CAST(sum(zc) AS BIGINT) AS n_zero_cross,
+        |  round(sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)), 6) AS rms
+        |FROM f GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "scan_parquet" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,

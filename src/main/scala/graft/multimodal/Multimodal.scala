@@ -242,6 +242,43 @@ object Multimodal {
     }(enc)
   }
 
+  /** Zero-crossing-rate + RMS per PCM stream through the same real
+    * decode leg as [[wavSampleStats]] — the first-order signal features
+    * (voicing / noisiness proxies) beside the moment stats. A crossing
+    * is a sign change between consecutive samples with zero counted
+    * non-negative (`s >= 0`), mirrored exactly by the oracle's `lag`
+    * comparison; `rms = round(sqrt(sqsum / n), 6)`.
+    */
+  def wavZcrFeatures(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("n_zero_cross", LongType, nullable = true),
+      StructField("rms", DoubleType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val src = df.select(col(idCol), col(bytesCol))
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Number](0).longValue()
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val s = if (bytes == null) null else MediaCodec.wavSamples(bytes)
+        if (s == null || s.isEmpty) Row(id, null, null, null)
+        else {
+          var sq = 0L; var zc = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong
+            sq += v * v
+            if (i > 0 && ((s(i) >= 0) != (s(i - 1) >= 0))) zc += 1
+            i += 1
+          }
+          val rms = math.rint(math.sqrt(sq.toDouble / s.length) * 1e6) / 1e6
+          Row(id, s.length.toLong, zc, rms)
+        }
+      }
+    }(enc)
+  }
+
   /** 64-bit average hash (aHash): decode, sample an 8×8 luminance grid,
     * threshold each cell at the grid mean — the standard perceptual
     * fingerprint for image near-dup (bit i set iff cell i is brighter

@@ -106,6 +106,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"global-window queries: ${offenders.mkString(", ")}")
   }
 
+  test("join_bloom_prune: the fact scan carries a might_contain prefilter BEFORE the join") {
+    val df = SparkEntry.queries("join_bloom_prune")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom prefilter missing from the fact side:\n${plan.take(3000)}")
+    // and the prefilter must not change the answer: equal to the plain join
+    val plain = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_brand") === "Brand#7"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type").agg(count(lit(1)).as("n"))
+      .orderBy("p_type").collect().map(r => (r.getString(0), r.getLong(1)))
+    val pruned = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(pruned.toSeq == plain.toSeq)
+  }
+
   test("multi-reference dedup plans dedupe their shared subtrees via exchange reuse") {
     // ngram: the grouped shingle table feeds the pair explosion AND both
     // size joins — since round 8 it is MATERIALIZED once (localCheckpoint,
