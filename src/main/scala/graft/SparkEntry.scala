@@ -4993,7 +4993,51 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** MACD on the hourly cents series — the two-constant EMA composition
+    * (fast 12, slow 26, the Appel trading defaults) over win_ewma's
+    * exact-fold machinery: per-key sorted array, one engine-internal
+    * fold per constant, zero window exchanges. The fold replays
+    * IDENTICALLY in the oracle's list_reduce, so even the recurrence is
+    * hash-checked.
+    */
+  private def q_win_macd(s: SparkSession, dir: String): DataFrame = {
+    val h = hourlyCentsLong(s, dir)
+    val xs = col("xs")
+    def ema(alpha: Double): Column =
+      aggregate(expr("slice(xs, 2, size(xs) - 1)"),
+        element_at(xs, 1).getField("c").cast("double"),
+        (acc, x) => acc + lit(alpha) * (x.getField("c").cast("double") - acc))
+    h.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("bucket"), col("c")))).as("xs"))
+      .select(col("event_type"), size(xs).cast("long").as("n"),
+        ema(2.0 / 13.0).as("ef"), ema(2.0 / 27.0).as("es"))
+      .select(col("event_type"), col("n"),
+        round(col("ef"), 6).as("ema_fast"), round(col("es"), 6).as("ema_slow"),
+        round(col("ef") - col("es"), 6).as("macd"))
+      .orderBy("event_type")
+  }
+
+  /** Per-stream 3-component Gaussian mixture by EM ([[graft.ml.GmmEm]])
+    * — regime separation the single-Gaussian scaler fits can't express.
+    * E-step is pure column math, M-step one map-side-combined groupBy of
+    * DECIMAL-exact sufficient statistics (bit-identical under any
+    * partitioning), driver updates the k·3 parameters per key. Fit-once
+    * per process; spark-only (iterative EM is not SQL; GmmEmSpec pins
+    * recovery of planted mixtures and EM's monotone likelihood).
+    */
+  private def q_ml_gmm(s: SparkSession, dir: String): DataFrame = {
+    val ev = E(s, dir).filter(col("value").isNotNull)
+    val fit = fittedModel(s"gmm3|$dir") {
+      graft.ml.GmmEm.fit(ev, "event_type", "value", k = 3, iters = 12)
+    }
+    graft.ml.GmmEm.toDF(ev, fit)
+      .withColumnRenamed("k", "event_type")
+      .orderBy("event_type", "component")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_macd" -> (q_win_macd _),
+    "ml_gmm" -> (q_ml_gmm _),
     "join_entity_jw" -> (q_join_entity_jw _),
     "agg_kaplan_meier" -> (q_agg_kaplan_meier _),
     "join_bloom_prune" -> (q_join_bloom_prune _),
@@ -5782,8 +5826,28 @@ object SparkEntry {
         |SELECT dur_days, n_risk, n_events,
         |  round(exp(sum(ln(1.0 - CAST(n_events AS DOUBLE) / n_risk))
         |    OVER (ORDER BY dur_days ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival,
+        |  round(sum(CAST(n_events AS DOUBLE) / n_risk)
+        |    OVER (ORDER BY dur_days ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cumhaz
         |FROM r WHERE n_events > 0 ORDER BY dur_days""".stripMargin,
+    "win_macd" ->
+      """WITH h AS (SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      // count(*)) // 10000 AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |l AS (SELECT event_type,
+        |    list_transform(list(c ORDER BY bucket),
+        |      x -> CAST(x AS DOUBLE)) AS xs
+        |  FROM h GROUP BY 1),
+        |e AS (SELECT event_type, len(xs) AS n,
+        |    list_reduce(xs, (acc, x) -> acc + (2.0 / 13.0) * (x - acc)) AS ef,
+        |    list_reduce(xs, (acc, x) -> acc + (2.0 / 27.0) * (x - acc)) AS es
+        |  FROM l)
+        |SELECT event_type, n, round(ef, 6) AS ema_fast, round(es, 6) AS ema_slow,
+        |  round(ef - es, 6) AS macd
+        |FROM e ORDER BY event_type""".stripMargin,
     "join_bloom_prune" ->
       """SELECT p.p_type, count(*) AS n,
         |  round(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)

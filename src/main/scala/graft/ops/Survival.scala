@@ -25,7 +25,9 @@ object Survival {
 
   /** Per-duration KM table: `dur_days`, `n_risk` (at-risk count entering
     * the duration), `n_events` (churns AT the duration), `survival`
-    * (running product-limit, rounded 6). A user is an EVENT (churned) if
+    * (running product-limit, rounded 6), and `cumhaz` (the Nelson-Aalen
+    * cumulative hazard Σ dᵢ/nᵢ, rounded 6 — the additive twin the
+    * log-rank family builds on). A user is an EVENT (churned) if
     * their last activity predates the corpus max by more than
     * `censorHours`; otherwise they are right-censored at their observed
     * lifetime. Only event-carrying durations emit (the KM step points);
@@ -53,13 +55,15 @@ object Survival {
       risk += r.getLong(2)
       (r.getLong(0), risk, r.getLong(1))
     }.toArray.reverse
-    // ascending pass: product-limit over event-carrying durations
+    // ascending pass: product-limit + Nelson-Aalen over event durations
     var s = 1.0
+    var h = 0.0
     val rows = withRisk.collect { case (dur, nRisk, nEvents) if nEvents > 0 =>
       s *= 1.0 - nEvents.toDouble / nRisk
-      (dur, nRisk, nEvents, math.rint(s * 1e6) / 1e6)
+      h += nEvents.toDouble / nRisk
+      (dur, nRisk, nEvents, math.rint(s * 1e6) / 1e6, math.rint(h * 1e6) / 1e6)
     }
     import spark.implicits._
-    rows.toSeq.toDF("dur_days", "n_risk", "n_events", "survival")
+    rows.toSeq.toDF("dur_days", "n_risk", "n_events", "survival", "cumhaz")
   }
 }

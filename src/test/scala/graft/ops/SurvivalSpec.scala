@@ -26,13 +26,16 @@ class SurvivalSpec extends SparkSpec {
     ).toDF("user_id", "ts")
     val km = Survival.kaplanMeier(events, "user_id", "ts", censorHours = 24)
       .orderBy("dur_days").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
     // durations: u1,u2 = 2d (events), u3 = 5d (event), u4 = 19d censored
     // (last Jan-20 00:00 < end Jan-20 12:00 − 24h? No: Jan-19 12:00 —
     // Jan-20 00:00 is AFTER, so u4 is censored), u5 censored.
-    // risk sets: dur 2 → 5 at risk, 2 events → S = 3/5 = 0.6
-    //            dur 5 → 3 at risk, 1 event  → S = 0.6 · 2/3 = 0.4
-    assert(km.toSeq == Seq((2L, 5L, 2L, 0.6), (5L, 3L, 1L, 0.4)))
+    // risk sets: dur 2 → 5 at risk, 2 events → S = 3/5 = 0.6, H = 0.4
+    //            dur 5 → 3 at risk, 1 event  → S = 0.6·2/3 = 0.4,
+    //                                          H = 0.4 + 1/3 = 0.733333
+    assert(km.toSeq == Seq((2L, 5L, 2L, 0.6, 0.4),
+      (5L, 3L, 1L, 0.4, 0.733333)))
   }
 
   test("no churners yields an empty step table, not a failure") {
