@@ -122,7 +122,12 @@ object ScaleStress {
       // sliding windows, correlogram, per-stream sorts
       "graph_pagerank", "graph_triangles", "simsearch_mmr",
       "stream_mahalanobis", "stream_sliding", "agg_acf", "agg_gini",
-      "agg_rfm", "text_pmi")
+      "agg_rfm", "text_pmi",
+      // round-9 additions: winsorize (corpus clamp), KM (corpus groupBy +
+      // bounded fold), GMM EM (12 jobs of sufficient statistics), audio
+      // ZCR (per-row decode), CMS (one sketch buffer per partition)
+      "win_winsorize", "agg_kaplan_meier", "ml_gmm",
+      "multimodal_audio_zcr", "agg_countmin")
     // Operator probes for the twin-offset dedup family (see scaladoc).
     val opProbes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "op_minhash_lsh" -> ((s: SparkSession, d: String) =>
