@@ -5035,7 +5035,163 @@ object SparkEntry {
       .orderBy("event_type", "component")
   }
 
+  /** One-way ANOVA F across streams on integer cents — the k-group
+    * generalization of agg_ab_ttest's Welch t. Sufficient statistics
+    * (n, Σc, Σc² per group) stay exact BIGINTs; the F ratio and η² are
+    * O(1) quantities, so the final double combination is stable to
+    * round 6 even though the raw sums of squares are not (the ratio
+    * cancels the shared ULP scale — the t-test's argument).
+    */
+  private def q_agg_anova(s: SparkSession, dir: String): DataFrame = {
+    val cents = expr(
+      "cast(cast(value as decimal(18,6)) * 1000000 as bigint) div 10000")
+    val g = E(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), cents.as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+    val t = g.agg(
+      count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      sum(col("s1")).as("t1"), sum(col("s2")).as("t2"),
+      sum(col("s1").cast("double") * col("s1").cast("double") /
+        col("n")).as("sb"))
+    val ssb = col("sb") - col("t1").cast("double") * col("t1").cast("double") /
+      col("nn")
+    val ssw = col("t2").cast("double") - col("sb")
+    val sst = col("t2").cast("double") -
+      col("t1").cast("double") * col("t1").cast("double") / col("nn")
+    t.select(col("k"), col("nn").as("n"),
+        round((ssb / (col("k") - 1)) / (ssw / (col("nn") - col("k"))), 6)
+          .as("f_stat"),
+        round(ssb / sst, 6).as("eta_sq"))
+  }
+
+  /** Poisson bootstrap confidence interval for the per-stream mean
+    * (Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
+    * Streams" — Google's published scalable bootstrap): resampling-with-
+    * replacement is a shuffle-free MAP at scale because each row's
+    * replica multiplicity is an independent Poisson(1) draw. The draw
+    * here is EXACT integer arithmetic: u = 60-bit md5 of (event_id,
+    * rep); weight = Σₖ [u ≥ tₖ] against precomputed integer CDF
+    * thresholds — no engine float in the sampling path, so replica
+    * membership is bit-identical everywhere. Replica means come from
+    * exact integer (Σw·c, Σw) sums; the CI is exact-interpolation
+    * percentiles over the R replica means. Cost: one generator
+    * projection (×R rows, map-side) + two map-side-combined groupBys of
+    * (streams × R) rows — the corpus never shuffles.
+    */
+  private def q_agg_bootstrap_ci(s: SparkSession, dir: String): DataFrame = {
+    val reps = 20
+    // floor(CDF_Poisson(1)(k) · 2^60), k = 0..8
+    val ts = Seq(424136118829305344L, 848272237658610688L,
+      1060340297073263360L, 1131029650211480960L, 1148701988496035328L,
+      1152236456152946176L, 1152825534095764608L, 1152909688087595776L,
+      1152920207336574720L)
+    val cents = expr(
+      "cast(cast(value as decimal(18,6)) * 1000000 as bigint) div 10000")
+    val base = E(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), cents.as("c"))
+      .select(col("event_type"), col("event_id"), col("c"),
+        explode(array((0 until reps).map(lit): _*)).as("rep"))
+    val u = conv(substring(md5(concat_ws(":", col("event_id"), col("rep"))),
+      1, 15), 16, 10).cast("long")
+    val w = ts.map(t => (u >= lit(t)).cast("long")).reduce(_ + _)
+    val replica = base.withColumn("w", w)
+      .groupBy("event_type", "rep")
+      .agg(sum(col("w") * col("c")).as("swc"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
+      .select(col("event_type"),
+        (col("swc").cast("double") / col("sw")).as("m"))
+    replica.groupBy("event_type")
+      .agg(count(lit(1)).as("n_reps"),
+        round(percentile(col("m"), lit(0.5)), 6).as("boot_median"),
+        round(percentile(col("m"), lit(0.025)), 6).as("ci_lo"),
+        round(percentile(col("m"), lit(0.975)), 6).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
+  /** Chi-square independence test of stream × hour-of-day (the
+    * seasonality-dependence screen), plus Cramér's V effect size.
+    * Observed counts are exact BIGINTs from ONE groupBy; expected
+    * counts and the χ² fold run over the k×24 CONTINGENCY table
+    * (model-sized). χ² terms are O(count)-scaled, so the cross-engine
+    * sum-order jitter (~1e-13 absolute) is far inside round 6.
+    */
+  private def q_agg_chisq(s: SparkSession, dir: String): DataFrame = {
+    val obs = E(s, dir)
+      .groupBy(col("event_type"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = obs.groupBy("event_type").agg(sum(col("o")).as("rt"))
+    val colTot = obs.groupBy("h").agg(sum(col("o")).as("ct"))
+    val n = obs.agg(sum(col("o")).as("n"))
+    val e = col("rt").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
+    val cells = obs.join(broadcast(rowTot), "event_type")
+      .join(broadcast(colTot), "h").crossJoin(broadcast(n))
+      .select(col("event_type"), col("h"), col("o"), col("rt"), col("ct"),
+        col("n"),
+        ((col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+          .as("term"))
+    val k = cells.agg(
+      countDistinct(col("event_type")).as("k"),
+      countDistinct(col("h")).as("hcols"),
+      max(col("n")).as("n"),
+      sum(col("term")).as("chi2"))
+    k.select(col("k"), col("hcols"), col("n"),
+      round(col("chi2"), 6).as("chi2"),
+      ((col("k") - 1) * (col("hcols") - 1)).as("dof"),
+      round(sqrt(col("chi2") / (col("n").cast("double") *
+        least(col("k") - 1, col("hcols") - 1))), 6).as("cramers_v"))
+  }
+
+  /** Mann-Whitney U between the A/B user split per stream — the
+    * nonparametric twin of agg_ab_ttest (rank-based, no normality
+    * assumption), with the normal z approximation under the
+    * tie-corrected variance. Ranks are midranks over integer cents:
+    * exact halves, bit-identical cross-engine. The rank window
+    * partitions BY STREAM (never global), and everything after the
+    * one groupBy(rank-key) runs on the per-stream distinct-value
+    * table.
+    */
+  private def q_agg_mannwhitney(s: SparkSession, dir: String): DataFrame = {
+    val cents = expr(
+      "cast(cast(value as decimal(18,6)) * 1000000 as bigint) div 10000")
+    val base = E(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), (col("user_id") % 2 === 0).as("isa"),
+        cents.as("c"))
+    // midranks via the distinct-value table: rank(v) = (#below) + (cnt+1)/2
+    val byVal = base.groupBy("event_type", "c")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("isa"), 1L).otherwise(0L)).as("cnta"))
+    val w = Window.partitionBy("event_type").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byVal
+      .withColumn("below", sum(col("cnt")).over(w) - col("cnt"))
+      .select(col("event_type"), col("cnt"), col("cnta"),
+        (col("below").cast("double") +
+          (col("cnt").cast("double") + 1.0) / 2.0).as("midrank"),
+        (col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie3"))
+    val g = ranked.groupBy("event_type").agg(
+      sum(col("cnta")).as("na"),
+      sum(col("cnt") - col("cnta")).as("nb"),
+      sum(col("midrank") * col("cnta").cast("double")).as("ra"),
+      sum(col("tie3")).as("ties"))
+    val na = col("na").cast("double"); val nb = col("nb").cast("double")
+    val nn = na + nb
+    val u = col("ra") - na * (na + 1.0) / 2.0
+    val mu = na * nb / 2.0
+    val sig = sqrt(na * nb / 12.0 *
+      ((nn + 1.0) - col("ties").cast("double") / (nn * (nn - 1.0))))
+    g.select(col("event_type"), col("na"), col("nb"),
+        round(u, 6).as("u_stat"), round((u - mu) / sig, 6).as("z"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_chisq" -> (q_agg_chisq _),
+    "agg_mannwhitney" -> (q_agg_mannwhitney _),
+    "agg_anova" -> (q_agg_anova _),
+    "agg_bootstrap_ci" -> (q_agg_bootstrap_ci _),
     "win_macd" -> (q_win_macd _),
     "ml_gmm" -> (q_ml_gmm _),
     "join_entity_jw" -> (q_join_entity_jw _),
@@ -5831,6 +5987,111 @@ object SparkEntry {
         |    OVER (ORDER BY dur_days ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cumhaz
         |FROM r WHERE n_events > 0 ORDER BY dur_days""".stripMargin,
+    "agg_chisq" ->
+      """WITH o AS (SELECT event_type,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS h, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY 1),
+        |ct AS (SELECT h, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+        |cells AS (SELECT o.event_type, o.h, o.o, rt.rt, ct.ct, nn.n,
+        |    (CAST(o.o AS DOUBLE) - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+        |       / CAST(nn.n AS DOUBLE))
+        |    * (CAST(o.o AS DOUBLE) - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+        |       / CAST(nn.n AS DOUBLE))
+        |    / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+        |       / CAST(nn.n AS DOUBLE)) AS term
+        |  FROM o JOIN rt USING (event_type) JOIN ct USING (h) CROSS JOIN nn)
+        |SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS hcols,
+        |  max(n) AS n,
+        |  round(sum(term), 6) AS chi2,
+        |  CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT h) - 1)
+        |    AS BIGINT) AS dof,
+        |  round(sqrt(sum(term) / (CAST(max(n) AS DOUBLE) *
+        |    least(count(DISTINCT event_type) - 1, count(DISTINCT h) - 1))), 6)
+        |    AS cramers_v
+        |FROM cells""".stripMargin,
+    "agg_mannwhitney" ->
+      """WITH b AS (SELECT event_type, (user_id % 2 = 0) AS isa,
+        |    (CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      // 10000) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |v AS (SELECT event_type, c, count(*) AS cnt,
+        |    CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS cnta
+        |  FROM b GROUP BY 1, 2),
+        |rk AS (SELECT event_type, cnt, cnta,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS DOUBLE)
+        |      + (CAST(cnt AS DOUBLE) + 1.0) / 2.0 AS midrank,
+        |    cnt * cnt * cnt - cnt AS tie3
+        |  FROM v),
+        |g AS (SELECT event_type,
+        |    CAST(sum(cnta) AS BIGINT) AS na,
+        |    CAST(sum(cnt - cnta) AS BIGINT) AS nb,
+        |    sum(midrank * CAST(cnta AS DOUBLE)) AS ra,
+        |    CAST(sum(tie3) AS BIGINT) AS ties
+        |  FROM rk GROUP BY 1)
+        |SELECT event_type, na, nb,
+        |  round(ra - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0, 6)
+        |    AS u_stat,
+        |  round((ra - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0
+        |      - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+        |    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+        |      ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+        |        - CAST(ties AS DOUBLE)
+        |          / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+        |            * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0)))), 6)
+        |    AS z
+        |FROM g ORDER BY event_type""".stripMargin,
+    "agg_anova" ->
+      """WITH b AS (SELECT event_type,
+        |    (CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      // 10000) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(s1) AS BIGINT) AS t1, CAST(sum(s2) AS BIGINT) AS t2,
+        |    sum(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) AS sb
+        |  FROM g)
+        |SELECT k, nn AS n,
+        |  round(((sb - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) / nn) / (k - 1))
+        |    / ((CAST(t2 AS DOUBLE) - sb) / (nn - k)), 6) AS f_stat,
+        |  round((sb - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) / nn)
+        |    / (CAST(t2 AS DOUBLE)
+        |      - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) / nn), 6) AS eta_sq
+        |FROM t""".stripMargin,
+    "agg_bootstrap_ci" ->
+      """WITH b AS (SELECT event_type, event_id,
+        |    (CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      // 10000) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT unnest(range(0, 20)) AS rep),
+        |d AS (SELECT event_type, rep, c,
+        |    CAST(('0x'||substr(md5(event_id||':'||rep), 1, 15)) AS BIGINT) AS u
+        |  FROM b CROSS JOIN r),
+        |w AS (SELECT event_type, rep, c,
+        |    (CASE WHEN u >= 424136118829305344 THEN 1 ELSE 0 END
+        |     + CASE WHEN u >= 848272237658610688 THEN 1 ELSE 0 END
+        |     + CASE WHEN u >= 1060340297073263360 THEN 1 ELSE 0 END
+        |     + CASE WHEN u >= 1131029650211480960 THEN 1 ELSE 0 END
+        |     + CASE WHEN u >= 1148701988496035328 THEN 1 ELSE 0 END
+        |     + CASE WHEN u >= 1152236456152946176 THEN 1 ELSE 0 END
+        |     + CASE WHEN u >= 1152825534095764608 THEN 1 ELSE 0 END
+        |     + CASE WHEN u >= 1152909688087595776 THEN 1 ELSE 0 END
+        |     + CASE WHEN u >= 1152920207336574720 THEN 1 ELSE 0 END) AS w
+        |  FROM d),
+        |m AS (SELECT event_type, rep,
+        |    CAST(CAST(sum(w * c) AS BIGINT) AS DOUBLE)
+        |      / CAST(sum(w) AS BIGINT) AS m
+        |  FROM w GROUP BY 1, 2 HAVING CAST(sum(w) AS BIGINT) > 0)
+        |SELECT event_type, count(*) AS n_reps,
+        |  round(quantile_cont(m, 0.5), 6) AS boot_median,
+        |  round(quantile_cont(m, 0.025), 6) AS ci_lo,
+        |  round(quantile_cont(m, 0.975), 6) AS ci_hi
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "win_macd" ->
       """WITH h AS (SELECT event_type,
         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,

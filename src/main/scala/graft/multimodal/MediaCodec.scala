@@ -445,12 +445,23 @@ object MediaCodec {
     * oracle. TYPE_INT_RGB deliberately: a gray-colorspace image would go
     * through color management in getRGB and break the byte↔pixel map.
     */
-  /** Exact signed 16-bit samples of a PCM stream through the REAL
-    * javax.sound decode leg (endianness honored) — the integer-exact
+  /** Exact signed 16-bit samples of a PCM stream — the integer-exact
     * sibling of [[wavFeatures]] for oracle-checkable audio stats. Null
     * for unparseable or non-16-bit streams.
+    *
+    * Hot path is a DIRECT RIFF/PCM16 chunk walk ([[wavSamplesRiff]]):
+    * `AudioSystem.getAudioInputStream` funnels every call through the
+    * JDK's synchronized service-provider registry, and on a 16-thread
+    * decode sweep the lock made parallel decode SLOWER than one core
+    * (measured on the 10× probe: 2 ms/row under contention vs 72 µs
+    * single-threaded — the super-linear e = 1.28 multimodal_audio_zcr
+    * exponent). Non-canonical streams (AIFF/AU, big-endian, non-PCM
+    * encodings) still take the javax.sound leg — the chunk walk returns
+    * null for anything it does not fully recognize, never a guess.
     */
   def wavSamples(bytes: Array[Byte]): Array[Int] = {
+    val fast = wavSamplesRiff(bytes)
+    if (fast != null) return fast
     val in = try AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     catch { case _: Exception => return null }
     try {
@@ -469,6 +480,49 @@ object MediaCodec {
       }
       out
     } finally in.close()
+  }
+
+  /** Lock-free RIFF walk for canonical PCM16-LE WAV: "RIFF"+"WAVE",
+    * chunk scan honoring odd-byte padding, `fmt ` must declare PCM
+    * (format 1) at 16 bits, samples read from `data` little-endian.
+    * Null for ANYTHING else (wrong magic, float/µ-law/24-bit, truncated
+    * chunks) so the javax.sound fallback keeps full format coverage.
+    * Bounds-checked — corrupt rows are a fact of 100 TB corpora.
+    */
+  private[multimodal] def wavSamplesRiff(bytes: Array[Byte]): Array[Int] = {
+    if (bytes == null || bytes.length < 44) return null
+    def ascii(off: Int, s: String): Boolean =
+      s.indices.forall(i => bytes(off + i) == s.charAt(i).toByte)
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    if (!ascii(0, "RIFF") || !ascii(8, "WAVE")) return null
+    var pos = 12
+    var pcm16 = false
+    while (pos + 8 <= bytes.length) {
+      val size = u32(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return null
+      if (ascii(pos, "fmt ")) {
+        if (size < 16) return null
+        pcm16 = u16(pos + 8) == 1 && u16(pos + 22) == 16
+        if (!pcm16) return null // non-PCM16: let javax.sound decide
+      } else if (ascii(pos, "data")) {
+        if (!pcm16) return null // data before fmt — not canonical
+        val n = (size / 2).toInt
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((bytes(pos + 8 + 2 * i) & 0xff) |
+            (bytes(pos + 9 + 2 * i) << 8)).toShort.toInt
+          i += 1
+        }
+        return out
+      }
+      pos += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+    }
+    null
   }
 
   /** Deterministic 8-sample PCM16-LE mono WAV whose data section is the

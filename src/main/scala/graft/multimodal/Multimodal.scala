@@ -84,7 +84,7 @@ object Multimodal {
     val outSchema = df.schema.add("features", ArrayType(FloatType), nullable = true)
     val idx = df.schema.fieldIndex(bytesCol)
     val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
+    spreadForDecode(df).mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // the batch bound is the decoder's memory contract: at most
         // `batchSize` decoded frames live at once
@@ -95,6 +95,22 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Width-pin before any codec-bearing `mapPartitions`: a media corpus
+    * arrives in however few partitions the file scan produced (ONE for a
+    * single parquet file), and the decode CPU — codec dispatch +
+    * per-row decompress, orders of magnitude heavier than the bytes —
+    * then serializes on that width. Measured on the 10× scale probe:
+    * `multimodal_audio_zcr` scaled SUPER-linearly (e = 1.28, 0.36 →
+    * 6.98 s) purely from partition starvation. One narrow exchange of
+    * the compressed rows buys full-cluster decode parallelism — the
+    * `Dedup.fuzzyPairs` argument: the shuffle is bytes, the work behind
+    * it is quadratic-in-cost CPU. Explicit N (the session's shuffle
+    * parallelism) so AQE's byte-sighted coalescer cannot fold the
+    * exchange back to one partition.
+    */
+  private def spreadForDecode(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
 
   /** Frame sampling for video-like payloads modeled as array<binary>
     * frames: keep every `nth` frame. Pure column expression — no UDF, no
@@ -218,7 +234,7 @@ object Multimodal {
       StructField("s_min", LongType, nullable = true),
       StructField("s_max", LongType, nullable = true)))
     val enc = RowEncoder.encoderFor(outSchema)
-    val src = df.select(col(idCol), col(bytesCol))
+    val src = spreadForDecode(df.select(col(idCol), col(bytesCol)))
     src.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue()
@@ -256,7 +272,7 @@ object Multimodal {
       StructField("n_zero_cross", LongType, nullable = true),
       StructField("rms", DoubleType, nullable = true)))
     val enc = RowEncoder.encoderFor(outSchema)
-    val src = df.select(col(idCol), col(bytesCol))
+    val src = spreadForDecode(df.select(col(idCol), col(bytesCol)))
     src.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue()

@@ -101,6 +101,26 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodec.wavSamples("not audio".getBytes) == null)
   }
 
+  test("RIFF fast path ≡ javax.sound on canonical WAVs; bails to null on everything else") {
+    // parity on a spread of payload sizes (odd data sizes exercise padding)
+    for (txt <- Seq("a", "hello world", "x" * 500)) {
+      val bytes = MediaCodec.digestWav(txt)
+      val fast = MediaCodec.wavSamplesRiff(bytes)
+      assert(fast != null, s"fast path must handle digestWav($txt)")
+      assert(fast.toSeq == MediaCodec.wavSamples(bytes).toSeq)
+    }
+    val loud = halfLoudWav(8000)
+    val fastLoud = MediaCodec.wavSamplesRiff(loud)
+    if (fastLoud != null) // only if halfLoudWav is canonical PCM16 RIFF
+      assert(fastLoud.toSeq == MediaCodec.wavSamples(loud).toSeq)
+    // junk, truncation, and a lying chunk size all return null (never throw)
+    assert(MediaCodec.wavSamplesRiff("not audio".getBytes) == null)
+    assert(MediaCodec.wavSamplesRiff(MediaCodec.digestWav("x").take(20)) == null)
+    val lying = MediaCodec.digestWav("x").clone()
+    lying(43) = 0x7f.toByte // data chunk size far beyond the buffer
+    assert(MediaCodec.wavSamplesRiff(lying) == null)
+  }
+
   test("probe reads image headers and wav duration without full decode") {
     val Some((w, h, _, fmt)) = MediaCodec.probe(gradientPng(37, 11))
     assert(w.contains(37) && h.contains(11) && fmt == "image/png")

@@ -15,7 +15,7 @@ class MultimodalSpec extends SparkSpec {
     assert(media.count() == 3)
   }
 
-  test("extractFeatures appends deterministic fixed-dim features, no shuffle") {
+  test("extractFeatures appends deterministic fixed-dim features; exactly the width-pin exchange") {
     val out = Multimodal.extractFeatures(media, "bytes", dim = 8, batchSize = 2)
     val rows = out.select("media_id", "features").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
@@ -23,9 +23,17 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1L) == rows(3L)) // same payload -> same features
     assert(rows(1L) != rows(2L))
     assert(rows.values.flatten.forall(f => f >= 0.0f && f < 1.0f))
-    val plan = out.queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
-    assert(!plan.contains("Exchange"), s"feature extraction must not shuffle:\n$plan")
+    // ONE round-robin exchange — the deliberate decode width-pin
+    // (spreadForDecode): a single-file media scan would otherwise
+    // serialize all codec CPU on one task. Anything beyond that one
+    // exchange is a regression.
+    val exchanges = out.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size == 1,
+      s"decode should carry exactly the width-pin exchange, got ${exchanges.size}")
+    assert(exchanges.head.outputPartitioning.toString.contains("RoundRobin"),
+      exchanges.head.outputPartitioning.toString)
   }
 
   test("extractFeatures passes null payloads through as null features") {
