@@ -5187,7 +5187,47 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Kruskal-Wallis H across the user-decile groups per stream — the
+    * k-group rank test completing the nonparametric family (MWU's
+    * many-group sibling, ANOVA's rank twin). Same midrank discipline
+    * as agg_mannwhitney: exact halves over the per-stream
+    * distinct-value table, tie correction 1 − Σ(t³−t)/(N³−N), windows
+    * partitioned by stream.
+    */
+  private def q_agg_kruskal(s: SparkSession, dir: String): DataFrame = {
+    val cents = expr(
+      "cast(cast(value as decimal(18,6)) * 1000000 as bigint) div 10000")
+    val base = E(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), (col("user_id") % 3).as("grp"), cents.as("c"))
+    val byVal = base.groupBy("event_type", "c")
+      .agg(count(lit(1)).as("cnt"),
+        (0 until 3).map(g =>
+          sum(when(col("grp") === g, 1L).otherwise(0L)).as(s"n$g")): _*)
+    val w = Window.partitionBy("event_type").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byVal
+      .withColumn("midrank", (sum(col("cnt")).over(w) - col("cnt"))
+        .cast("double") + (col("cnt").cast("double") + 1.0) / 2.0)
+      .withColumn("tie3", col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+    val kwAggs = (0 until 3).map(j => sum(col(s"n$j")).as(s"nn$j")) ++
+      (0 until 3).map(j =>
+        sum(col("midrank") * col(s"n$j").cast("double")).as(s"r$j")) :+
+      sum(col("tie3")).as("ties")
+    val g = ranked.groupBy("event_type").agg(kwAggs.head, kwAggs.tail: _*)
+    val nTot = (0 until 3).map(j => col(s"nn$j").cast("double")).reduce(_ + _)
+    val hRaw = (lit(12.0) / (nTot * (nTot + 1.0))) *
+      (0 until 3).map(j => col(s"r$j") * col(s"r$j") /
+        col(s"nn$j").cast("double")).reduce(_ + _) - lit(3.0) * (nTot + 1.0)
+    val tieCorr = lit(1.0) - col("ties").cast("double") /
+      (nTot * nTot * nTot - nTot)
+    g.select(col("event_type"),
+        (col("nn0") + col("nn1") + col("nn2")).as("n"),
+        round(hRaw / tieCorr, 6).as("h_stat"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_kruskal" -> (q_agg_kruskal _),
     "agg_chisq" -> (q_agg_chisq _),
     "agg_mannwhitney" -> (q_agg_mannwhitney _),
     "agg_anova" -> (q_agg_anova _),
@@ -5987,6 +6027,40 @@ object SparkEntry {
         |    OVER (ORDER BY dur_days ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cumhaz
         |FROM r WHERE n_events > 0 ORDER BY dur_days""".stripMargin,
+    "agg_kruskal" ->
+      """WITH b AS (SELECT event_type, user_id % 3 AS grp,
+        |    (CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      // 10000) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |v AS (SELECT event_type, c, count(*) AS cnt,
+        |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM b GROUP BY 1, 2),
+        |rk AS (SELECT event_type, cnt, n0, n1, n2,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS DOUBLE)
+        |      + (CAST(cnt AS DOUBLE) + 1.0) / 2.0 AS midrank,
+        |    cnt * cnt * cnt - cnt AS tie3
+        |  FROM v),
+        |g AS (SELECT event_type,
+        |    CAST(sum(n0) AS BIGINT) AS nn0, CAST(sum(n1) AS BIGINT) AS nn1,
+        |    CAST(sum(n2) AS BIGINT) AS nn2,
+        |    sum(midrank * CAST(n0 AS DOUBLE)) AS r0,
+        |    sum(midrank * CAST(n1 AS DOUBLE)) AS r1,
+        |    sum(midrank * CAST(n2 AS DOUBLE)) AS r2,
+        |    CAST(sum(tie3) AS BIGINT) AS ties
+        |  FROM rk GROUP BY 1),
+        |f AS (SELECT event_type, nn0 + nn1 + nn2 AS n,
+        |    CAST(nn0 AS DOUBLE) + CAST(nn1 AS DOUBLE) + CAST(nn2 AS DOUBLE)
+        |      AS nt,
+        |    nn0, nn1, nn2, r0, r1, r2, ties FROM g)
+        |SELECT event_type, n,
+        |  round(((12.0 / (nt * (nt + 1.0))) *
+        |    (r0 * r0 / CAST(nn0 AS DOUBLE) + r1 * r1 / CAST(nn1 AS DOUBLE)
+        |      + r2 * r2 / CAST(nn2 AS DOUBLE)) - 3.0 * (nt + 1.0))
+        |    / (1.0 - CAST(ties AS DOUBLE) / (nt * nt * nt - nt)), 6) AS h_stat
+        |FROM f ORDER BY event_type""".stripMargin,
     "agg_chisq" ->
       """WITH o AS (SELECT event_type,
         |    CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS h, count(*) AS o
