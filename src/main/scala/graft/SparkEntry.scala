@@ -5226,7 +5226,75 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Hurst exponent by rescaled-range analysis (Hurst 1951; Mandelbrot
+    * & Wallis 1969) per stream — long-range-dependence estimation, the
+    * memory diagnostic behind seasonality/burstiness: H ≈ 0.5 random
+    * walk, > 0.5 persistent, < 0.5 anti-persistent. Per window size
+    * w ∈ {32, 64, 128}: full blocks of the hourly cents series, R =
+    * range of cumulative mean deviations, S = population std, and the
+    * per-(stream, w) statistic is the MEDIAN R/S over blocks (exact
+    * interpolation — deterministic where a mean of doubles would carry
+    * cross-engine sum-order jitter). H = OLS slope of ln(R/S) on
+    * ln(w), which for three log-equispaced sizes collapses to
+    * (ln(rs₁₂₈) − ln(rs₃₂)) / (2·ln 2) — ln 2 pinned as a shared
+    * decimal literal so no libm constant enters the compare.
+    *
+    * Exactness: the deviation numerator w·cum − (t+1)·Σc is EXACT
+    * integer arithmetic (so R is an exact rational), S comes from
+    * exact (Σc, Σc²); every window partitions by (stream, block) —
+    * never global. The whole analysis is two windows + two groupBys
+    * per window size over the hourly frame.
+    */
+  private def q_agg_hurst(s: SparkSession, dir: String): DataFrame = {
+    val hourly = hourlyCentsLong(s, dir)
+    val idx = hourly.withColumn("i",
+      row_number().over(Window.partitionBy("event_type").orderBy("bucket"))
+        - lit(1))
+    val ln2 = 0.6931471805599453
+    val perW = Seq(32, 64, 128).map { w =>
+      val blk = idx
+        .withColumn("blk", floor(col("i") / w))
+        .withColumn("t", col("i") % w)
+      val whole = Window.partitionBy("event_type", "blk")
+      val cumW = Window.partitionBy("event_type", "blk").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rows = blk
+        .withColumn("s1", sum(col("c")).over(whole))
+        .withColumn("cnt", count(lit(1)).over(whole))
+        .withColumn("num",
+          lit(w.toLong) * sum(col("c")).over(cumW) -
+            (col("t") + 1L) * col("s1"))
+        .filter(col("cnt") === w)
+      val blocks = rows.groupBy("event_type", "blk")
+        .agg(max(col("num")).as("mx"), min(col("num")).as("mn"),
+          max(col("s1")).as("s1"), sum(col("c") * col("c")).as("s2"))
+        .withColumn("svar",
+          (col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / w) / w)
+        .filter(col("svar") > 0)
+        .select(col("event_type"),
+          (((col("mx") - col("mn")).cast("double") / w) / sqrt(col("svar")))
+            .as("rs"))
+      blocks.groupBy("event_type")
+        .agg(percentile(col("rs"), lit(0.5)).as("med"))
+        .select(col("event_type"), lit(w).as("w"), col("med"))
+    }
+    perW.reduce(_ unionByName _)
+      .groupBy("event_type")
+      .agg(
+        max(when(col("w") === 32, col("med"))).as("rs32"),
+        max(when(col("w") === 64, col("med"))).as("rs64"),
+        max(when(col("w") === 128, col("med"))).as("rs128"))
+      .select(col("event_type"),
+        round(col("rs32"), 6).as("rs32"), round(col("rs64"), 6).as("rs64"),
+        round(col("rs128"), 6).as("rs128"),
+        round((log(col("rs128")) - log(col("rs32"))) / (2.0 * ln2), 6)
+          .as("hurst"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hurst" -> (q_agg_hurst _),
     "agg_kruskal" -> (q_agg_kruskal _),
     "agg_chisq" -> (q_agg_chisq _),
     "agg_mannwhitney" -> (q_agg_mannwhitney _),
@@ -6027,6 +6095,52 @@ object SparkEntry {
         |    OVER (ORDER BY dur_days ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cumhaz
         |FROM r WHERE n_events > 0 ORDER BY dur_days""".stripMargin,
+    "agg_hurst" -> {
+      def leg(w: Int) =
+        s"""SELECT event_type, $w AS w, quantile_cont(rs, 0.5) AS med FROM (
+           |  SELECT event_type, blk,
+           |    ((CAST(max(num) - min(num) AS DOUBLE) / $w)
+           |      / sqrt((CAST(sum(c * c) AS DOUBLE)
+           |        - CAST(max(s1) AS DOUBLE) * CAST(max(s1) AS DOUBLE) / $w)
+           |        / $w)) AS rs
+           |  FROM (
+           |    SELECT event_type, blk, t, c, s1, cnt,
+           |      $w * sum(c) OVER (PARTITION BY event_type, blk ORDER BY t
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |        - (t + 1) * s1 AS num
+           |    FROM (
+           |      SELECT event_type, i // $w AS blk, i % $w AS t, c,
+           |        CAST(sum(c) OVER (PARTITION BY event_type, i // $w)
+           |          AS BIGINT) AS s1,
+           |        count(*) OVER (PARTITION BY event_type, i // $w) AS cnt
+           |      FROM base))
+           |  WHERE cnt = $w
+           |  GROUP BY event_type, blk
+           |  HAVING (CAST(sum(c * c) AS DOUBLE)
+           |    - CAST(max(s1) AS DOUBLE) * CAST(max(s1) AS DOUBLE) / $w)
+           |    / $w > 0
+           |) GROUP BY event_type""".stripMargin
+      s"""WITH h AS (SELECT event_type,
+         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+         |      // count(*)) // 10000 AS c
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |base AS (SELECT event_type, c,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY bucket) - 1
+         |      AS i
+         |  FROM h),
+         |legs AS (${leg(32)} UNION ALL ${leg(64)} UNION ALL ${leg(128)}),
+         |p AS (SELECT event_type,
+         |    max(CASE WHEN w = 32 THEN med END) AS rs32,
+         |    max(CASE WHEN w = 64 THEN med END) AS rs64,
+         |    max(CASE WHEN w = 128 THEN med END) AS rs128
+         |  FROM legs GROUP BY 1)
+         |SELECT event_type, round(rs32, 6) AS rs32, round(rs64, 6) AS rs64,
+         |  round(rs128, 6) AS rs128,
+         |  round((ln(rs128) - ln(rs32)) / (2.0 * 0.6931471805599453), 6)
+         |    AS hurst
+         |FROM p ORDER BY event_type""".stripMargin
+    },
     "agg_kruskal" ->
       """WITH b AS (SELECT event_type, user_id % 3 AS grp,
         |    (CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
