@@ -5089,12 +5089,21 @@ object SparkEntry {
       1152920207336574720L)
     val cents = expr(
       "cast(cast(value as decimal(18,6)) * 1000000 as bigint) div 10000")
+    // ONE md5 per row, per-replica uniforms by the Carter-Wegman affine
+    // family (the minhash discipline): u_rep = (h1 + rep·h2) mod 2^60 —
+    // 20× fewer digests than hashing (event_id, rep) pairs (measured
+    // 1.9 → sub-second warm at sf0.1), replica membership still exact
+    // integer and bit-identical cross-engine.
+    val digest = md5(col("event_id").cast("string"))
     val base = E(s, dir).filter(col("value").isNotNull)
-      .select(col("event_type"), col("event_id"), cents.as("c"))
-      .select(col("event_type"), col("event_id"), col("c"),
+      .select(col("event_type"), cents.as("c"),
+        conv(substring(digest, 1, 15), 16, 10).cast("long").as("h1"),
+        (conv(substring(digest, 17, 15), 16, 10).cast("long")
+          % lit(1099511627776L)).as("h2"))
+      .select(col("event_type"), col("c"), col("h1"), col("h2"),
         explode(array((0 until reps).map(lit): _*)).as("rep"))
-    val u = conv(substring(md5(concat_ws(":", col("event_id"), col("rep"))),
-      1, 15), 16, 10).cast("long")
+    val u = (col("h1") + col("rep").cast("long") * col("h2")) %
+      lit(1152921504606846976L)
     val w = ts.map(t => (u >= lit(t)).cast("long")).reduce(_ + _)
     val replica = base.withColumn("w", w)
       .groupBy("event_type", "rep")
@@ -6257,9 +6266,15 @@ object SparkEntry {
         |      // 10000) AS c
         |  FROM events WHERE value IS NOT NULL),
         |r AS (SELECT unnest(range(0, 20)) AS rep),
+        |hh AS (SELECT event_type, c,
+        |    CAST(('0x'||substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h1,
+        |    CAST(('0x'||substr(md5(CAST(event_id AS VARCHAR)), 17, 15))
+        |      AS BIGINT) % 1099511627776 AS h2
+        |  FROM b),
         |d AS (SELECT event_type, rep, c,
-        |    CAST(('0x'||substr(md5(event_id||':'||rep), 1, 15)) AS BIGINT) AS u
-        |  FROM b CROSS JOIN r),
+        |    (h1 + rep * h2) % 1152921504606846976 AS u
+        |  FROM hh CROSS JOIN r),
         |w AS (SELECT event_type, rep, c,
         |    (CASE WHEN u >= 424136118829305344 THEN 1 ELSE 0 END
         |     + CASE WHEN u >= 848272237658610688 THEN 1 ELSE 0 END
