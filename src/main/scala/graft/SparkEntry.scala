@@ -5256,9 +5256,13 @@ object SparkEntry {
     */
   private def q_agg_hurst(s: SparkSession, dir: String): DataFrame = {
     val hourly = hourlyCentsLong(s, dir)
+    // the indexed hourly frame feeds THREE window-size legs — materialize
+    // once (the bandTable discipline) so the scan + resample groupBy +
+    // row_number run once, not per leg
     val idx = hourly.withColumn("i",
       row_number().over(Window.partitionBy("event_type").orderBy("bucket"))
         - lit(1))
+      .localCheckpoint()
     val ln2 = 0.6931471805599453
     val perW = Seq(32, 64, 128).map { w =>
       val blk = idx
@@ -5302,7 +5306,35 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** CONTINUOUS windowed quantiles via the t-digest aggregate — the
+    * sketch family's quantile member running inside Structured
+    * Streaming (beside stream_heavyhitters' Misra-Gries): per
+    * (stream, hour) the state store holds ONE mergeable digest
+    * (O(compression) centroids), not the window's values — the only
+    * way windowed p95 exists at 100 TB stream rates. Spark-only:
+    * centroid layout is merge-order-dependent (the
+    * agg_threshold_sketch class); TDigestSpec pins sketch-vs-exact
+    * accuracy and streaming merge behavior.
+    */
+  private def q_stream_tdigest(s: SparkSession, dir: String): DataFrame = {
+    val root = compactMaterialized(s, dir)
+    val name = s"tdig_stream_${registryKey(dir).take(8)}"
+    val schema = s.read.parquet(root).schema
+    val stream = s.readStream.schema(schema).parquet(root)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(round(AnomalyMath.thresholdSketch(col("value"), 0.5), 6).as("p50_sketch"),
+        round(AnomalyMath.thresholdSketch(col("value"), 0.95), 6).as("p95_sketch"),
+        count(lit(1)).as("n"))
+    s.catalog.dropTempView(name)
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy("event_type", "bucket")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tdigest" -> (q_stream_tdigest _),
     "agg_hurst" -> (q_agg_hurst _),
     "agg_kruskal" -> (q_agg_kruskal _),
     "agg_chisq" -> (q_agg_chisq _),
