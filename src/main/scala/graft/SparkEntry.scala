@@ -5333,7 +5333,105 @@ object SparkEntry {
     s.table(name).orderBy("event_type", "bucket")
   }
 
+  /** Declarative data-quality expectation suite (the Deequ pattern —
+    * Schelter et al. 2018, VLDB): N constraints over a table verified
+    * from ONE aggregation pass (completeness, uniqueness, bounds,
+    * domain membership, time-range sanity), emitted as (constraint,
+    * metric, passed) rows. At 100 TB this is the nightly gate before
+    * any downstream job trusts a partition: one scan, one agg row,
+    * constraint algebra on the driver-side literals.
+    */
+  private def q_agg_expectations(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val m = E(s, dir).agg(
+      count(lit(1)).as("n"),
+      count(col("value")).as("n_value"),
+      countDistinct(col("event_id")).as("n_ids"),
+      min(col("value")).as("min_value"),
+      sum(col("event_type").isin(types: _*).cast("long")).as("n_type_ok"),
+      sum((col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2025-01-01 00:00:00").cast("timestamp"))
+        .cast("long")).as("n_ts_ok"))
+    val nD = col("n").cast("double")
+    def row(name: String, metric: Column, passed: Column) =
+      m.select(lit(name).as("check_name"), round(metric, 6).as("metric"),
+        passed.as("passed"))
+    row("completeness_value", col("n_value") / nD, col("n_value") / nD >= 0.9)
+      .unionByName(row("uniqueness_event_id", col("n_ids") / nD,
+        col("n_ids") === col("n")))
+      .unionByName(row("min_value_nonneg", col("min_value"),
+        col("min_value") >= 0.0))
+      .unionByName(row("type_in_domain", col("n_type_ok") / nD,
+        col("n_type_ok") === col("n")))
+      .unionByName(row("ts_in_range", col("n_ts_ok") / nD,
+        col("n_ts_ok") === col("n")))
+      .orderBy("check_name")
+  }
+
+  /** Entity clusters from the fuzzy-match graph: [[Linkage.jwPairs]]
+    * candidates become edges over the distinct-name vocabulary (name →
+    * stable id = min part key), and [[Dedup.duplicateClusters]]'
+    * min-label propagation resolves connected components — the full
+    * record-linkage pipeline (block → score → cluster) whose oracle is
+    * a recursive-CTE transitive closure. Singleton names keep their
+    * own id: every vocabulary entry gets an entity.
+    */
+  private def q_join_er_clusters(s: SparkSession, dir: String): DataFrame = {
+    val nm = T(s, dir, "part").groupBy(col("p_name").as("name"))
+      .agg(min(col("p_partkey")).as("id"))
+    val pairs = Linkage.jwPairs(T(s, dir, "part"), "p_name",
+      element_at(split(col("name"), " "), 2), minSim = 0.84)
+    val edges = pairs
+      .join(nm.select(col("name").as("name_a"), col("id").as("doc_a")), "name_a")
+      .join(nm.select(col("name").as("name_b"), col("id").as("doc_b")), "name_b")
+      .select("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(edges)
+    nm.join(clusters.withColumnRenamed("doc_id", "id"), Seq("id"), "left")
+      .select(col("name"),
+        coalesce(col("canonical_id"), col("id")).as("entity_id"))
+      .orderBy("name")
+  }
+
+  /** Last-touch conversion attribution — each purchase credits the
+    * user's most recent non-purchase event inside a 24 h window
+    * (purchases with no touch credit "direct"). The as-of machinery
+    * with business semantics: a user-keyed equi-join bounds the range
+    * predicate (the shuffle key is the user, never a time cross
+    * product), the argmax is a per-purchase window with a total
+    * (ts, event_id) order, and credited value stays exact integer
+    * cents.
+    */
+  private def q_join_attribution(s: SparkSession, dir: String): DataFrame = {
+    val cents = expr(
+      "cast(cast(value as decimal(18,6)) * 1000000 as bigint) div 10000")
+    val ev = E(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"),
+        when(col("value").isNotNull, cents).otherwise(0L).as("c"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("t_user"), col("event_type").as("touch_type"),
+        col("ts").as("t_ts"), col("event_id").as("t_id"))
+    // window predicate INSIDE the left-join condition: a purchase whose
+    // touches all fall outside 24 h must still surface (as "direct"),
+    // which a post-join filter would silently drop
+    val joined = purchases.join(touches,
+      col("user_id") === col("t_user") &&
+        col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"), "left")
+    val w = Window.partitionBy("p_id")
+      .orderBy(col("t_ts").desc_nulls_last, col("t_id").desc_nulls_last)
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(coalesce(col("touch_type"), lit("direct")).as("touch_type"),
+        col("p_id"), col("c"))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("conversions"), sum(col("c")).as("value_cents"))
+      .orderBy("touch_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_attribution" -> (q_join_attribution _),
+    "agg_expectations" -> (q_agg_expectations _),
+    "join_er_clusters" -> (q_join_er_clusters _),
     "stream_tdigest" -> (q_stream_tdigest _),
     "agg_hurst" -> (q_agg_hurst _),
     "agg_kruskal" -> (q_agg_kruskal _),
@@ -6136,6 +6234,68 @@ object SparkEntry {
         |    OVER (ORDER BY dur_days ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cumhaz
         |FROM r WHERE n_events > 0 ORDER BY dur_days""".stripMargin,
+    "join_attribution" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts,
+        |    event_id AS p_id,
+        |    CASE WHEN value IS NOT NULL THEN
+        |      (CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) // 10000)
+        |      ELSE 0 END AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id AS t_user, event_type AS touch_type,
+        |    CAST(ts AS TIMESTAMP) AS t_ts, event_id AS t_id
+        |  FROM events WHERE event_type <> 'purchase'),
+        |j AS (SELECT p.p_id, p.c, t.touch_type, t.t_ts, t.t_id
+        |  FROM p LEFT JOIN t ON p.user_id = t.t_user
+        |    AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 24 HOUR),
+        |r AS (SELECT p_id, c, touch_type,
+        |    row_number() OVER (PARTITION BY p_id
+        |      ORDER BY t_ts DESC NULLS LAST, t_id DESC NULLS LAST) AS rn
+        |  FROM j)
+        |SELECT coalesce(touch_type, 'direct') AS touch_type,
+        |  count(*) AS conversions, CAST(sum(c) AS BIGINT) AS value_cents
+        |FROM r WHERE rn = 1 GROUP BY 1 ORDER BY touch_type""".stripMargin,
+    "agg_expectations" ->
+      """WITH m AS (SELECT count(*) AS n,
+        |    count(value) AS n_value,
+        |    count(DISTINCT event_id) AS n_ids,
+        |    min(value) AS min_value,
+        |    CAST(sum(CASE WHEN event_type IN
+        |      ('click','view','purchase','signup','error')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_type_ok,
+        |    CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP)
+        |        >= TIMESTAMP '2024-01-01 00:00:00'
+        |      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2025-01-01 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_ok
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT 'completeness_value' AS check_name,
+        |    round(CAST(n_value AS DOUBLE) / n, 6) AS metric,
+        |    CAST(n_value AS DOUBLE) / n >= 0.9 AS passed FROM m
+        |  UNION ALL SELECT 'uniqueness_event_id',
+        |    round(CAST(n_ids AS DOUBLE) / n, 6), n_ids = n FROM m
+        |  UNION ALL SELECT 'min_value_nonneg',
+        |    round(min_value, 6), min_value >= 0.0 FROM m
+        |  UNION ALL SELECT 'type_in_domain',
+        |    round(CAST(n_type_ok AS DOUBLE) / n, 6), n_type_ok = n FROM m
+        |  UNION ALL SELECT 'ts_in_range',
+        |    round(CAST(n_ts_ok AS DOUBLE) / n, 6), n_ts_ok = n FROM m)
+        |ORDER BY check_name""".stripMargin,
+    "join_er_clusters" ->
+      """WITH RECURSIVE nm AS (SELECT p_name AS name, min(p_partkey) AS id
+        |  FROM part GROUP BY 1),
+        |p AS (SELECT a.id AS ia, b.id AS ib FROM nm a JOIN nm b
+        |  ON split_part(a.name, ' ', 2) = split_part(b.name, ' ', 2)
+        |  AND a.name < b.name
+        |  AND jaro_winkler_similarity(a.name, b.name) >= 0.84),
+        |e AS (SELECT ia AS src, ib AS dst FROM p
+        |  UNION ALL SELECT ib, ia FROM p),
+        |reach(node, label) AS (
+        |  SELECT id, id FROM nm
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node)
+        |SELECT nm.name, CAST(min(r.label) AS BIGINT) AS entity_id
+        |FROM nm JOIN reach r ON r.node = nm.id
+        |GROUP BY nm.name ORDER BY nm.name""".stripMargin,
     "agg_hurst" -> {
       def leg(w: Int) =
         s"""SELECT event_type, $w AS w, quantile_cont(rs, 0.5) AS med FROM (
