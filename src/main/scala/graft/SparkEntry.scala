@@ -5428,7 +5428,71 @@ object SparkEntry {
       .orderBy("touch_type")
   }
 
+  /** ECOD-style unsupervised outlier scoring (Li et al. 2022, TKDE —
+    * "ECOD: Unsupervised Outlier Detection Using Empirical Cumulative
+    * Distribution Functions"): per stream, each hourly value's tail
+    * probability is its empirical CDF from BOTH sides (cume_dist
+    * ascending and descending — exact rationals from integer ranks, no
+    * parametric fit, no training); the per-bucket score sums
+    * −ln(min(left tail, right tail)) across streams. Windows partition
+    * BY STREAM over the hour-bounded resampled frame — never global —
+    * and the heavy input stays the one resample groupBy. Top-20 by
+    * score with a total tie order.
+    */
+  private def q_ml_ecod(s: SparkSession, dir: String): DataFrame = {
+    val hourly = hourlyCentsLong(s, dir)
+    val wUp = Window.partitionBy("event_type").orderBy(col("c"))
+    val wDn = Window.partitionBy("event_type").orderBy(col("c").desc)
+    val scored = hourly
+      .withColumn("fl", cume_dist().over(wUp))
+      .withColumn("fr", cume_dist().over(wDn))
+      .withColumn("o", -log(least(col("fl"), col("fr"))))
+    scored.groupBy("bucket")
+      .agg(round(sum(col("o")), 6).as("ecod_score"),
+        count(lit(1)).as("n_streams"))
+      .orderBy(col("ecod_score").desc, col("bucket"))
+      .limit(20)
+  }
+
+  /** Mutual information between stream identity and value
+    * order-of-magnitude (digit-count buckets — pure integer/string, so
+    * the binning is exact in any engine): the feature-relevance
+    * primitive behind every "which signals matter" screen. MI and the
+    * entropies come from exact joint counts; the ln terms are O(1) and
+    * the cell fold is ≤ |streams|·|magnitudes|, so round 6 is stable.
+    * One groupBy of the corpus; everything after runs on the
+    * model-sized contingency table.
+    */
+  private def q_agg_mutual_info(s: SparkSession, dir: String): DataFrame = {
+    val cents = expr(
+      "cast(cast(value as decimal(18,6)) * 1000000 as bigint) div 10000")
+    val binned = E(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), length(cents.cast("string")).as("mag"))
+    val joint = binned.groupBy("event_type", "mag").agg(count(lit(1)).as("nxy"))
+    val nx = joint.groupBy("event_type").agg(sum("nxy").as("nx"))
+    val ny = joint.groupBy("mag").agg(sum("nxy").as("ny"))
+    val n = joint.agg(sum("nxy").as("n"))
+    val cells = joint.join(broadcast(nx), "event_type")
+      .join(broadcast(ny), "mag").crossJoin(broadcast(n))
+    val nD = col("n").cast("double")
+    val mi = sum((col("nxy").cast("double") / nD) *
+      log(col("nxy").cast("double") * nD /
+        (col("nx").cast("double") * col("ny").cast("double"))))
+    val hx = sum((col("nxy").cast("double") / nD) *
+      -log(col("nx").cast("double") / nD))
+    val hy = sum((col("nxy").cast("double") / nD) *
+      -log(col("ny").cast("double") / nD))
+    cells.agg(mi.as("mi"), hx.as("hx"), hy.as("hy"),
+        countDistinct(col("event_type")).as("k_streams"),
+        countDistinct(col("mag")).as("k_magnitudes"))
+      .select(round(col("mi"), 6).as("mi"),
+        round(col("mi") / sqrt(col("hx") * col("hy")), 6).as("nmi"),
+        col("k_streams"), col("k_magnitudes"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_ecod" -> (q_ml_ecod _),
+    "agg_mutual_info" -> (q_agg_mutual_info _),
     "join_attribution" -> (q_join_attribution _),
     "agg_expectations" -> (q_agg_expectations _),
     "join_er_clusters" -> (q_join_er_clusters _),
@@ -6234,6 +6298,47 @@ object SparkEntry {
         |    OVER (ORDER BY dur_days ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cumhaz
         |FROM r WHERE n_events > 0 ORDER BY dur_days""".stripMargin,
+    "ml_ecod" ->
+      """WITH h AS (SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      // count(*)) // 10000 AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |sc AS (SELECT bucket,
+        |    -ln(least(
+        |      cume_dist() OVER (PARTITION BY event_type ORDER BY c),
+        |      cume_dist() OVER (PARTITION BY event_type ORDER BY c DESC)))
+        |      AS o
+        |  FROM h)
+        |SELECT bucket, round(sum(o), 6) AS ecod_score,
+        |  count(*) AS n_streams
+        |FROM sc GROUP BY bucket
+        |ORDER BY ecod_score DESC, bucket LIMIT 20""".stripMargin,
+    "agg_mutual_info" ->
+      """WITH b AS (SELECT event_type,
+        |    length(CAST((CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+        |      AS BIGINT) // 10000) AS VARCHAR)) AS mag
+        |  FROM events WHERE value IS NOT NULL),
+        |j AS (SELECT event_type, mag, count(*) AS nxy FROM b GROUP BY 1, 2),
+        |nx AS (SELECT event_type, CAST(sum(nxy) AS BIGINT) AS nx
+        |  FROM j GROUP BY 1),
+        |ny AS (SELECT mag, CAST(sum(nxy) AS BIGINT) AS ny FROM j GROUP BY 1),
+        |nn AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM j),
+        |cells AS (SELECT j.*, nx.nx, ny.ny, nn.n
+        |  FROM j JOIN nx USING (event_type) JOIN ny USING (mag) CROSS JOIN nn)
+        |SELECT
+        |  round(sum((CAST(nxy AS DOUBLE) / n) *
+        |    ln(CAST(nxy AS DOUBLE) * n
+        |      / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))), 6) AS mi,
+        |  round(sum((CAST(nxy AS DOUBLE) / n) *
+        |      ln(CAST(nxy AS DOUBLE) * n
+        |        / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))))
+        |    / sqrt(sum((CAST(nxy AS DOUBLE) / n) * -ln(CAST(nx AS DOUBLE) / n))
+        |      * sum((CAST(nxy AS DOUBLE) / n) * -ln(CAST(ny AS DOUBLE) / n))), 6)
+        |    AS nmi,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS k_streams,
+        |  CAST(count(DISTINCT mag) AS BIGINT) AS k_magnitudes
+        |FROM cells""".stripMargin,
     "join_attribution" ->
       """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts,
         |    event_id AS p_id,
