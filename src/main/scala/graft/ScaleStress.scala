@@ -127,7 +127,11 @@ object ScaleStress {
       // bounded fold), GMM EM (12 jobs of sufficient statistics), audio
       // ZCR (per-row decode), CMS (one sketch buffer per partition)
       "win_winsorize", "agg_kaplan_meier", "ml_gmm",
-      "multimodal_audio_zcr", "agg_countmin")
+      "multimodal_audio_zcr", "agg_countmin",
+      // round-9 session 3: R/S blocks, bootstrap generator map, ECOD
+      // ranks, attribution range join, one-pass expectations, MI table
+      "agg_hurst", "agg_bootstrap_ci", "ml_ecod", "join_attribution",
+      "agg_expectations", "agg_mutual_info", "stream_tdigest")
     // Operator probes for the twin-offset dedup family (see scaladoc).
     val opProbes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "op_minhash_lsh" -> ((s: SparkSession, d: String) =>
