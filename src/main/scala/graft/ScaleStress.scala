@@ -131,7 +131,12 @@ object ScaleStress {
       // round-9 session 3: R/S blocks, bootstrap generator map, ECOD
       // ranks, attribution range join, one-pass expectations, MI table
       "agg_hurst", "agg_bootstrap_ci", "ml_ecod", "join_attribution",
-      "agg_expectations", "agg_mutual_info", "stream_tdigest")
+      "agg_expectations", "agg_mutual_info", "stream_tdigest",
+      // round-9 session 4: geo cells, exact moments, knn vote
+      "agg_geo_density", "agg_moments", "ml_knn_classify",
+      // round-9 session 5: eval metrics, graph structure, grid dbscan
+      "ml_confusion_prf", "ml_auc_roc", "ml_calibration",
+      "graph_cc", "graph_degree", "ml_dbscan")
     // Operator probes for the twin-offset dedup family (see scaladoc).
     val opProbes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "op_minhash_lsh" -> ((s: SparkSession, d: String) =>
@@ -154,6 +159,23 @@ object ScaleStress {
             .filter(col("doc_id") % 50 === 0)
             .select(col("doc_id").as("bench_id"), col("text")),
           "bench_id", "text", shingleN = 8)),
+      // grid radius join over the dir's user population (customer/supplier
+      // aren't expanded, so the registry query can't be probed directly):
+      // left = every user site, right = every 200th user as a "facility" —
+      // density is scale-invariant, candidate work should scale ~linearly
+      "op_geo_radius" -> ((s: SparkSession, d: String) => {
+        import graft.ops.Geo
+        val users = graft.sources.Events.read(s, s"$d/events.parquet")
+          .select("user_id").distinct()
+        val pts = users.select(col("user_id"),
+          (conv(substring(md5(concat(lit("u"), col("user_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 1200000L - 600000L).as("lat_e4"),
+          (conv(substring(md5(concat(lit("u"), col("user_id").cast("string"))), 17, 15), 16, 10)
+            .cast("long") % 3600000L - 1800000L).as("lon_e4"))
+        val sites = pts.filter(col("user_id") % 200 === 0)
+          .select(col("user_id").as("site_id"), col("lat_e4"), col("lon_e4"))
+        Geo.radiusPairs(pts, "user_id", sites, "site_id", 500.0, 45249L, 100000L)
+      }),
       "op_ks_drift" -> ((s: SparkSession, d: String) => {
         val ev = graft.sources.Events.read(s, s"$d/events.parquet")
         Drift.ksStatistic(ev, "event_type", "value",

@@ -1199,6 +1199,67 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** CONNECTED COMPONENTS over the kNN similarity graph — the global
+    * cluster structure next to graph_pagerank's centrality and
+    * graph_triangles' local tightness. Same iterative min-label
+    * propagation as dedup_clusters ([[graft.ops.Dedup.duplicateClusters]]:
+    * per round one keyed join + one hash-agg, lineage checkpointed,
+    * convergence-checked fixpoint — maxIter raised to 64 because a kNN
+    * graph's diameter can far exceed a near-dup clique's). LSH-orphaned
+    * nodes (no candidates ⇒ no edges) are singleton components by
+    * contract — every vector gets a component id and size. At 100 TB
+    * this is the Kiveris et al. connectivity recipe: each round shuffles
+    * ids only, driver state is nil.
+    */
+  private def q_graph_cc(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    val pairs = Similarity.knnGraph(e, "vec_id", "embedding", 3)
+      .select(col("qid").as("doc_a"), col("nid").as("doc_b"))
+    val labels = Dedup.duplicateClusters(pairs, maxIter = 64)
+      .select(col("doc_id").as("vec_id"), col("canonical_id").as("lbl"))
+    val all = e.select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), coalesce(col("lbl"), col("vec_id")).as("comp"))
+    val sz = all.groupBy("comp").agg(count(lit(1)).as("n_members"))
+    all.join(sz, "comp")
+      .select(col("vec_id"), col("comp"), col("n_members"))
+      .orderBy("vec_id")
+  }
+
+  /** Per-node DEGREE table over the kNN similarity graph: out-degree
+    * (≤ k by construction), in-degree (the "how often am I someone's
+    * neighbor" curation signal — high in-degree = hub/representative,
+    * zero = outlier), and undirected degree. Three hash-aggs of an
+    * ids-only edge list joined back to the node table — every shuffle
+    * carries two longs per edge.
+    */
+  private def q_graph_degree(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    val edges = Similarity.knnGraph(e, "vec_id", "embedding", 3)
+      .select(col("qid").as("src"), col("nid").as("dst"))
+      .localCheckpoint()
+    val outd = edges.groupBy(col("src").as("vec_id"))
+      .agg(count(lit(1)).as("out_deg"))
+    val ind = edges.groupBy(col("dst").as("vec_id"))
+      .agg(count(lit(1)).as("in_deg"))
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val undd = und.select(col("a").as("vec_id"))
+      .unionByName(und.select(col("b").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("und_deg"))
+    e.select(col("vec_id"))
+      .join(outd, Seq("vec_id"), "left_outer")
+      .join(ind, Seq("vec_id"), "left_outer")
+      .join(undd, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("und_deg"), lit(0L)).as("und_deg"))
+      .orderBy("vec_id")
+  }
+
   /** Spark-only: IVF coarse-quantizer ANN — probe-limited top-k with a
     * PREFIT quantizer. The k-means fit runs once per corpus and is
     * persisted under a content-keyed registry path (the disk-registry
@@ -5490,7 +5551,364 @@ object SparkEntry {
         col("k_streams"), col("k_magnitudes"))
   }
 
+  /** Hash-derived site coordinates in exact 1e-4-degree integer units
+    * (lat ∈ [-60°, 60°), lon ∈ [-180°, 180°)) — the geo family's fixture
+    * derivation, portable to the oracle engine verbatim because every
+    * step is md5-hex → 60-bit integer → modulus. The ±60° latitude cap
+    * is what makes [[graft.ops.Geo.radiusPairs]]' fixed-width grid sound
+    * (see its scaladoc).
+    */
+  private def geoE4(prefix: String, id: Column): (Column, Column) = {
+    val hx = md5(concat(lit(prefix), id.cast("string")))
+    val h1 = conv(substring(hx, 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(hx, 17, 15), 16, 10).cast("long")
+    (h1 % 1200000L - 600000L, h2 % 3600000L - 1800000L)
+  }
+
+  /** Matching oracle-side SQL for [[geoE4]]. */
+  private def geoE4Sql(prefix: String, idExpr: String): (String, String) = (
+    s"CAST(('0x'||substr(md5('$prefix'||CAST($idExpr AS VARCHAR)),1,15)) AS BIGINT) % 1200000 - 600000",
+    s"CAST(('0x'||substr(md5('$prefix'||CAST($idExpr AS VARCHAR)),17,15)) AS BIGINT) % 3600000 - 1800000")
+
+  private def custSites(s: SparkSession, dir: String): DataFrame = {
+    val (la, lo) = geoE4("c", col("c_custkey"))
+    T(s, dir, "customer").select(col("c_custkey").as("cust"),
+      la.as("lat_e4"), lo.as("lon_e4"))
+  }
+  private def suppSites(s: SparkSession, dir: String): DataFrame = {
+    val (la, lo) = geoE4("s", col("s_suppkey"))
+    T(s, dir, "supplier").select(col("s_suppkey").as("supp"),
+      la.as("lat_e4"), lo.as("lon_e4"))
+  }
+
+  /** Grid-bucketed geospatial radius join: every (customer, supplier)
+    * pair within 500 km. The scale story is the whole point
+    * ([[graft.ops.Geo.radiusPairs]]): candidates come from a 3×3
+    * cell-neighborhood equi-join on an integer grid (cells ≥ 500 km in
+    * both axes over the ±60° domain, longitude wrapping modulo the
+    * grid), so work is O(n · local density), never all-pairs; the trig
+    * runs on candidates only. The oracle IS all-pairs (150k pairs at
+    * sf0.01 is nothing for the oracle engine) — the grid must reproduce
+    * the brute-force pair set exactly, which also makes this query the
+    * grid design's completeness proof (a missed adjacent cell = missing
+    * rows = hash mismatch).
+    */
+  private def q_join_geo_radius(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Geo.radiusPairs(custSites(s, dir), "cust",
+        suppSites(s, dir), "supp", 500.0, dLatE4 = 45249L, dLonE4 = 100000L)
+      .select(col("cust"), col("supp"), round(col("dist_km"), 6).as("dist_km"))
+      .orderBy("cust", "supp")
+
+  /** Nearest supplier site per customer. The build side is a DIM table —
+    * model-sized at any corpus scale — so the right 100 TB plan is a
+    * broadcast cross of the dim against the big side with a per-customer
+    * top-1 window (partitions are |suppliers|-sized slivers keyed by the
+    * big side; no shuffle of the big side beyond the window's), not a
+    * grid probe. Deterministic tie-break on supplier id.
+    */
+  private def q_join_geo_knn(s: SparkSession, dir: String): DataFrame = {
+    val c = custSites(s, dir)
+      .select(col("cust"), col("lat_e4").as("clat"), col("lon_e4").as("clon"))
+    val sp = suppSites(s, dir)
+      .select(col("supp"), col("lat_e4").as("slat"), col("lon_e4").as("slon"))
+    val d = c.crossJoin(broadcast(sp))
+      .withColumn("dist_km", graft.ops.Geo.haversineKm(
+        col("clat") / 10000.0, col("clon") / 10000.0,
+        col("slat") / 10000.0, col("slon") / 10000.0))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cust").orderBy(col("dist_km"), col("supp"))))
+    d.filter(col("rn") === 1)
+      .select(col("cust"), col("supp"),
+        round(col("dist_km"), 6).as("dist_km"))
+      .orderBy("cust")
+  }
+
+  /** Cell-density aggregation over hash-derived user locations: top-15
+    * densest 5°×5° cells with exact-integer centroids. ONE groupBy of
+    * the distinct-user table; every post-aggregation value is integer
+    * arithmetic (sums of 1e-4-degree units), so the result is
+    * bit-identical under any partitioning — the heat-map primitive.
+    */
+  private def q_agg_geo_density(s: SparkSession, dir: String): DataFrame = {
+    val (la, lo) = geoE4("u", col("user_id"))
+    val users = E(s, dir).select(col("user_id")).distinct()
+      .select(col("user_id"), la.as("lat_e4"), lo.as("lon_e4"))
+    users
+      .withColumn("cell_y", expr("(lat_e4 + 600000) div 50000"))
+      .withColumn("cell_x", expr("(lon_e4 + 1800000) div 50000"))
+      .groupBy("cell_y", "cell_x")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("lat_e4")).as("sy"), sum(col("lon_e4")).as("sx"))
+      .select(col("cell_y"), col("cell_x"), col("n_users"),
+        round(col("sy").cast("double") / col("n_users").cast("double") / 10000.0, 6)
+          .as("ctr_lat"),
+        round(col("sx").cast("double") / col("n_users").cast("double") / 10000.0, 6)
+          .as("ctr_lon"))
+      .orderBy(col("n_users").desc, col("cell_y"), col("cell_x"))
+      .limit(15)
+  }
+
+  /** Grid-bucketed DBSCAN over hash-derived customer sites — density
+    * clustering as a first-class operator (site clustering, hotspot
+    * mining). ε = 280 km, minPts = 3 (neighbor counts INCLUDE the point
+    * itself — the self-pair falls out of the grid join naturally).
+    * Pipeline: (1) ε-neighbor pairs from [[graft.ops.Geo.radiusPairs]]'
+    * 3×3 cell-neighborhood equi-join — O(n·density), never all-pairs;
+    * (2) core test = one ids-only groupBy; (3) clusters = connected
+    * components of the core-core ε-graph via the same convergence-checked
+    * min-label propagation as dedup_clusters/graph_cc; (4) border points
+    * attach to the min cluster among their core neighbors (the
+    * deterministic tie rule — textbook DBSCAN leaves border assignment
+    * order-dependent, which no hash-checked engine can tolerate);
+    * (5) the rest is noise (cluster −1). ε is chosen subcritical for the
+    * fixture density (avg ≈ 2.5 neighbors ≪ the ~4.5 continuum
+    * percolation threshold), so components stay small and shallow — the
+    * propagation converges in a few rounds. The point set is capped at
+    * c_custkey ≤ 4500 SOLELY for the oracle's sake: the DuckDB mirror is
+    * the brute-force all-pairs ε-graph plus a recursive-CTE closure,
+    * whose reachability table is O(Σ component²) — the Spark path has no
+    * such bound and is scale-stressed uncapped (ScaleStress op probe).
+    */
+  private def q_ml_dbscan(s: SparkSession, dir: String): DataFrame = {
+    val pts = custSites(s, dir).filter(col("cust") <= 4500L)
+    val rhs = pts.select(col("cust").as("nbr"), col("lat_e4"), col("lon_e4"))
+    val pairs = graft.ops.Geo
+      .radiusPairs(pts, "cust", rhs, "nbr", 280.0, 25400L, 60000L)
+      .select("cust", "nbr").localCheckpoint()
+    val ncnt = pairs.groupBy("cust").agg(count(lit(1)).as("n_nbr"))
+    val core = ncnt.filter(col("n_nbr") >= 3).select(col("cust"))
+    val coreEdges = pairs
+      .join(core, "cust")
+      .join(core.select(col("cust").as("nbr")), "nbr")
+      .filter(col("cust") < col("nbr"))
+      .select(col("cust").as("doc_a"), col("nbr").as("doc_b"))
+    val comp = Dedup.duplicateClusters(coreEdges, maxIter = 64)
+      .select(col("doc_id").as("cust"), col("canonical_id").as("lbl"))
+    val coreLbl = core.join(comp, Seq("cust"), "left_outer")
+      .select(col("cust"), coalesce(col("lbl"), col("cust")).as("cluster"))
+    val borderLbl = pairs.filter(col("cust") =!= col("nbr"))
+      .join(ncnt.filter(col("n_nbr") < 3).select(col("cust")), "cust")
+      .join(coreLbl.select(col("cust").as("nbr"), col("cluster")), "nbr")
+      .groupBy("cust").agg(min(col("cluster")).as("cluster"))
+    val noise = pts.select(col("cust"))
+      .join(coreLbl.select(col("cust")), Seq("cust"), "left_anti")
+      .join(borderLbl.select(col("cust")), Seq("cust"), "left_anti")
+    coreLbl.select(col("cust"), lit("core").as("role"), col("cluster"))
+      .unionByName(borderLbl.select(col("cust"), lit("border").as("role"),
+        col("cluster")))
+      .unionByName(noise.select(col("cust"), lit("noise").as("role"),
+        lit(-1L).as("cluster")))
+      .orderBy("cust")
+  }
+
+  /** Per-stream skewness and excess kurtosis from EXACT integer power
+    * sums — the distribution-shape screen next to agg_metrics. The key
+    * identity: with Sk = Σ c^k over deci-unit ints c, the n-scaled
+    * central sums SS2 = n·S2−S1², SS3 = n²·S3−3n·S1·S2+2·S1³,
+    * SS4 = n³·S4−4n²·S1·S3+6n·S1²·S2−3·S1⁴ are integers, and the
+    * n-powers cancel in g1 = SS3/SS2^1.5, g2 = SS4/SS2²−3 — so the
+    * only float ops are two divisions on exactly-known integers,
+    * bit-identical in any engine and under any partitioning (no
+    * streaming-variance epsilon). Magnitude bound: |c| ≤ 5·10³,
+    * n ≤ 2·10⁵ per stream keeps |SS4| < 10³⁶ inside DECIMAL(38)/
+    * HUGEINT — ~sf1 per stream; beyond that, switch to Chan et al.
+    * pairwise central-moment merging (same outputs, float partials).
+    */
+  private def q_agg_moments(s: SparkSession, dir: String): DataFrame = {
+    val c = expr(
+      "cast(cast(value as decimal(18,6)) * 1000000 as bigint) div 100000")
+    val d38 = "decimal(38,0)"
+    val base = E(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), c.as("c"))
+    val sums = base.groupBy("event_type").agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(col("c").cast(d38)).as("s1"),
+      sum((col("c") * col("c")).cast(d38)).as("s2"),
+      sum((col("c") * col("c") * col("c")).cast(d38)).as("s3"),
+      sum((col("c") * col("c") * col("c") * col("c")).cast(d38)).as("s4"))
+    val ss2 = (col("n") * col("s2") - col("s1") * col("s1")).as("ss2")
+    val ss3 = (col("n") * col("n") * col("s3")
+      - lit(3).cast(d38) * col("n") * col("s1") * col("s2")
+      + lit(2).cast(d38) * col("s1") * col("s1") * col("s1")).as("ss3")
+    val ss4 = (col("n") * col("n") * col("n") * col("s4")
+      - lit(4).cast(d38) * col("n") * col("n") * col("s1") * col("s3")
+      + lit(6).cast(d38) * col("n") * col("s1") * col("s1") * col("s2")
+      - lit(3).cast(d38) * col("s1") * col("s1") * col("s1") * col("s1")).as("ss4")
+    sums.select(col("event_type"), col("n"), col("s1"), ss2, ss3, ss4)
+      .select(col("event_type"),
+        col("n").cast("long").as("n"),
+        round(col("s1").cast("double") / col("n").cast("double") / 10.0, 6)
+          .as("mean_v"),
+        round(col("ss3").cast("double") /
+          (col("ss2").cast("double") * sqrt(col("ss2").cast("double"))), 6)
+          .as("skewness"),
+        round(col("ss4").cast("double") /
+          (col("ss2").cast("double") * col("ss2").cast("double")) - 3.0, 6)
+          .as("kurtosis"))
+      .orderBy("event_type")
+  }
+
+  /** k-NN label classification over the embedding corpus: hold out every
+    * 20th vector, classify by majority label of its 5 nearest training
+    * neighbors (cosine), ties → fewer-votes-first broken by label text.
+    * The query side is broadcast (test sets are model-sized); the
+    * corpus-side scan is the same single pass as simsearch_topk, so the
+    * plan scales exactly like the ANN baseline it reuses. The neighbor
+    * set (|test|·k rows — model-sized) is then BROADCAST back against
+    * the corpus to pick up labels: the big table is only ever scanned,
+    * never shuffled.
+    */
+  private def q_ml_knn_classify(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    val test = e.filter(col("vec_id") % 20 === 0)
+    val train = e.filter(col("vec_id") % 20 =!= 0)
+    val nbrs = Similarity.bruteForceTopK(test, train, "vec_id", "embedding", 5)
+    val votes = e.select(col("vec_id").as("nid"), col("label").as("nlabel"))
+      .join(broadcast(nbrs), "nid")
+      .groupBy("qid", "nlabel").agg(count(lit(1)).as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("v").desc, col("nlabel"))))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("nlabel").as("label_pred"))
+    test.select(col("vec_id").as("qid"), col("label").as("label_true"))
+      .join(votes, "qid")
+      .orderBy("qid")
+  }
+
+  /** Per-class confusion matrix + precision/recall/F1 over the k-NN
+    * classifier's predictions — the model-eval primitive every training
+    * pipeline runs after scoring. The prediction table is the
+    * oracle-checked [[q_ml_knn_classify]] plan verbatim; the confusion
+    * pairs table (≤ |classes|² rows — model-sized) is localCheckpoint'd
+    * once so the three marginal legs (tp / fp / fn) don't re-run the
+    * k-NN scan. All counts are exact integers; the three ratios are
+    * single float divisions on exactly-known integers (F1 in the
+    * 2tp/(2tp+fp+fn) integer-denominator form — no compounding), so the
+    * output is bit-identical in any engine. At 100 TB the eval reduces
+    * to ONE groupBy of the predictions table; everything after is
+    * |classes|-sized algebra.
+    */
+  private def q_ml_confusion_prf(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q_ml_knn_classify(s, dir)
+      .groupBy("label_true", "label_pred").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val mis = pairs.filter(col("label_true") =!= col("label_pred"))
+    val tpa = pairs.filter(col("label_true") === col("label_pred"))
+      .select(col("label_true").as("cls"), col("n").as("tp"))
+    val fpa = mis.groupBy(col("label_pred").as("cls")).agg(sum("n").as("fp"))
+    val fna = mis.groupBy(col("label_true").as("cls")).agg(sum("n").as("fn"))
+    val classes = pairs.select(col("label_true").as("cls"))
+      .unionByName(pairs.select(col("label_pred").as("cls"))).distinct()
+    val tp = coalesce(col("tp"), lit(0L))
+    val fp = coalesce(col("fp"), lit(0L))
+    val fn = coalesce(col("fn"), lit(0L))
+    classes.join(tpa, Seq("cls"), "left_outer")
+      .join(fpa, Seq("cls"), "left_outer")
+      .join(fna, Seq("cls"), "left_outer")
+      .select(col("cls"), tp.as("tp"), fp.as("fp"), fn.as("fn"),
+        round(tp.cast("double") / nullif((tp + fp).cast("double"), lit(0.0)), 6)
+          .as("prec"),
+        round(tp.cast("double") / nullif((tp + fn).cast("double"), lit(0.0)), 6)
+          .as("rec"),
+        round(lit(2.0) * tp.cast("double")
+          / nullif((lit(2L) * tp + fp + fn).cast("double"), lit(0.0)), 6)
+          .as("f1"))
+      .orderBy("cls")
+  }
+
+  /** One-vs-rest scored frame shared by [[q_ml_auc_roc]] /
+    * [[q_ml_calibration]]: per class, the anchor is the class member
+    * with the MIN vec_id (a |classes|-row table — model-sized at any
+    * corpus scale — broadcast against the one corpus scan), score =
+    * cosine to the anchor, positive ⇔ the row carries the class label.
+    * Every (row, class) score is per-row arithmetic on the broadcast
+    * anchor — the corpus is scanned once and never shuffled here; the
+    * downstream rank/bin windows partition BY CLASS.
+    */
+  private def probeScored(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    val probes = e.withColumn("rn", row_number().over(
+        Window.partitionBy("label").orderBy("vec_id")))
+      .filter(col("rn") === 1)
+      .select(col("label").as("cls"), col("vec_id").as("pid"),
+        col("embedding").as("pv"))
+    e.crossJoin(broadcast(probes)).filter(col("vec_id") =!= col("pid"))
+      .select(col("cls"), col("vec_id"),
+        (col("label") === col("cls")).as("pos"),
+        (Similarity.dot(col("embedding"), col("pv")) /
+          sqrt(Similarity.dot(col("embedding"), col("embedding")) *
+            Similarity.dot(col("pv"), col("pv")))).as("score"))
+  }
+
+  /** Exact one-vs-rest ROC-AUC + average precision per class — ranking
+    * metrics for retrieval/classifier eval. AUC via the rank identity
+    * (the Mann-Whitney U this registry already ships): with a TOTAL
+    * deterministic order (score, vec_id), AUC = (Σ ranks₊ −
+    * n₊(n₊+1)/2)/(n₊·n₋) — all integers until one final division.
+    * Average precision avoids the order-dependent float sum by flooring
+    * each precision@i to ppm: (10⁶·cum₊) div i is an exact integer in
+    * both engines, summed exactly. Scale: ranks come from per-class sort
+    * windows (the classic 2-pass distributed rank if a single class
+    * outgrows a partition); one corpus scan feeds everything.
+    */
+  private def q_ml_auc_roc(s: SparkSession, dir: String): DataFrame = {
+    val wAsc = Window.partitionBy("cls").orderBy(col("score"), col("vec_id"))
+    val wDesc = Window.partitionBy("cls")
+      .orderBy(col("score").desc, col("vec_id"))
+    val r = probeScored(s, dir)
+      .withColumn("rk", row_number().over(wAsc).cast("long"))
+      .withColumn("rn", row_number().over(wDesc).cast("long"))
+      .withColumn("cum", sum(when(col("pos"), 1L).otherwise(0L)).over(
+        wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prec_ppm",
+        when(col("pos"), expr("(1000000 * cum) div rn")).otherwise(lit(0L)))
+    val np = col("np").cast("double"); val nn = col("nn").cast("double")
+    r.groupBy("cls").agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("nn"),
+        sum(when(col("pos"), col("rk")).otherwise(0L)).as("srk"),
+        sum(col("prec_ppm")).as("sppm"))
+      .select(col("cls"), col("np").as("n_pos"), col("nn").as("n_neg"),
+        round((col("srk").cast("double") - np * (np + 1.0) / 2.0) / (np * nn), 6)
+          .as("auc"),
+        round(col("sppm").cast("double") / np / 1000000.0, 6).as("avg_prec"))
+      .orderBy("cls")
+  }
+
+  /** Calibration/reliability bins per class: pseudo-probability
+    * p = (cos+1)/2 into ten fixed bins; per bin the exact count,
+    * positive fraction (exact integer ratio) and mean score (per-row
+    * ppm floor then integer sum — the same order-independence discipline
+    * as [[q_ml_auc_roc]]'s AP). ONE groupBy of the scored frame; at
+    * 100 TB this is a map-side-combinable aggregation, no sort anywhere.
+    */
+  private def q_ml_calibration(s: SparkSession, dir: String): DataFrame = {
+    val p = (col("score") + lit(1.0)) / 2.0
+    probeScored(s, dir)
+      .withColumn("bin", least(floor(p * 10.0).cast("long"), lit(9L)))
+      .withColumn("p_ppm", floor(p * 1000000.0).cast("long"))
+      .groupBy("cls", "bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("npos"),
+        sum(col("p_ppm")).as("sppm"))
+      .select(col("cls"), col("bin"), col("n"),
+        round(col("sppm").cast("double") / col("n").cast("double") / 1000000.0, 6)
+          .as("mean_score"),
+        round(col("npos").cast("double") / col("n").cast("double"), 6)
+          .as("frac_pos"))
+      .orderBy("cls", "bin")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_confusion_prf" -> (q_ml_confusion_prf _),
+    "ml_auc_roc" -> (q_ml_auc_roc _),
+    "ml_calibration" -> (q_ml_calibration _),
+    "ml_dbscan" -> (q_ml_dbscan _),
+    "join_geo_radius" -> (q_join_geo_radius _),
+    "join_geo_knn" -> (q_join_geo_knn _),
+    "agg_geo_density" -> (q_agg_geo_density _),
+    "agg_moments" -> (q_agg_moments _),
+    "ml_knn_classify" -> (q_ml_knn_classify _),
     "ml_ecod" -> (q_ml_ecod _),
     "agg_mutual_info" -> (q_agg_mutual_info _),
     "join_attribution" -> (q_join_attribution _),
@@ -5707,6 +6125,8 @@ object SparkEntry {
     "agg_user_segments" -> (q_agg_user_segments _),
     "graph_pagerank" -> (q_graph_pagerank _),
     "graph_triangles" -> (q_graph_triangles _),
+    "graph_cc" -> (q_graph_cc _),
+    "graph_degree" -> (q_graph_degree _),
     "simsearch_mmr" -> (q_simsearch_mmr _),
     "simsearch_recall_audit" -> (q_simsearch_recall_audit _),
     "stream_sliding" -> (q_stream_sliding _),
@@ -5852,6 +6272,47 @@ object SparkEntry {
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
   private def normSqSql(a: String) =
     s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+
+  /** k-NN classifier prediction CTE chain (ends in
+    * `predk(qid, label_true, label_pred)`) — shared verbatim by the
+    * `ml_knn_classify` oracle and the eval-family oracles built on its
+    * predictions (`ml_confusion_prf`).
+    */
+  private def knnPredCtes: String =
+    s"""q AS (SELECT * FROM embeddings WHERE vec_id % 20 = 0),
+       |t AS (SELECT * FROM embeddings WHERE vec_id % 20 <> 0),
+       |dots AS (SELECT q.vec_id AS qid, t.vec_id AS nid, t.label AS nlabel,
+       |    ${dotSql("q.embedding", "t.embedding")}
+       |      / sqrt(${normSqSql("q.embedding")} * ${normSqSql("t.embedding")})
+       |      AS cos_sim
+       |  FROM q, t),
+       |ranked AS (SELECT qid, nid, nlabel,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid)
+       |      AS rnk
+       |  FROM dots),
+       |votes AS (SELECT qid, nlabel, count(*) AS v
+       |  FROM ranked WHERE rnk <= 5 GROUP BY 1, 2),
+       |pick AS (SELECT qid, nlabel,
+       |    row_number() OVER (PARTITION BY qid ORDER BY v DESC, nlabel) AS rn
+       |  FROM votes),
+       |predk AS (SELECT q.vec_id AS qid, q.label AS label_true,
+       |    p.nlabel AS label_pred
+       |  FROM q JOIN pick p ON q.vec_id = p.qid AND p.rn = 1)""".stripMargin
+
+  /** One-vs-rest scored-frame CTE chain (ends in
+    * `sc(cls, vec_id, pos, score)`) — the SQL mirror of
+    * [[probeScored]], shared by `ml_auc_roc` / `ml_calibration`.
+    */
+  private def probeScoredCtes: String =
+    s"""probes AS (SELECT label AS cls, vec_id AS pid, embedding AS pv
+       |  FROM (SELECT label, vec_id, embedding,
+       |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+       |    FROM embeddings) WHERE rn = 1),
+       |sc AS (SELECT p.cls, e.vec_id, (e.label = p.cls) AS pos,
+       |    ${dotSql("e.embedding", "p.pv")}
+       |      / sqrt(${normSqSql("e.embedding")} * ${normSqSql("p.pv")})
+       |      AS score
+       |  FROM embeddings e JOIN probes p ON e.vec_id <> p.pid)""".stripMargin
 
   /** Dense long-format 10-min resample grid — must stay formula-identical
     * to `longResampled` + `Timeseries.densify`.
@@ -6145,6 +6606,30 @@ object SparkEntry {
     * the cosine arithmetic is the same IEEE sequence on both sides and
     * ties break by neighbor id.
     */
+  /** kNN-graph edge CTE chain (ends in `e(src, dst)`) — the exact
+    * simsearch_knn_graph edge set, shared by the graph_cc /
+    * graph_degree oracles (pagerank/triangles inline the same text).
+    */
+  private def knnEdgeCtes: String =
+    s"""${lshBucketCtes(8, 8, 64)},
+       |cand AS (SELECT DISTINCT a.vec_id AS qid, b2.vec_id AS nid
+       |         FROM bl a JOIN bl b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+       |          AND a.vec_id <> b2.vec_id),
+       |n0 AS (SELECT vec_id, ${normSqSql("embedding")} AS nsq FROM embeddings),
+       |sc0 AS (SELECT c.qid, c.nid,
+       |         ${dotSql("ea.embedding", "eb.embedding")} AS dot,
+       |         na.nsq AS naa, nb.nsq AS nbb
+       |       FROM cand c
+       |       JOIN embeddings ea ON ea.vec_id = c.qid
+       |       JOIN embeddings eb ON eb.vec_id = c.nid
+       |       JOIN n0 na ON na.vec_id = c.qid
+       |       JOIN n0 nb ON nb.vec_id = c.nid),
+       |rk0 AS (SELECT qid, nid,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY dot / sqrt(naa * nbb) DESC, nid) AS rnk
+       |      FROM sc0),
+       |e AS (SELECT qid AS src, nid AS dst FROM rk0 WHERE rnk <= 3)""".stripMargin
+
   private def knnGraphOracleSql: String = {
     s"""WITH ${lshBucketCtes(8, 8, 64)},
        |cand AS (SELECT DISTINCT a.vec_id AS qid, b2.vec_id AS nid
@@ -6268,6 +6753,174 @@ object SparkEntry {
        |FROM c JOIN v ON c.bucket = v.bucket ORDER BY bucket""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "join_geo_radius" -> {
+      val (cla, clo) = geoE4Sql("c", "c_custkey")
+      val (sla, slo) = geoE4Sql("s", "s_suppkey")
+      s"""WITH c AS (SELECT c_custkey AS cust, $cla AS lat_e4, $clo AS lon_e4
+         |  FROM customer),
+         |s AS (SELECT s_suppkey AS supp, $sla AS lat_e4, $slo AS lon_e4
+         |  FROM supplier),
+         |p AS (SELECT cust, supp,
+         |    ${graft.ops.Geo.haversineSql("(c.lat_e4/10000.0)", "(c.lon_e4/10000.0)",
+                "(s.lat_e4/10000.0)", "(s.lon_e4/10000.0)")} AS dist_km
+         |  FROM c, s)
+         |SELECT cust, supp, round(dist_km, 6) AS dist_km
+         |FROM p WHERE dist_km < 500.0 ORDER BY cust, supp""".stripMargin
+    },
+    "join_geo_knn" -> {
+      val (cla, clo) = geoE4Sql("c", "c_custkey")
+      val (sla, slo) = geoE4Sql("s", "s_suppkey")
+      s"""WITH c AS (SELECT c_custkey AS cust, $cla AS lat_e4, $clo AS lon_e4
+         |  FROM customer),
+         |s AS (SELECT s_suppkey AS supp, $sla AS lat_e4, $slo AS lon_e4
+         |  FROM supplier),
+         |d AS (SELECT cust, supp,
+         |    ${graft.ops.Geo.haversineSql("(c.lat_e4/10000.0)", "(c.lon_e4/10000.0)",
+                "(s.lat_e4/10000.0)", "(s.lon_e4/10000.0)")} AS dist_km
+         |  FROM c, s),
+         |r AS (SELECT cust, supp, dist_km,
+         |    row_number() OVER (PARTITION BY cust ORDER BY dist_km, supp) AS rn
+         |  FROM d)
+         |SELECT cust, supp, round(dist_km, 6) AS dist_km
+         |FROM r WHERE rn = 1 ORDER BY cust""".stripMargin
+    },
+    "agg_geo_density" -> {
+      val (ula, ulo) = geoE4Sql("u", "user_id")
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |g AS (SELECT user_id, $ula AS lat_e4, $ulo AS lon_e4 FROM u),
+         |cells AS (SELECT (lat_e4 + 600000) // 50000 AS cell_y,
+         |    (lon_e4 + 1800000) // 50000 AS cell_x,
+         |    count(*) AS n_users, sum(lat_e4) AS sy, sum(lon_e4) AS sx
+         |  FROM g GROUP BY 1, 2)
+         |SELECT cell_y, cell_x, n_users,
+         |  round(CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE) / 10000.0, 6)
+         |    AS ctr_lat,
+         |  round(CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE) / 10000.0, 6)
+         |    AS ctr_lon
+         |FROM cells ORDER BY n_users DESC, cell_y, cell_x LIMIT 15""".stripMargin
+    },
+    "agg_moments" ->
+      """WITH b AS (SELECT event_type,
+        |    (CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      // 100000) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |sums AS (SELECT event_type,
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(c AS HUGEINT)) AS s1,
+        |    sum(CAST(c AS HUGEINT) * c) AS s2,
+        |    sum(CAST(c AS HUGEINT) * c * c) AS s3,
+        |    sum(CAST(c AS HUGEINT) * c * c * c) AS s4
+        |  FROM b GROUP BY 1),
+        |ss AS (SELECT event_type, n, s1,
+        |    n*s2 - s1*s1 AS ss2,
+        |    n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS ss3,
+        |    n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1 AS ss4
+        |  FROM sums)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 10.0, 6) AS mean_v,
+        |  round(CAST(ss3 AS DOUBLE)
+        |    / (CAST(ss2 AS DOUBLE) * sqrt(CAST(ss2 AS DOUBLE))), 6) AS skewness,
+        |  round(CAST(ss4 AS DOUBLE)
+        |    / (CAST(ss2 AS DOUBLE) * CAST(ss2 AS DOUBLE)) - 3.0, 6) AS kurtosis
+        |FROM ss ORDER BY event_type""".stripMargin,
+    "ml_knn_classify" ->
+      s"""WITH $knnPredCtes
+         |SELECT qid, label_true, label_pred FROM predk ORDER BY qid""".stripMargin,
+    "ml_confusion_prf" ->
+      s"""WITH $knnPredCtes,
+         |cp AS (SELECT label_true, label_pred, count(*) AS n
+         |  FROM predk GROUP BY 1, 2),
+         |cls AS (SELECT label_true AS cls FROM cp
+         |  UNION SELECT label_pred FROM cp),
+         |tpa AS (SELECT label_true AS cls, CAST(sum(n) AS BIGINT) AS tp
+         |  FROM cp WHERE label_true = label_pred GROUP BY 1),
+         |fpa AS (SELECT label_pred AS cls, CAST(sum(n) AS BIGINT) AS fp
+         |  FROM cp WHERE label_true <> label_pred GROUP BY 1),
+         |fna AS (SELECT label_true AS cls, CAST(sum(n) AS BIGINT) AS fn
+         |  FROM cp WHERE label_true <> label_pred GROUP BY 1)
+         |SELECT c.cls, coalesce(tp, 0) AS tp, coalesce(fp, 0) AS fp,
+         |  coalesce(fn, 0) AS fn,
+         |  round(CAST(coalesce(tp, 0) AS DOUBLE)
+         |    / nullif(CAST(coalesce(tp, 0) + coalesce(fp, 0) AS DOUBLE), 0), 6)
+         |    AS prec,
+         |  round(CAST(coalesce(tp, 0) AS DOUBLE)
+         |    / nullif(CAST(coalesce(tp, 0) + coalesce(fn, 0) AS DOUBLE), 0), 6)
+         |    AS rec,
+         |  round(2.0 * CAST(coalesce(tp, 0) AS DOUBLE)
+         |    / nullif(CAST(2 * coalesce(tp, 0) + coalesce(fp, 0)
+         |        + coalesce(fn, 0) AS DOUBLE), 0), 6) AS f1
+         |FROM cls c LEFT JOIN tpa USING (cls) LEFT JOIN fpa USING (cls)
+         |LEFT JOIN fna USING (cls)
+         |ORDER BY cls""".stripMargin,
+    "ml_auc_roc" ->
+      s"""WITH $probeScoredCtes,
+         |r AS (SELECT cls, pos,
+         |    row_number() OVER (PARTITION BY cls ORDER BY score, vec_id)
+         |      AS rk,
+         |    row_number() OVER (PARTITION BY cls ORDER BY score DESC, vec_id)
+         |      AS rn,
+         |    sum(CASE WHEN pos THEN 1 ELSE 0 END) OVER (PARTITION BY cls
+         |      ORDER BY score DESC, vec_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM sc),
+         |g AS (SELECT cls,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn,
+         |    CAST(sum(CASE WHEN pos THEN rk ELSE 0 END) AS BIGINT) AS srk,
+         |    CAST(sum(CASE WHEN pos THEN (1000000 * cum) // rn ELSE 0 END)
+         |      AS BIGINT) AS sppm
+         |  FROM r GROUP BY 1)
+         |SELECT cls, np AS n_pos, nn AS n_neg,
+         |  round((CAST(srk AS DOUBLE) - CAST(np AS DOUBLE)
+         |      * (CAST(np AS DOUBLE) + 1.0) / 2.0)
+         |    / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS auc,
+         |  round(CAST(sppm AS DOUBLE) / CAST(np AS DOUBLE) / 1000000.0, 6)
+         |    AS avg_prec
+         |FROM g ORDER BY cls""".stripMargin,
+    "ml_dbscan" -> {
+      val (cla, clo) = geoE4Sql("c", "c_custkey")
+      s"""WITH RECURSIVE c AS (SELECT c_custkey AS cust, $cla AS lat_e4,
+         |    $clo AS lon_e4 FROM customer WHERE c_custkey <= 4500),
+         |nb AS (SELECT a.cust AS cust, b.cust AS nbr
+         |  FROM c a, c b
+         |  WHERE ${graft.ops.Geo.haversineSql("(a.lat_e4/10000.0)",
+                "(a.lon_e4/10000.0)", "(b.lat_e4/10000.0)",
+                "(b.lon_e4/10000.0)")} < 280.0),
+         |cnt AS (SELECT cust, count(*) AS n_nbr FROM nb GROUP BY 1),
+         |core AS (SELECT cust FROM cnt WHERE n_nbr >= 3),
+         |ce AS (SELECT nb.cust AS src, nb.nbr AS dst FROM nb
+         |  JOIN core x ON x.cust = nb.cust JOIN core y ON y.cust = nb.nbr
+         |  WHERE nb.cust <> nb.nbr),
+         |reach(node, label) AS (
+         |  SELECT cust, cust FROM core
+         |  UNION
+         |  SELECT ce.dst, r2.label FROM reach r2 JOIN ce ON ce.src = r2.node),
+         |comp AS (SELECT node AS cust, min(label) AS cluster
+         |  FROM reach GROUP BY 1),
+         |border AS (SELECT nb.cust, min(comp.cluster) AS cluster
+         |  FROM nb JOIN comp ON comp.cust = nb.nbr
+         |  WHERE nb.cust <> nb.nbr
+         |    AND nb.cust NOT IN (SELECT cust FROM core)
+         |  GROUP BY 1)
+         |SELECT cust, 'core' AS role, cluster FROM comp
+         |UNION ALL SELECT cust, 'border' AS role, cluster FROM border
+         |UNION ALL SELECT cust, 'noise' AS role, CAST(-1 AS BIGINT) AS cluster
+         |  FROM c WHERE cust NOT IN (SELECT cust FROM comp)
+         |    AND cust NOT IN (SELECT cust FROM border)
+         |ORDER BY cust""".stripMargin
+    },
+    "ml_calibration" ->
+      s"""WITH $probeScoredCtes,
+         |b AS (SELECT cls, pos,
+         |    least(CAST(floor(((score + 1.0) / 2.0) * 10.0) AS BIGINT), 9)
+         |      AS bin,
+         |    CAST(floor(((score + 1.0) / 2.0) * 1000000.0) AS BIGINT) AS p_ppm
+         |  FROM sc)
+         |SELECT cls, bin, count(*) AS n,
+         |  round(CAST(sum(p_ppm) AS DOUBLE) / count(*) / 1000000.0, 6)
+         |    AS mean_score,
+         |  round(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS frac_pos
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "join_entity_jw" ->
       """WITH n AS (SELECT DISTINCT p_name AS name FROM part),
         |p AS (SELECT a.name AS name_a, b.name AS name_b,
@@ -8254,6 +8907,32 @@ object SparkEntry {
     "agg_acf" -> acfOracle,
     "graph_pagerank" -> pagerankOracle,
     "graph_triangles" -> trianglesOracle,
+    "graph_cc" ->
+      s"""WITH RECURSIVE $knnEdgeCtes,
+         |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |nod AS (SELECT vec_id AS id FROM embeddings),
+         |reach(node, label) AS (
+         |  SELECT id, id FROM nod
+         |  UNION
+         |  SELECT und.dst, r2.label FROM reach r2 JOIN und ON und.src = r2.node),
+         |comp AS (SELECT node AS vec_id, min(label) AS comp
+         |  FROM reach GROUP BY 1),
+         |sz AS (SELECT comp, count(*) AS n_members FROM comp GROUP BY 1)
+         |SELECT c.vec_id, c.comp, s.n_members
+         |FROM comp c JOIN sz s USING (comp) ORDER BY vec_id""".stripMargin,
+    "graph_degree" ->
+      s"""WITH $knnEdgeCtes,
+         |outd AS (SELECT src AS vec_id, count(*) AS out_deg FROM e GROUP BY 1),
+         |ind AS (SELECT dst AS vec_id, count(*) AS in_deg FROM e GROUP BY 1),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e),
+         |undd AS (SELECT v AS vec_id, count(*) AS und_deg FROM (
+         |    SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY 1)
+         |SELECT em.vec_id, COALESCE(out_deg, 0) AS out_deg,
+         |  COALESCE(in_deg, 0) AS in_deg, COALESCE(und_deg, 0) AS und_deg
+         |FROM embeddings em LEFT JOIN outd USING (vec_id)
+         |LEFT JOIN ind USING (vec_id) LEFT JOIN undd USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
     "simsearch_mmr" -> mmrOracle,
     "simsearch_recall_audit" -> recallAuditOracle,
     "win_drawdown" ->

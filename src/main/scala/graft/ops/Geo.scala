@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Geospatial primitives: grid-bucketed radius joins, nearest-site
+  * lookup, and cell-density aggregation.
+  *
+  * Coordinates are carried as exact integers in 1e-4-degree units
+  * (`lat_e4` ∈ [-600000, 600000), `lon_e4` ∈ [-1800000, 1800000)) so
+  * every grid/cell computation is integer arithmetic — bit-identical in
+  * any engine and under any partitioning. Degrees materialize only
+  * inside the final haversine, as `e4 / 10000.0` (one exact-input IEEE
+  * division, deterministic cross-engine).
+  *
+  * Scale design: the naive radius join is all-pairs — O(|L|·|R|) at
+  * 100 TB. `radiusPairs` buckets the build side into a uniform grid
+  * whose cells are at least `radiusKm` wide in both axes, probes each
+  * left row's 3×3 cell neighborhood via an equi-join (longitude cells
+  * wrap modulo the grid width, so the antimeridian seam is a normal
+  * neighbor), and only then pays the trig on surviving candidates.
+  * Work is O(|L| · local density) — the published grid-file / geohash
+  * bucketing trade — and the join is a plain shuffle/broadcast equi-join
+  * Catalyst can plan (AQE broadcasts the 9-cell build side when it is a
+  * dim table). The latitude domain is capped at ±60° by the fixture
+  * derivation, which bounds the km-per-longitude-degree shrink
+  * (cos 60° = 0.5) and makes a FIXED cell width sound; a production
+  * variant over the full pole range would switch to a latitude-banded
+  * grid (cell width chosen per latitude band — same join shape).
+  */
+object Geo {
+
+  /** Degrees-per-radian factors as explicit double literals: both the
+    * Spark plan and any SQL oracle must multiply by the SAME constant —
+    * `radians()` implementations are free to associate `x*π/180`
+    * differently, which flips final ulps.
+    */
+  val DegToRad = 0.017453292519943295 // nearest double to π/180
+  val HalfDegToRad = 0.008726646259971648 // nearest double to π/360
+  val EarthDiameterKm = 12742.0176 // 2 × IUGG mean radius 6371.0088
+
+  /** Haversine great-circle distance in km, written as the exact
+    * expression tree the DuckDB oracle uses (same literals, same
+    * association), so the only cross-engine slack is ≤1 ulp in
+    * sin/cos/asin — far below the 6-decimal output rounding.
+    */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val sdlat = sin((lat2 - lat1) * lit(HalfDegToRad))
+    val sdlon = sin((lon2 - lon1) * lit(HalfDegToRad))
+    val a = sdlat * sdlat +
+      cos(lat1 * lit(DegToRad)) * cos(lat2 * lit(DegToRad)) * (sdlon * sdlon)
+    // least(1.0, …) guards the asin domain against a ≈ 1 float overshoot
+    lit(EarthDiameterKm) * asin(least(lit(1.0), sqrt(a)))
+  }
+
+  /** Matching SQL text for [[haversineKm]] — kept adjacent so the two
+    * renderings of the formula cannot drift apart.
+    */
+  def haversineSql(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"$EarthDiameterKm*asin(least(1.0, sqrt(" +
+      s"sin(($lat2-$lat1)*$HalfDegToRad)*sin(($lat2-$lat1)*$HalfDegToRad)" +
+      s" + cos($lat1*$DegToRad)*cos($lat2*$DegToRad)" +
+      s"*(sin(($lon2-$lon1)*$HalfDegToRad)*sin(($lon2-$lon1)*$HalfDegToRad)))))"
+
+  /** All (left, right) pairs within `radiusKm`, via the grid-bucketed
+    * candidate join. Inputs carry (`idCol`, `lat_e4`, `lon_e4`); output
+    * is (left id, right id, `dist_km`) with the distance unrounded.
+    *
+    * `dLatE4`/`dLonE4` are the cell sizes in 1e-4-degree units; callers
+    * must pick them ≥ `radiusKm` in ground distance everywhere in the
+    * coordinate domain (for ±60° latitude: ≥ radius/110.5 km-per-degree
+    * for latitude, ≥ radius/55.0 for longitude) and `dLonE4` must divide
+    * the 3 600 000-unit longitude span so the wrap-around cell is full
+    * width — a narrower seam cell would break the 3×3 adjacency
+    * guarantee. Both are asserted.
+    */
+  def radiusPairs(left: DataFrame, leftId: String, right: DataFrame,
+      rightId: String, radiusKm: Double, dLatE4: Long, dLonE4: Long): DataFrame = {
+    require(3600000L % dLonE4 == 0, s"dLonE4=$dLonE4 must divide 3600000")
+    require(dLatE4 * 110.5 / 10000.0 >= radiusKm, "lat cells narrower than radius")
+    require(dLonE4 * 55.0 / 10000.0 >= radiusKm, "lon cells narrower than radius")
+    val nLon = 3600000L / dLonE4
+
+    def cells(df: DataFrame): DataFrame = df
+      .withColumn("__cy", expr(s"(lat_e4 + 600000) div $dLatE4"))
+      .withColumn("__cx", expr(s"(lon_e4 + 1800000) div $dLonE4"))
+
+    // Probe side: each left row visits its 9-cell neighborhood (lon wraps)
+    val probe = cells(left)
+      .select(col(leftId), col("lat_e4").as("__llat"), col("lon_e4").as("__llon"),
+        col("__cy"), col("__cx"))
+      .withColumn("__dy", explode(typedLit(Seq(-1, 0, 1))))
+      .withColumn("__dx", explode(typedLit(Seq(-1, 0, 1))))
+      .select(col(leftId), col("__llat"), col("__llon"),
+        (col("__cy") + col("__dy")).as("__cy"),
+        pmod(col("__cx") + col("__dx"), lit(nLon)).as("__cx"))
+    val build = cells(right)
+      .select(col(rightId), col("lat_e4").as("__rlat"), col("lon_e4").as("__rlon"),
+        col("__cy"), col("__cx"))
+
+    probe.join(build, Seq("__cy", "__cx"))
+      .withColumn("dist_km", haversineKm(
+        col("__llat") / 10000.0, col("__llon") / 10000.0,
+        col("__rlat") / 10000.0, col("__rlon") / 10000.0))
+      .filter(col("dist_km") < radiusKm)
+      .select(col(leftId), col(rightId), col("dist_km"))
+  }
+}
