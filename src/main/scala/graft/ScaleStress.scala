@@ -136,7 +136,8 @@ object ScaleStress {
       "agg_geo_density", "agg_moments", "ml_knn_classify",
       // round-9 session 5: eval metrics, graph structure, grid dbscan
       "ml_confusion_prf", "ml_auc_roc", "ml_calibration",
-      "graph_cc", "graph_degree", "ml_dbscan")
+      "graph_cc", "graph_degree", "ml_dbscan",
+      "ml_lof", "join_geo_polygon", "ml_ols_multi")
     // Operator probes for the twin-offset dedup family (see scaladoc).
     val opProbes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "op_minhash_lsh" -> ((s: SparkSession, d: String) =>

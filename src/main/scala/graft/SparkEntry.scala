@@ -1260,6 +1260,47 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** LOCAL OUTLIER FACTOR (Breunig et al. 2000) over the kNN similarity
+    * graph — density-relative outlier scoring (LOF ≫ 1 = the point's
+    * neighborhood is much denser than the point itself; the classic
+    * embedding-space anomaly screen beside ml_isolation_forest's
+    * partition-based one). Distances are cosine (1 − the graph's
+    * 6-dp edge similarity). The float-sum hazards are quantized away:
+    * reach-dist(p←o) = max(kdist(o), d(p,o)) is FLOORED TO PPM before
+    * the per-node sum (order-independent integer addition), and
+    * lrd = n·10¹² div Σreach_ppm is one integer division, so lof =
+    * Σ lrd(o) / (n·lrd(p)) divides exactly-known integers — bit-identical
+    * in any engine. Zero-distance cliques (exact-duplicate vectors) pin
+    * the denominator at 1 instead of ∞ (documented determinism rule).
+    * Plan shape: the edge list is built once (ids-only LSH candidate
+    * shuffles), then three keyed hash-aggs/joins of an ids+ints frame —
+    * the same 100 TB shape as graph_degree.
+    */
+  private def q_ml_lof(s: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id",
+        "embedding", 3)
+      .select(col("qid"), col("nid"), (lit(1.0) - col("cos_sim")).as("dist"))
+      .localCheckpoint()
+    val kd = edges.groupBy("qid").agg(max("dist").as("kdist"))
+    val reach = edges
+      .join(kd.select(col("qid").as("nid"), col("kdist").as("kdist_o")), "nid")
+      .select(col("qid"),
+        floor(greatest(col("kdist_o"), col("dist")) * lit(1000000.0))
+          .cast("long").as("reach_ppm"))
+    val lrd = reach.groupBy("qid")
+      .agg(sum("reach_ppm").as("sr"), count(lit(1)).as("n"))
+      .select(col("qid"), col("n"),
+        expr("(n * 1000000000000) div greatest(sr, 1)").as("lrd_ppm"))
+    edges
+      .join(lrd.select(col("qid").as("nid"), col("lrd_ppm").as("lrd_o")), "nid")
+      .groupBy("qid").agg(sum("lrd_o").as("sl"))
+      .join(lrd, "qid")
+      .select(col("qid").as("vec_id"), col("n").as("n_nbr"),
+        round(col("sl").cast("double")
+          / (col("n") * col("lrd_ppm")).cast("double"), 6).as("lof"))
+      .orderBy("vec_id")
+  }
+
   /** Spark-only: IVF coarse-quantizer ANN — probe-limited top-k with a
     * PREFIT quantizer. The k-means fit runs once per corpus and is
     * persisted under a content-keyed registry path (the disk-registry
@@ -5701,6 +5742,102 @@ object SparkEntry {
       .orderBy("cust")
   }
 
+  /** Hash-derived integer e4 value in [-half, half): the triangle-fixture
+    * building block ([[q_join_geo_polygon]]); mirrors [[triE4Sql]].
+    */
+  private def triE4(prefix: String, id: Column, off: Int, span: Long): Column =
+    conv(substring(md5(concat(lit(prefix), id.cast("string"))), off, 15), 16, 10)
+      .cast("long") % span - span / 2
+
+  private def triE4Sql(prefix: String, idExpr: String, off: Int, span: Long): String =
+    s"CAST(('0x'||substr(md5('$prefix'||CAST($idExpr AS VARCHAR)),$off,15)) AS BIGINT) % $span - ${span / 2}"
+
+  /** POINT-IN-POLYGON join: every (user point, triangle) containment
+    * pair, with one hash-derived triangle per supplier (center ±50°/
+    * ±170°, vertices center ±10°) — the spatial-join primitive
+    * (geofencing, region tagging). The containment test is THREE INTEGER
+    * CROSS PRODUCTS on the e4 grid (same-sign ⇒ inside, boundary
+    * inclusive) — planar geometry, no floats anywhere, so the pair set
+    * is exact by construction in any engine (products bounded by
+    * (3.8·10⁶)² < 2⁶³). The triangle side is a DIM table — model-sized
+    * at any corpus scale — broadcast against the one point scan; a
+    * production variant with millions of polygons would bucket polygon
+    * bboxes onto [[graft.ops.Geo.radiusPairs]]' grid and equi-join cells
+    * instead (same plan family as ml_dbscan's ε-pairs).
+    */
+  private def q_join_geo_polygon(s: SparkSession, dir: String): DataFrame = {
+    val (ula, ulo) = geoE4("u", col("user_id"))
+    val pts = E(s, dir).select(col("user_id")).distinct()
+      .select(col("user_id"), ula.as("py"), ulo.as("px"))
+    val k = col("s_suppkey")
+    val cy = triE4("tc", k, 1, 1000000L)
+    val cx = triE4("tc", k, 17, 3400000L)
+    val tris = T(s, dir, "supplier").select(k.as("tri_id"),
+      (cy + triE4("tv1", k, 1, 200000L)).as("y1"),
+      (cx + triE4("tv1", k, 17, 200000L)).as("x1"),
+      (cy + triE4("tv2", k, 1, 200000L)).as("y2"),
+      (cx + triE4("tv2", k, 17, 200000L)).as("x2"),
+      (cy + triE4("tv3", k, 1, 200000L)).as("y3"),
+      (cx + triE4("tv3", k, 17, 200000L)).as("x3"))
+    val d1 = (col("px") - col("x1")) * (col("y2") - col("y1")) -
+      (col("py") - col("y1")) * (col("x2") - col("x1"))
+    val d2 = (col("px") - col("x2")) * (col("y3") - col("y2")) -
+      (col("py") - col("y2")) * (col("x3") - col("x2"))
+    val d3 = (col("px") - col("x3")) * (col("y1") - col("y3")) -
+      (col("py") - col("y3")) * (col("x1") - col("x3"))
+    pts.crossJoin(broadcast(tris))
+      .filter((d1 >= 0 && d2 >= 0 && d3 >= 0) ||
+        (d1 <= 0 && d2 <= 0 && d3 <= 0))
+      .select(col("user_id"), col("tri_id"))
+      .orderBy("user_id", "tri_id")
+  }
+
+  /** Multivariate OLS per stream via EXACT normal equations — the
+    * distributed-regression pattern: ONE aggregation pass collects the
+    * sufficient statistics (Σx, Σxx, Σxy as DECIMAL(38) integers over
+    * cent-units y, hour-of-day x₁, Monday-based weekday x₂), then the
+    * 3×3 system solves by Cramer's rule in model-sized integer algebra —
+    * the data is never revisited, the determinants are exact integers
+    * (< 10³⁰ at sf1-per-stream, inside DECIMAL(38)/HUGEINT), and the
+    * betas are three float divisions on exactly-known integers.
+    * Weekday is Spark `weekday` (Mon = 0) ↔ DuckDB `isodow − 1` — the
+    * one calendar convention the two engines share after shifting.
+    */
+  private def q_ml_ols_multi(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = E(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("cast(cast(value as decimal(18,6)) * 100 as bigint)").as("y"),
+        weekday(col("ts")).cast("long").as("x2"),
+        hour(col("ts")).cast("long").as("x1"))
+    val g = base.groupBy("event_type").agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(col("x1").cast(d38)).as("sx1"),
+      sum(col("x2").cast(d38)).as("sx2"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum((col("x1") * col("x1")).cast(d38)).as("s11"),
+      sum((col("x1") * col("x2")).cast(d38)).as("s12"),
+      sum((col("x2") * col("x2")).cast(d38)).as("s22"),
+      sum((col("x1") * col("y")).cast(d38)).as("s1y"),
+      sum((col("x2") * col("y")).cast(d38)).as("s2y"))
+    def det3(a11: Column, a12: Column, a13: Column, a21: Column, a22: Column,
+        a23: Column, a31: Column, a32: Column, a33: Column): Column =
+      a11 * (a22 * a33 - a23 * a32) - a12 * (a21 * a33 - a23 * a31) +
+        a13 * (a21 * a32 - a22 * a31)
+    val (n, sx1, sx2) = (col("n"), col("sx1"), col("sx2"))
+    val (sy, s11, s12, s22, s1y, s2y) =
+      (col("sy"), col("s11"), col("s12"), col("s22"), col("s1y"), col("s2y"))
+    val det = det3(n, sx1, sx2, sx1, s11, s12, sx2, s12, s22)
+    val det0 = det3(sy, sx1, sx2, s1y, s11, s12, s2y, s12, s22)
+    val det1 = det3(n, sy, sx2, sx1, s1y, s12, sx2, s2y, s22)
+    val det2 = det3(n, sx1, sy, sx1, s11, s1y, sx2, s12, s2y)
+    g.select(col("event_type"), n.cast("long").as("n"),
+        round(det0.cast("double") / det.cast("double") / 100.0, 6).as("beta0"),
+        round(det1.cast("double") / det.cast("double") / 100.0, 6).as("beta1"),
+        round(det2.cast("double") / det.cast("double") / 100.0, 6).as("beta2"))
+      .orderBy("event_type")
+  }
+
   /** Per-stream skewness and excess kurtosis from EXACT integer power
     * sums — the distribution-shape screen next to agg_metrics. The key
     * identity: with Sk = Σ c^k over deci-unit ints c, the n-scaled
@@ -5904,6 +6041,9 @@ object SparkEntry {
     "ml_auc_roc" -> (q_ml_auc_roc _),
     "ml_calibration" -> (q_ml_calibration _),
     "ml_dbscan" -> (q_ml_dbscan _),
+    "ml_lof" -> (q_ml_lof _),
+    "join_geo_polygon" -> (q_join_geo_polygon _),
+    "ml_ols_multi" -> (q_ml_ols_multi _),
     "join_geo_radius" -> (q_join_geo_radius _),
     "join_geo_knn" -> (q_join_geo_knn _),
     "agg_geo_density" -> (q_agg_geo_density _),
@@ -6624,11 +6764,13 @@ object SparkEntry {
        |       JOIN embeddings eb ON eb.vec_id = c.nid
        |       JOIN n0 na ON na.vec_id = c.qid
        |       JOIN n0 nb ON nb.vec_id = c.nid),
-       |rk0 AS (SELECT qid, nid,
+       |rk0 AS (SELECT qid, nid, dot, naa, nbb,
        |        row_number() OVER (PARTITION BY qid
        |          ORDER BY dot / sqrt(naa * nbb) DESC, nid) AS rnk
        |      FROM sc0),
-       |e AS (SELECT qid AS src, nid AS dst FROM rk0 WHERE rnk <= 3)""".stripMargin
+       |e AS (SELECT qid AS src, nid AS dst,
+       |        1.0 - round(dot / sqrt(naa * nbb), 6) AS dist
+       |      FROM rk0 WHERE rnk <= 3)""".stripMargin
 
   private def knnGraphOracleSql: String = {
     s"""WITH ${lshBucketCtes(8, 8, 64)},
@@ -6876,6 +7018,76 @@ object SparkEntry {
          |  round(CAST(sppm AS DOUBLE) / CAST(np AS DOUBLE) / 1000000.0, 6)
          |    AS avg_prec
          |FROM g ORDER BY cls""".stripMargin,
+    "ml_lof" ->
+      s"""WITH $knnEdgeCtes,
+         |kd AS (SELECT src, max(dist) AS kdist FROM e GROUP BY 1),
+         |reach AS (SELECT e.src AS p,
+         |    CAST(floor(greatest(kd.kdist, e.dist) * 1000000.0) AS BIGINT)
+         |      AS reach_ppm
+         |  FROM e JOIN kd ON kd.src = e.dst),
+         |lrd AS (SELECT p, CAST(count(*) AS BIGINT) AS n,
+         |    (CAST(count(*) AS BIGINT) * 1000000000000)
+         |      // greatest(CAST(sum(reach_ppm) AS BIGINT), 1) AS lrd_ppm
+         |  FROM reach GROUP BY 1),
+         |sl AS (SELECT e.src AS p, CAST(sum(lo.lrd_ppm) AS BIGINT) AS sl
+         |  FROM e JOIN lrd lo ON lo.p = e.dst GROUP BY 1)
+         |SELECT l.p AS vec_id, l.n AS n_nbr,
+         |  round(CAST(sl.sl AS DOUBLE) / CAST(l.n * l.lrd_ppm AS DOUBLE), 6)
+         |    AS lof
+         |FROM lrd l JOIN sl USING (p) ORDER BY vec_id""".stripMargin,
+    "join_geo_polygon" -> {
+      val (ula, ulo) = geoE4Sql("u", "user_id")
+      val cy = triE4Sql("tc", "s_suppkey", 1, 1000000L)
+      val cx = triE4Sql("tc", "s_suppkey", 17, 3400000L)
+      def vy(i: Int) = s"(($cy) + ${triE4Sql(s"tv$i", "s_suppkey", 1, 200000L)})"
+      def vx(i: Int) = s"(($cx) + ${triE4Sql(s"tv$i", "s_suppkey", 17, 200000L)})"
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |p AS (SELECT user_id, $ula AS py, $ulo AS px FROM u),
+         |t AS (SELECT s_suppkey AS tri_id, ${vy(1)} AS y1, ${vx(1)} AS x1,
+         |    ${vy(2)} AS y2, ${vx(2)} AS x2, ${vy(3)} AS y3, ${vx(3)} AS x3
+         |  FROM supplier),
+         |d AS (SELECT user_id, tri_id,
+         |    (px-x1)*(y2-y1) - (py-y1)*(x2-x1) AS d1,
+         |    (px-x2)*(y3-y2) - (py-y2)*(x3-x2) AS d2,
+         |    (px-x3)*(y1-y3) - (py-y3)*(x1-x3) AS d3
+         |  FROM p, t)
+         |SELECT user_id, tri_id FROM d
+         |WHERE (d1 >= 0 AND d2 >= 0 AND d3 >= 0)
+         |   OR (d1 <= 0 AND d2 <= 0 AND d3 <= 0)
+         |ORDER BY user_id, tri_id""".stripMargin
+    },
+    "ml_ols_multi" -> {
+      def det3Sql(a: String*): String =
+        s"${a(0)}*(${a(4)}*${a(8)} - ${a(5)}*${a(7)})" +
+          s" - ${a(1)}*(${a(3)}*${a(8)} - ${a(5)}*${a(6)})" +
+          s" + ${a(2)}*(${a(3)}*${a(7)} - ${a(4)}*${a(6)})"
+      val det = det3Sql("n", "sx1", "sx2", "sx1", "s11", "s12", "sx2", "s12", "s22")
+      val det0 = det3Sql("sy", "sx1", "sx2", "s1y", "s11", "s12", "s2y", "s12", "s22")
+      val det1 = det3Sql("n", "sy", "sx2", "sx1", "s1y", "s12", "sx2", "s2y", "s22")
+      val det2 = det3Sql("n", "sx1", "sy", "sx1", "s11", "s1y", "sx2", "s12", "s2y")
+      s"""WITH b AS (SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS y,
+         |    CAST(isodow(ts) - 1 AS BIGINT) AS x2,
+         |    CAST(hour(ts) AS BIGINT) AS x1
+         |  FROM events WHERE value IS NOT NULL),
+         |g AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         |    sum(CAST(x1 AS HUGEINT)) AS sx1, sum(CAST(x2 AS HUGEINT)) AS sx2,
+         |    sum(CAST(y AS HUGEINT)) AS sy,
+         |    sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+         |    sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+         |    sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+         |    sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+         |    sum(CAST(x2 AS HUGEINT) * y) AS s2y
+         |  FROM b GROUP BY 1)
+         |SELECT event_type, CAST(n AS BIGINT) AS n,
+         |  round(CAST(($det0) AS DOUBLE) / CAST(($det) AS DOUBLE) / 100.0, 6)
+         |    AS beta0,
+         |  round(CAST(($det1) AS DOUBLE) / CAST(($det) AS DOUBLE) / 100.0, 6)
+         |    AS beta1,
+         |  round(CAST(($det2) AS DOUBLE) / CAST(($det) AS DOUBLE) / 100.0, 6)
+         |    AS beta2
+         |FROM g ORDER BY event_type""".stripMargin
+    },
     "ml_dbscan" -> {
       val (cla, clo) = geoE4Sql("c", "c_custkey")
       s"""WITH RECURSIVE c AS (SELECT c_custkey AS cust, $cla AS lat_e4,

@@ -102,6 +102,105 @@ class EvalMetricsSpec extends SparkSpec {
     deg.foreach(r => assert(r.getAs[Long]("out_deg") <= 3))
   }
 
+  test("lof: scores recompute from the edge list (quantized Breunig algebra)") {
+    val edges = graft.ops.Similarity
+      .knnGraph(spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", 3)
+      .select(col("qid"), col("nid"), (lit(1.0) - col("cos_sim")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val kdist = edges.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val lrd = edges.groupBy(_._1).view.mapValues { es =>
+      val sr = es.map(e => math.floor(math.max(kdist(e._2), e._3) * 1e6).toLong).sum
+      (es.length.toLong, es.length.toLong * 1000000000000L / math.max(sr, 1L))
+    }.toMap
+    val expected = edges.groupBy(_._1).map { case (p, es) =>
+      val sl = es.map(e => lrd(e._2)._2).sum
+      val (n, l) = lrd(p)
+      p -> math.rint(sl.toDouble / (n * l).toDouble * 1e6) / 1e6
+    }
+    val got = SparkEntry.queries("ml_lof")(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("lof")).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, v) =>
+      assert(math.abs(got(id) - v) < 1e-9, s"lof mismatch for $id") }
+  }
+
+  test("point-in-triangle agrees with a double-precision barycentric check") {
+    val rows = SparkEntry.queries("join_geo_polygon")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("tri_id"))).toSet
+    // re-derive points and triangles from the same hash arithmetic and
+    // re-test every (point, triangle) pair with barycentric coordinates
+    def h(prefix: String, id: Long, off: Int, span: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$prefix$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(off - 1, off - 1 + 15), 16) % span - span / 2
+    }
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    val supp = spark.read.parquet(s"$dir/supplier.parquet")
+      .select("s_suppkey").collect().map(_.getLong(0))
+    def pt(u: Long) = (h("u", u, 1, 1200000L).toDouble,
+      h("u", u, 17, 3600000L).toDouble)
+    def tri(k: Long) = {
+      val cy = h("tc", k, 1, 1000000L); val cx = h("tc", k, 17, 3400000L)
+      (1 to 3).map(i => ((cy + h(s"tv$i", k, 1, 200000L)).toDouble,
+        (cx + h(s"tv$i", k, 17, 200000L)).toDouble))
+    }
+    var inside = 0
+    for (u <- users; k <- supp) {
+      val (py, px) = pt(u); val v = tri(k)
+      val Seq((y1, x1), (y2, x2), (y3, x3)) = v
+      val den = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+      val a = ((y2 - y3) * (px - x3) + (x3 - x2) * (py - y3)) / den
+      val b = ((y3 - y1) * (px - x3) + (x1 - x3) * (py - y3)) / den
+      val c = 1.0 - a - b
+      val eps = 1e-9
+      val in = a >= -eps && b >= -eps && c >= -eps
+      if (in) inside += 1
+      // strict interior / exterior must agree exactly with the query
+      if (a > eps && b > eps && c > eps)
+        assert(rows.contains((u, k)), s"interior point ($u,$k) missed")
+      if (a < -eps || b < -eps || c < -eps)
+        assert(!rows.contains((u, k)), s"exterior point ($u,$k) included")
+    }
+    assert(rows.nonEmpty && inside >= rows.size - 2)
+  }
+
+  test("ols betas match an independent double-precision Gaussian solve") {
+    val got = SparkEntry.queries("ml_ols_multi")(spark, dir).collect()
+    assert(got.nonEmpty)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (expr("cast(cast(value as decimal(18,6)) * 100 as bigint)") / 100.0).as("y"),
+        weekday(col("ts").cast("timestamp")).cast("double").as("x2"),
+        hour(col("ts").cast("timestamp")).cast("double").as("x1"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(3), r.getDouble(2)))
+    got.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val rows = ev.filter(_._1 == et)
+      // 3x3 normal equations, Gaussian elimination with partial pivoting
+      val a = Array.ofDim[Double](3, 4)
+      rows.foreach { case (_, y, x1, x2) =>
+        val x = Array(1.0, x1, x2)
+        for (i <- 0 until 3) { for (j <- 0 until 3) a(i)(j) += x(i) * x(j); a(i)(3) += x(i) * y }
+      }
+      for (p <- 0 until 3) {
+        val piv = (p until 3).maxBy(i => math.abs(a(i)(p)))
+        val t = a(p); a(p) = a(piv); a(piv) = t
+        for (i <- 0 until 3 if i != p) {
+          val f = a(i)(p) / a(p)(p)
+          for (j <- p to 3) a(i)(j) -= f * a(p)(j)
+        }
+      }
+      val beta = (0 until 3).map(i => a(i)(3) / a(i)(i))
+      assert(math.abs(r.getAs[Double]("beta0") - beta(0)) < 1e-4, s"$et beta0")
+      assert(math.abs(r.getAs[Double]("beta1") - beta(1)) < 1e-4, s"$et beta1")
+      assert(math.abs(r.getAs[Double]("beta2") - beta(2)) < 1e-4, s"$et beta2")
+    }
+  }
+
   test("dbscan roles partition the points and honor the core/border/noise contract") {
     val out = SparkEntry.queries("ml_dbscan")(spark, dir).collect()
       .map(r => (r.getAs[Long]("cust"), r.getAs[String]("role"),
