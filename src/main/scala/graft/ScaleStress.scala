@@ -137,7 +137,8 @@ object ScaleStress {
       // round-9 session 5: eval metrics, graph structure, grid dbscan
       "ml_confusion_prf", "ml_auc_roc", "ml_calibration",
       "graph_cc", "graph_degree", "ml_dbscan",
-      "ml_lof", "join_geo_polygon", "ml_ols_multi")
+      "ml_lof", "join_geo_polygon", "ml_ols_multi",
+      "graph_bfs", "graph_jaccard_nbrs")
     // Operator probes for the twin-offset dedup family (see scaladoc).
     val opProbes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "op_minhash_lsh" -> ((s: SparkSession, d: String) =>

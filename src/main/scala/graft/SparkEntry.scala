@@ -1260,6 +1260,81 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** Multi-source BFS hop distance over the (symmetrized) kNN graph —
+    * "how many similarity hops from the nearest class-0 exemplar", the
+    * graph-proximity curation signal (label propagation radius, seed
+    * expansion). Frontier iteration: hop k's frontier = neighbors of
+    * hop k−1 not yet visited — each round ONE ids-only join + distinct
+    * + anti-join, localCheckpoint'd; rounds bounded at 10 (hops beyond
+    * that report unreachable = −1, a documented contract, NOT an
+    * approximation knob — the oracle applies the same bound). All
+    * integer, no tie-breaks needed (min-hop is unique).
+    */
+  private def q_graph_bfs(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    val dirEdges = Similarity.knnGraph(e, "vec_id", "embedding", 3)
+      .select(col("qid").as("src"), col("nid").as("dst"))
+    val edges = dirEdges
+      .unionByName(dirEdges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val maxHops = 10
+    var visited = e.filter(col("label") === 0)
+      .select(col("vec_id"), lit(0).as("hops")).localCheckpoint()
+    var frontier = visited.select(col("vec_id"))
+    var k = 1
+    while (k <= maxHops && !frontier.isEmpty) {
+      val next = edges.join(frontier, edges("src") === frontier("vec_id"))
+        .select(col("dst").as("vec_id")).distinct()
+        .join(visited.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      visited = visited
+        .unionByName(next.select(col("vec_id"), lit(k).as("hops")))
+        .localCheckpoint()
+      frontier = next
+      k += 1
+    }
+    e.select(col("vec_id")).join(visited, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("hops"), lit(-1)).cast("long").as("hops"))
+      .orderBy("vec_id")
+  }
+
+  /** Neighbor-set Jaccard over the undirected kNN graph — the classic
+    * link-prediction / community-overlap score. Candidate pairs come
+    * from a WEDGE JOIN (two edges sharing an endpoint), so work is
+    * Σ deg² — bounded by the kNN construction, never all-pairs; the
+    * intersection is an exact integer count and the union follows by
+    * inclusion-exclusion from exact degrees. Emits pairs with
+    * jaccard ≥ 0.4 plus whether the pair is itself an edge (predicted
+    * vs existing link).
+    */
+  private def q_graph_jaccard_nbrs(s: SparkSession, dir: String): DataFrame = {
+    val dirEdges = Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id",
+        "embedding", 3)
+      .select(col("qid").as("src"), col("nid").as("dst"))
+    val und = dirEdges
+      .unionByName(dirEdges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    val inter = und.as("e1").join(und.as("e2"),
+        col("e1.dst") === col("e2.dst") && col("e1.src") < col("e2.src"))
+      .groupBy(col("e1.src").as("a"), col("e2.src").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    val isEdge = und.select(col("src").as("a"), col("dst").as("b"),
+      lit(true).as("is_edge"))
+    inter
+      .join(deg.select(col("src").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("src").as("b"), col("deg").as("db")), "b")
+      .join(isEdge, Seq("a", "b"), "left_outer")
+      .select(col("a"), col("b"), col("inter"),
+        round(col("inter").cast("double")
+          / (col("da") + col("db") - col("inter")).cast("double"), 6)
+          .as("jaccard"),
+        coalesce(col("is_edge"), lit(false)).as("is_edge"))
+      .filter(col("jaccard") >= 0.4)
+      .orderBy("a", "b")
+  }
+
   /** LOCAL OUTLIER FACTOR (Breunig et al. 2000) over the kNN similarity
     * graph — density-relative outlier scoring (LOF ≫ 1 = the point's
     * neighborhood is much denser than the point itself; the classic
@@ -6267,6 +6342,8 @@ object SparkEntry {
     "graph_triangles" -> (q_graph_triangles _),
     "graph_cc" -> (q_graph_cc _),
     "graph_degree" -> (q_graph_degree _),
+    "graph_bfs" -> (q_graph_bfs _),
+    "graph_jaccard_nbrs" -> (q_graph_jaccard_nbrs _),
     "simsearch_mmr" -> (q_simsearch_mmr _),
     "simsearch_recall_audit" -> (q_simsearch_recall_audit _),
     "stream_sliding" -> (q_stream_sliding _),
@@ -9132,6 +9209,35 @@ object SparkEntry {
          |sz AS (SELECT comp, count(*) AS n_members FROM comp GROUP BY 1)
          |SELECT c.vec_id, c.comp, s.n_members
          |FROM comp c JOIN sz s USING (comp) ORDER BY vec_id""".stripMargin,
+    "graph_bfs" ->
+      s"""WITH RECURSIVE $knnEdgeCtes,
+         |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |seeds AS (SELECT vec_id FROM embeddings WHERE label = 0),
+         |walk(node, d) AS (
+         |  SELECT vec_id, 0 FROM seeds
+         |  UNION
+         |  SELECT und.dst, w.d + 1 FROM walk w JOIN und ON und.src = w.node
+         |  WHERE w.d < 10),
+         |best AS (SELECT node AS vec_id, min(d) AS hops FROM walk GROUP BY 1)
+         |SELECT em.vec_id, CAST(COALESCE(b.hops, -1) AS BIGINT) AS hops
+         |FROM embeddings em LEFT JOIN best b USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
+    "graph_jaccard_nbrs" ->
+      s"""WITH $knnEdgeCtes,
+         |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+         |ix AS (SELECT e1.src AS a, e2.src AS b, count(*) AS inter
+         |  FROM und e1 JOIN und e2 ON e1.dst = e2.dst AND e1.src < e2.src
+         |  GROUP BY 1, 2),
+         |j AS (SELECT ix.a, ix.b, CAST(ix.inter AS BIGINT) AS inter,
+         |    round(CAST(ix.inter AS DOUBLE)
+         |      / CAST(da.deg + db.deg - ix.inter AS DOUBLE), 6) AS jaccard,
+         |    COALESCE(ed.is_edge, FALSE) AS is_edge
+         |  FROM ix JOIN deg da ON da.src = ix.a JOIN deg db ON db.src = ix.b
+         |  LEFT JOIN (SELECT src AS a, dst AS b, TRUE AS is_edge FROM und) ed
+         |    ON ed.a = ix.a AND ed.b = ix.b)
+         |SELECT a, b, inter, jaccard, is_edge FROM j WHERE jaccard >= 0.4
+         |ORDER BY a, b""".stripMargin,
     "graph_degree" ->
       s"""WITH $knnEdgeCtes,
          |outd AS (SELECT src AS vec_id, count(*) AS out_deg FROM e GROUP BY 1),

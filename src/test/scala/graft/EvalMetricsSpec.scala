@@ -102,6 +102,50 @@ class EvalMetricsSpec extends SparkSpec {
     deg.foreach(r => assert(r.getAs[Long]("out_deg") <= 3))
   }
 
+  test("bfs hops satisfy the BFS recurrence (seed 0; hop k has a hop k-1 neighbor)") {
+    val hops = SparkEntry.queries("graph_bfs")(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("hops")).toMap
+    val seeds = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("label") === 0).select("vec_id").collect().map(_.getLong(0)).toSet
+    val dirE = graft.ops.Similarity
+      .knnGraph(spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = (dirE ++ dirE.map(_.swap)).distinct.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    seeds.foreach(sd => assert(hops(sd) == 0L))
+    hops.foreach { case (v, h) =>
+      if (h > 0)
+        assert(und.getOrElse(v, Set.empty).exists(n => hops(n) == h - 1),
+          s"node $v at hop $h lacks a hop ${h - 1} neighbor")
+      if (h == 0) assert(seeds.contains(v))
+      if (h == -1)
+        assert(und.getOrElse(v, Set.empty)
+          .forall(n => hops(n) == -1 || hops(n) == 10),
+          s"unreached $v borders a reached node below the bound")
+    }
+  }
+
+  test("neighbor jaccard recomputes exactly from the undirected edge sets") {
+    val dirE = graft.ops.Similarity
+      .knnGraph(spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbr = (dirE ++ dirE.map(_.swap)).distinct.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val got = SparkEntry.queries("graph_jaccard_nbrs")(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val a = r.getAs[Long]("a"); val b = r.getAs[Long]("b")
+      val inter = (nbr(a) intersect nbr(b)).size.toLong
+      assert(inter == r.getAs[Long]("inter"))
+      val jac = inter.toDouble / (nbr(a).size + nbr(b).size - inter)
+      assert(math.abs(r.getAs[Double]("jaccard") - jac) < 1e-6)
+      assert(r.getAs[Boolean]("is_edge") == nbr(a).contains(b))
+      assert(jac >= 0.4 - 1e-9)
+    }
+  }
+
   test("lof: scores recompute from the edge list (quantized Breunig algebra)") {
     val edges = graft.ops.Similarity
       .knnGraph(spark.read.parquet(s"$dir/embeddings.parquet"),
