@@ -82,6 +82,14 @@ object ScaleStress {
         .repartition(16)
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     }
+
+    // Dim tables copy VERBATIM — the honest scale story is facts ×R with
+    // fixed model-sized dims (a 10× corpus does not mint 10× suppliers);
+    // needed so dim-joining probes (join_geo_polygon) run on the dir.
+    for (t <- Seq("customer", "supplier")) gated(s, s"$outDir/$t.parquet") {
+      s.read.parquet(s"$baseDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
   }
 
   /** Replica-safe analogue of SparkEntry's docsWithDups: case-mutated
@@ -134,9 +142,11 @@ object ScaleStress {
       "agg_expectations", "agg_mutual_info", "stream_tdigest",
       // round-9 session 4: geo cells, exact moments, knn vote
       "agg_geo_density", "agg_moments", "ml_knn_classify",
-      // round-9 session 5: eval metrics, graph structure, grid dbscan
+      // round-9 session 5: eval metrics, graph structure (ml_dbscan is
+      // probed UNCAPPED at the operator level below — the registry query's
+      // 4500-point cap exists only for its all-pairs oracle)
       "ml_confusion_prf", "ml_auc_roc", "ml_calibration",
-      "graph_cc", "graph_degree", "ml_dbscan",
+      "graph_cc", "graph_degree",
       "ml_lof", "join_geo_polygon", "ml_ols_multi",
       "graph_bfs", "graph_jaccard_nbrs")
     // Operator probes for the twin-offset dedup family (see scaladoc).
@@ -177,6 +187,22 @@ object ScaleStress {
         val sites = pts.filter(col("user_id") % 200 === 0)
           .select(col("user_id").as("site_id"), col("lat_e4"), col("lon_e4"))
         Geo.radiusPairs(pts, "user_id", sites, "site_id", 500.0, 45249L, 100000L)
+      }),
+      // uncapped grid DBSCAN over the dir's user population: ε = 50 km is
+      // subcritical at BOTH densities (avg ε-neighbors ≈ 0.2 at 1x, ≈ 2 at
+      // 10x, below the ~4.5 percolation threshold), so component diameters
+      // stay small and the probe measures the grid join + ids-only aggs
+      "op_geo_dbscan" -> ((s: SparkSession, d: String) => {
+        import graft.ops.Geo
+        val pts = graft.sources.Events.read(s, s"$d/events.parquet")
+          .select("user_id").distinct()
+          .select(col("user_id").as("uid"),
+            (conv(substring(md5(concat(lit("u"), col("user_id").cast("string"))), 1, 15), 16, 10)
+              .cast("long") % 1200000L - 600000L).as("lat_e4"),
+            (conv(substring(md5(concat(lit("u"), col("user_id").cast("string"))), 17, 15), 16, 10)
+              .cast("long") % 3600000L - 1800000L).as("lon_e4"))
+        Geo.dbscan(pts, "uid", epsKm = 50.0, minPts = 3,
+          dLatE4 = 4600L, dLonE4 = 10000L)
       }),
       "op_ks_drift" -> ((s: SparkSession, d: String) => {
         val ev = graft.sources.Events.read(s, s"$d/events.parquet")

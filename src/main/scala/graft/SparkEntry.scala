@@ -5785,37 +5785,11 @@ object SparkEntry {
     * whose reachability table is O(Σ component²) — the Spark path has no
     * such bound and is scale-stressed uncapped (ScaleStress op probe).
     */
-  private def q_ml_dbscan(s: SparkSession, dir: String): DataFrame = {
-    val pts = custSites(s, dir).filter(col("cust") <= 4500L)
-    val rhs = pts.select(col("cust").as("nbr"), col("lat_e4"), col("lon_e4"))
-    val pairs = graft.ops.Geo
-      .radiusPairs(pts, "cust", rhs, "nbr", 280.0, 25400L, 60000L)
-      .select("cust", "nbr").localCheckpoint()
-    val ncnt = pairs.groupBy("cust").agg(count(lit(1)).as("n_nbr"))
-    val core = ncnt.filter(col("n_nbr") >= 3).select(col("cust"))
-    val coreEdges = pairs
-      .join(core, "cust")
-      .join(core.select(col("cust").as("nbr")), "nbr")
-      .filter(col("cust") < col("nbr"))
-      .select(col("cust").as("doc_a"), col("nbr").as("doc_b"))
-    val comp = Dedup.duplicateClusters(coreEdges, maxIter = 64)
-      .select(col("doc_id").as("cust"), col("canonical_id").as("lbl"))
-    val coreLbl = core.join(comp, Seq("cust"), "left_outer")
-      .select(col("cust"), coalesce(col("lbl"), col("cust")).as("cluster"))
-    val borderLbl = pairs.filter(col("cust") =!= col("nbr"))
-      .join(ncnt.filter(col("n_nbr") < 3).select(col("cust")), "cust")
-      .join(coreLbl.select(col("cust").as("nbr"), col("cluster")), "nbr")
-      .groupBy("cust").agg(min(col("cluster")).as("cluster"))
-    val noise = pts.select(col("cust"))
-      .join(coreLbl.select(col("cust")), Seq("cust"), "left_anti")
-      .join(borderLbl.select(col("cust")), Seq("cust"), "left_anti")
-    coreLbl.select(col("cust"), lit("core").as("role"), col("cluster"))
-      .unionByName(borderLbl.select(col("cust"), lit("border").as("role"),
-        col("cluster")))
-      .unionByName(noise.select(col("cust"), lit("noise").as("role"),
-        lit(-1L).as("cluster")))
+  private def q_ml_dbscan(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Geo
+      .dbscan(custSites(s, dir).filter(col("cust") <= 4500L), "cust",
+        epsKm = 280.0, minPts = 3, dLatE4 = 25400L, dLonE4 = 60000L)
       .orderBy("cust")
-  }
 
   /** Hash-derived integer e4 value in [-half, half): the triangle-fixture
     * building block ([[q_join_geo_polygon]]); mirrors [[triE4Sql]].

@@ -105,4 +105,48 @@ object Geo {
       .filter(col("dist_km") < radiusKm)
       .select(col(leftId), col(rightId), col("dist_km"))
   }
+
+  /** Grid-bucketed DBSCAN over `pts(idCol, lat_e4, lon_e4)` (numeric
+    * ids). Neighbor counts INCLUDE the point itself (the self-pair falls
+    * out of the grid self-join naturally), clusters are connected
+    * components of the core-core ε-graph via convergence-checked
+    * min-label propagation, border points attach to the MIN cluster
+    * among their core neighbors (a deterministic tie rule — textbook
+    * DBSCAN leaves border assignment scan-order-dependent), and noise
+    * reports cluster −1. Returns (idCol, role ∈ core|border|noise,
+    * cluster). Scale shape: ε-pairs from [[radiusPairs]]' 3×3 cell
+    * equi-join (O(n·density)), then ids-only hash-aggs/joins; the
+    * min-label rounds are diameter-bound, which the caller keeps small
+    * by choosing ε subcritical for the point density (≪ the ~4.5
+    * expected-neighbor continuum percolation threshold).
+    */
+  def dbscan(pts: DataFrame, idCol: String, epsKm: Double, minPts: Int,
+      dLatE4: Long, dLonE4: Long): DataFrame = {
+    val rhs = pts.select(col(idCol).as("__nbr"), col("lat_e4"), col("lon_e4"))
+    val pairs = radiusPairs(pts, idCol, rhs, "__nbr", epsKm, dLatE4, dLonE4)
+      .select(col(idCol), col("__nbr")).localCheckpoint()
+    val ncnt = pairs.groupBy(idCol).agg(count(lit(1)).as("__n"))
+    val core = ncnt.filter(col("__n") >= minPts).select(col(idCol))
+    val coreEdges = pairs
+      .join(core, Seq(idCol))
+      .join(core.select(col(idCol).as("__nbr")), Seq("__nbr"))
+      .filter(col(idCol) < col("__nbr"))
+      .select(col(idCol).as("doc_a"), col("__nbr").as("doc_b"))
+    val comp = Dedup.duplicateClusters(coreEdges, maxIter = 64)
+      .select(col("doc_id").as(idCol), col("canonical_id").as("__lbl"))
+    val coreLbl = core.join(comp, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("__lbl"), col(idCol)).as("cluster"))
+    val borderLbl = pairs.filter(col(idCol) =!= col("__nbr"))
+      .join(ncnt.filter(col("__n") < minPts).select(col(idCol)), Seq(idCol))
+      .join(coreLbl.select(col(idCol).as("__nbr"), col("cluster")), Seq("__nbr"))
+      .groupBy(idCol).agg(min(col("cluster")).as("cluster"))
+    val noise = pts.select(col(idCol))
+      .join(coreLbl.select(col(idCol)), Seq(idCol), "left_anti")
+      .join(borderLbl.select(col(idCol)), Seq(idCol), "left_anti")
+    coreLbl.select(col(idCol), lit("core").as("role"), col("cluster"))
+      .unionByName(borderLbl.select(col(idCol), lit("border").as("role"),
+        col("cluster")))
+      .unionByName(noise.select(col(idCol), lit("noise").as("role"),
+        lit(-1L).as("cluster")))
+  }
 }
