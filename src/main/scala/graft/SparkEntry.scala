@@ -5791,6 +5791,78 @@ object SparkEntry {
         epsKm = 280.0, minPts = 3, dLatE4 = 25400L, dLonE4 = 60000L)
       .orderBy("cust")
 
+  /** Top user journey prefixes — each user's first three events by the
+    * total (ts, event_id) order, folded to an "a>b>c" path and counted
+    * (the product-analytics path report beside agg_funnel). One keyed
+    * window (partition = user) + conditional-aggregation pivot — no
+    * collect_list ordering hazards; users with fewer than three events
+    * keep their shorter prefix (concat_ws skips the missing steps
+    * identically in both engines).
+    */
+  private def q_agg_top_paths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    E(s, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .groupBy("user_id").agg(
+        max(when(col("rn") === 1, col("event_type"))).as("e1"),
+        max(when(col("rn") === 2, col("event_type"))).as("e2"),
+        max(when(col("rn") === 3, col("event_type"))).as("e3"))
+      .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
+  /** SKYLINE (Pareto-optimal set) of users over (total spend, event
+    * count) — the classic non-dominated-set operator (Börzsönyi et al.
+    * 2001), O(n log n) by the sort-scan identity instead of the naive
+    * all-pairs dominance test: after sorting by v DESC, a point is
+    * dominated iff the max n over STRICTLY-greater-v rows reaches its n
+    * (integer RANGE frame, exact on cent units) or a same-v row has
+    * larger n. Inputs are one corpus groupBy; the skyline scan runs on
+    * the model-scale per-user aggregate. At true scale the scan
+    * distributes as partition-local skylines + a merge pass (the
+    * published divide-and-conquer), same algebra.
+    */
+  private def q_agg_skyline(s: SparkSession, dir: String): DataFrame = {
+    val cents = expr("cast(cast(value as decimal(18,6)) * 100 as bigint)")
+    val per = E(s, dir).filter(col("value").isNotNull)
+      .groupBy("user_id").agg(sum(cents).as("v"), count(lit(1)).as("n"))
+    val wStrict = Window.orderBy(col("v").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wTie = Window.partitionBy("v")
+    per
+      .withColumn("mx_strict", max(col("n")).over(wStrict))
+      .withColumn("mx_tie", max(col("n")).over(wTie))
+      .filter((col("mx_strict").isNull || col("mx_strict") < col("n")) &&
+        col("mx_tie") === col("n"))
+      .select(col("user_id"),
+        round(col("v").cast("double") / 100.0, 2).as("total_value"),
+        col("n").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Positional PHRASE SEARCH — documents containing the exact adjacent
+    * pair "hash join", with hit count and first position (1-based). The
+    * inverted-index discipline: the per-token stream is FILTERED to the
+    * phrase positions inside the per-document lambda (one pass over each
+    * doc's token array, no posting explosion for the rest of the
+    * vocabulary); Spark's 1-based `element_at` mirrors DuckDB's 1-based
+    * list indexing so the position arithmetic is engine-identical.
+    */
+  private def q_search_phrase(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "filter(sequence(1, size(ws) - 1), " +
+          "i -> element_at(ws, i) = 'hash' AND element_at(ws, i + 1) = 'join')"))
+        .as("pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("pos")).cast("long").as("first_pos"))
+      .orderBy("doc_id")
+
   /** Hash-derived integer e4 value in [-half, half): the triangle-fixture
     * building block ([[q_join_geo_polygon]]); mirrors [[triE4Sql]].
     */
@@ -6093,6 +6165,9 @@ object SparkEntry {
     "ml_lof" -> (q_ml_lof _),
     "join_geo_polygon" -> (q_join_geo_polygon _),
     "ml_ols_multi" -> (q_ml_ols_multi _),
+    "agg_top_paths" -> (q_agg_top_paths _),
+    "agg_skyline" -> (q_agg_skyline _),
+    "search_phrase" -> (q_search_phrase _),
     "join_geo_radius" -> (q_join_geo_radius _),
     "join_geo_knn" -> (q_join_geo_knn _),
     "agg_geo_density" -> (q_agg_geo_density _),
@@ -7069,6 +7144,43 @@ object SparkEntry {
          |  round(CAST(sppm AS DOUBLE) / CAST(np AS DOUBLE) / 1000000.0, 6)
          |    AS avg_prec
          |FROM g ORDER BY cls""".stripMargin,
+    "agg_top_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events),
+        |p AS (SELECT user_id,
+        |    max(CASE WHEN rn = 1 THEN event_type END) AS e1,
+        |    max(CASE WHEN rn = 2 THEN event_type END) AS e2,
+        |    max(CASE WHEN rn = 3 THEN event_type END) AS e3
+        |  FROM r WHERE rn <= 3 GROUP BY 1)
+        |SELECT concat_ws('>', e1, e2, e3) AS path, count(*) AS n_users
+        |FROM p GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+    "agg_skyline" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT))
+        |      AS BIGINT) AS v,
+        |    count(*) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |sk AS (SELECT user_id, v, n,
+        |    max(n) OVER (ORDER BY v DESC
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx_strict,
+        |    max(n) OVER (PARTITION BY v) AS mx_tie
+        |  FROM per)
+        |SELECT user_id, round(CAST(v AS DOUBLE) / 100.0, 2) AS total_value,
+        |  n AS n_events
+        |FROM sk
+        |WHERE (mx_strict IS NULL OR mx_strict < n) AND mx_tie = n
+        |ORDER BY user_id""".stripMargin,
+    "search_phrase" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |m AS (SELECT doc_id, unnest(list_filter(range(1, len(ws)),
+        |      i -> ws[i] = 'hash' AND ws[i + 1] = 'join')) AS pos
+        |  FROM w WHERE len(ws) >= 2)
+        |SELECT doc_id, count(*) AS n_hits, CAST(min(pos) AS BIGINT) AS first_pos
+        |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "ml_lof" ->
       s"""WITH $knnEdgeCtes,
          |kd AS (SELECT src, max(dist) AS kdist FROM e GROUP BY 1),

@@ -245,6 +245,38 @@ class EvalMetricsSpec extends SparkSpec {
     }
   }
 
+  test("skyline members are mutually non-dominated and dominate every non-member") {
+    val cents = expr("cast(cast(value as decimal(18,6)) * 100 as bigint)")
+    val per = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("value").isNotNull)
+      .groupBy("user_id").agg(sum(cents).as("v"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sky = SparkEntry.queries("agg_skyline")(spark, dir).collect()
+      .map(_.getAs[Long]("user_id")).toSet
+    def dominates(a: (Long, Long, Long), b: (Long, Long, Long)) =
+      a._2 >= b._2 && a._3 >= b._3 && (a._2 > b._2 || a._3 > b._3)
+    val expected = per.filter(p => !per.exists(q => dominates(q, p)))
+      .map(_._1).toSet
+    assert(sky == expected)
+  }
+
+  test("phrase hits equal a regex scan for the adjacent pair") {
+    val got = SparkEntry.queries("search_phrase")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("first_pos"))).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+    docs.foreach { r =>
+      val ws = r.getString(1).trim.toLowerCase.split("\\s+")
+      val hits = (0 until ws.length - 1)
+        .filter(i => ws(i) == "hash" && ws(i + 1) == "join")
+      if (hits.nonEmpty) {
+        val (n, first) = got(r.getLong(0))
+        assert(n == hits.length && first == hits.head + 1)
+      } else assert(!got.contains(r.getLong(0)))
+    }
+  }
+
   test("dbscan roles partition the points and honor the core/border/noise contract") {
     val out = SparkEntry.queries("ml_dbscan")(spark, dir).collect()
       .map(r => (r.getAs[Long]("cust"), r.getAs[String]("role"),
