@@ -5815,27 +5815,41 @@ object SparkEntry {
 
   /** SKYLINE (Pareto-optimal set) of users over (total spend, event
     * count) — the classic non-dominated-set operator (Börzsönyi et al.
-    * 2001), O(n log n) by the sort-scan identity instead of the naive
-    * all-pairs dominance test: after sorting by v DESC, a point is
-    * dominated iff the max n over STRICTLY-greater-v rows reaches its n
-    * (integer RANGE frame, exact on cent units) or a same-v row has
-    * larger n. Inputs are one corpus groupBy; the skyline scan runs on
-    * the model-scale per-user aggregate. At true scale the scan
-    * distributes as partition-local skylines + a merge pass (the
-    * published divide-and-conquer), same algebra.
+    * 2001), DISTRIBUTED as the published divide-and-conquer so no stage
+    * ever windows over a single partition (PlanAuditSpec's 100 TB
+    * audit): (1) points bucket by a v-range key; (2) each bucket runs
+    * the sort-scan dominance test locally (keyed windows: a point is
+    * bucket-dominated iff the max n over strictly-greater-v rows in its
+    * bucket — integer RANGE frame on exact cents — reaches its n, or a
+    * same-v row beats it); (3) cross-bucket domination reduces to the
+    * model-sized per-bucket max-n table, self-joined broadcast for a
+    * strictly-higher-bucket suffix max (bucket(v')>bucket(v) ⇒ v'>v, so
+    * hmax ≥ n is exactly "a higher-bucket dominator exists"). The merge
+    * compares only exact integers, so the distributed form returns THE
+    * skyline — the oracle states the simple single-scan SQL and the
+    * hashes must agree.
     */
   private def q_agg_skyline(s: SparkSession, dir: String): DataFrame = {
     val cents = expr("cast(cast(value as decimal(18,6)) * 100 as bigint)")
     val per = E(s, dir).filter(col("value").isNotNull)
       .groupBy("user_id").agg(sum(cents).as("v"), count(lit(1)).as("n"))
-    val wStrict = Window.orderBy(col("v").desc)
+    val pts = per.withColumn("bkt",
+      floor(col("v").cast("double") / 1000000.0).cast("long"))
+    val wStrict = Window.partitionBy("bkt").orderBy(col("v").desc)
       .rangeBetween(Window.unboundedPreceding, -1)
     val wTie = Window.partitionBy("v")
-    per
+    val local = pts
       .withColumn("mx_strict", max(col("n")).over(wStrict))
       .withColumn("mx_tie", max(col("n")).over(wTie))
       .filter((col("mx_strict").isNull || col("mx_strict") < col("n")) &&
         col("mx_tie") === col("n"))
+    val bmax = pts.groupBy("bkt").agg(max(col("n")).as("bn"))
+    val hb = bmax.select(col("bkt").as("lo_bkt"))
+      .join(broadcast(bmax.select(col("bkt").as("hi_bkt"), col("bn"))),
+        col("hi_bkt") > col("lo_bkt"))
+      .groupBy(col("lo_bkt").as("bkt")).agg(max(col("bn")).as("hmax"))
+    local.join(broadcast(hb), Seq("bkt"), "left_outer")
+      .filter(col("hmax").isNull || col("hmax") < col("n"))
       .select(col("user_id"),
         round(col("v").cast("double") / 100.0, 2).as("total_value"),
         col("n").as("n_events"))
@@ -5861,6 +5875,57 @@ object SparkEntry {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"),
         min(col("pos")).cast("long").as("first_pos"))
+      .orderBy("doc_id")
+
+  /** Per-segment UPLIFT of the A/B split on purchase conversion — the
+    * two-model causal report next to agg_ab_ttest's mean test: the same
+    * deterministic treatment assignment (even user_id — the registry's
+    * established split), conversion = "user emitted ≥1 purchase", and
+    * per user-segment the exact treated/control conversion ratios and
+    * their difference. Two groupBys (user-level fold, then segment
+    * roll-up) — everything after the first is model-sized algebra, and
+    * every rate is an exact integer ratio with one final division.
+    */
+  private def q_agg_uplift(s: SparkSession, dir: String): DataFrame = {
+    val users = E(s, dir).groupBy("user_id").agg(
+      max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .select(col("user_id"), (col("user_id") % 5).as("segment"),
+        (col("user_id") % 2 === 0).as("treated"), col("conv"))
+    users.groupBy("segment").agg(
+        sum(when(col("treated"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("treated"), col("conv")).otherwise(0L)).as("conv_t"),
+        sum(when(col("treated"), 0L).otherwise(1L)).as("n_c"),
+        sum(when(col("treated"), 0L).otherwise(col("conv"))).as("conv_c"))
+      .select(col("segment"), col("n_t"), col("conv_t"), col("n_c"),
+        col("conv_c"),
+        round(col("conv_t").cast("double") / col("n_t").cast("double"), 6)
+          .as("rate_t"),
+        round(col("conv_c").cast("double") / col("n_c").cast("double"), 6)
+          .as("rate_c"),
+        round(col("conv_t").cast("double") / col("n_t").cast("double")
+          - col("conv_c").cast("double") / col("n_c").cast("double"), 6)
+          .as("uplift"))
+      .orderBy("segment")
+  }
+
+  /** BOOLEAN SEARCH — docs matching (hash AND merge AND NOT slow), with
+    * per-term occurrence counts. The inverted-index discipline again:
+    * the token stream is filtered to the three query terms BEFORE any
+    * aggregation (postings for the rest of the vocabulary never
+    * materialize), then one groupBy evaluates the conjunction from exact
+    * counts; NOT is a zero-count predicate, not an anti-join.
+    */
+  private def q_search_boolean(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w").isin("hash", "merge", "slow"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("w") === "hash", 1L).otherwise(0L)).as("n_hash"),
+        sum(when(col("w") === "merge", 1L).otherwise(0L)).as("n_merge"),
+        sum(when(col("w") === "slow", 1L).otherwise(0L)).as("n_slow"))
+      .filter(col("n_hash") > 0 && col("n_merge") > 0 && col("n_slow") === 0)
+      .select(col("doc_id"), col("n_hash"), col("n_merge"))
       .orderBy("doc_id")
 
   /** Hash-derived integer e4 value in [-half, half): the triangle-fixture
@@ -6168,6 +6233,8 @@ object SparkEntry {
     "agg_top_paths" -> (q_agg_top_paths _),
     "agg_skyline" -> (q_agg_skyline _),
     "search_phrase" -> (q_search_phrase _),
+    "agg_uplift" -> (q_agg_uplift _),
+    "search_boolean" -> (q_search_boolean _),
     "join_geo_radius" -> (q_join_geo_radius _),
     "join_geo_knn" -> (q_join_geo_knn _),
     "agg_geo_density" -> (q_agg_geo_density _),
@@ -7144,6 +7211,42 @@ object SparkEntry {
          |  round(CAST(sppm AS DOUBLE) / CAST(np AS DOUBLE) / 1000000.0, 6)
          |    AS avg_prec
          |FROM g ORDER BY cls""".stripMargin,
+    "agg_uplift" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT user_id % 5 AS segment, user_id % 2 = 0 AS treated,
+        |    conv FROM u),
+        |g AS (SELECT segment,
+        |    CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN treated THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_t,
+        |    CAST(sum(CASE WHEN treated THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+        |    CAST(sum(CASE WHEN treated THEN 0 ELSE conv END) AS BIGINT)
+        |      AS conv_c
+        |  FROM t GROUP BY 1)
+        |SELECT segment, n_t, conv_t, n_c, conv_c,
+        |  round(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE), 6) AS rate_t,
+        |  round(CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) AS rate_c,
+        |  round(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |    - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) AS uplift
+        |FROM g ORDER BY segment""".stripMargin,
+    "search_boolean" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |f AS (SELECT doc_id, w FROM w WHERE w IN ('hash', 'merge', 'slow')),
+        |g AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN w = 'hash' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hash,
+        |    CAST(sum(CASE WHEN w = 'merge' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_merge,
+        |    CAST(sum(CASE WHEN w = 'slow' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_slow
+        |  FROM f GROUP BY 1)
+        |SELECT doc_id, n_hash, n_merge FROM g
+        |WHERE n_hash > 0 AND n_merge > 0 AND n_slow = 0
+        |ORDER BY doc_id""".stripMargin,
     "agg_top_paths" ->
       """WITH r AS (SELECT user_id, event_type,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
