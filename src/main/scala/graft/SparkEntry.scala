@@ -5727,15 +5727,23 @@ object SparkEntry {
       .select(col("cust"), col("lat_e4").as("clat"), col("lon_e4").as("clon"))
     val sp = suppSites(s, dir)
       .select(col("supp"), col("lat_e4").as("slat"), col("lon_e4").as("slon"))
-    val d = c.crossJoin(broadcast(sp))
-      .withColumn("dist_km", graft.ops.Geo.haversineKm(
-        col("clat") / 10000.0, col("clon") / 10000.0,
-        col("slat") / 10000.0, col("slon") / 10000.0))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("cust").orderBy(col("dist_km"), col("supp"))))
-    d.filter(col("rn") === 1)
-      .select(col("cust"), col("supp"),
-        round(col("dist_km"), 6).as("dist_km"))
+    // top-1 as a lexicographic struct MIN, not a window: min(struct(dist,
+    // supp)) is the identical (dist, supp) tie order but map-side
+    // combinable — the |cust|×|supp| candidate stream reduces to one row
+    // per customer inside the scan, and nothing row-scale ever shuffles
+    // (the 24 s window-shuffle plan this replaced is the cautionary tale).
+    // The probe side width-pins with an explicit-N exchange: the small
+    // customer file scans as 1-2 partitions, which would serialize the
+    // 15M-candidate trig on 2 cores (the join_fuzzy lesson — AQE's
+    // byte-sighted coalescer folds count-flexible repartitions back)
+    c.repartition(32, col("cust")).crossJoin(broadcast(sp))
+      .select(col("cust"), struct(graft.ops.Geo.haversineKm(
+          col("clat") / 10000.0, col("clon") / 10000.0,
+          col("slat") / 10000.0, col("slon") / 10000.0).as("dist_km"),
+        col("supp").as("supp")).as("ds"))
+      .groupBy("cust").agg(min(col("ds")).as("m"))
+      .select(col("cust"), col("m.supp").as("supp"),
+        round(col("m.dist_km"), 6).as("dist_km"))
       .orderBy("cust")
   }
 
