@@ -299,6 +299,59 @@ object SparkEntry {
       out
     }
 
+  /** DATA-SKIPPING MANIFEST scan (zone maps — the Iceberg/Delta file-stats
+    * pattern): the corpus materializes ONCE into a range-clustered
+    * multi-file layout plus a per-file (min_ts, max_ts, rows) manifest;
+    * a time-range query then consults only the MODEL-SIZED manifest to
+    * pick files, reads just those, and re-applies the exact predicate
+    * (stats prune IO, the residual filter guarantees exactness — the
+    * zone-map contract). The oracle is the plain full-scan SQL: pruning
+    * must be invisible in the result; the spec asserts the skip actually
+    * happens. At 100 TB this is THE scan economics — O(manifest)
+    * planning + O(matching files) IO instead of O(corpus).
+    */
+  private def manifestMaterialized(s: SparkSession, dir: String): String =
+    fittedModel(s"manifest|$dir") {
+      val out = s"$registryRoot/manifest_${registryKey(
+        s"manifest-v1|$dir|${tableFingerprint(s, s"$dir/events.parquet")}")}"
+      val marker = new org.apache.hadoop.fs.Path(s"$out/manifest", "_SUCCESS")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        E(s, dir).repartitionByRange(16, col("ts"))
+          .write.mode("overwrite").parquet(s"$out/data")
+        s.read.parquet(s"$out/data")
+          .groupBy(input_file_name().as("file"))
+          .agg(min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+            count(lit(1)).as("n_rows"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/manifest")
+      }
+      out
+    }
+
+  private[graft] def manifestPrunedFiles(s: SparkSession, dir: String,
+      lo: java.sql.Timestamp, hi: java.sql.Timestamp): (Array[String], Long) = {
+    val root = manifestMaterialized(s, dir)
+    val m = s.read.parquet(s"$root/manifest")
+    val total = m.count()
+    val files = m.filter(col("max_ts") >= lit(lo) && col("min_ts") < lit(hi))
+      .select("file").collect().map(_.getString(0))
+    (files, total)
+  }
+
+  private def q_scan_pruned_manifest(s: SparkSession, dir: String): DataFrame = {
+    val lo = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val (files, _) = manifestPrunedFiles(s, dir, lo, hi)
+    val root = manifestMaterialized(s, dir)
+    val src =
+      if (files.isEmpty) s.read.parquet(s"$root/data").filter(lit(false))
+      else s.read.parquet(files.toIndexedSeq: _*)
+    src.filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   private def q_sink_partitioned(s: SparkSession, dir: String): DataFrame = {
     val root = partitionedMaterialized(s, dir)
     s.read.parquet(root)
@@ -6485,6 +6538,7 @@ object SparkEntry {
     "agg_benford" -> (q_agg_benford _),
     "stream_asof" -> (q_stream_asof _),
     "sink_partitioned" -> (q_sink_partitioned _),
+    "scan_pruned_manifest" -> (q_scan_pruned_manifest _),
     "agg_resample_ohlc" -> (q_agg_resample_ohlc _),
     "stream_ohlc" -> (q_stream_ohlc _),
     "text_tfidf" -> (q_text_tfidf _),
@@ -9809,6 +9863,13 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // date-bounded aggregate on the UNPARTITIONED original — a partition
     // derivation or pruning bug in the layout read-back hash-fails
+    "scan_pruned_manifest" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sink_partitioned" ->
       """SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS TIMESTAMP)
         |    AS event_date, event_type,

@@ -277,6 +277,22 @@ class EvalMetricsSpec extends SparkSpec {
     }
   }
 
+  test("manifest pruning skips files and the pruned scan equals the full scan") {
+    val lo = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val (files, total) = SparkEntry.manifestPrunedFiles(spark, dir, lo, hi)
+    assert(total >= 8, s"expected a multi-file layout, got $total")
+    assert(files.nonEmpty && files.length < total,
+      s"no pruning: ${files.length} of $total files selected")
+    val pruned = SparkEntry.queries("scan_pruned_manifest")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val full = graft.sources.Events.read(spark, s"$dir/events.parquet")
+      .filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(pruned.toSet == full.toSet)
+  }
+
   test("dbscan roles partition the points and honor the core/border/noise contract") {
     val out = SparkEntry.queries("ml_dbscan")(spark, dir).collect()
       .map(r => (r.getAs[Long]("cust"), r.getAs[String]("role"),
