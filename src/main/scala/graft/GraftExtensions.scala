@@ -17,11 +17,16 @@ import graft.expressions.{DeflateRatio, DotProduct, HeavyHitters, RollingAnchors
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, cls, builder) =>
       ext.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo(cls.getName, name), builder))
     }
+    // optimizer rule: declarative `… WHERE graft_haversine(…) < r` over a
+    // cross join rewrites to the grid-bucketed candidate join (see
+    // graft.plans.GeoRadiusJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.GeoRadiusJoinRule())
+  }
 }
 
 object GraftExtensions {
@@ -58,5 +63,15 @@ object GraftExtensions {
       require(children.length == 4,
         s"graft_anchors takes 4 arguments, got ${children.length}")
       RollingAnchors(children.head, children(1), children(2), children(3))
+    }),
+    ("graft_haversine", classOf[graft.expressions.HaversineKm], children => {
+      require(children.length == 4,
+        s"graft_haversine takes 4 arguments, got ${children.length}")
+      // numeric SQL literals arrive as int/decimal — cast to double here
+      // (ExpectsInputTypes is private[sql] in Spark 4)
+      val d = children.map(c =>
+        org.apache.spark.sql.catalyst.expressions.Cast(c,
+          org.apache.spark.sql.types.DoubleType))
+      graft.expressions.HaversineKm(d(0), d(1), d(2), d(3))
     }))
 }

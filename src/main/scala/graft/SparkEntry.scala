@@ -5768,6 +5768,34 @@ object SparkEntry {
       .select(col("cust"), col("supp"), round(col("dist_km"), 6).as("dist_km"))
       .orderBy("cust", "supp")
 
+  /** The DECLARATIVE radius join — the user writes the naive cross
+    * product in SQL and [[graft.plans.GeoRadiusJoinRule]] (injected via
+    * `SparkSessionExtensions`) rewrites it into the grid-bucketed
+    * candidate join at optimization time: the Spark-first spatial-join
+    * story (intent in, plan out), exercised end-to-end through the
+    * driver gate. `graft_haversine` is the native codegen expression the
+    * rule pattern-matches; its arithmetic is bit-identical to the
+    * Column-tree and DuckDB renderings (the Haversine parity contract),
+    * so the oracle stays the plain brute-force SQL and the rewrite must
+    * be invisible in the result. GeoRuleSpec asserts the plan actually
+    * rewrote (grid equi-join present, no full cross product on the
+    * banded branch).
+    */
+  private def q_join_geo_radius_sql(s: SparkSession, dir: String): DataFrame = {
+    custSites(s, dir)
+      .selectExpr("cust", "lat_e4 / 10000.0 AS lat", "lon_e4 / 10000.0 AS lon")
+      .createOrReplaceTempView("__geo_cust")
+    suppSites(s, dir)
+      .selectExpr("supp", "lat_e4 / 10000.0 AS lat", "lon_e4 / 10000.0 AS lon")
+      .createOrReplaceTempView("__geo_supp")
+    s.sql(
+      """SELECT c.cust, p.supp,
+        |  round(graft_haversine(c.lat, c.lon, p.lat, p.lon), 6) AS dist_km
+        |FROM __geo_cust c, __geo_supp p
+        |WHERE graft_haversine(c.lat, c.lon, p.lat, p.lon) < 800.0
+        |ORDER BY cust, supp""".stripMargin)
+  }
+
   /** Nearest supplier site per customer. The build side is a DIM table —
     * model-sized at any corpus scale — so the right 100 TB plan is a
     * broadcast cross of the dim against the big side with a per-customer
@@ -6303,6 +6331,7 @@ object SparkEntry {
     "agg_uplift" -> (q_agg_uplift _),
     "search_boolean" -> (q_search_boolean _),
     "join_geo_radius" -> (q_join_geo_radius _),
+    "join_geo_radius_sql" -> (q_join_geo_radius_sql _),
     "join_geo_knn" -> (q_join_geo_knn _),
     "agg_geo_density" -> (q_agg_geo_density _),
     "agg_moments" -> (q_agg_moments _),
@@ -7171,6 +7200,20 @@ object SparkEntry {
          |  FROM c, s)
          |SELECT cust, supp, round(dist_km, 6) AS dist_km
          |FROM p WHERE dist_km < 500.0 ORDER BY cust, supp""".stripMargin
+    },
+    "join_geo_radius_sql" -> {
+      val (cla, clo) = geoE4Sql("c", "c_custkey")
+      val (sla, slo) = geoE4Sql("s", "s_suppkey")
+      s"""WITH c AS (SELECT c_custkey AS cust, $cla AS lat_e4, $clo AS lon_e4
+         |  FROM customer),
+         |s AS (SELECT s_suppkey AS supp, $sla AS lat_e4, $slo AS lon_e4
+         |  FROM supplier),
+         |p AS (SELECT cust, supp,
+         |    ${graft.ops.Geo.haversineSql("(c.lat_e4/10000.0)", "(c.lon_e4/10000.0)",
+                "(s.lat_e4/10000.0)", "(s.lon_e4/10000.0)")} AS dist_km
+         |  FROM c, s)
+         |SELECT cust, supp, round(dist_km, 6) AS dist_km
+         |FROM p WHERE dist_km < 800.0 ORDER BY cust, supp""".stripMargin
     },
     "join_geo_knn" -> {
       val (cla, clo) = geoE4Sql("c", "c_custkey")
