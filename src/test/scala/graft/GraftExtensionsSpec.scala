@@ -17,9 +17,12 @@ class GraftExtensionsSpec extends SparkSpec {
       s.sql("SELECT graft_dot(array(1.0D))").head()
     }
     assert(err.getMessage.toLowerCase.contains("2 arguments"))
-    // the parent session's registry is untouched
+    // registration is session-scoped: a FRESH child session (no
+    // registration) lacks the function — the shared SparkSpec session
+    // registers deliberately, mirroring the deployment builder
     assert(intercept[Exception] {
-      spark.sql("SELECT graft_dot(array(1.0D), array(1.0D))").head()
+      spark.newSession()
+        .sql("SELECT graft_dot(array(1.0D), array(1.0D))").head()
     }.getMessage.toUpperCase.contains("UNRESOLVED_ROUTINE"))
   }
 }

@@ -26,6 +26,14 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // mirror the deployment session (Sessions.builder applies
+    // GraftExtensions): native SQL functions + the geo-radius rewrite
+    // rule, so ContractSpec/PlanAuditSpec analyze the same plans the
+    // driver runs. getOrCreate can't apply withExtensions to an
+    // already-built session, hence the imperative route.
+    org.apache.spark.sql.graft.Bridge.registerFunctions(s)
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ graft.plans.GeoRadiusJoinRule()
     s
   }
 }

@@ -19,13 +19,8 @@ class GeoRuleSpec extends SparkSpec {
 
   import spark.implicits._
 
-  override def beforeAll(): Unit = {
-    super.beforeAll()
-    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[GeoRadiusJoinRule]))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ GeoRadiusJoinRule()
-    org.apache.spark.sql.graft.Bridge.registerFunctions(spark)
-  }
+  // functions + rule come from the shared SparkSpec session, which
+  // mirrors the deployment builder's GraftExtensions injection
 
   /** Deterministic scatter over the FULL ±90° lat range (not just the
     * fixture's ±60° band) so the polar fallback branch carries rows.
