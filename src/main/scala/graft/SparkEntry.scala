@@ -6040,31 +6040,80 @@ object SparkEntry {
     * bboxes onto [[graft.ops.Geo.radiusPairs]]' grid and equi-join cells
     * instead (same plan family as ml_dbscan's ε-pairs).
     */
-  private def q_join_geo_polygon(s: SparkSession, dir: String): DataFrame = {
-    val (ula, ulo) = geoE4("u", col("user_id"))
-    val pts = E(s, dir).select(col("user_id")).distinct()
-      .select(col("user_id"), ula.as("py"), ulo.as("px"))
+  /** The hash-derived triangle dim (one triangle per supplier) and the
+    * integer sign-test containment predicate — shared by
+    * [[q_join_geo_polygon]] and the streaming geofence.
+    */
+  private def trisDim(s: SparkSession, dir: String): DataFrame = {
     val k = col("s_suppkey")
     val cy = triE4("tc", k, 1, 1000000L)
     val cx = triE4("tc", k, 17, 3400000L)
-    val tris = T(s, dir, "supplier").select(k.as("tri_id"),
+    T(s, dir, "supplier").select(k.as("tri_id"),
       (cy + triE4("tv1", k, 1, 200000L)).as("y1"),
       (cx + triE4("tv1", k, 17, 200000L)).as("x1"),
       (cy + triE4("tv2", k, 1, 200000L)).as("y2"),
       (cx + triE4("tv2", k, 17, 200000L)).as("x2"),
       (cy + triE4("tv3", k, 1, 200000L)).as("y3"),
       (cx + triE4("tv3", k, 17, 200000L)).as("x3"))
+  }
+
+  /** Point (py, px) inside the row's triangle: three exact integer cross
+    * products, same sign (boundary inclusive).
+    */
+  private def insideTri: Column = {
     val d1 = (col("px") - col("x1")) * (col("y2") - col("y1")) -
       (col("py") - col("y1")) * (col("x2") - col("x1"))
     val d2 = (col("px") - col("x2")) * (col("y3") - col("y2")) -
       (col("py") - col("y2")) * (col("x3") - col("x2"))
     val d3 = (col("px") - col("x3")) * (col("y1") - col("y3")) -
       (col("py") - col("y3")) * (col("x1") - col("x3"))
-    pts.crossJoin(broadcast(tris))
-      .filter((d1 >= 0 && d2 >= 0 && d3 >= 0) ||
-        (d1 <= 0 && d2 <= 0 && d3 <= 0))
+    (d1 >= 0 && d2 >= 0 && d3 >= 0) || (d1 <= 0 && d2 <= 0 && d3 <= 0)
+  }
+
+  private def q_join_geo_polygon(s: SparkSession, dir: String): DataFrame = {
+    val (ula, ulo) = geoE4("u", col("user_id"))
+    val pts = E(s, dir).select(col("user_id")).distinct()
+      .select(col("user_id"), ula.as("py"), ulo.as("px"))
+    pts.crossJoin(broadcast(trisDim(s, dir)))
+      .filter(insideTri)
       .select(col("user_id"), col("tri_id"))
       .orderBy("user_id", "tri_id")
+  }
+
+  /** STREAMING GEOFENCE — the live form of [[q_join_geo_polygon]]: a
+    * real file-source readStream of purchase events stream-static
+    * inner-joins the BROADCAST triangle dim with the containment sign
+    * tests as the join condition, emitting (event, fence) alerts in
+    * append mode. The exactly-mirrorable batch replay IS the oracle
+    * (integer geometry, stateless per event — replay order cannot
+    * matter). At scale this is the canonical alerting shape: per-event
+    * work is |fences| integer tests against a broadcast dim, no state,
+    * no shuffle.
+    */
+  private def q_stream_geo_fence(s: SparkSession, dir: String): DataFrame = {
+    val root = fittedModel(s"fencespool|$dir") {
+      val out = s"$registryRoot/fencespool_${registryKey(
+        s"fencespool-v1|$dir|${tableFingerprint(s, s"$dir/events.parquet")}")}"
+      val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker))
+        E(s, dir).filter(col("event_type") === "purchase")
+          .select("event_id", "user_id")
+          .repartition(4) // 4 spool files, one micro-batch
+          .write.mode("overwrite").parquet(out)
+      out
+    }
+    val (ula, ulo) = geoE4("u", col("user_id"))
+    val pts = s.readStream.schema(s.read.parquet(root).schema).parquet(root)
+      .select(col("event_id"), col("user_id"), ula.as("py"), ulo.as("px"))
+    val hits = pts.join(broadcast(trisDim(s, dir)), insideTri, "inner")
+      .select(col("event_id"), col("user_id"), col("tri_id"))
+    val name = s"geo_fence_${registryKey(dir).take(8)}"
+    s.catalog.dropTempView(name)
+    val q = hits.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy("event_id", "tri_id")
   }
 
   /** Multivariate OLS per stream via EXACT normal equations — the
@@ -6324,6 +6373,7 @@ object SparkEntry {
     "ml_dbscan" -> (q_ml_dbscan _),
     "ml_lof" -> (q_ml_lof _),
     "join_geo_polygon" -> (q_join_geo_polygon _),
+    "stream_geo_fence" -> (q_stream_geo_fence _),
     "ml_ols_multi" -> (q_ml_ols_multi _),
     "agg_top_paths" -> (q_agg_top_paths _),
     "agg_skyline" -> (q_agg_skyline _),
@@ -7414,6 +7464,27 @@ object SparkEntry {
          |  round(CAST(sl.sl AS DOUBLE) / CAST(l.n * l.lrd_ppm AS DOUBLE), 6)
          |    AS lof
          |FROM lrd l JOIN sl USING (p) ORDER BY vec_id""".stripMargin,
+    "stream_geo_fence" -> {
+      val (ula, ulo) = geoE4Sql("u", "user_id")
+      val cy = triE4Sql("tc", "s_suppkey", 1, 1000000L)
+      val cx = triE4Sql("tc", "s_suppkey", 17, 3400000L)
+      def vy(i: Int) = s"(($cy) + ${triE4Sql(s"tv$i", "s_suppkey", 1, 200000L)})"
+      def vx(i: Int) = s"(($cx) + ${triE4Sql(s"tv$i", "s_suppkey", 17, 200000L)})"
+      s"""WITH p AS (SELECT event_id, user_id, $ula AS py, $ulo AS px
+         |  FROM events WHERE event_type = 'purchase'),
+         |t AS (SELECT s_suppkey AS tri_id, ${vy(1)} AS y1, ${vx(1)} AS x1,
+         |    ${vy(2)} AS y2, ${vx(2)} AS x2, ${vy(3)} AS y3, ${vx(3)} AS x3
+         |  FROM supplier),
+         |d AS (SELECT event_id, user_id, tri_id,
+         |    (px-x1)*(y2-y1) - (py-y1)*(x2-x1) AS d1,
+         |    (px-x2)*(y3-y2) - (py-y2)*(x3-x2) AS d2,
+         |    (px-x3)*(y1-y3) - (py-y3)*(x1-x3) AS d3
+         |  FROM p, t)
+         |SELECT event_id, user_id, tri_id FROM d
+         |WHERE (d1 >= 0 AND d2 >= 0 AND d3 >= 0)
+         |   OR (d1 <= 0 AND d2 <= 0 AND d3 <= 0)
+         |ORDER BY event_id, tri_id""".stripMargin
+    },
     "join_geo_polygon" -> {
       val (ula, ulo) = geoE4Sql("u", "user_id")
       val cy = triE4Sql("tc", "s_suppkey", 1, 1000000L)
