@@ -151,7 +151,8 @@ object ScaleStress {
       "graph_bfs", "graph_jaccard_nbrs",
       "agg_top_paths", "agg_skyline", "search_phrase",
       "agg_uplift", "search_boolean", "scan_pruned_manifest",
-      "join_geo_radius_sql", "stream_geo_fence")
+      "join_geo_radius_sql", "stream_geo_fence",
+      "agg_levene", "agg_runs_test")
     // Operator probes for the twin-offset dedup family (see scaladoc).
     val opProbes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "op_minhash_lsh" -> ((s: SparkSession, d: String) =>

@@ -5880,6 +5880,81 @@ object SparkEntry {
         epsKm = 280.0, minPts = 3, dLatE4 = 25400L, dLonE4 = 60000L)
       .orderBy("cust")
 
+  /** Brown–Forsythe LEVENE test per stream — variance homogeneity across
+    * the four user-bucket groups, completing the ANOVA/Kruskal family
+    * (ANOVA assumes it; this tests it, median-centered for robustness).
+    * Exactness discipline: deviations are |2c − 2·median| — the exact
+    * median of integer cents is integral or half-integral, so doubled
+    * deviations are EXACT integers; per-stream sufficient statistics are
+    * conditional-aggregation integer sums pivoted into ONE row, so the
+    * F-statistic assembles in a FIXED expression order (a float sum over
+    * group rows would be partition-order-dependent). Divisions are
+    * null-guarded identically in both engines.
+    */
+  private def q_agg_levene(s: SparkSession, dir: String): DataFrame = {
+    val c = expr("cast(cast(value as decimal(18,6)) * 100 as bigint)")
+    val base = E(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), (col("user_id") % 4).as("g"), c.as("c"))
+    val med = base.groupBy("event_type", "g")
+      .agg(expr("percentile(c, 0.5)").as("med"))
+    val dev = base.join(med, Seq("event_type", "g"))
+      .select(col("event_type"), col("g"),
+        abs(lit(2L) * col("c")
+          - expr("cast(2.0 * med as bigint)")).as("d"))
+    val sums: Seq[Column] = Seq(count(lit(1)).as("nn"),
+      sum(col("d")).as("ss"), sum(col("d") * col("d")).as("qq")) ++
+      (0 to 3).flatMap(i => Seq(
+        sum(when(col("g") === i, 1L).otherwise(0L)).as(s"n$i"),
+        sum(when(col("g") === i, col("d")).otherwise(0L)).as(s"s$i")))
+    val gagg = dev.groupBy("event_type").agg(sums.head, sums.tail: _*)
+    def term(i: Int): Column =
+      col(s"s$i").cast("double") * col(s"s$i").cast("double") /
+        nullif(col(s"n$i").cast("double"), lit(0.0))
+    val within = term(0) + term(1) + term(2) + term(3)
+    val ssb = within - col("ss").cast("double") * col("ss").cast("double") /
+      col("nn").cast("double")
+    val ssw = col("qq").cast("double") - within
+    val w = (ssb / 3.0) / nullif(ssw / (col("nn").cast("double") - 4.0), lit(0.0))
+    gagg.select(col("event_type"), col("nn").cast("long").as("n"),
+        round(w, 6).as("w_stat"))
+      .orderBy("event_type")
+  }
+
+  /** Wald–Wolfowitz RUNS TEST per stream — is the above/below-median
+    * sign sequence random over time? Ties with the median are excluded
+    * (the classic convention); runs count by a keyed lag window over the
+    * total (ts, event_id) order; z from exact integer counts in a fixed
+    * expression order. The time-ordered randomness screen next to
+    * agg_trend_mk's monotonic-trend test.
+    */
+  private def q_agg_runs_test(s: SparkSession, dir: String): DataFrame = {
+    val c = expr("cast(cast(value as decimal(18,6)) * 100 as bigint)")
+    val base = E(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts"), col("event_id"), c.as("c"))
+    val med = base.groupBy("event_type")
+      .agg(expr("percentile(c, 0.5)").as("med"))
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val signed = base.join(med, "event_type")
+      .filter(col("c").cast("double") =!= col("med"))
+      .withColumn("s", (col("c").cast("double") > col("med")).cast("int"))
+    val runs = signed
+      .withColumn("prev", lag(col("s"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("s"), 1L).otherwise(0L))
+      .groupBy("event_type").agg(
+        sum(col("chg")).as("r"),
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("s") === 0, 1L).otherwise(0L)).as("n0"))
+    val p = (lit(2L) * col("n1") * col("n0")).cast("double")
+    val nTot = (col("n1") + col("n0")).cast("double")
+    val mu = p / nTot + 1.0
+    val sig2 = p * (p - nTot) / (nTot * nTot * (nTot - 1.0))
+    runs.select(col("event_type"), col("n1"), col("n0"), col("r"),
+        round((col("r").cast("double") - mu) / nullif(sqrt(sig2), lit(0.0)), 6)
+          .as("z"))
+      .orderBy("event_type")
+  }
+
   /** Top user journey prefixes — each user's first three events by the
     * total (ts, event_id) order, folded to an "a>b>c" path and counted
     * (the product-analytics path report beside agg_funnel). One keyed
@@ -6380,6 +6455,8 @@ object SparkEntry {
     "search_phrase" -> (q_search_phrase _),
     "agg_uplift" -> (q_agg_uplift _),
     "search_boolean" -> (q_search_boolean _),
+    "agg_levene" -> (q_agg_levene _),
+    "agg_runs_test" -> (q_agg_runs_test _),
     "join_geo_radius" -> (q_join_geo_radius _),
     "join_geo_radius_sql" -> (q_join_geo_radius_sql _),
     "join_geo_knn" -> (q_join_geo_knn _),
@@ -7374,6 +7451,68 @@ object SparkEntry {
          |  round(CAST(sppm AS DOUBLE) / CAST(np AS DOUBLE) / 1000000.0, 6)
          |    AS avg_prec
          |FROM g ORDER BY cls""".stripMargin,
+    "agg_levene" -> {
+      val term = (0 to 3).map(i =>
+        s"CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE) / nullif(CAST(n$i AS DOUBLE), 0)")
+        .mkString(" + ")
+      val csum = (0 to 3).map(i =>
+        s"""CAST(sum(CASE WHEN g = $i THEN 1 ELSE 0 END) AS BIGINT) AS n$i,
+           |    CAST(sum(CASE WHEN g = $i THEN d ELSE 0 END) AS BIGINT) AS s$i""")
+        .mkString(",\n|    ")
+      s"""WITH b AS (SELECT event_type, user_id % 4 AS g,
+         |    CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS c
+         |  FROM events WHERE value IS NOT NULL),
+         |m AS (SELECT event_type, g, quantile_cont(c, 0.5) AS med
+         |  FROM b GROUP BY 1, 2),
+         |dv AS (SELECT b.event_type, b.g,
+         |    abs(2 * b.c - CAST(2.0 * m.med AS BIGINT)) AS d
+         |  FROM b JOIN m ON m.event_type = b.event_type AND m.g = b.g),
+         |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nn,
+         |    CAST(sum(d) AS BIGINT) AS ss,
+         |    CAST(sum(CAST(d AS HUGEINT) * d) AS BIGINT) AS qq,
+         |    $csum
+         |  FROM dv GROUP BY 1),
+         |f AS (SELECT event_type, nn,
+         |    ($term) AS within,
+         |    CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)
+         |      AS tot
+         |  FROM a),
+         |g2 AS (SELECT f.event_type, f.nn,
+         |    ((f.within - f.tot) / 3.0)
+         |      / nullif((CAST(a.qq AS DOUBLE) - f.within)
+         |          / (CAST(f.nn AS DOUBLE) - 4.0), 0) AS w
+         |  FROM f JOIN a ON a.event_type = f.event_type)
+         |SELECT event_type, nn AS n, round(w, 6) AS w_stat
+         |FROM g2 ORDER BY event_type""".stripMargin
+    },
+    "agg_runs_test" ->
+      """WITH b AS (SELECT event_type, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT event_type, quantile_cont(c, 0.5) AS med
+        |  FROM b GROUP BY 1),
+        |sg AS (SELECT b.event_type, b.ts, b.event_id,
+        |    CASE WHEN CAST(b.c AS DOUBLE) > m.med THEN 1 ELSE 0 END AS s
+        |  FROM b JOIN m ON m.event_type = b.event_type
+        |  WHERE CAST(b.c AS DOUBLE) <> m.med),
+        |ch AS (SELECT event_type, s,
+        |    lag(s) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM sg),
+        |a AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN prev IS NULL OR prev <> s THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r,
+        |    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+        |  FROM ch GROUP BY 1)
+        |SELECT event_type, n1, n0, r,
+        |  round((CAST(r AS DOUBLE)
+        |      - (CAST(2 * n1 * n0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE) + 1.0))
+        |    / nullif(sqrt(CAST(2 * n1 * n0 AS DOUBLE)
+        |        * (CAST(2 * n1 * n0 AS DOUBLE) - CAST(n1 + n0 AS DOUBLE))
+        |        / (CAST(n1 + n0 AS DOUBLE) * CAST(n1 + n0 AS DOUBLE)
+        |          * (CAST(n1 + n0 AS DOUBLE) - 1.0))), 0), 6) AS z
+        |FROM a ORDER BY event_type""".stripMargin,
     "agg_uplift" ->
       """WITH u AS (SELECT user_id,
         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
