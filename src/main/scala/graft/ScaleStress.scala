@@ -152,7 +152,7 @@ object ScaleStress {
       "agg_top_paths", "agg_skyline", "search_phrase",
       "agg_uplift", "search_boolean", "scan_pruned_manifest",
       "join_geo_radius_sql", "stream_geo_fence",
-      "agg_levene", "agg_runs_test")
+      "agg_levene", "agg_runs_test", "agg_spearman")
     // Operator probes for the twin-offset dedup family (see scaladoc).
     val opProbes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "op_minhash_lsh" -> ((s: SparkSession, d: String) =>

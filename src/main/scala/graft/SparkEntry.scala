@@ -5880,6 +5880,49 @@ object SparkEntry {
         epsKm = 280.0, minPts = 3, dLatE4 = 25400L, dLonE4 = 60000L)
       .orderBy("cust")
 
+  /** SPEARMAN rank correlation per stream (value vs hour-of-day) — the
+    * nonparametric member of the correlation family beside
+    * agg_corr_matrix's Pearson. Exactness: midranks come from the
+    * distinct-value table DOUBLED (2·rank = 2·below + cnt + 1 — a pure
+    * integer, the agg_mannwhitney midrank discipline without the halves),
+    * so every sufficient statistic is an exact integer summed in
+    * DECIMAL(38) (products reach ~10²¹ at sf1-per-stream — past BIGINT,
+    * nowhere near 38 digits), and ρ is one division of exactly-known
+    * integers. The doubling cancels between numerator and denominator.
+    */
+  private def q_agg_spearman(s: SparkSession, dir: String): DataFrame = {
+    val cents = expr("cast(cast(value as decimal(18,6)) * 100 as bigint)")
+    val base = E(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), cents.as("c"),
+        hour(col("ts")).cast("long").as("h"))
+    def dranks(dim: String): DataFrame = {
+      val byVal = base.groupBy("event_type", dim).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy(dim)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byVal.withColumn("below", sum(col("cnt")).over(w) - col("cnt"))
+        .select(col("event_type"), col(dim),
+          (lit(2L) * col("below") + col("cnt") + 1L).as(s"r_$dim"))
+    }
+    val ranked = base
+      .join(dranks("c"), Seq("event_type", "c"))
+      .join(dranks("h"), Seq("event_type", "h"))
+    val d38 = "decimal(38,0)"
+    val g = ranked.groupBy("event_type").agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(col("r_c").cast(d38)).as("sx"),
+      sum(col("r_h").cast(d38)).as("sy"),
+      sum((col("r_c") * col("r_c")).cast(d38)).as("sxx"),
+      sum((col("r_h") * col("r_h")).cast(d38)).as("syy"),
+      sum((col("r_c") * col("r_h")).cast(d38)).as("sxy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")) *
+      sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+    g.select(col("event_type"), col("n").cast("long").as("n"),
+        round(num / nullif(den, lit(0.0)), 6).as("rho"))
+      .orderBy("event_type")
+  }
+
   /** Brown–Forsythe LEVENE test per stream — variance homogeneity across
     * the four user-bucket groups, completing the ANOVA/Kruskal family
     * (ANOVA assumes it; this tests it, median-centered for robustness).
@@ -6457,6 +6500,7 @@ object SparkEntry {
     "search_boolean" -> (q_search_boolean _),
     "agg_levene" -> (q_agg_levene _),
     "agg_runs_test" -> (q_agg_runs_test _),
+    "agg_spearman" -> (q_agg_spearman _),
     "join_geo_radius" -> (q_join_geo_radius _),
     "join_geo_radius_sql" -> (q_join_geo_radius_sql _),
     "join_geo_knn" -> (q_join_geo_knn _),
@@ -7451,6 +7495,35 @@ object SparkEntry {
          |  round(CAST(sppm AS DOUBLE) / CAST(np AS DOUBLE) / 1000000.0, 6)
          |    AS avg_prec
          |FROM g ORDER BY cls""".stripMargin,
+    "agg_spearman" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS c,
+        |    CAST(hour(ts) AS BIGINT) AS h
+        |  FROM events WHERE value IS NOT NULL),
+        |rc AS (SELECT event_type, c,
+        |    2 * (CAST(sum(count(*)) OVER (PARTITION BY event_type ORDER BY c
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) - count(*))
+        |      + count(*) + 1 AS r_c
+        |  FROM b GROUP BY 1, 2),
+        |rh AS (SELECT event_type, h,
+        |    2 * (CAST(sum(count(*)) OVER (PARTITION BY event_type ORDER BY h
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) - count(*))
+        |      + count(*) + 1 AS r_h
+        |  FROM b GROUP BY 1, 2),
+        |r AS (SELECT b.event_type, rc.r_c, rh.r_h
+        |  FROM b JOIN rc ON rc.event_type = b.event_type AND rc.c = b.c
+        |         JOIN rh ON rh.event_type = b.event_type AND rh.h = b.h),
+        |g AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(r_c AS HUGEINT)) AS sx, sum(CAST(r_h AS HUGEINT)) AS sy,
+        |    sum(CAST(r_c AS HUGEINT) * r_c) AS sxx,
+        |    sum(CAST(r_h AS HUGEINT) * r_h) AS syy,
+        |    sum(CAST(r_c AS HUGEINT) * r_h) AS sxy
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0), 6) AS rho
+        |FROM g ORDER BY event_type""".stripMargin,
     "agg_levene" -> {
       val term = (0 to 3).map(i =>
         s"CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE) / nullif(CAST(n$i AS DOUBLE), 0)")
