@@ -194,8 +194,20 @@ object Dedup {
     // incremental path persists to parquet as state — same trade.
     val bl = bandTable(docs, idCol, textCol, k, bands, shingleN, maxDocFreq)
       .localCheckpoint()
-    val a = bl.as("a")
-    val b = bl.as("b")
+    pairsFromBands(bl)
+  }
+
+  /** Candidate pairs from an already-materialized band table `(doc_id,
+    * band, bh)` — the serve-side half of [[minhashLshPairs]]. Callers
+    * that persist the band table (the registry discipline: fit/derive
+    * once per corpus fingerprint, serve many) pay exactly one parquet
+    * scan + one equi-join here, never the shingle→digest→k-min-agg
+    * derivation. The input must be a materialized frame (parquet read or
+    * localCheckpoint): the self-join references it twice.
+    */
+  def pairsFromBands(bands: DataFrame): DataFrame = {
+    val a = bands.as("a")
+    val b = bands.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -137,17 +137,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(ngramRddScans >= 2 && ngramParquetScans == 0,
       s"ngram consumers must read the checkpointed shingle table " +
         s"(rdd=$ngramRddScans parquet=$ngramParquetScans):\n${executed.take(4000)}")
-    // lsh: the band table is MATERIALIZED once (localCheckpoint, round 7
-    // — measured faster than relying on runtime reuse) and both self-join
-    // sides must read that frame, never recompute the signature pipeline
+    // lsh: since round 10 the band table is PERSISTED fingerprint-keyed
+    // in the registry (the fitOrLoadIvf discipline) — serving executions
+    // must read the skinny (doc_id, band, bh) parquet on BOTH self-join
+    // sides and never touch the raw documents corpus (i.e. never re-run
+    // the shingle→digest→20-min-agg derivation)
     val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
     lsh.collect()
     val lshPlan = lsh.queryExecution.executedPlan.toString
-    val rddScans = lshPlan.linesIterator.count(_.contains("Scan ExistingRDD"))
-    val parquetScans = lshPlan.linesIterator.count(_.contains("Scan parquet"))
-    assert(rddScans >= 2 && parquetScans == 0,
-      s"band self-join must read the checkpointed band table on both sides " +
-        s"(rdd=$rddScans parquet=$parquetScans):\n${lshPlan.take(4000)}")
+    val bandScans = lshPlan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("minhashbands_"))
+    val corpusScans = lshPlan.linesIterator.count(l =>
+      l.contains("Scan parquet") && !l.contains("minhashbands_"))
+    assert(bandScans >= 2 && corpusScans == 0,
+      s"band self-join must read the persisted band table on both sides " +
+        s"(band=$bandScans corpus=$corpusScans):\n${lshPlan.take(4000)}")
   }
 
   test("sink_influx_lines is a narrow scan→codec→sort plan") {
