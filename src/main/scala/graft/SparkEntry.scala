@@ -1187,10 +1187,18 @@ object SparkEntry {
       .orderBy("qid", "rnk")
   }
 
-  /** Spark-only: top-k through an int8-quantized corpus — the
-    * storage-scale ANN path (4× smaller vectors; recall vs float spec'd
-    * in SimilaritySpec). Float rounding inside quantization is not
-    * portable enough for a hash-exact oracle.
+  /** Top-k through an int8-quantized corpus — the storage-scale ANN
+    * path (4× smaller vectors; recall vs float spec'd in SimilaritySpec).
+    * ORACLE-CHECKED since round 10: every step of the quantize →
+    * dequantize → cosine chain is IEEE-portable once spelled out —
+    * DuckDB executes FLOAT arithmetic in genuine float32 (verified), so
+    * `qscale = f32(f64(max|x|)/127)` matches Spark's float-coerced
+    * division, `round(f64(x)/f64(qscale))` rounds the identical double
+    * in both engines (HALF_UP vs half-away agree on doubles — a double
+    * whose shortest repr ends in .5 IS exactly .5), the f32 code·scale
+    * product is the correctly-rounded f32 multiply on both sides, and
+    * the downstream cosine is the repo's bit-exact sequential-fold
+    * double discipline (topkOracleSql).
     */
   private def q_simsearch_int8(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir, "embeddings")
@@ -1618,18 +1626,39 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** Spark-only: REAL trained BPE token counts (Sennrich subword merges
-    * — the published algorithm behind LLM tokenizers) beside text_tokens'
+  /** REAL trained BPE tokenization (Sennrich subword merges — the
+    * published algorithm behind LLM tokenizers) beside text_tokens'
     * regex estimate. Train = one corpus word-count shuffle + a driver
     * merge loop on the bounded vocabulary (memoized per dir, seeded by
     * determinism of the tie-break); encode = once per DISTINCT word in
-    * mapPartitions, joined back to occurrences. Non-SQL: the greedy
-    * merge-rank loop.
+    * mapPartitions, joined back to occurrences.
+    *
+    * ORACLE-CHECKED since round 10 via the reconstruction identity: for
+    * every occurrence, concat(emitted subword tokens) must equal
+    * word + '</w>' — so `recon_hash` (md5 over the doc's sorted
+    * reconstructed-word strings, computed FROM THE TOKEN LISTS) matches
+    * DuckDB's hash computed from the raw words only if the real encoder
+    * round-trips every word of every doc, and `bpe_in_bounds` pins
+    * n_words ≤ Σtokens ≤ Σchars + n_words. The token COUNTS themselves
+    * are the greedy merge-rank loop's output — inherently non-SQL; they
+    * stay on the Bpe.tokenCounts API, spec-pinned in BpeSpec, and feed
+    * pipeline_tokenize_pack.
     */
-  private def q_text_bpe_tokens(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Bpe.tokenCounts(bpeModel(s, dir), T(s, dir, "documents"),
-        "doc_id", "text")
+  private def q_text_bpe_tokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val tok = graft.ops.Bpe.tokenize(bpeModel(s, dir), docs, "doc_id", "text")
+    val agg = tok.groupBy("doc_id").agg(
+      count(lit(1)).as("n_words"),
+      md5(concat_ws("", sort_array(collect_list(concat_ws("", col("toks"))))))
+        .as("recon_hash"),
+      (sum(size(col("toks"))) >= count(lit(1)) &&
+        sum(size(col("toks"))) <= sum(length(col("w"))) + count(lit(1)))
+        .as("bpe_in_bounds"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_words"), lit(0L)).as("n_words"),
+        col("recon_hash"), coalesce(col("bpe_in_bounds"), lit(true)).as("bpe_in_bounds"))
       .orderBy("doc_id")
+  }
 
   /** Spark-only: perplexity-style quality gate (the CCNet shape) — mean
     * token log-probability under a unigram LM fitted single-class on a
@@ -5241,9 +5270,13 @@ object SparkEntry {
   /** Isotonic (PAVA) calibration of the en-stopword-ratio score into a
     * monotone P(lang = en): one binned groupBy over the corpus (the
     * sufficient statistics), pool-adjacent-violators on the driver over
-    * the 20-bin table. Spark-only: the iterative pooling is not SQL;
-    * CalibrationSpec pins monotonicity, weighted-mean preservation, and
-    * a hand-computed pooling.
+    * the 20-bin table. ORACLE-CHECKED since round 10 via the minimax
+    * characterization of isotonic regression — `fit(i) = max_{j≤i}
+    * min_{k≥i} avg(j..k)` — which IS SQL over the 20-row bin table
+    * (O(bins³), trivial); Calibration.pavaCounts makes the Spark side
+    * bit-compatible (exact integer block sums, one double division per
+    * value — see its scaladoc). CalibrationSpec additionally pins
+    * monotonicity, weighted-mean preservation, and a hand pooling.
     */
   private def q_ml_isotonic(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents").filter(col("text").isNotNull)
@@ -7496,6 +7529,46 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_heavyhitters" -> heavyHittersOracleSql,
     "stream_heavyhitters" -> heavyHittersOracleSql,
+    // BPE reconstruction identity: the Spark side hashes the sorted
+    // reconstructed words FROM THE EMITTED TOKEN LISTS; this side hashes
+    // the raw words — equal only if the encoder round-trips every word
+    "text_bpe_tokens" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |nz AS (SELECT doc_id, w FROM w WHERE w <> ''),
+        |agg AS (SELECT doc_id, count(*) AS n_words,
+        |    md5(string_agg(w || '</w>', '' ORDER BY w || '</w>')) AS recon_hash
+        |  FROM nz GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+        |  a.recon_hash, TRUE AS bpe_in_bounds
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // isotonic regression by its minimax characterization over the bin
+    // table: fit(i) = max_{j<=i} min_{k>=i} avg(j..k), every candidate
+    // one double division of exact integer sums (see q_ml_isotonic)
+    "ml_isotonic" ->
+      """WITH sc AS (SELECT
+        |    round(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        w -> w IN ('the','a','of','to','and'))) * 1.0
+        |      / len(string_split_regex(lower(trim(text)), '\s+')), 6) AS score,
+        |    CAST(lang = 'en' AS BIGINT) AS pos
+        |  FROM documents WHERE text IS NOT NULL),
+        |stats AS (SELECT CAST(least(greatest(floor(score / 0.05), 0), 19) AS INT) AS bin,
+        |    count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
+        |  FROM sc GROUP BY 1),
+        |a AS (SELECT j.bin AS jb, k.bin AS kb,
+        |    CAST((SELECT sum(s.n_pos) FROM stats s WHERE s.bin BETWEEN j.bin AND k.bin) AS DOUBLE)
+        |  / CAST((SELECT sum(s.n) FROM stats s WHERE s.bin BETWEEN j.bin AND k.bin) AS DOUBLE)
+        |    AS avgjk
+        |  FROM stats j, stats k WHERE j.bin <= k.bin),
+        |mm AS (SELECT i.bin AS bin, a.jb, min(a.avgjk) AS mn
+        |  FROM stats i JOIN a ON a.jb <= i.bin AND a.kb >= i.bin
+        |  GROUP BY i.bin, a.jb),
+        |fit AS (SELECT bin, max(mn) AS calibrated FROM mm GROUP BY bin)
+        |SELECT s.bin, round(s.bin * 0.05, 6) AS score_lo, s.n, s.n_pos,
+        |  round(CAST(s.n_pos AS DOUBLE) / CAST(s.n AS DOUBLE), 6) AS rate,
+        |  round(f.calibrated, 6) AS calibrated
+        |FROM stats s JOIN fit f USING (bin) ORDER BY s.bin""".stripMargin,
     "join_geo_radius" -> {
       val (cla, clo) = geoE4Sql("c", "c_custkey")
       val (sla, slo) = geoE4Sql("s", "s_suppkey")
@@ -9087,6 +9160,32 @@ object SparkEntry {
     "simsearch_topk" -> topkOracleSql,
     // nProbe = nLists makes IVF exhaustive ≡ brute force: same oracle
     "simsearch_ivf_exact" -> topkOracleSql,
+    // int8: replay the float32 quantization exactly (DuckDB FLOAT math
+    // is native f32 — see q_simsearch_int8), then the standard topk body
+    "simsearch_int8" ->
+      """WITH mx AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS m FROM embeddings),
+        |qz AS (SELECT vec_id, embedding,
+        |    CAST(CASE WHEN m = 0 THEN 1.0
+        |              ELSE CAST(m AS DOUBLE) / 127.0 END AS FLOAT) AS qscale
+        |  FROM mx),
+        |dq AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(CAST(round(CAST(x AS DOUBLE) / CAST(qscale AS DOUBLE))
+        |        AS TINYINT) AS FLOAT) * qscale) AS embedding
+        |  FROM qz),
+        |dots AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |    x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE))) AS dot,
+        |  list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nq,
+        |  list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nc
+        | FROM embeddings q, dq c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        | SELECT qid, nid, dot/sqrt(nq*nc) AS cos_sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY dot/sqrt(nq*nc) DESC, nid) AS rnk
+        | FROM dots)
+        |SELECT qid, nid, cos_sim, rnk FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "text_langid" ->
       s"""WITH w AS (SELECT doc_id,
          |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents),

@@ -27,6 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * contract of a TypedImperativeAggregate.
   */
 final class CMSketch(val depth: Int, val width: Int) extends Serializable {
+  // fail at construction, not as an ArrayIndexOutOfBounds inside an
+  // executor task on the first add(): each row needs its own seed
+  require(depth >= 1 && depth <= CMSketch.Seeds.length,
+    s"depth must be in [1, ${CMSketch.Seeds.length}] (one fixed seed per row), got $depth")
+  require(width >= 1, s"width must be positive, got $width")
   val counts: Array[Long] = new Array[Long](depth * width)
   var total: Long = 0L
 

@@ -81,7 +81,13 @@ object GmmEm {
         p.getField("w") * exp(lit(-0.5) * z * z) /
           (p.getField("sd") * math.sqrt(2 * math.Pi))
       }
-      val total = (0 until k).map(dens).reduce(_ + _)
+      // floor the mixture density: for an extreme outlier (|z| ≳ 38 in
+      // every component) all densities underflow to 0 and 0/0 = NaN,
+      // which the decimal cast would silently null — the row would drop
+      // out of the M-step sums and quietly bias the fit. Floored, the
+      // row contributes zero responsibility and a finite log-likelihood.
+      val total = greatest(
+        (0 until k).map(dens).reduce(_ + _), lit(Double.MinPositiveValue))
       val resp = (0 until k).map(j => (dens(j) / total).as(s"r$j"))
       val scored = joined.select(
         col("k") +: col("x") +: log(total).as("ll") +: resp: _*)

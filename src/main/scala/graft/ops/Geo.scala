@@ -69,16 +69,28 @@ object Geo {
     * `dLatE4`/`dLonE4` are the cell sizes in 1e-4-degree units; callers
     * must pick them ≥ `radiusKm` in ground distance everywhere in the
     * coordinate domain (for ±60° latitude: ≥ radius/110.5 km-per-degree
-    * for latitude, ≥ radius/55.0 for longitude) and `dLonE4` must divide
-    * the 3 600 000-unit longitude span so the wrap-around cell is full
+    * for latitude; for longitude the curvature-exact worst case is
+    * Δλ_max = 2·asin(sin(r/2R)/cos 60°) — a LINEAR km-per-degree bound
+    * under-estimates Δλ_max once r ≳ 2000 km and would silently drop
+    * pairs at the cell seam) and `dLonE4` must divide the
+    * 3 600 000-unit longitude span so the wrap-around cell is full
     * width — a narrower seam cell would break the 3×3 adjacency
-    * guarantee. Both are asserted.
+    * guarantee. All are asserted.
     */
   def radiusPairs(left: DataFrame, leftId: String, right: DataFrame,
       rightId: String, radiusKm: Double, dLatE4: Long, dLonE4: Long): DataFrame = {
     require(3600000L % dLonE4 == 0, s"dLonE4=$dLonE4 must divide 3600000")
     require(dLatE4 * 110.5 / 10000.0 >= radiusKm, "lat cells narrower than radius")
-    require(dLonE4 * 55.0 / 10000.0 >= radiusKm, "lon cells narrower than radius")
+    // curvature-exact max longitude separation of an r-km pair at the
+    // ±60° domain edge (same bound GeoRadiusJoinRule uses to size cells)
+    val sinHalfLon = math.sin(radiusKm / EarthDiameterKm) /
+      math.cos(math.toRadians(60.0))
+    require(sinHalfLon < 1.0,
+      s"radiusKm=$radiusKm spans all longitudes at 60° — grid cannot bound it")
+    val maxDLonDeg = math.toDegrees(2.0 * math.asin(sinHalfLon))
+    require(dLonE4 / 10000.0 >= maxDLonDeg,
+      f"lon cells narrower than the worst-case pair separation " +
+        f"(${dLonE4 / 10000.0}%.4f° < $maxDLonDeg%.4f° at 60° lat)")
     val nLon = 3600000L / dLonE4
 
     def cells(df: DataFrame): DataFrame = df

@@ -55,13 +55,19 @@ object Survival {
       risk += r.getLong(2)
       (r.getLong(0), risk, r.getLong(1))
     }.toArray.reverse
-    // ascending pass: product-limit + Nelson-Aalen over event durations
-    var s = 1.0
+    // ascending pass: product-limit + Nelson-Aalen over event durations.
+    // The survival product accumulates in LOG space — s = exp(Σ ln(1-d/n))
+    // — executing the SAME IEEE op sequence as the SQL oracle's
+    // exp(sum(ln(1-d/n)) OVER (...)), so the two engines cannot land on
+    // opposite sides of a 6th-decimal rounding boundary (sequential
+    // multiplication is a DIFFERENT float path that can differ by an ulp)
+    var sLn = 0.0
     var h = 0.0
     val rows = withRisk.collect { case (dur, nRisk, nEvents) if nEvents > 0 =>
-      s *= 1.0 - nEvents.toDouble / nRisk
+      sLn += math.log(1.0 - nEvents.toDouble / nRisk)
       h += nEvents.toDouble / nRisk
-      (dur, nRisk, nEvents, math.rint(s * 1e6) / 1e6, math.rint(h * 1e6) / 1e6)
+      (dur, nRisk, nEvents, math.rint(math.exp(sLn) * 1e6) / 1e6,
+        math.rint(h * 1e6) / 1e6)
     }
     import spark.implicits._
     rows.toSeq.toDF("dur_days", "n_risk", "n_events", "survival", "cumhaz")

@@ -67,6 +67,12 @@ class GeoSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // lat cells narrower than radius
       Geo.radiusPairs(df, "id", df, "id", 500.0, 10000L, 100000L)
     }
+    // the old linear 55 km/° bound ACCEPTED this (40° × 55 = 2200 ≥ 2200)
+    // but the curvature-exact worst case at 60° lat is 40.19° > 40°:
+    // pairs could span past the 3×3 neighborhood and silently drop
+    intercept[IllegalArgumentException] {
+      Geo.radiusPairs(df, "id", df, "id", 2200.0, 200000L, 400000L)
+    }
   }
 
   test("agg_moments matches driver-side float skew/kurt on the real fixture") {
