@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DeflateRatio, DotProduct, HeavyHitters, RollingAnchors, TDigestQuantile}
+import graft.expressions.{DeflateRatio, DotProduct, HeavyHitters, RollingAnchors, SortedIntersectCount, TDigestQuantile}
 
 /** Session extension registering graft's native expressions with the SQL
   * function registry, so `spark.sql("SELECT graft_dot(a, b) ...")` works:
@@ -73,5 +73,10 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.Cast(c,
           org.apache.spark.sql.types.DoubleType))
       graft.expressions.HaversineKm(d(0), d(1), d(2), d(3))
+    }),
+    ("graft_sorted_intersect", classOf[SortedIntersectCount], children => {
+      require(children.length == 2,
+        s"graft_sorted_intersect takes 2 arguments, got ${children.length}")
+      SortedIntersectCount(children.head, children(1))
     }))
 }

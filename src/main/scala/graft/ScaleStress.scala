@@ -226,8 +226,12 @@ object ScaleStress {
       math.min(time(fn(spark, d).count()), time(fn(spark, d).count()))
     }
 
+    // optional trailing names: probe only those (local iteration aid /
+    // the heavy-plan 100× runs; the full sweep passes none)
+    val only = args.drop(2).toSet
     val all: Seq[(String, (SparkSession, String) => DataFrame)] =
-      queryProbes.map(n => n -> SparkEntry.queries(n)) ++ opProbes
+      (queryProbes.map(n => n -> SparkEntry.queries(n)) ++ opProbes)
+        .filter { case (n, _) => only.isEmpty || only(n) }
     val rows = all.map { case (name, fn) =>
       val t1 = steadyState(fn, baseDir)
       val tR = steadyState(fn, scaledDir)

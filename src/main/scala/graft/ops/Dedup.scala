@@ -568,29 +568,27 @@ object Dedup {
       minhashLshPairs(docs, idCol, textCol, k, bands, shingleN, maxDocFreq),
       threshold, shingleN, maxDocFreq)
 
-  /** Exact n-gram Jaccard over candidate pairs that share at least one
-    * shingle: |A∩B| / (|A|+|B|-|A∪B|... i.e. |A|+|B|-|A∩B|) >= threshold.
+  /** Exact n-gram Jaccard: |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold over the
+    * maxDocFreq-capped shingle universe.
     *
-    * Plan: ONE shuffle groups docs per shingle, ordered pairs explode
-    * map-side, and a second shuffle counts co-occurrences — the
-    * self-join formulation would shuffle the shingle table twice AND
-    * recompute its subtree per consumer. The `maxDocFreq` cap is a free
-    * filter on the group size (no separate hot-list pass): a group of df
-    * docs explodes into df·(df−1)/2 pairs, so dropping df > cap groups
-    * bounds the blowup at cap²/2 per shingle — [[DefaultMaxDocFreq]] by
-    * default, never unbounded by accident. Groups are materialized before
-    * the filter (collect_set then drop) — fine up to ~1e5-df shingles; for
-    * adversarial corpora route through [[shingleTable]]'s hot-list pass,
-    * which filters ABOVE the aggregation so no oversized group ever forms.
+    * Candidates come from [[shingleIntersections]]' prefix filter with
+    * the Jaccard-specific bound `jac ≥ τ ⟹ i/min(|A|,|B|) ≥ 2τ/(1+τ)`
+    * (from `i ≥ τ(|A|+|B|−i) ⟹ i ≥ τ/(1+τ)·(|A|+|B|) ≥ 2τ/(1+τ)·min`)
+    * — strictly tighter than the raw containment bound, so prefixes are
+    * shorter and candidate fan-out smaller. The exact Jaccard predicate
+    * re-applies here, so output equals the all-pairs formulation's.
     *
-    * At scale, pair generation should go through minhashLshPairs first;
-    * this operator is the exact baseline / re-scorer.
+    * This operator is the exact baseline / re-scorer; at 100 TB, pair
+    * generation should normally go through minhashLshPairs first.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3,
       maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
     val jac = col("i") * lit(1.0) / (col("na") + col("nb") - col("i"))
-    shingleIntersections(docs, idCol, textCol, shingleN, maxDocFreq)
+    // size-compatibility prune: jac ≤ min/max, so jac ≥ τ needs min ≥ τ·max
+    shingleIntersections(docs, idCol, textCol, shingleN, maxDocFreq,
+        minOverlapFrac = 2.0 * threshold / (1.0 + threshold),
+        minSizeRatio = threshold)
       .filter(jac >= threshold)
       .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
   }
@@ -609,7 +607,10 @@ object Dedup {
       maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
     val contA = col("i") * lit(1.0) / col("na")
     val contB = col("i") * lit(1.0) / col("nb")
-    shingleIntersections(docs, idCol, textCol, shingleN, maxDocFreq)
+    // max(i/na, i/nb) = i/min(na,nb): the containment threshold IS the
+    // prefix filter's min-side overlap bound
+    shingleIntersections(docs, idCol, textCol, shingleN, maxDocFreq,
+        minOverlapFrac = threshold)
       .filter(greatest(contA, contB) >= threshold)
       .select(col("doc_a"), col("doc_b"),
         round(contA, 6).as("cont_a"), round(contB, 6).as("cont_b"))
@@ -650,50 +651,124 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
-  /** Shared machinery of the exact set-overlap scorers: every co-occurring
-    * ordered pair with its intersection count and both (capped-universe)
-    * set sizes — `(doc_a, doc_b, i, na, nb)`.
+  /** Shared machinery of the exact set-overlap scorers: every ordered
+    * pair that can reach `i ≥ minOverlapFrac · min(|A|,|B|)` with its
+    * EXACT intersection count and both (capped-universe) set sizes —
+    * `(doc_a, doc_b, i, na, nb)`. Callers pass the weakest such bound
+    * their own threshold implies (containment τ: the bound is τ itself;
+    * Jaccard τ: `jac ≥ τ ⟹ i/min ≥ 2τ/(1+τ)`, strictly tighter) and
+    * re-apply their exact predicate downstream, so the output they keep
+    * is identical to the all-pairs formulation's.
+    *
+    * Scale shape — PREFIX FILTERING (the AllPairs bound of Bayardo, Ma
+    * & Srikant, WWW'07, with PPJoin's df-ascending global order, Xiao
+    * et al., WWW'08): rank each doc's shingles by (global df asc,
+    * shingle asc) — one total order corpus-wide — and index only the
+    * first `n − iMin + 1` as candidate-generation keys, where
+    * `iMin = ⌈frac·n⌉` is the doc's qualifying overlap were it the
+    * smaller side. Pigeonhole: a pair whose intersection avoids the
+    * smaller doc's whole prefix has `i ≤ iMin − 1` and cannot qualify,
+    * so probing prefix(X) against the FULL capped table catches every
+    * qualifying pair from whichever side is smaller. Candidate cost
+    * drops from the all-pairs Σ df² to Σ df_prefix·df — and because the
+    * prefix is the RAREST (1−frac) fraction of each doc, boilerplate
+    * shingles (high df) almost never serve as keys: the quadratic term
+    * rides the df of rare shingles only. `iMin` is computed in integer
+    * micro-units (`T = ⌊frac·1e6⌋`, `iMin = ⌈T·n/1e6⌉` by long
+    * arithmetic) — floor makes T a conservative lower bound and no
+    * float rounding can shorten a prefix below the safe length;
+    * rationals i/n sit ≥ 1/(1e6·n) apart so the downstream double
+    * compare can never admit a pair the integer bound excluded.
     */
   private def shingleIntersections(docs: DataFrame, idCol: String,
-      textCol: String, shingleN: Int, maxDocFreq: Int): DataFrame = {
+      textCol: String, shingleN: Int, maxDocFreq: Int,
+      minOverlapFrac: Double, minSizeRatio: Double = 0.0): DataFrame = {
+    require(minOverlapFrac > 0.0 && minOverlapFrac <= 1.0,
+      s"minOverlapFrac must be in (0, 1], got $minOverlapFrac")
     // dedupe=true on purpose: distinct is a codegen'd hash aggregate with
     // MAP-SIDE partial reduction, so duplicate (doc, shingle) rows vanish
-    // before the shuffle and collect_list appends cheap pre-deduped rows.
-    // The "one less shuffle" alternative (dedupe=false + collect_set)
-    // measured ~40% SLOWER: it ships every duplicate row into the object
-    // aggregate's per-group hash set. The explicit Int.MaxValue opts out
-    // of shingleTable's hot-list pass: this operator's cap is the
-    // group-size filter below (same semantics, no extra agg+anti-join).
+    // before the shuffle (group size below ≡ doc frequency). The explicit
+    // Int.MaxValue opts out of shingleTable's hot-list pass: this
+    // operator caps by the group-size filter below (same ≤-cap semantics).
     val d = shingleTable(docs, idCol, textCol, shingleN, dedupe = true,
       maxDocFreq = Int.MaxValue)
-    // three consumers (pair explosion + both size joins) reference this
-    // frame — MATERIALIZE it once (localCheckpoint, the bandTable/round-7
-    // simsearch_lsh discipline) instead of relying on AQE runtime
-    // exchange reuse: reuse recomputes the whole scan→explode→aggregate
-    // subtree if plan canonicalization ever diverges between consumers,
-    // and simsearch_lsh's driver-only 9× outlier (r6) traced to exactly
-    // this class of fragility. The checkpointed frame pins the
-    // aggregate's partitioning for the pair explosion and every consumer
-    // reads materialized blocks. At cluster scale the equivalent is
-    // persist(DISK_ONLY)/durable checkpoint of the same frame — the
-    // design point is materialize-once, O(capped shingle table) storage.
+    // ONE groupBy(s) yields df (= group size), the ≤-cap filter, AND the
+    // per-shingle doc lists candidates explode from; MATERIALIZED once
+    // (localCheckpoint, the bandTable/round-7 simsearch_lsh discipline) —
+    // it feeds both the per-doc aggregate and the candidate join.
+    // (A/B note: the full PPJoin POSITIONAL filter was measured here and
+    // REVERTED — carrying (doc, pos, n) structs through a second
+    // full-table shuffle cost ~2× what the extra candidate pruning saved
+    // at every probed scale; the prefix + smaller-side + size-ratio
+    // filters below keep the candidate stream linear without it.)
     val grouped = d.groupBy("s")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) <= maxDocFreq)
+      .select(col("s"), size(col("ds")).as("df"), col("ds"))
       .localCheckpoint()
-    // all ordered pairs (ds[i], ds[j]) with i < j, built inside codegen
-    val pairs = grouped.select(explode(flatten(
-        transform(col("ds"), (x, i) =>
-          transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - 1), y =>
-            struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-    val inter = pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    // per-doc set size over the SAME capped universe the pairs came from
-    val sz = grouped.select(explode(col("ds")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    inter
-      .join(sz.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(sz.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+    // ONE per-doc aggregate serves both prefix extraction and re-score:
+    // the shingle array sorted by the global (df asc, s asc) order —
+    // sort_array over structs IS that lexicographic order. `pref` keeps
+    // the df-order head (the candidate keys); `ss` re-sorts by plain
+    // shingle — the ascending order the merge-count intersect walks.
+    val tMicro = math.floor(minOverlapFrac * 1e6).toLong
+    val docSets = grouped
+      .select(col("s"), col("df"), explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ts"))
+      .withColumn("n", size(col("ts")))
+      .withColumn("p", col("n") - expr(s"($tMicro * n + 999999) div 1000000") + 1)
+      .select(col("doc_id"),
+        sort_array(transform(col("ts"), t => t.getField("s"))).as("ss"),
+        transform(slice(col("ts"), lit(1), col("p")),
+          t => t.getField("s")).as("pref"),
+        col("n"))
+      .localCheckpoint()
+    // Prefix keys explode map-side off the checkpoint. Only the SMALLER
+    // side needs its prefix indexed (the pigeonhole runs on min(|A|,|B|)),
+    // so the probe keeps a pair only when it is the smaller doc — half
+    // the candidate stream of symmetric generation.
+    val prefix = docSets.select(col("doc_id").as("__pa"), col("n").as("__na"),
+      explode(col("pref")).as("s"))
+    val cand = prefix.join(grouped.select(col("s"), col("ds")), Seq("s"))
+      .select(col("__pa"), col("__na"), explode(col("ds")).as("__pb"))
+      .filter(col("__pa") =!= col("__pb"))
+      .join(docSets.select(col("doc_id").as("__pb"), col("n").as("__nb")),
+        Seq("__pb"))
+      .filter(col("__na") < col("__nb") ||
+        (col("__na") === col("__nb") && col("__pa") < col("__pb")))
+      // size-compatibility prune BEFORE the distinct and the re-score:
+      // callers whose predicate implies min ≥ ratio·max (Jaccard) pass
+      // it; containment admits any size pair and passes 0. Integer
+      // micro-unit compare with floor — conservative, never drops a
+      // boundary-qualifying pair.
+      .filter(lit(1000000L) * col("__na") >=
+        lit(math.floor(minSizeRatio * 1e6).toLong) * col("__nb"))
+      // output contract stays id-ordered (doc_a < doc_b), independent of
+      // which side generated the candidate
+      .select(least(col("__pa"), col("__pb")).as("doc_a"),
+        greatest(col("__pa"), col("__pb")).as("doc_b"))
+      .distinct()
+    // exact re-score: candidates are SMALL (AQE broadcasts them), so the
+    // two set joins stream docSets without shuffling it
+    val sets = docSets.select(col("doc_id"), col("ss"), col("n"))
+    cand
+      .join(sets.select(col("doc_id"), col("ss").as("sa"), col("n").as("na")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sets.select(col("doc_id"), col("ss").as("sb"), col("n").as("nb")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      // merge-count intersect (graft.expressions.SortedIntersectCount):
+      // both arrays are ascending-sorted above, so |A∩B| is one
+      // zero-allocation merge walk instead of array_intersect's
+      // per-pair hash-set build + materialized result array
+      .select(col("doc_a"), col("doc_b"),
+        org.apache.spark.sql.graft.Bridge.column(
+          graft.expressions.SortedIntersectCount(
+            org.apache.spark.sql.graft.Bridge.expression(col("sa")),
+            org.apache.spark.sql.graft.Bridge.expression(col("sb"))))
+          .cast("long").as("i"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
+      .filter(col("i") >= 1)
   }
 
   /** EXACT-SUBSTRING duplication scan — the published "Deduplicating
