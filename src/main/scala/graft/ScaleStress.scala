@@ -76,9 +76,23 @@ object ScaleStress {
 
     gated(s, s"$outDir/embeddings.parquet") {
       val em = s.read.parquet(s"$baseDir/embeddings.parquet")
+      // Replica vectors are deterministically PERTURBED (±0.5/component
+      // from xxhash64(vec_id, rep, j); replica 0 verbatim): verbatim
+      // copies make a 100× corpus DEGENERATE for vector ops — every
+      // point's true kNN is its 99 identical twins, all copies collide
+      // in every LSH table, and the candidate join carries ~10⁹
+      // irreducible pairs that measure the pathological corpus, not
+      // scale (observed: graph_cc's 100× rep ran 45+ min). Distinct
+      // replicas are also what a real 100× corpus looks like.
       em.crossJoin(broadcast(reps)).select(
           (col("vec_id") + col("rep").cast("long") * 10000000L).as("vec_id"),
-          col("embedding"), col("label"))
+          when(col("rep") === 0, col("embedding")).otherwise(
+            transform(col("embedding"), (x, j) =>
+              (x.cast("double") +
+                (pmod(xxhash64(col("vec_id"), col("rep"), j), lit(2001L))
+                  .cast("double") - lit(1000.0)) / lit(2000.0))
+                .cast("float"))).as("embedding"),
+          col("label"))
         .repartition(16)
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     }
@@ -111,6 +125,9 @@ object ScaleStress {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
+      // see the per-probe System.gc() note below — the periodic driver
+      // GC backstops shuffle-file cleanup during long multi-rep probes
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -146,7 +163,7 @@ object ScaleStress {
       // probed UNCAPPED at the operator level below — the registry query's
       // 4500-point cap exists only for its all-pairs oracle)
       "ml_confusion_prf", "ml_auc_roc", "ml_calibration",
-      "graph_cc", "graph_degree",
+      "graph_cc", "graph_degree", "text_textrank",
       "ml_lof", "join_geo_polygon", "ml_ols_multi",
       "graph_bfs", "graph_jaccard_nbrs",
       "agg_top_paths", "agg_skyline", "search_phrase",
@@ -208,6 +225,25 @@ object ScaleStress {
         Geo.dbscan(pts, "uid", epsKm = 50.0, minPts = 3,
           dLatE4 = 4600L, dLonE4 = 10000L)
       }),
+      // kNN-graph connected components at the PRODUCTION LSH
+      // parameterization: bucket bits scale with corpus size
+      // (nPlanes = log2(n / ~40-per-bucket), i.e. +log2(R) bits at R×),
+      // so per-bucket density — and with it the quadratic in-bucket
+      // candidate work — stays at the tuned level as the corpus grows.
+      // The registry query's fixed nPlanes=8 is the oracle-scale
+      // setting; probing THAT at 100× measures bucket-density collapse
+      // (256 buckets absorbing 1M vectors → ~4000²-pair buckets), not
+      // the plan. Density-targeted bits are the documented scale path.
+      "op_graph_cc" -> ((s: SparkSession, d: String) => {
+        val e = s.read.parquet(s"$d/embeddings.parquet")
+        val n = e.count()
+        val planes = math.max(8,
+          math.ceil(math.log(n / 40.0) / math.log(2.0)).toInt)
+        val pairs = graft.ops.Similarity
+          .knnGraph(e, "vec_id", "embedding", 3, nPlanes = planes)
+          .select(col("qid").as("doc_a"), col("nid").as("doc_b"))
+        Dedup.duplicateClusters(pairs, maxIter = 64)
+      }),
       "op_ks_drift" -> ((s: SparkSession, d: String) => {
         val ev = graft.sources.Events.read(s, s"$d/events.parquet")
         Drift.ksStatistic(ev, "event_type", "value",
@@ -226,6 +262,21 @@ object ScaleStress {
       math.min(time(fn(spark, d).count()), time(fn(spark, d).count()))
     }
 
+    // Scaled-dir runs get shuffle parallelism proportional to the data
+    // (32 at the 10× reference, 320 at 100×, capped 512): on a real
+    // cluster 100× data comes with ~100× tasks, so per-task state stays
+    // the tuned size. Holding 32 partitions while data grows 100× is a
+    // single-box artifact — 32 threads sharing one execution-memory pool
+    // each build ~100×-sized hash state and the probe measures memory
+    // collapse (SPILL_OUT_OF_MEMORY on text_textrank's edge agg at 48 g),
+    // not the plan's work growth. The 1× leg keeps the session's 32.
+    val scaledShuffle = math.min(512, math.max(32, 32 * reps / 10))
+    def withShuffle(n: Int)(body: => Double): Double = {
+      val saved = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      try body finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    }
+
     // optional trailing names: probe only those (local iteration aid /
     // the heavy-plan 100× runs; the full sweep passes none)
     val only = args.drop(2).toSet
@@ -234,7 +285,15 @@ object ScaleStress {
         .filter { case (n, _) => only.isEmpty || only(n) }
     val rows = all.map { case (name, fn) =>
       val t1 = steadyState(fn, baseDir)
-      val tR = steadyState(fn, scaledDir)
+      val tR = withShuffle(scaledShuffle)(steadyState(fn, scaledDir))
+      // Release completed probes' shuffle files: ContextCleaner only
+      // deletes them after the driver GCs the shuffle objects, and a
+      // 64 g heap may not GC across a whole 100× sweep — spills then
+      // ACCUMULATE across probes until the box's disk fills (observed:
+      // two 100×-probe runs left 46 GB of blockmgr files). An explicit
+      // GC after each probe keeps disk high-water ≈ one probe's spill.
+      System.gc()
+      Thread.sleep(2000)
       val e = math.log(tR / t1) / math.log(reps.toDouble)
       System.err.println(f"[scale] $name%-22s 1x=$t1%7.2fs ${reps}x=$tR%7.2fs e=$e%.2f")
       (name, t1, tR, e)

@@ -788,18 +788,41 @@ object SparkEntry {
         round(AnomalyMath.threshold(col("l_extendedprice"), 0.95), 6).as("thr_p95"))
       .orderBy("l_returnflag")
 
-  /** Spark-only (sketch values depend on partial-aggregation merge order,
-    * so they are not hash-portable): the native t-digest
-    * TypedImperativeAggregate next to the exact percentile it
-    * approximates — the streaming/100 TB threshold path. Accuracy is
-    * spec'd (TDigestSpec: <1% rank error, tails tighter, streaming use).
+  /** Native t-digest TypedImperativeAggregate next to the exact
+    * percentile it approximates — the streaming/100 TB threshold path.
+    *
+    * ORACLE-CHECKED (round 10) via the countmin discipline: the sketch
+    * VALUE depends on partial-aggregation merge order (not
+    * hash-portable; it stays on the expression API, value accuracy
+    * pinned in TDigestSpec), so the driver row carries the SQL-exact
+    * percentile + count plus `rank_ok`, the order-statistic bracket of
+    * the t-digest estimate: with h = p·(n−1) the interpolated quantile
+    * lies between order stats ⌊h⌋ and ⌈h⌉ (0-based), so
+    * count(≤ est) ≥ ⌊h⌋+1 − ⌈ε·n⌉ and count(< est) ≤ ⌈h⌉ + ⌈ε·n⌉ with
+    * ε = 0.02 (2× the spec'd <1% rank error; tails are tighter still).
+    * A sketch regression flips the flag and hash-fails the row;
+    * estimates are deterministic on fixed data, so the flag is a
+    * reproducible fact.
     */
-  private def q_agg_threshold_sketch(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "lineitem")
+  private def q_agg_threshold_sketch(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    val sk = li.groupBy("l_returnflag")
+      .agg(AnomalyMath.thresholdSketch(col("l_extendedprice"), 0.99).as("est"),
+        round(AnomalyMath.threshold(col("l_extendedprice"), 0.99), 6)
+          .as("thr_exact"),
+        count(lit(1)).as("n"))
+    val h = col("n").cast("double") * lit(0.99) - lit(0.99) // p*(n-1)
+    val slack = ceil(col("n").cast("double") * lit(0.02)).cast("long")
+    li.join(broadcast(sk), Seq("l_returnflag"))
       .groupBy("l_returnflag")
-      .agg(AnomalyMath.thresholdSketch(col("l_extendedprice"), 0.99).as("thr_sketch"),
-        AnomalyMath.threshold(col("l_extendedprice"), 0.99).as("thr_exact"))
+      .agg(first(col("thr_exact")).as("thr_exact"), first(col("n")).as("n"),
+        sum((col("l_extendedprice") < col("est")).cast("long")).as("n_lt"),
+        sum((col("l_extendedprice") <= col("est")).cast("long")).as("n_le"))
+      .select(col("l_returnflag"), col("thr_exact"), col("n"),
+        (col("n_le") >= floor(h).cast("long") + lit(1L) - slack &&
+          col("n_lt") <= ceil(h).cast("long") + slack).as("rank_ok"))
       .orderBy("l_returnflag")
+  }
 
   private def q_agg_distinct(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
@@ -1692,18 +1715,53 @@ object SparkEntry {
       graft.ops.Bpe.train(T(s, dir, "documents"), "text", numMerges = 90)
     }
 
-  /** Spark-only: the composed training-prep pipeline — REAL BPE token
-    * counts feeding context-window sequence packing (the tokenizer-aware
-    * upgrade of sample_pack's whitespace estimate). ONE lazy plan: the
-    * vocab broadcast join and the per-shard packing windows are the only
-    * wide stages.
+  /** The composed training-prep pipeline — REAL BPE token counts feeding
+    * context-window sequence packing (the tokenizer-aware upgrade of
+    * sample_pack's whitespace estimate). The per-doc count table is
+    * localCheckpointed once (skinny: doc_id + two longs) and feeds both
+    * the per-shard packing windows and the bound audit.
+    *
+    * ORACLE-CHECKED (round 10, the countmin discipline): BPE token
+    * counts are the greedy merge loop's output (non-SQL — the values
+    * stay on the Bpe API, round-trip-verified by text_bpe_tokens), so
+    * the driver row carries what SQL CAN recompute — the md5 shard
+    * assignment and the whitespace word count — plus two guarantee
+    * flags: `bpe_in_bounds` (n_words ≤ Σtokens ≤ Σchars + n_words, the
+    * text_bpe_tokens bound per doc) and `layout_ok` (the packing layout
+    * re-derived row-over-row from the emitted (bin, offset): each doc
+    * starts where its shard predecessor ended, offsets stay inside the
+    * 512-token budget, end_bin matches the integer division). A
+    * tokenizer or packing regression flips a flag / shifts a shard and
+    * hash-fails the row; sample_pack keeps the full packing arithmetic
+    * under an exact SQL mirror.
     */
   private def q_pipeline_tokenize_pack(s: SparkSession, dir: String): DataFrame = {
-    val toks = graft.ops.Bpe.tokenCounts(bpeModel(s, dir),
-        T(s, dir, "documents"), "doc_id", "text")
-      .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
-    graft.ops.Sampling.packSequences(toks, "doc_id", "n_tokens",
-        budgetTokens = 512L, shards = 8)
+    val docs = T(s, dir, "documents")
+    val counts = graft.ops.Bpe.tokenCounts(bpeModel(s, dir),
+        docs, "doc_id", "text")
+      .localCheckpoint()
+    val packed = graft.ops.Sampling.packSequences(
+      counts.select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
+      "doc_id", "n_tokens", budgetTokens = 512L, shards = 8)
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    val start = col("bin") * lit(512L) + col("offset")
+    val layoutOk =
+      start === coalesce(lag(start + col("n_tokens"), 1).over(w), lit(0L)) &&
+        col("offset") >= lit(0L) && col("offset") < lit(512L) &&
+        col("bin") >= lit(0L) &&
+        col("end_bin") ===
+          expr("(bin * 512L + offset + greatest(n_tokens, 1L) - 1L) div 512L")
+    val chars = docs.select(col("doc_id"),
+      length(regexp_replace(trim(col("text")), "\\s+", "")).cast("long")
+        .as("n_chars"))
+    packed.withColumn("layout_ok", layoutOk)
+      .join(counts, Seq("doc_id"))
+      .join(chars, Seq("doc_id"))
+      .select(col("doc_id"), col("shard"), col("n_words"),
+        (col("n_bpe_tokens") >= col("n_words") &&
+          col("n_bpe_tokens") <= col("n_chars") + col("n_words"))
+          .as("bpe_in_bounds"),
+        col("layout_ok"))
       .orderBy("doc_id")
   }
 
@@ -1908,43 +1966,14 @@ object SparkEntry {
     * graphs ranked in parallel, the per-doc twin of the corpus-level
     * graph ops.
     */
-  private def q_text_textrank(s: SparkSession, dir: String): DataFrame = {
-    val toks = T(s, dir, "documents")
-      .select(col("doc_id"), posexplode(graft.ops.Dedup.words(col("text")))
-        .as(Seq("pos", "w")))
-      .select(col("doc_id"), expr("pos div 10").as("seg"), col("w"))
-      .distinct()
-    val edges = toks.as("a")
-      .join(toks.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("a.w") === col("b.w") &&
-          col("a.seg") =!= col("b.seg"))
-      .groupBy(col("a.doc_id").as("doc_id"), col("a.seg").as("sa"),
-        col("b.seg").as("sb"))
-      .agg(count(lit(1)).as("wt"))
-    val wsum = edges.groupBy("doc_id", "sa").agg(sum(col("wt")).as("ws"))
-    val m = edges.join(wsum, Seq("doc_id", "sa")).localCheckpoint()
-    val nodes = toks.select(col("doc_id"), col("seg")).distinct()
-      .localCheckpoint()
-    var pi = nodes.withColumn("pi", lit(1000000L))
-    for (k <- 1 to 8) {
-      val inflow = m.join(pi,
-          m("doc_id") === pi("doc_id") && m("sa") === pi("seg"))
-        .select(m("doc_id"), col("sb"), expr("(pi * wt) div ws").as("contrib"))
-        .groupBy("doc_id", "sb").agg(sum(col("contrib")).as("inflow"))
-      pi = nodes.join(inflow,
-          nodes("doc_id") === inflow("doc_id") && nodes("seg") === inflow("sb"),
-          "left_outer")
-        .select(nodes("doc_id"), nodes("seg"),
-          (lit(150000L) + expr("(850 * coalesce(inflow, 0L)) div 1000"))
-            .as("pi"))
-      if (k % 2 == 0 || k == 8) pi = pi.localCheckpoint()
-    }
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-      .orderBy(col("pi").desc, col("seg"))
-    pi.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("seg").as("top_segment"), col("pi"))
+  /** Per-doc TextRank top segment ([[TextAnalysis.textrankTop]]): the
+    * per-document graph iteration runs inside a typed map (two skinny
+    * shuffles, no per-iteration exchanges — see the op's scaladoc for
+    * the 100×-probe finding that retired the relational form).
+    */
+  private def q_text_textrank(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textrankTop(T(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
-  }
 
   /** NOVELTY score per doc — the inverse of soft-dedup's duplication
     * weight: the share of a doc's DISTINCT word trigrams that occur in
@@ -5646,10 +5675,17 @@ object SparkEntry {
     * Streaming (beside stream_heavyhitters' Misra-Gries): per
     * (stream, hour) the state store holds ONE mergeable digest
     * (O(compression) centroids), not the window's values — the only
-    * way windowed p95 exists at 100 TB stream rates. Spark-only:
-    * centroid layout is merge-order-dependent (the
-    * agg_threshold_sketch class); TDigestSpec pins sketch-vs-exact
-    * accuracy and streaming merge behavior.
+    * way windowed p95 exists at 100 TB stream rates.
+    *
+    * ORACLE-CHECKED (round 10, the countmin/threshold_sketch
+    * discipline): centroid layout is merge-order-dependent, so the raw
+    * estimates stay on the expression API (TDigestSpec pins accuracy);
+    * the driver row carries the streaming COUNT (exact — checked
+    * against SQL count(*)), the SQL-exact batch percentiles, and the
+    * per-quantile order-statistic bracket flags of the streamed
+    * estimates (see q_agg_threshold_sketch). The flags verify the
+    * sketch against raw data the oracle can recompute; the count
+    * verifies the streaming aggregation itself.
     */
   private def q_stream_tdigest(s: SparkSession, dir: String): DataFrame = {
     val root = compactMaterialized(s, dir)
@@ -5658,10 +5694,32 @@ object SparkEntry {
     val stream = s.readStream.schema(schema).parquet(root)
       .filter(col("value").isNotNull)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
-      .agg(round(AnomalyMath.thresholdSketch(col("value"), 0.5), 6).as("p50_sketch"),
-        round(AnomalyMath.thresholdSketch(col("value"), 0.95), 6).as("p95_sketch"),
+      .agg(AnomalyMath.thresholdSketch(col("value"), 0.5).as("p50_est"),
+        AnomalyMath.thresholdSketch(col("value"), 0.95).as("p95_est"),
         count(lit(1)).as("n"))
-    graft.streaming.Streams.replayToTable(stream, name, "complete")
+    val est = graft.streaming.Streams.replayToTable(stream, name, "complete")
+    def bracket(p: Double, nLt: Column, nLe: Column): Column = {
+      val h = col("n").cast("double") * lit(p) - lit(p) // p*(n-1)
+      val slack = ceil(col("n").cast("double") * lit(0.02)).cast("long")
+      nLe >= floor(h).cast("long") + lit(1L) - slack &&
+        nLt <= ceil(h).cast("long") + slack
+    }
+    s.read.parquet(root).filter(col("value").isNotNull)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("bucket"),
+        col("value"))
+      .join(broadcast(est), Seq("event_type", "bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(first(col("n")).as("n"),
+        round(percentile(col("value"), lit(0.5)), 6).as("p50_exact"),
+        round(percentile(col("value"), lit(0.95)), 6).as("p95_exact"),
+        sum((col("value") < col("p50_est")).cast("long")).as("lt50"),
+        sum((col("value") <= col("p50_est")).cast("long")).as("le50"),
+        sum((col("value") < col("p95_est")).cast("long")).as("lt95"),
+        sum((col("value") <= col("p95_est")).cast("long")).as("le95"))
+      .select(col("event_type"), col("bucket"), col("n"),
+        col("p50_exact"), col("p95_exact"),
+        bracket(0.5, col("lt50"), col("le50")).as("p50_ok"),
+        bracket(0.95, col("lt95"), col("le95")).as("p95_ok"))
       .orderBy("event_type", "bucket")
   }
 
@@ -8597,6 +8655,14 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.99), 6) AS thr_p99,
         |  round(quantile_cont(l_extendedprice, 0.95), 6) AS thr_p95
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rank_ok TRUE = the t-digest estimate's order-statistic bracket
+    // (see q_agg_threshold_sketch scaladoc); a sketch regression flips
+    // the Spark-side flag and hash-fails the row.
+    "agg_threshold_sketch" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS thr_exact,
+        |  count(*) AS n, TRUE AS rank_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
@@ -9320,6 +9386,22 @@ object SparkEntry {
         |    '[0-9]+', '<NUM>', 'g'),
         |    '\s+', ' ', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // bpe_in_bounds/layout_ok TRUE = the BPE count bound and the packing
+    // layout re-derivation (q_pipeline_tokenize_pack scaladoc); shard and
+    // n_words are SQL-recomputed exactly.
+    "pipeline_tokenize_pack" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |nz AS (SELECT doc_id, w FROM w WHERE w <> ''),
+        |agg AS (SELECT doc_id, count(*) AS n_words FROM nz GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |    % 1000000 % 8 AS shard,
+        |  CAST(COALESCE(agg.n_words, 0) AS BIGINT) AS n_words,
+        |  TRUE AS bpe_in_bounds, TRUE AS layout_ok
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "sample_pack" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
@@ -10617,6 +10699,19 @@ object SparkEntry {
         |  max({'t': t, 'id': event_id, 'v': value}).v AS close,
         |  count(*) AS n
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // p50_ok/p95_ok TRUE = the streamed t-digest estimates sit inside
+    // their order-statistic brackets (q_stream_tdigest scaladoc); n and
+    // the exact percentiles are SQL-recomputed, so a broken streaming
+    // agg or sketch hash-fails the row.
+    "stream_tdigest" ->
+      """SELECT event_type,
+        |  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |  count(*) AS n,
+        |  round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |  round(quantile_cont(value, 0.95), 6) AS p95_exact,
+        |  TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the streamed as-of must equal the batch as-of — join_asof's oracle
     "stream_asof" ->
       """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) t, value

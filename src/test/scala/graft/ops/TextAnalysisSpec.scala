@@ -282,4 +282,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!r(4).getAs[Boolean]("ok_symbols"), r(4).toSeq.toString)
     assert(!r(5).getAs[Boolean]("ok_alpha"), r(5).toSeq.toString)
   }
+
+  test("textrankTop: fixed points, ties, center dominance, empty docs") {
+    // doc 1: two segments sharing one word — symmetric graph, the
+    // iteration's fixed point is pi = 150000 + 850*1000000/1000 = 1e6
+    // every round; tie resolves to the smaller segment.
+    val sym = (1L, (Seq("shared") ++ Seq.fill(9)("filler") ++ // seg 0
+      Seq("shared") ++ Seq.tabulate(9)(i => s"u$i")).mkString(" ")) // seg 1
+    // doc 2: 3-segment chain, middle segment shares words with both
+    // ends (1 with seg0, 2 with seg2) — the center accumulates the most
+    // inflow and must rank top.
+    val chain = (2L,
+      (Seq("x") ++ Seq.tabulate(9)(i => s"a$i") ++ // seg 0: x
+        Seq("x", "y", "z") ++ Seq.tabulate(7)(i => s"b$i") ++ // seg 1: x y z
+        Seq("y", "z") ++ Seq.tabulate(8)(i => s"c$i")).mkString(" ")) // seg 2
+    // doc 3: single segment, no edges — pi = 150000 + 0 after round 1
+    val single = (3L, "just one short segment here")
+    // doc 4: empty text — splits to one empty-string word, i.e. one
+    // isolated segment (the relational form's semantics, mirrored by
+    // the SQL oracle): present with the no-edges fixed point.
+    val empty = (4L, "")
+    val out = TextAnalysis.textrankTop(
+        Seq(sym, chain, single, empty).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 4, out.mkString("; "))
+    assert(out(0).getLong(1) == 0L && out(0).getLong(2) == 1000000L,
+      out(0).toSeq.toString)
+    assert(out(1).getLong(0) == 2L && out(1).getLong(1) == 1L,
+      out(1).toSeq.toString)
+    assert(out(2).getLong(1) == 0L && out(2).getLong(2) == 150000L,
+      out(2).toSeq.toString)
+    assert(out(3).getLong(1) == 0L && out(3).getLong(2) == 150000L,
+      out(3).toSeq.toString)
+    // determinism under repartitioning (pure per-doc function)
+    val re = TextAnalysis.textrankTop(
+        Seq(sym, chain, single, empty).toDF("doc_id", "text").repartition(7),
+        "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(re.map(_.toSeq.toList).toList == out.map(_.toSeq.toList).toList)
+  }
 }
