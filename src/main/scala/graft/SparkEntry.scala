@@ -2830,15 +2830,35 @@ object SparkEntry {
     * Streams the compacted events registry copy (a real directory
     * source); executor-parallel end to end.
     */
+  /** Streaming per-key p99 threshold via the t-digest aggregate.
+    * ORACLE-CHECKED (round 10): same discipline as q_stream_tdigest —
+    * the streamed estimate is checked against its order-statistic
+    * bracket over the raw values (which the oracle recomputes), with
+    * the SQL-exact percentile and count beside it.
+    */
   private def q_stream_threshold(s: SparkSession, dir: String): DataFrame = {
     val root = compactMaterialized(s, dir)
     val name = s"thr_stream_${registryKey(dir).take(8)}"
     val schema = s.read.parquet(root).schema
     val stream = s.readStream.schema(schema).parquet(root)
+      .filter(col("value").isNotNull)
       .groupBy("event_type")
-      .agg(AnomalyMath.thresholdSketch(col("value"), 0.99).as("thr_p99"))
-    graft.streaming.Streams.replayToTable(stream, name, "complete")
-      .select(col("event_type"), round(col("thr_p99"), 6).as("thr_p99"))
+      .agg(AnomalyMath.thresholdSketch(col("value"), 0.99).as("est"),
+        count(lit(1)).as("n"))
+    val est = graft.streaming.Streams.replayToTable(stream, name, "complete")
+    val h = col("n").cast("double") * lit(0.99) - lit(0.99) // p*(n-1)
+    val slack = ceil(col("n").cast("double") * lit(0.02)).cast("long")
+    s.read.parquet(root).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+      .join(broadcast(est), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(first(col("n")).as("n"),
+        round(percentile(col("value"), lit(0.99)), 6).as("thr_p99_exact"),
+        sum((col("value") < col("est")).cast("long")).as("n_lt"),
+        sum((col("value") <= col("est")).cast("long")).as("n_le"))
+      .select(col("event_type"), col("n"), col("thr_p99_exact"),
+        (col("n_le") >= floor(h).cast("long") + lit(1L) - slack &&
+          col("n_lt") <= ceil(h).cast("long") + slack).as("rank_ok"))
       .orderBy("event_type")
   }
 
@@ -10712,6 +10732,14 @@ object SparkEntry {
         |  TRUE AS p50_ok, TRUE AS p95_ok
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // rank_ok TRUE = the streamed t-digest p99's order-statistic bracket
+    // (q_stream_threshold scaladoc)
+    "stream_threshold" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, 0.99), 6) AS thr_p99_exact,
+        |  TRUE AS rank_ok
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the streamed as-of must equal the batch as-of — join_asof's oracle
     "stream_asof" ->
       """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) t, value

@@ -6,19 +6,23 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGe
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Native codegen |A ∩ B| over two ASCENDING-SORTED string arrays — the
-  * verify step of every exact set-overlap scorer (n-gram Jaccard /
-  * containment re-score), where it runs once per candidate pair.
+/** Native codegen |A ∩ B| over two ASCENDING-SORTED string or long
+  * arrays — the verify step of every exact set-overlap scorer (n-gram
+  * Jaccard / containment re-score), where it runs once per candidate
+  * pair. The long form is the hot one: set-overlap scorers shingle as
+  * xxhash64 keys (the ids-only-shuffle discipline), so the merge walk
+  * compares two primitives per step.
   *
   * Semantics: equal to `size(array_intersect(a, b))` when both inputs
   * are duplicate-free and sorted ascending (`sort_array` order — UTF8
-  * binary, the same total order this merge walks). The built-in is a
-  * generic hash-set build per ROW PAIR (one OpenHashSet allocation +
-  * per-element hashing + an output array that only gets size()'d);
-  * sorted inputs make all of that unnecessary — one branch-per-element
-  * merge walk, zero allocation, codegen-inlined. Callers guarantee the
-  * sort (unsorted inputs undercount — the spec pins agreement with
-  * array_intersect on sorted real-corpus sets).
+  * binary for strings, signed numeric for longs, the same total order
+  * this merge walks). The built-in is a generic hash-set build per ROW
+  * PAIR (one OpenHashSet allocation + per-element hashing + an output
+  * array that only gets size()'d); sorted inputs make all of that
+  * unnecessary — one branch-per-element merge walk, zero allocation,
+  * codegen-inlined. Callers guarantee the sort (unsorted inputs
+  * undercount — the spec pins agreement with array_intersect on sorted
+  * real-corpus sets).
   *
   * Null contract: a null ARRAY yields null (BinaryExpression default);
   * null ELEMENTS are rejected with an error — set members are real
@@ -36,10 +40,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName needs two string arrays, got " +
+        s"$prettyName needs two string or two long arrays, got " +
           s"${left.dataType.sql} and ${right.dataType.sql}")
     }
+
+  private def elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -49,11 +58,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var c = 0
+    val longs = elemType == LongType
     while (i < nx && j < ny) {
       if (x.isNullAt(i) || y.isNullAt(j))
         throw new IllegalArgumentException(
           s"$prettyName: null element — inputs must be null-free sets")
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      val cmp =
+        if (longs) java.lang.Long.compare(x.getLong(i), y.getLong(j))
+        else x.getUTF8String(i).compareTo(y.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1
@@ -69,8 +81,11 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       val cmp = ctx.freshName("cmp")
-      val getA = CodeGenerator.getValue(a, StringType, i)
-      val getB = CodeGenerator.getValue(b, StringType, j)
+      val getA = CodeGenerator.getValue(a, elemType, i)
+      val getB = CodeGenerator.getValue(b, elemType, j)
+      val cmpExpr =
+        if (elemType == LongType) s"java.lang.Long.compare($getA, $getB)"
+        else s"($getA).compareTo($getB)"
       s"""
          |int $nx = $a.numElements();
          |int $ny = $b.numElements();
@@ -80,7 +95,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |    throw new IllegalArgumentException(
          |      "graft_sorted_intersect: null element - inputs must be null-free sets");
          |  }
-         |  int $cmp = ($getA).compareTo($getB);
+         |  int $cmp = $cmpExpr;
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) { $i++; }
          |  else { $j++; }

@@ -26,6 +26,22 @@ class SortedIntersectCountSpec extends SparkSpec {
     assert(got.toSeq == rows.map(_._3))
   }
 
+  test("long-array form matches size(array_intersect) incl. negatives") {
+    // xxhash64 keys are full-range signed longs — the sort order the
+    // merge walks must be SIGNED numeric (sort_array's), negatives first
+    val rows = Seq(
+      (Seq(-9L, -2L, 0L, 7L), Seq(-2L, 7L, 8L), 2),
+      (Seq(Long.MinValue, -1L, Long.MaxValue), Seq(Long.MinValue, 0L, Long.MaxValue), 2),
+      (Seq(1L, 2L, 3L), Seq(4L, 5L), 0),
+      (Seq.empty[Long], Seq(1L), 0))
+    val df = rows.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+    val got = df.select(cnt(col("a"), col("b"))).as[Int].collect()
+    assert(got.toSeq == rows.map(_._3))
+    val viaBuiltin = df.select(size(array_intersect(col("a"), col("b"))))
+      .as[Int].collect()
+    assert(got.toSeq == viaBuiltin.toSeq)
+  }
+
   test("agrees with size(array_intersect) on real corpus shingle sets") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(200)
