@@ -268,8 +268,13 @@ object Dedup {
     // of its shingles is cheap and tokenization runs exactly once.
     // count(*) ≥ doc-frequency (dedupe=false) — the same conservative
     // cap shingleTable applies.
+    // shingles move as xxhash64 keys from here down (the
+    // shingleIntersections discipline — see its scaladoc for the
+    // collision bound): the cap window, the set agg, and the per-pair
+    // merge-count all run on 8-byte longs
     val st = shingleTable(needed, idCol, textCol, shingleN, dedupe = false,
-      maxDocFreq = Int.MaxValue)
+        maxDocFreq = Int.MaxValue)
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
     val capped = if (maxDocFreq == Int.MaxValue) st
       else st.withColumn("__df", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("s")))
@@ -277,19 +282,23 @@ object Dedup {
     // sa and sb below are two references to this frame; exchange reuse
     // covers the double reference (pinning it eagerly measured slower)
     val sets = capped
-      .groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("s"))).as("ss"))
     scorePairs(p, sets, threshold)
   }
 
   /** Shared tail of the re-score stage: join each candidate pair to its
-    * two shingle sets and keep pairs with exact Jaccard >= threshold.
+    * two ASCENDING-SORTED hashed shingle sets and keep pairs with exact
+    * Jaccard >= threshold — |A∩B| is the zero-allocation merge walk
+    * (graft_sorted_intersect), not a per-pair hash-set build.
     */
   private def scorePairs(p: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
     val jac = col("i") * lit(1.0) / (col("na") + col("nb") - col("i"))
     p
       .join(sets.select(col("doc_id"), col("ss").as("sa")), col("doc_a") === col("doc_id")).drop("doc_id")
       .join(sets.select(col("doc_id"), col("ss").as("sb")), col("doc_b") === col("doc_id")).drop("doc_id")
-      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("i", Bridge.column(graft.expressions.SortedIntersectCount(
+        Bridge.expression(col("sa")), Bridge.expression(col("sb")))))
       .withColumn("na", size(col("sa"))).withColumn("nb", size(col("sb")))
       .filter(jac >= threshold)
       .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
@@ -413,10 +422,14 @@ object Dedup {
     val docsInPairs = p.select(col("doc_a").as(idCol))
       .unionByName(p.select(col("doc_b").as(idCol))).distinct()
     val needed = docs.join(docsInPairs, Seq(idCol), "left_semi")
+    // hot-list anti-join stays on the STRING key (the persisted hot list
+    // is string-keyed state); hashing happens after, so the set agg and
+    // merge-count run on longs like jaccardRescore's
     val sets = shingleTable(needed, idCol, textCol, shingleN, dedupe = false,
         maxDocFreq = Int.MaxValue)
       .join(broadcast(hot), Seq("s"), "left_anti")
-      .groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("s"))).as("ss"))
     scorePairs(p, sets, threshold)
   }
 
