@@ -49,6 +49,11 @@ object ScaleStress {
     */
   def expand(s: SparkSession, baseDir: String, outDir: String, r: Int): Unit = {
     val reps = s.range(r).select(col("id").cast("int").as("rep"))
+    // output file count scales with the expansion (16 at 10×, 160 at
+    // 100×) so scan parallelism and per-file size stay in the tuned
+    // band as the fixture grows — a literal 16 would make each 100×
+    // file 10× larger and cap the scan at 16 tasks
+    val nFiles = math.min(512, math.max(16, 16 * r / 10))
 
     gated(s, s"$outDir/documents.parquet") {
       val docs = s.read.parquet(s"$baseDir/documents.parquet")
@@ -59,7 +64,7 @@ object ScaleStress {
               w => concat(w, lit("~"), col("rep"))))).as("text"),
           col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))
-        .repartition(16)
+        .repartition(nFiles)
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     }
 
@@ -70,7 +75,7 @@ object ScaleStress {
           expr("timestampadd(DAY, rep * 35, ts)").as("ts"),
           (col("user_id") + col("rep").cast("long") * 1000000L).as("user_id"),
           col("event_type"), col("value"), col("props"))
-        .repartition(16)
+        .repartition(nFiles)
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     }
 
@@ -93,7 +98,7 @@ object ScaleStress {
                   .cast("double") - lit(1000.0)) / lit(2000.0))
                 .cast("float"))).as("embedding"),
           col("label"))
-        .repartition(16)
+        .repartition(nFiles)
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     }
 

@@ -1954,22 +1954,15 @@ object SparkEntry {
     TextAnalysis.repetitionSignals(T(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
-  /** TextRank extractive summarization (Mihalcea & Tarau 2004) — the
-    * graph-ranking answer to "which segment best represents this doc":
-    * fixed 10-word segments (the fixture has no sentence punctuation —
-    * the dedup_paragraphs fixed-window precedent), edge weight = DISTINCT
-    * shared-word count between a doc's segment pair (all-integer — the
-    * classic log-length normalization would be transcendental), damped
-    * PageRank over each doc's segment graph in exact micro-units (the
-    * graph_pagerank discipline, 8 rounds), winner per doc by (score
-    * desc, segment). Every stage keys on doc_id — thousands of tiny
-    * graphs ranked in parallel, the per-doc twin of the corpus-level
-    * graph ops.
-    */
-  /** Per-doc TextRank top segment ([[TextAnalysis.textrankTop]]): the
-    * per-document graph iteration runs inside a typed map (two skinny
-    * shuffles, no per-iteration exchanges — see the op's scaladoc for
-    * the 100×-probe finding that retired the relational form).
+  /** TextRank extractive summarization (Mihalcea & Tarau 2004): fixed
+    * 10-word segments (the fixture has no sentence punctuation — the
+    * dedup_paragraphs fixed-window precedent), edge weight = DISTINCT
+    * shared-word count, damped PageRank in exact micro-units (8 rounds),
+    * winner per doc by (score desc, segment). The per-document graph
+    * iteration runs inside a typed map ([[TextAnalysis.textrankTop]]:
+    * two skinny shuffles, no per-iteration exchanges — see the op's
+    * scaladoc for the 100×-probe finding that retired the relational
+    * form).
     */
   private def q_text_textrank(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.textrankTop(T(s, dir, "documents"), "doc_id", "text")
@@ -3489,7 +3482,10 @@ object SparkEntry {
       val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(marker)) {
         T(s, dir, "documents")
-          .repartition(16)
+          // one JSON array file per core: derived from defaultParallelism,
+          // not a local[32] literal — on a 1000-executor cluster the file
+          // count (= whole-file-parse task count) scales with the cluster
+          .repartition(s.sparkContext.defaultParallelism)
           .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
             col("source"), col("n_chars"))).as("j"))
           .mapPartitions { rows =>
@@ -3529,7 +3525,9 @@ object SparkEntry {
         T(s, dir, "documents")
           .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
             col("source"), col("n_chars"))).as("value"))
-          .repartition(32) // parallelism = .gz file count (non-splittable)
+          // parallelism = .gz file count (non-splittable); derived from
+          // defaultParallelism so a real cluster writes cluster-wide files
+          .repartition(s.sparkContext.defaultParallelism)
           .write.mode("overwrite")
           .option("compression", "gzip").text(out)
       }
@@ -5996,8 +5994,11 @@ object SparkEntry {
     // The probe side width-pins with an explicit-N exchange: the small
     // customer file scans as 1-2 partitions, which would serialize the
     // 15M-candidate trig on 2 cores (the join_fuzzy lesson — AQE's
-    // byte-sighted coalescer folds count-flexible repartitions back)
-    c.repartition(32, col("cust")).crossJoin(broadcast(sp))
+    // byte-sighted coalescer folds count-flexible repartitions back).
+    // N derives from defaultParallelism, not a local[32] literal, so a
+    // 1000-executor cluster fans the trig across the cluster.
+    c.repartition(s.sparkContext.defaultParallelism, col("cust"))
+      .crossJoin(broadcast(sp))
       .select(col("cust"), struct(graft.ops.Geo.haversineKm(
           col("clat") / 10000.0, col("clon") / 10000.0,
           col("slat") / 10000.0, col("slon") / 10000.0).as("dist_km"),

@@ -681,50 +681,79 @@ object TextAnalysis {
     * belongs inside the row, not across the cluster.
     */
   def textrankTop(docs: DataFrame, idCol: String, textCol: String,
-      segWords: Int = 10, iters: Int = 8): DataFrame = {
+      segWords: Int = 10, iters: Int = 8, denseMax: Int = 1024): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // ids travel as STRINGS through the typed map and cast back to the
+    // source column's type on exit: a long→string→long round trip is
+    // lossless, and a string doc_id (non-numeric ids are legal) passes
+    // through verbatim instead of casting to null and silently merging
+    // every such doc into one graph
+    val idType = docs.schema(idCol).dataType
     val perDoc = docs
-      .select(col(idCol).cast("long").as("doc_id"),
+      .select(col(idCol).cast("string").as("doc_id"),
         posexplode(words(col(textCol))).as(Seq("pos", "w")))
       .select(col("doc_id"), expr(s"pos div $segWords").as("seg"), col("w"))
       .groupBy("doc_id", "w").agg(collect_set(col("seg")).as("ss"))
       .groupBy("doc_id").agg(collect_list(col("ss")).as("wss"))
-    perDoc.as[(Long, Seq[Seq[Long]])].map { case (docId, wss) =>
+    perDoc.as[(String, Seq[Seq[Long]])].map { case (docId, wss) =>
       val segs = wss.flatten.distinct.sorted.toArray
       val idx = segs.zipWithIndex.toMap
       val k = segs.length
-      // wt(i)(j) = #distinct words segments i and j share (i != j)
-      val wt = Array.ofDim[Long](k, k)
+      // Edge accumulation: wt(i)(j) = #distinct words segments i and j
+      // share. Dense k×k for ordinary docs; a sparse pair-keyed map past
+      // denseMax segments — a pathological 1M-word doc (100k segments)
+      // would otherwise allocate an 80 GB dense matrix inside one task.
+      // Both paths are pure integer adds, so results are bit-identical
+      // (spec'd: the sparse-forced run must equal the dense run).
+      val dense = k <= denseMax
+      val wt = if (dense) Array.ofDim[Long](k, k) else null
+      val sparse = if (dense) null
+        else new scala.collection.mutable.LongMap[Long]()
+      val ws = new Array[Long](k) // out-strength
       wss.foreach { ss =>
         val is = ss.map(idx).toArray
         var i = 0
         while (i < is.length) {
           var j = 0
           while (j < is.length) {
-            if (i != j) wt(is(i))(is(j)) += 1L
+            if (i != j) {
+              if (dense) wt(is(i))(is(j)) += 1L
+              else {
+                val key = (is(i).toLong << 32) | is(j).toLong
+                sparse.update(key, sparse.getOrElse(key, 0L) + 1L)
+              }
+              ws(is(i)) += 1L
+            }
             j += 1
           }
           i += 1
         }
       }
-      val ws = Array.tabulate(k)(i => wt(i).sum) // out-strength
       var pi = Array.fill(k)(1000000L)
       var it = 0
       while (it < iters) {
         val inflow = new Array[Long](k)
-        var i = 0
-        while (i < k) {
-          if (ws(i) > 0L) {
-            var j = 0
-            while (j < k) {
-              // per-edge integer floor division — bit-identical to the
-              // SQL mirror's (pi * wt) div ws (all operands positive)
-              if (wt(i)(j) > 0L) inflow(j) += pi(i) * wt(i)(j) / ws(i)
-              j += 1
+        if (dense) {
+          var i = 0
+          while (i < k) {
+            if (ws(i) > 0L) {
+              var j = 0
+              while (j < k) {
+                // per-edge integer floor division — bit-identical to the
+                // SQL mirror's (pi * wt) div ws (all operands positive)
+                if (wt(i)(j) > 0L) inflow(j) += pi(i) * wt(i)(j) / ws(i)
+                j += 1
+              }
             }
+            i += 1
           }
-          i += 1
+        } else {
+          sparse.foreachEntry { (key, w) =>
+            val i = (key >>> 32).toInt
+            val j = (key & 0xffffffffL).toInt
+            inflow(j) += pi(i) * w / ws(i)
+          }
         }
         pi = Array.tabulate(k)(j => 150000L + 850L * inflow(j) / 1000L)
         it += 1
@@ -734,5 +763,7 @@ object TextAnalysis {
       while (i < k) { if (pi(i) > pi(best)) best = i; i += 1 }
       (docId, segs(best), pi(best))
     }.toDF("doc_id", "top_segment", "pi")
+      .select(col("doc_id").cast(idType).as("doc_id"),
+        col("top_segment"), col("pi"))
   }
 }

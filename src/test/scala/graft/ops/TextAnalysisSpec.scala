@@ -322,4 +322,41 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(re.map(_.toSeq.toList).toList == out.map(_.toSeq.toList).toList)
   }
+
+  test("textrankTop: string ids pass through verbatim (no null-cast merge)") {
+    // non-numeric ids used to cast to null and merge every such doc into
+    // one graph; they must survive verbatim with per-doc results intact
+    val docs = Seq(
+      ("doc-alpha", "just one short segment here"),
+      ("doc-beta", "another lone segment of text"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.textrankTop(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 2, out.mkString("; "))
+    assert(out(0).getString(0) == "doc-alpha" && out(0).getLong(2) == 150000L)
+    assert(out(1).getString(0) == "doc-beta" && out(1).getLong(2) == 150000L)
+    // the output id column keeps the source column's type
+    assert(TextAnalysis.textrankTop(docs, "doc_id", "text")
+      .schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
+
+  test("textrankTop: sparse edge accumulation is bit-identical to dense") {
+    // denseMax = 0 forces every doc through the sparse pair-keyed map
+    // (the guard against a pathological 100k-segment doc allocating an
+    // 80 GB dense matrix in one task); integer adds are order-free, so
+    // the two paths must agree exactly
+    val docs = Seq(
+      (1L, (Seq("x") ++ Seq.tabulate(9)(i => s"a$i") ++
+        Seq("x", "y", "z") ++ Seq.tabulate(7)(i => s"b$i") ++
+        Seq("y", "z") ++ Seq.tabulate(8)(i => s"c$i")).mkString(" ")),
+      (2L, Seq.tabulate(200)(i => s"w${i % 37}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dense = TextAnalysis.textrankTop(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq.toList).toList
+    val sparse = TextAnalysis.textrankTop(docs, "doc_id", "text",
+        denseMax = 0)
+      .orderBy("doc_id").collect().map(_.toSeq.toList).toList
+    assert(dense == sparse, s"dense=$dense sparse=$sparse")
+  }
 }
