@@ -1491,13 +1491,20 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
-  /** Spark-only: IVF coarse-quantizer ANN — probe-limited top-k with a
-    * PREFIT quantizer. The k-means fit runs once per corpus and is
-    * persisted under a content-keyed registry path (the disk-registry
-    * pattern, like text_langid_trained's materialized profile); every
-    * later execution — including the bench's warm rep — loads the
-    * centroid table and searches with a pure centroid-literal plan, no
-    * MLlib jobs.
+  /** IVF coarse-quantizer ANN — probe-limited top-k with a PREFIT
+    * quantizer. The k-means fit runs once per corpus and is persisted
+    * under a content-keyed registry path (the disk-registry pattern,
+    * like text_langid_trained's materialized profile); every later
+    * execution — including the bench's warm rep — loads the centroid
+    * table and searches with a pure centroid-literal plan, no MLlib
+    * jobs.
+    *
+    * ORACLE-CHECKED (round 11, the dedup_semantic seed-oracle trick):
+    * the persisted centroids are published to the oracle as VALUES
+    * literals ([[ivfOracleEntry]]), and DuckDB re-derives assignment,
+    * probe ranking, and the probe-limited top-k independently — the
+    * k-means FIT stays spec'd (SimilaritySpec) and exactness-checked by
+    * simsearch_ivf_exact's nProbe=all ≡ brute-force identity.
     */
   private def q_simsearch_ivf(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir, "embeddings")
@@ -1507,20 +1514,30 @@ object SparkEntry {
     val key = registryKey(s"ivf-v1|$dir|$fp|embedding|nLists=16|seed=42|maxIter=8")
     val path = s"$registryRoot/ivf_$key.parquet"
     val model = Similarity.fitOrLoadIvf(e, "embedding", path, nLists = 16, seed = 42L)
+    // publish the served centroids for the oracle dump
+    ivfCentroidValues = Some(model.centroids.map { case (id, v) =>
+      s"($id, ${doubleArraySql(v)})"
+    }.mkString(", "))
     Similarity.ivfSearch(model, e.filter(col("vec_id") < 10), e,
         "vec_id", "embedding", 5, nProbe = 4)
       .select(col("qid"), col("nid"), round(col("cos_sim"), 6).as("cos_sim"), col("rnk"))
       .orderBy("qid", "rnk")
   }
 
-  /** Spark-only: product-quantization ANN — the 32×-compression storage
-    * path (m=8 subspace codes per vector instead of 64 floats). Codebook
-    * fit-once under a fingerprinted registry path (the IVF discipline);
-    * search decodes-on-scan and reuses the shared top-k machinery, so
-    * the query measures the PQ serving plan: m literal lookups + native
-    * dot per corpus row. Recall vs brute force is spec'd in
-    * SimilaritySpec; approximate by construction (no nProbe=all-style
-    * exactness identity exists for PQ).
+  /** Product-quantization ANN — the 32×-compression storage path (m=8
+    * subspace codes per vector instead of 64 floats). Codebook fit-once
+    * under a fingerprinted registry path (the IVF discipline); search
+    * decodes-on-scan and reuses the shared top-k machinery, so the
+    * query measures the PQ serving plan: m literal lookups + native dot
+    * per corpus row. Recall vs brute force is spec'd in SimilaritySpec.
+    *
+    * ORACLE-CHECKED (round 11, the simsearch_ivf centroid-literal
+    * trick): with the persisted codebooks as VALUES literals, the WHOLE
+    * serving path — per-subspace squared-L2 encoding (ties → lowest
+    * code), decode-by-lookup, cosine top-k — is re-derived in SQL;
+    * cos_sim ships unrounded (the bruteForceTopK discipline: both
+    * engines derive bit-identical doubles from the same codebook
+    * values). The k-means codebook FIT stays spec'd.
     */
   private def q_simsearch_pq(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir, "embeddings")
@@ -1531,8 +1548,13 @@ object SparkEntry {
     val path = s"$registryRoot/pq_$key.parquet"
     val model = Similarity.fitOrLoadPq(e, "embedding", path,
       m = 8, k = 64, seed = 42L, maxIter = 8)
+    // publish the served codebooks for the oracle dump (see ivf)
+    pqCodebookValues = Some((model.subDim,
+      (for (j <- 0 until model.m; (c, i) <- model.codebooks(j).zipWithIndex)
+        yield s"($j, $i, ${doubleArraySql(c)})")
+        .mkString(", ")))
     Similarity.pqTopK(model, e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
-      .select(col("qid"), col("nid"), round(col("cos_sim"), 6).as("cos_sim"), col("rnk"))
+      .select(col("qid"), col("nid"), col("cos_sim"), col("rnk"))
       .orderBy("qid", "rnk")
   }
 
@@ -1629,13 +1651,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** Spark-only: trained hashed-vocabulary Naive Bayes classifier — the
-    * corpus quality-filter machinery (train good-vs-bad sources, score
-    * the crawl) exercised here as 5-class language classification. Fit =
-    * one (label, bucket) count shuffle; serving = explode → broadcast
-    * prob join → one (doc, label) sum. Log-probabilities are
-    * transcendental, so no hash oracle (accuracy + persistence spec'd in
-    * TextAnalysisSpec); the fit is deterministic and memoized per dir.
+  /** Trained hashed-vocabulary Naive Bayes classifier — the corpus
+    * quality-filter machinery (train good-vs-bad sources, score the
+    * crawl) exercised here as 5-class language classification. Fit =
+    * one (label, bucket) count shuffle; serving = (doc, bucket, cnt)
+    * reduction → broadcast prob join → one (doc, label) Σ cnt·lp.
+    *
+    * ORACLE-CHECKED (round 11, the portable-ln discipline of
+    * text_pmi/agg_entropy): every transcendental input is an exact
+    * integer count — lp = ln((c+1)/(tot+1024)) with c/tot SQL-exact
+    * (label, md5-bucket) counts, priors ln(n_l/total) over exact doc
+    * counts — so DuckDB re-derives the whole model and the per-doc
+    * argmax independently; the per-(doc,label) score sums ≤ ~31
+    * distinct-bucket terms (the fixture vocabulary), far below the
+    * float-accumulation scale where engine sum order could move
+    * round(_, 6). Accuracy + persistence stay spec'd in
+    * TextAnalysisSpec; the fit is deterministic and memoized per dir.
     */
   private def q_text_nb_classifier(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
@@ -1683,12 +1714,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** Spark-only: perplexity-style quality gate (the CCNet shape) — mean
-    * token log-probability under a unigram LM fitted single-class on a
-    * clean reference slice (here: the corpus' own 'en' docs), scored over
+  /** Perplexity-style quality gate (the CCNet shape) — mean token
+    * log-probability under a unigram LM fitted single-class on a clean
+    * reference slice (here: the corpus' own 'en' docs), scored over
     * EVERY doc. Junk/out-of-domain text lands far below the reference's
-    * own range; exp(-avg) is the perplexity axis. Transcendental
-    * log-probs → no hash oracle.
+    * own range; exp(-avg) is the perplexity axis.
+    *
+    * ORACLE-CHECKED (round 11, the portable-ln discipline): the LM is
+    * ln of exact integer-count ratios over md5 buckets — DuckDB refits
+    * it from the same 'en' slice and recomputes each doc's
+    * Σ cnt·ln((c+1)/(tot+1024)) / n term for term (see the
+    * text_nb_classifier note on the bounded term count).
     */
   private def q_text_perplexity(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
@@ -2920,13 +2956,42 @@ object SparkEntry {
       .orderBy("tag", "ts")
   }
 
+  /** PCA-reconstruction anomaly scoring over the aligned hourly matrix.
+    *
+    * ORACLE-CHECKED (round 11, the round-10 sketch-guarantee pattern):
+    * the MLlib scores are float linear algebra (not SQL), so the driver
+    * row carries what SQL CAN recompute — the aligned click/view/
+    * purchase means — plus four guarantee flags over the exact
+    * variance-accounting identities ([[graft.ml.PcaAnomalyModel
+    * .accounting]]): `scale_ok` (standardized data: Σ‖x‖² = (n−1)·d),
+    * `pca_ok` (serving projections reproduce the fit's explained-
+    * variance ratio: Σ‖z‖²/Σ‖x‖² = Σ topk explainedVariance),
+    * `var_ok` (score definition: Σ score² = Σ‖x‖² − Σ‖z‖²), and
+    * `rank_ok` (the 0.99-percentile threshold admits at most
+    * n−1−⌊0.99(n−1)⌋ anomalies — order-statistic pigeonhole, no
+    * slack). A scaler, PCA, projection, scoring, or threshold
+    * regression flips a flag and hash-fails; score VALUES stay pinned
+    * in PcaAnomalySpec.
+    */
   private def q_ml_pca_anomaly(s: SparkSession, dir: String): DataFrame = {
+    val tags = Seq("click", "view", "purchase")
     val wide = Timeseries.align(E(s, dir), "ts", "event_type", "value",
-      Seq("click", "view", "purchase"), "1 hour")
-    val model = graft.ml.PcaAnomaly.fit(wide, Seq("click", "view", "purchase"), k = 2)
-    model.anomaly(wide)
-      .select(col("bucket"), round(col("anomaly_score"), 6).as("anomaly_score"),
-        col("anomalous"))
+      tags, "1 hour")
+    val model = graft.ml.PcaAnomaly.fit(wide, tags, k = 2)
+    val a = model.accounting(wide)
+    val d = tags.length
+    def closeRel(x: Double, y: Double): Boolean =
+      math.abs(x - y) <= 1e-6 * math.max(1.0, math.max(math.abs(x), math.abs(y)))
+    val scaleOk = closeRel(a.sumX2, (a.n - 1).toDouble * d)
+    val pcaOk = closeRel(a.sumZ2 / a.sumX2, model.explainedTopK)
+    val varOk = closeRel(a.sumScore2, a.sumX2 - a.sumZ2)
+    val rankOk = a.nAnom <= a.n - 1 - math.floor(0.99 * (a.n - 1)).toLong
+    wide.select(col("bucket"),
+        round(col("click"), 6).as("click"),
+        round(col("view"), 6).as("view"),
+        round(col("purchase"), 6).as("purchase"),
+        lit(scaleOk).as("scale_ok"), lit(pcaOk).as("pca_ok"),
+        lit(varOk).as("var_ok"), lit(rankOk).as("rank_ok"))
       .orderBy("bucket")
   }
 
@@ -3104,9 +3169,22 @@ object SparkEntry {
     * long format, scored with |y − ŷ| per bucket. Windows partition by
     * event_type; no global sort.
     */
+  /** Per-key AR(6) one-step forecast over the resampled series.
+    *
+    * ORACLE-CHECKED (round 11, the simsearch_ivf fitted-params-as-input
+    * trick): the normal-equation FIT (one sufficient-sum shuffle + a
+    * 7×7 driver solve — not SQL) stays spec'd in ForecastSpec; the
+    * fitted (w, b) per key are published as exact VALUES literals and
+    * DuckDB re-derives the whole SERVING path — the rounded resample,
+    * the strictly-before lag window, ŷ = w·x + b term for term in the
+    * dot's left-to-right order, and |y − ŷ|.
+    */
   private def q_ml_ar_forecast(s: SparkSession, dir: String): DataFrame = {
     val long = longResampled(s, dir)
     val m = graft.ml.Forecast.fitPerKey(long, "event_type", "v", lb = 6, "bucket")
+    arCoefValues = Some(m.coefs.map { case (k, w, b) =>
+      (Seq(s"'$k'") ++ (w :+ b).map(x => s"CAST('$x' AS DOUBLE)")).mkString("(", ", ", ")")
+    }.mkString(", "))
     m.forecast(long, "bucket")
       .select(col("bucket"), col("event_type"),
         round(col("v"), 6).as("v"), round(col("v_hat"), 6).as("v_hat"),
@@ -3156,12 +3234,28 @@ object SparkEntry {
     esnErr.join(arErr, Seq("event_type")).orderBy("event_type")
   }
 
+  /** Feature extraction over the opaque binary column — the multimodal
+    * PLUMBING query (schema, decode-width pin, bounded batches). The
+    * payload here is text bytes, so decode falls through to the
+    * deterministic md5 fallback: feature i = uint32 of the first 4
+    * digest bytes of md5(payload ++ [i]) / 2³², truncated to float32.
+    *
+    * ORACLE-CHECKED (round 11, the multimodal_decode discipline): the
+    * fallback is a pure function of md5, so DuckDB re-derives four
+    * probed features from md5(text || chr(i)) — byte-appending i < 128
+    * is the single UTF-8 byte chr(i) — and mirrors the /2³² float32
+    * truncation with CAST(... AS REAL). Any batching, schema, or
+    * row-alignment bug in the mapPartitions leg hash-fails.
+    */
   private def q_multimodal_features(s: SparkSession, dir: String): DataFrame = {
     val media = graft.multimodal.Multimodal.fromText(
       T(s, dir, "documents"), "doc_id", "text")
     graft.multimodal.Multimodal.extractFeatures(media, "bytes", dim = 16)
       .select(col("media_id"), col("kind"), size(col("features")).as("dim"),
-        round(element_at(col("features"), 1), 6).as("f0"))
+        round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+        round(element_at(col("features"), 6).cast("double"), 6).as("f5"),
+        round(element_at(col("features"), 11).cast("double"), 6).as("f10"),
+        round(element_at(col("features"), 16).cast("double"), 6).as("f15"))
       .orderBy("media_id")
   }
 
@@ -9724,6 +9818,69 @@ object SparkEntry {
         |  round(CAST(total_cents - prev AS DOUBLE)
         |    / NULLIF(CAST(prev AS DOUBLE), 0), 6) AS wow_growth
         |FROM l ORDER BY 1, 2""".stripMargin,
+    // portable-ln conversions (round 11): the NB/LM families' every
+    // transcendental input is an exact integer count over md5 buckets,
+    // so DuckDB refits the model and rescores independently — ln of the
+    // SAME double ratio in both engines, summed over the fixture's
+    // ≤ ~31 distinct-bucket terms per doc, agrees after round(_, 6)
+    "text_perplexity" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |tk AS (SELECT doc_id,
+        |    CAST(('0x'||substr(md5(t), 1, 15)) AS BIGINT) % 1024 AS bk
+        |  FROM (SELECT doc_id, unnest(ws) AS t FROM w) WHERE t <> ''),
+        |etk AS (SELECT CAST(('0x'||substr(md5(t), 1, 15)) AS BIGINT) % 1024 AS bk
+        |  FROM (SELECT unnest(ws) AS t FROM w WHERE lang = 'en') WHERE t <> ''),
+        |cnts AS (SELECT bk, count(*) AS c FROM etk GROUP BY 1),
+        |tot AS (SELECT count(*) AS tot FROM etk),
+        |dbk AS (SELECT doc_id, bk, count(*) AS cnt FROM tk GROUP BY 1, 2),
+        |sc AS (SELECT dbk.doc_id, CAST(sum(dbk.cnt) AS BIGINT) AS n_tokens,
+        |    sum(dbk.cnt * ln((CAST(coalesce(c.c, 0) AS DOUBLE) + 1.0)
+        |        / (CAST(tot.tot AS DOUBLE) + 1024.0)))
+        |      / CAST(sum(dbk.cnt) AS DOUBLE) AS avg_logprob
+        |  FROM dbk LEFT JOIN cnts c USING (bk) CROSS JOIN tot GROUP BY 1)
+        |SELECT d.doc_id, d.lang,
+        |  coalesce(sc.n_tokens, 0) AS n_tokens,
+        |  round(sc.avg_logprob, 6) AS avg_logprob
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "text_nb_classifier" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |tk AS (SELECT doc_id,
+        |    CAST(('0x'||substr(md5(t), 1, 15)) AS BIGINT) % 1024 AS bk
+        |  FROM (SELECT doc_id, unnest(ws) AS t FROM w) WHERE t <> ''),
+        |dbk AS (SELECT doc_id, bk, count(*) AS cnt FROM tk GROUP BY 1, 2),
+        |ltk AS (SELECT lang AS lbl,
+        |    CAST(('0x'||substr(md5(t), 1, 15)) AS BIGINT) % 1024 AS bk
+        |  FROM (SELECT lang, unnest(ws) AS t FROM w) WHERE t <> ''),
+        |ccnt AS (SELECT lbl, bk, count(*) AS c FROM ltk GROUP BY 1, 2),
+        |ltot AS (SELECT lbl, count(*) AS tot FROM ltk GROUP BY 1),
+        |dcnt AS (SELECT lang AS lbl, count(*) AS n FROM documents GROUP BY 1),
+        |tdocs AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM documents),
+        |priors AS (SELECT lbl,
+        |    ln(CAST(n AS DOUBLE) / total) AS prior
+        |  FROM dcnt CROSS JOIN tdocs),
+        |scored AS (SELECT dbk.doc_id, l.lbl,
+        |    sum(dbk.cnt * ln((CAST(coalesce(c.c, 0) AS DOUBLE) + 1.0)
+        |        / (CAST(coalesce(t.tot, 0) AS DOUBLE) + 1024.0))) AS ll
+        |  FROM dbk CROSS JOIN (SELECT lbl FROM dcnt) l
+        |  LEFT JOIN ccnt c ON c.lbl = l.lbl AND c.bk = dbk.bk
+        |  LEFT JOIN ltot t ON t.lbl = l.lbl
+        |  GROUP BY 1, 2),
+        |best AS (SELECT doc_id, lbl, score FROM (
+        |    SELECT doc_id, lbl, ll + prior AS score,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY ll + prior DESC, lbl) AS rn
+        |    FROM scored JOIN priors USING (lbl)) WHERE rn = 1),
+        |fb AS (SELECT lbl FROM priors ORDER BY prior DESC, lbl LIMIT 1)
+        |SELECT d.doc_id, d.lang,
+        |  coalesce(b.lbl, fb.lbl) AS label_pred,
+        |  round(b.score, 6) AS score
+        |FROM documents d
+        |LEFT JOIN best b USING (doc_id)
+        |CROSS JOIN fb
+        |ORDER BY d.doc_id""".stripMargin,
     "text_pmi" ->
       """WITH w AS (SELECT
         |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
@@ -9866,6 +10023,32 @@ object SparkEntry {
         |  CAST(min(s) AS BIGINT) AS s_min,
         |  CAST(max(s) AS BIGINT) AS s_max
         |FROM sv GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // PCA variance-accounting guarantee (round 11): the SQL side is the
+    // exact aligned means; the four flags assert the identities listed
+    // in q_ml_pca_anomaly's scaladoc — deterministic facts on fixed
+    // data, so a pipeline regression hash-fails the whole row set
+    "ml_pca_anomaly" ->
+      s"""WITH w AS ($wide1h)
+         |SELECT bucket, round(click, 6) AS click, round(view, 6) AS view,
+         |  round(purchase, 6) AS purchase,
+         |  TRUE AS scale_ok, TRUE AS pca_ok, TRUE AS var_ok, TRUE AS rank_ok
+         |FROM w
+         |WHERE click IS NOT NULL AND view IS NOT NULL
+         |  AND purchase IS NOT NULL
+         |ORDER BY bucket""".stripMargin,
+    // fallback-decode mirror: feature i = first 4 md5 bytes of
+    // (payload ++ [i]) as uint32 / 2^32, float32-truncated — chr(i) IS
+    // the appended byte for i < 128, and /2^32 is exact in double (power
+    // of two), so CAST(... AS REAL) reproduces the same float
+    "multimodal_features" -> {
+      def f(i: Int) =
+        s"round(CAST(CAST(CAST(('0x'||substr(md5(text || chr($i)), 1, 8)) AS BIGINT)" +
+          s" / 4294967296.0 AS REAL) AS DOUBLE), 6) AS f$i"
+      s"""SELECT doc_id AS media_id, 'image' AS kind,
+         |  CAST(16 AS INTEGER) AS dim,
+         |  ${f(0)}, ${f(5)}, ${f(10)}, ${f(15)}
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "multimodal_decode" -> {
       def f(idx: Int) =
         s"round(CAST(CAST((CAST(0.299 AS DOUBLE) * v$idx + CAST(0.587 AS DOUBLE) * v$idx" +
@@ -10882,7 +11065,146 @@ object SparkEntry {
         |               pt AS (PARTITION BY event_type))
         |SELECT event_type, round(max(abs(fa - fb)), 6) AS ks
         |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
-  )
+  ) ++ ivfOracleEntry ++ pqOracleEntry ++ arOracleEntry
+
+  /** Centroid VALUES literals of the IVF quantizer this process served
+    * (set by q_simsearch_ivf from the fit-once registry model — a
+    * deterministic function of the corpus fingerprint, like the
+    * dedup_semantic seed set the oracle re-derives). Verify runs every
+    * query BEFORE dumping oracle_sql.json, so the dump always carries
+    * the entry; if oracleSql is evaluated standalone the key is simply
+    * omitted (rows-only — the pre-round-11 state).
+    */
+  @volatile private var ivfCentroidValues: Option[String] = None
+
+  /** DuckDB DOUBLE[] literal that parses EXACTLY: a plain decimal
+    * literal goes through DECIMAL(18,17) and the cast to DOUBLE can
+    * drift 1 ulp from the shortest-round-trip value (measured: 16 of a
+    * 512-entry codebook's elements drifted), while VARCHAR→DOUBLE is a
+    * correctly-rounded decimal parse — Double.toString round-trips.
+    */
+  private def doubleArraySql(v: Seq[Double]): String =
+    s"list_transform(string_split('${v.mkString("|")}', '|'), x -> CAST(x AS DOUBLE))"
+
+  /** (subDim, codebook VALUES literals) published by q_simsearch_pq —
+    * same lifecycle contract as [[ivfCentroidValues]].
+    */
+  @volatile private var pqCodebookValues: Option[(Int, String)] = None
+
+  /** AR(6) per-key (w₀..w₅, b) VALUES literals published by
+    * q_ml_ar_forecast — same lifecycle contract as [[ivfCentroidValues]].
+    */
+  @volatile private var arCoefValues: Option[String] = None
+
+  /** ml_ar_forecast oracle (round 11): the fitted coefficients as exact
+    * literal inputs; the serving path — rounded 10-minute resample,
+    * strictly-before 6-lag window (rows, not buckets; first 6 rows per
+    * key dropped), ŷ = ((((((w₀x₀ + w₁x₁) + w₂x₂) + w₃x₃) + w₄x₄) +
+    * w₅x₅) + b) in the native dot's left-to-right order, |y − ŷ| — is
+    * re-derived independently. x₀ is the OLDEST lag (collect_list over
+    * rowsBetween(-6,-1) is bucket-ascending).
+    */
+  private def arOracleEntry: Map[String, String] = arCoefValues.map { vals =>
+    "ml_ar_forecast" ->
+      s"""WITH r AS (SELECT
+         |    time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS bucket,
+         |    event_type, round(avg(value), 6) AS v
+         |  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+         |  GROUP BY 1, 2),
+         |l AS (SELECT bucket, event_type, v,
+         |    lag(v, 6) OVER w AS x0, lag(v, 5) OVER w AS x1,
+         |    lag(v, 4) OVER w AS x2, lag(v, 3) OVER w AS x3,
+         |    lag(v, 2) OVER w AS x4, lag(v, 1) OVER w AS x5,
+         |    row_number() OVER w AS rn
+         |  FROM r WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+         |co AS (SELECT * FROM (VALUES $vals)
+         |  AS t(event_type, w0, w1, w2, w3, w4, w5, b)),
+         |p AS (SELECT bucket, l.event_type, v,
+         |    (((((w0 * x0 + w1 * x1) + w2 * x2) + w3 * x3) + w4 * x4)
+         |      + w5 * x5) + b AS v_hat
+         |  FROM l JOIN co USING (event_type) WHERE rn > 6)
+         |SELECT bucket, event_type, round(v, 6) AS v,
+         |  round(v_hat, 6) AS v_hat, round(abs(v - v_hat), 6) AS abs_err
+         |FROM p ORDER BY bucket, event_type""".stripMargin
+  }.toMap
+
+  /** simsearch_pq oracle (round 11): with the persisted codebooks as
+    * literal inputs, DuckDB re-encodes every corpus vector (argmin of
+    * `‖c‖² − 2·v_sub·c` per subspace, ties → lowest code), rebuilds the
+    * decoded approximation by ordered lookup, and re-ranks the cosine
+    * top-k — the full PQ serving path, independent of the Spark plan.
+    */
+  private def pqOracleEntry: Map[String, String] = pqCodebookValues.map {
+    case (subDim, vals) =>
+      "simsearch_pq" ->
+        s"""WITH cb AS (SELECT * FROM (VALUES $vals) AS t(sub, code, cvec)),
+           |dd AS (SELECT e.vec_id, cb.sub, cb.code, cb.cvec,
+           |    ${normSqSql("cb.cvec")} - 2.0 * list_sum(list_transform(
+           |      list_zip(e.embedding[cb.sub * $subDim + 1 : cb.sub * $subDim + $subDim],
+           |        cb.cvec),
+           |      x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE))) AS d
+           |  FROM embeddings e CROSS JOIN cb),
+           |enc AS (SELECT vec_id, sub, cvec FROM (
+           |    SELECT vec_id, sub, cvec,
+           |      row_number() OVER (PARTITION BY vec_id, sub
+           |        ORDER BY d ASC, code) AS rn
+           |    FROM dd) WHERE rn = 1),
+           |dec AS (SELECT vec_id, flatten(list(cvec ORDER BY sub)) AS dv
+           |  FROM enc GROUP BY 1),
+           |dots AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+           |    ${dotSql("q.embedding", "c.dv")} AS dot,
+           |    ${normSqSql("q.embedding")} AS nq, ${normSqSql("c.dv")} AS nc
+           |  FROM embeddings q CROSS JOIN dec c
+           |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+           |ranked AS (SELECT qid, nid,
+           |    dot / sqrt(NULLIF(nq * nc, 0)) AS cos_sim,
+           |    row_number() OVER (PARTITION BY qid
+           |      ORDER BY dot / sqrt(NULLIF(nq * nc, 0)) DESC, nid) AS rnk
+           |  FROM dots)
+           |SELECT qid, nid, cos_sim, CAST(rnk AS BIGINT) AS rnk
+           |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }.toMap
+
+  /** simsearch_ivf oracle (round 11): with the persisted centroids as
+    * literal inputs, the whole IVF serving path — squared-L2 assignment
+    * (NearestCentroid's `‖c‖² − 2·q·c` with ties → lowest id), cosine
+    * probe ranking, probe-list join, final top-k — is re-derived
+    * independently in SQL. Float discipline as simsearch_ivf_exact:
+    * both engines evaluate the same double arithmetic left to right, so
+    * order statistics agree; cos_sim rounds to 6 on both sides.
+    */
+  private def ivfOracleEntry: Map[String, String] = ivfCentroidValues.map { vals =>
+    "simsearch_ivf" ->
+      s"""WITH cent AS (SELECT * FROM (VALUES $vals) AS t(cluster, cvec)),
+         |ad AS (SELECT e.vec_id, e.embedding, c.cluster,
+         |    ${normSqSql("c.cvec")} - 2.0 * ${dotSql("e.embedding", "c.cvec")} AS d
+         |  FROM embeddings e CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, embedding, cluster FROM (
+         |    SELECT vec_id, embedding, cluster,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY d ASC, cluster) AS rn
+         |    FROM ad) WHERE rn = 1),
+         |probes AS (SELECT qid, qv, nq, cluster FROM (
+         |    SELECT q.vec_id AS qid, q.embedding AS qv,
+         |      ${normSqSql("q.embedding")} AS nq, c.cluster,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dotSql("q.embedding", "c.cvec")}
+         |          / sqrt(NULLIF(${normSqSql("c.cvec")}, 0)) DESC, c.cluster)
+         |        AS crnk
+         |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10)
+         |  WHERE crnk <= 4),
+         |ranked AS (SELECT qid, nid, cos_raw,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos_raw DESC, nid) AS rnk
+         |  FROM (SELECT p.qid, a.vec_id AS nid,
+         |      ${dotSql("p.qv", "a.embedding")}
+         |        / sqrt(NULLIF(p.nq * ${normSqSql("a.embedding")}, 0)) AS cos_raw
+         |    FROM asg a JOIN probes p USING (cluster)
+         |    WHERE p.qid <> a.vec_id))
+         |SELECT qid, nid, round(cos_raw, 6) AS cos_sim,
+         |  CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }.toMap
 
   /** Shared BM25 CTE chain ending in `b(doc_id, bm25)` — the full
     * inverted-index algebra mirrored from [[graft.ops.Search.bm25]]

@@ -33,11 +33,51 @@ case class PcaAnomalyModel(pipeline: PipelineModel, threshold: Double)
   /** Score + boolean flag against the fitted threshold. */
   def anomaly(df: DataFrame): DataFrame =
     score(df).withColumn("anomalous", col("anomaly_score") > lit(threshold))
+
+  /** Sum of the top-k explained-variance proportions from the fitted PCA
+    * stage — the fit-side number the serving-side projection must
+    * reproduce (Σ‖z‖²/Σ‖x‖² on the training fold).
+    */
+  def explainedTopK: Double = {
+    import org.apache.spark.ml.feature.PCAModel
+    val pca = pipeline.stages.collectFirst { case p: PCAModel => p }
+      .getOrElse(throw new IllegalStateException("pipeline has no PCA stage"))
+    pca.explainedVariance.toArray.sum
+  }
+
+  /** One-row variance accounting over a serving pass: n, Σ‖x‖², Σ‖z‖²,
+    * Σ score², and the anomalous count. These are the exact quantities
+    * behind the guarantee flags q_ml_pca_anomaly pins for its oracle:
+    * on standardized data Σ‖x‖² = (n−1)·d, the serving projection must
+    * reproduce the fit's explained-variance ratio Σ‖z‖²/Σ‖x‖², the
+    * score definition forces Σ score² = Σ‖x‖² − Σ‖z‖² (up to the ≥0
+    * clamp), and the 0.99-percentile threshold bounds the anomalous
+    * count by the order-statistic pigeonhole. Model-sized collect: one
+    * aggregate row.
+    */
+  def accounting(df: DataFrame): PcaAccounting = {
+    val x = vector_to_array(col(PipelineFactory.ScaledCol))
+    val z = vector_to_array(col("pca_features"))
+    val r = anomaly(df)
+      .select(PcaAnomaly.sumSq(x).as("x2"), PcaAnomaly.sumSq(z).as("z2"),
+        (col("anomaly_score") * col("anomaly_score")).as("s2"),
+        col("anomalous"))
+      .agg(count(lit(1)).as("n"), sum(col("x2")).as("sx2"),
+        sum(col("z2")).as("sz2"), sum(col("s2")).as("ss2"),
+        sum(col("anomalous").cast("long")).as("n_anom"))
+      .head()
+    PcaAccounting(r.getLong(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getLong(4))
+  }
 }
+
+/** See [[PcaAnomalyModel.accounting]]. */
+case class PcaAccounting(n: Long, sumX2: Double, sumZ2: Double,
+    sumScore2: Double, nAnom: Long)
 
 object PcaAnomaly {
 
-  private def sumSq(arr: Column): Column =
+  private[ml] def sumSq(arr: Column): Column =
     aggregate(transform(arr, x => x * x), lit(0.0), (acc, v) => acc + v)
 
   private[ml] def withScore(transformed: DataFrame): DataFrame = {

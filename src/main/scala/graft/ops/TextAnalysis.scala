@@ -555,13 +555,21 @@ object TextAnalysis {
       }
       // drop the empty pseudo-token: words("") is [""], so without the
       // filter an empty/whitespace doc would be scored by the smoothed
-      // noise at bucket(md5("")) instead of reaching the prior fallback
+      // noise at bucket(md5("")) instead of reaching the prior fallback.
+      // Tokens reduce to (doc, bucket, cnt) BEFORE the prob join — the
+      // doc-label sum is then Σ cnt·lp over ≤ min(tokens, buckets)
+      // distinct-bucket terms instead of one term per occurrence: fewer
+      // join rows, and few enough float adds that the DuckDB oracle's
+      // independent recomputation agrees after round(_, 6) (the
+      // portable-ln discipline — every ln input is an exact integer
+      // count, mirrored term for term in SQL).
       val toks = docs.select(col(idCol), explode(words(col(textCol))).as("w"))
         .filter(col("w") =!= "")
         .select(col(idCol), tokenBucket(col("w"), buckets).as("bk"))
+        .groupBy(col(idCol), col("bk")).agg(count(lit(1)).as("cnt"))
       val scored = toks.join(broadcast(probsDf), Seq("bk"))
         .groupBy(col(idCol), col("lbl"))
-        .agg(sum(col("lp")).as("ll"))
+        .agg(sum(col("cnt") * col("lp")).as("ll"))
         .withColumn("score", col("ll") + priorExpr)
         .withColumn("rn", row_number().over(
           Window.partitionBy(idCol).orderBy(col("score").desc, col("lbl"))))
@@ -592,13 +600,16 @@ object TextAnalysis {
       require(priors.exists(_._1 == label), s"model has no class '$label'")
       val probsDf = probs.filter(_._1 == label).map(p => (p._2, p._3))
         .toDF("bk", "lp")
+      // same (doc, bucket, cnt) reduction as classify — see the
+      // portable-ln note there; n_tokens = Σ cnt is integer-exact
       val toks = docs.select(col(idCol), explode(words(col(textCol))).as("w"))
         .filter(col("w") =!= "")
         .select(col(idCol), tokenBucket(col("w"), buckets).as("bk"))
+        .groupBy(col(idCol), col("bk")).agg(count(lit(1)).as("cnt"))
       val scored = toks.join(broadcast(probsDf), Seq("bk"))
         .groupBy(col(idCol))
-        .agg(count(lit(1)).cast("long").as("n_tokens"),
-          (sum(col("lp")) / count(lit(1))).as("avg_logprob"))
+        .agg(sum(col("cnt")).cast("long").as("n_tokens"),
+          (sum(col("cnt") * col("lp")) / sum(col("cnt"))).as("avg_logprob"))
       docs.select(col(idCol))
         .join(scored, Seq(idCol), "left")
         .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
