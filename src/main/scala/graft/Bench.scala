@@ -75,7 +75,7 @@ object Bench {
       // steady-state estimator (a single contended rep cannot set it).
       val pinDiverge = pin.exists(p => warm1 > 2.0 * p)
       val disagree = math.max(cold, warm1) > 2.0 * math.min(cold, warm1)
-      val (warmReps, okWarm) =
+      val (warmReps0, okWarm0) =
         if (pinDiverge) {
           val (w2, ok2) = once()
           val (w3, ok3) = once()
@@ -84,25 +84,45 @@ object Bench {
           val (w2, ok2) = once()
           (Seq(warm1, w2), okWarm1 && ok2)
         } else (Seq(warm1), okWarm1)
+      // second escalation (round 11): a median-of-3 still > 3× its pin
+      // is either REAL (a regression the pins must catch) or a window
+      // where ≥2 of 3 reps were contended (r10: agg_active_users medianed
+      // 5× its pin from scheduler noise mid-run) — two more reps make one
+      // clean rep per contended pair decisive, and the summary line NAMES
+      // whatever still diverges so the artifact never silently over- or
+      // under-reports.
+      val (warmReps, okWarm) =
+        if (pinDiverge && pin.exists(p => median(warmReps0) > 3.0 * p)) {
+          val (w4, ok4) = once()
+          val (w5, ok5) = once()
+          (warmReps0 ++ Seq(w4, w5), okWarm0 && ok4 && ok5)
+        } else (warmReps0, okWarm0)
       val warm =
         if (pinDiverge) median(warmReps)
         else warmReps.min
+      val stillDiverged = pin.exists(p => warm > 3.0 * p)
       // per-query progress on stderr: partial evidence survives even if the
       // final artifact line is lost to a log-tail capture window
       System.err.println(f"[bench] $name%-28s cold=$cold%.3f warm=$warm%.3f" +
-        (if (pinDiverge) s" (median of 3; pin=${pin.get})"
+        (if (warmReps.size == 5) s" (median of 5; pin=${pin.get})"
+         else if (pinDiverge) s" (median of 3; pin=${pin.get})"
          else if (warmReps.size > 1) " (min of 2 warm reps)" else ""))
-      (name, cold, warm, warmReps, okCold && okWarm)
+      (name, cold, warm, warmReps, okCold && okWarm, stillDiverged)
     }
     // Locale.ROOT: the default-locale formatter writes a comma
     // decimal separator under e.g. de_DE, corrupting the JSON
     def s3(x: Double): String = String.format(java.util.Locale.ROOT, "%.3f", x)
-    val qs = results.map { case (k, _, w, _, _) => s"\"" + k + "\":" + s3(w) }
+    val qs = results.map { case (k, _, w, _, _, _) => s"\"" + k + "\":" + s3(w) }
       .mkString("{", ",", "}")
-    val reps = results.map { case (k, c, _, ws, _) =>
+    val reps = results.map { case (k, c, _, ws, _, _) =>
       s"\"" + k + "\":[" + (c +: ws).map(s3).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, _, _, false, _) => "\"" + k + "\"" }
+    // queries whose final recorded median STILL exceeds 3× the committed
+    // pin after the median-of-5 escalation — named so a reader of the
+    // artifact can separate "persistently contended window" from "real"
+    // without re-deriving anything
+    val diverged = results.collect { case (k, _, _, _, _, true) => "\"" + k + "\"" }
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
     // The recorded warm values are per-query medians/mins (above); the
@@ -114,7 +134,8 @@ object Bench {
     val bandHi = results.map(_._4.max).sum
     val summary = s""""value":${s3(total)},"unit":"sec","cold_total":${s3(coldTotal)},""" +
       s""""warm_band":[${s3(bandLo)},${s3(bandHi)}],""" +
-      s""""failed":[${failed.mkString(",")}],"n_queries":${results.size}"""
+      s""""failed":[${failed.mkString(",")}],""" +
+      s""""pin_diverged":[${diverged.mkString(",")}],"n_queries":${results.size}"""
     val json = s"""{"metric":"total",$summary,"queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of stdout (measured:
     // every BENCH_r*.json has tail len 2000 and parsed:null — the full
@@ -128,7 +149,7 @@ object Bench {
     val head = s"""{"metric":"total",$summary,"queries_full":"bench.json","queries":{"""
     val tail = s"""},"sf":"$sfDir"}"""
     val slowest = results.sortBy(-_._3).iterator
-      .map { case (k, _, w, _, _) => s"\"" + k + "\":" + s3(w) }
+      .map { case (k, _, w, _, _, _) => s"\"" + k + "\":" + s3(w) }
     val picked = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = head.length + tail.length
     slowest.foreach { e =>

@@ -111,6 +111,15 @@ object ScaleStress {
     }
   }
 
+  /** Artifact path for a probe-scoped persisted ShingleIndex, keyed by
+    * the probed dir's basename (sf0.1 vs x10 vs x100) — probe lambdas
+    * must never write into the read-only testdata dirs.
+    */
+  private def twinIndexPath(d: String, variant: String): String =
+    new java.io.File(
+      s"target/scale-stress/idx/${new java.io.File(d).getName}-$variant")
+      .getAbsolutePath
+
   /** Replica-safe analogue of SparkEntry's docsWithDups: case-mutated
     * twins of every 10th doc at an offset clear of any replica id range.
     */
@@ -147,6 +156,10 @@ object ScaleStress {
       "dedup_ngram_jaccard", "text_langid_trained",
       "dedup_substring_fast", "text_tfidf", "search_bm25",
       "stream_drift", "stream_ohlc", "agg_resample_mean",
+      // round 11: the partitioned copy-on-write upsert — at fixture
+      // scale the partition bookkeeping ≈ the data volume, the probe
+      // shows where the touched-partitions-only write pays
+      "stream_upsert",
       "simsearch_lsh", "simsearch_ivf", "dedup_semantic",
       // round-8 session-3 additions: graph, MMR, streaming multivariate,
       // sliding windows, correlogram, per-stream sorts
@@ -184,9 +197,44 @@ object ScaleStress {
       "op_dup_clusters" -> ((s: SparkSession, d: String) =>
         Dedup.duplicateClusters(
           Dedup.minhashLshPairs(withTwins(s, d), "doc_id", "text"))),
-      "op_containment" -> ((s: SparkSession, d: String) =>
-        Dedup.containmentPairs(withTwins(s, d), "doc_id", "text", 0.7,
-          maxDocFreq = 20)),
+      // The set-overlap scorers split into three probes after round 11's
+      // ShingleIndex registry (the round-10 verdict's named scale risk:
+      // the global-df/per-doc-sort build dominated the one-shot plan
+      // past ~sf1, e = 0.82 at 100×):
+      //   op_containment       — the SERVING plan over the maintained
+      //                          index (what a production corpus pays
+      //                          per run; cold leg builds + persists,
+      //                          warm legs load + candidate join +
+      //                          re-score);
+      //   op_shidx_build       — the one-time index BUILD (amortized
+      //                          state cost, reported separately so the
+      //                          serving exponent is not hiding it);
+      //   op_containment_incr  — the daily-crawl step: merge a 1/101
+      //                          delta into yesterday's persisted index
+      //                          and serve (O(delta + affected) compute
+      //                          + one linear state pass).
+      "op_containment" -> ((s: SparkSession, d: String) => {
+        val path = twinIndexPath(d, "cont")
+        if (!Dedup.shingleIndexExists(s, path))
+          Dedup.saveShingleIndex(
+            Dedup.buildShingleIndex(withTwins(s, d), "doc_id", "text", 3, 20),
+            path)
+        Dedup.containmentPairsFromIndex(Dedup.loadShingleIndex(s, path), 0.7)
+      }),
+      "op_shidx_build" -> ((s: SparkSession, d: String) =>
+        Dedup.buildShingleIndex(withTwins(s, d), "doc_id", "text", 3, 20).docs),
+      "op_containment_incr" -> ((s: SparkSession, d: String) => {
+        val all = withTwins(s, d)
+        val base = all.filter(col("doc_id") % 101 =!= 3)
+        val delta = all.filter(col("doc_id") % 101 === 3)
+        val path = twinIndexPath(d, "base101")
+        if (!Dedup.shingleIndexExists(s, path))
+          Dedup.saveShingleIndex(
+            Dedup.buildShingleIndex(base, "doc_id", "text", 3, 20), path)
+        Dedup.containmentPairsFromIndex(
+          Dedup.mergeShingleIndex(Dedup.loadShingleIndex(s, path), delta,
+            "doc_id", "text", 3, 20), 0.7)
+      }),
       // decontamination: the benchmark side stays FIXED (real pipelines
       // scan a growing corpus against a fixed eval set), so the probe
       // measures corpus-side scaling only

@@ -574,6 +574,77 @@ object Dedup {
         "diameter exceeds maxIter; raise maxIter for deep duplicate chains")
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
+  /** TWO-PHASE connected components for LONG ids — the job-count killer
+    * for graphs whose components are shallow but numerous (grid DBSCAN's
+    * ε-graph: [[duplicateClusters]]' per-round label joins cost 2 Spark
+    * jobs each, and a dozen rounds of driver-scheduled launches dominate
+    * wall time long before data does).
+    *
+    * Phase 1: edges hash-partition by src (both directions, so a node's
+    * whole neighborhood lands in its partition) and a partition-LOCAL
+    * union-find labels every node it sees with its local component's min
+    * id — one shuffle + one mapPartitions, no iteration. Union attaches
+    * the larger root under the smaller, so labels are deterministic
+    * regardless of edge arrival order. Phase 2: a node straddling
+    * partitions carries several local labels; linking each to the node's
+    * min label CONTRACTS the graph to the cross-partition stitch points,
+    * and [[duplicateClusters]] runs its min-label rounds there — a graph
+    * of boundary labels, not points, whose diameter collapses with the
+    * contraction (components fully inside one partition never iterate at
+    * all). Phase 3 joins the contracted canonicals back. Output contract
+    * identical to [[duplicateClusters]]: every node → its component's
+    * min id; equality spec'd in DedupSpec.
+    */
+  def duplicateClustersTwoPhase(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val edges = pairs.select(col("doc_a").cast("long").as("src"),
+      col("doc_b").cast("long").as("dst"))
+    val undirected = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val local = undirected
+      .repartition(col("src"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent.getOrElse(x, x) != x) x = parent(x)
+          // path compression
+          var y = x0
+          while (parent.getOrElse(y, y) != y) { val n = parent(y); parent(y) = x; y = n }
+          x
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            // min-id root: deterministic under any edge order
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        // snapshot keys BEFORE resolving: find()'s path compression
+        // mutates the map, which must not race the key iteration
+        val nodes = parent.keys.toArray
+        nodes.iterator.map(n => (n, find(n)))
+      }
+      .toDF("id", "plabel")
+      .localCheckpoint()
+    val byNode = local.groupBy("id")
+      .agg(min(col("plabel")).as("lmin"), collect_set(col("plabel")).as("ls"))
+    val contractedEdges = byNode
+      .select(explode(col("ls")).as("doc_a"), col("lmin").as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val contracted = duplicateClusters(contractedEdges, maxIter)
+      .select(col("doc_id").as("plabel"), col("canonical_id"))
+    local.join(contracted, Seq("plabel"), "left")
+      .select(col("id"),
+        coalesce(col("canonical_id"), col("plabel")).as("lbl"))
+      .groupBy("id").agg(min(col("lbl")).as("canonical_id"))
+      .select(col("id").as("doc_id"), col("canonical_id"))
+  }
+
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 20, bands: Int = 5, shingleN: Int = 3,
       maxDocFreq: Int = DefaultMaxDocFreq): DataFrame =
@@ -696,51 +767,203 @@ object Dedup {
     */
   private def shingleIntersections(docs: DataFrame, idCol: String,
       textCol: String, shingleN: Int, maxDocFreq: Int,
-      minOverlapFrac: Double, minSizeRatio: Double = 0.0): DataFrame = {
-    require(minOverlapFrac > 0.0 && minOverlapFrac <= 1.0,
-      s"minOverlapFrac must be in (0, 1], got $minOverlapFrac")
-    // Shingles leave the scan as xxhash64 KEYS (the text_novelty
-    // ids-only-shuffle discipline): every downstream stage — the
-    // distinct, the per-shingle lists, the per-doc sorted sets, the
-    // prefix probe join, and the merge-count re-score — shuffles,
-    // sorts, and compares 8-byte longs instead of ~40-byte n-gram
-    // strings (measured 4.6 → 2.9 s at sf0.1). Scores stay set-exact
-    // up to 64-bit hash equality: a pair's count is wrong only if two
-    // DISTINCT shingles of that pair collide (P ≤ |A|·|B|/2⁶⁴ per
-    // pair); the DuckDB oracle computes the string-exact sets, so a
-    // fixture collision would hash-fail loudly. The distinct happens
-    // AFTER hashing (map-side partial agg on longs); the explicit
-    // Int.MaxValue opts out of shingleTable's hot-list pass — this
-    // operator caps by the group-size filter below (same ≤-cap
-    // semantics).
+      minOverlapFrac: Double, minSizeRatio: Double = 0.0): DataFrame =
+    shingleIntersectionsFromIndex(
+      buildShingleIndex(docs, idCol, textCol, shingleN, maxDocFreq,
+        materialize = true),
+      minOverlapFrac, minSizeRatio)
+
+  /** The set-overlap scorers' PERSISTENT STATE — the corpus statistics
+    * the prefix filter runs on, factored out of the per-query plan so a
+    * production corpus maintains them as an index instead of re-deriving
+    * them per run (the fitOrLoadIvf / minhash-band-table discipline;
+    * round-10's 100× probe measured the global-df build + per-doc sort
+    * dominating the containment plan past ~sf1 — this is the fix).
+    *
+    *   - `groups`: one row per DISTINCT shingle (xxhash64 key) —
+    *     `(s, df, ds)` with `ds` the sorted member-doc list when
+    *     df ≤ cap and NULL once df exceeds it (over-cap members are
+    *     never candidate keys, and df only grows, so the list never
+    *     comes back — but the row must survive so an incremental merge
+    *     keeps counting it);
+    *   - `docs`: one row per doc — `(doc_id, ts)` with `ts` the doc's
+    *     capped shingle set sorted by the corpus-global (df asc, s asc)
+    *     order. The QUERY-TIME threshold decides the prefix length, so
+    *     one index serves every (jaccard, containment, τ) variant.
+    *
+    * Incremental contract (see [[mergeShingleIndex]]): a doc's `ts` row
+    * is rebuilt only when the doc is new or one of its shingles crossed
+    * the cap; untouched docs keep their OLD df-order. That is sound
+    * because prefix-filter correctness is a pure pigeonhole on prefix
+    * LENGTH — if a qualifying pair's intersection avoided the smaller
+    * doc's whole prefix it would fit inside the n − p = ⌈τ·n⌉ − 1
+    * suffix, contradicting i ≥ ⌈τ·n⌉ — for ANY total order; df-ascending
+    * merely minimizes candidates. Stale order costs a few extra
+    * candidates, never a missed pair, and the exact re-score keeps
+    * output identical to the full rebuild's.
+    */
+  final case class ShingleIndex(groups: DataFrame, docs: DataFrame)
+
+  /** Build the index from scratch: ONE groupBy(s) (map-side collect_set —
+    * the dedup rides the aggregation, round 11 removed the separate
+    * distinct shuffle) yields df and the member lists; one explode +
+    * groupBy(doc_id) yields the df-sorted per-doc sets. Shingles leave
+    * the scan as xxhash64 KEYS (the text_novelty ids-only-shuffle
+    * discipline): every downstream stage shuffles, sorts, and compares
+    * 8-byte longs instead of ~40-byte n-gram strings (measured
+    * 4.6 → 2.9 s at sf0.1). Scores stay set-exact up to 64-bit hash
+    * equality: a pair's count is wrong only if two DISTINCT shingles of
+    * that pair collide (P ≤ |A|·|B|/2⁶⁴ per pair); the DuckDB oracle
+    * computes the string-exact sets, so a fixture collision would
+    * hash-fail loudly.
+    *
+    * `materialize = true` localCheckpoints both frames (the bandTable
+    * discipline) for one-shot in-memory use, where groups feeds both the
+    * doc-set derivation and the candidate join; pass false when the
+    * frames are about to be persisted anyway ([[saveShingleIndex]]).
+    */
+  def buildShingleIndex(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, maxDocFreq: Int = DefaultMaxDocFreq,
+      materialize: Boolean = true): ShingleIndex = {
     val d = shingleTable(docs, idCol, textCol, shingleN, dedupe = false,
         maxDocFreq = Int.MaxValue)
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
-      .distinct()
-    // ONE groupBy(s) yields df (= group size), the ≤-cap filter, AND the
-    // per-shingle doc lists candidates explode from; MATERIALIZED once
-    // (localCheckpoint, the bandTable/round-7 simsearch_lsh discipline) —
-    // it feeds both the per-doc aggregate and the candidate join.
     // (A/B note: the full PPJoin POSITIONAL filter was measured here and
     // REVERTED — carrying (doc, pos, n) structs through a second
     // full-table shuffle cost ~2× what the extra candidate pruning saved
     // at every probed scale; the prefix + smaller-side + size-ratio
-    // filters below keep the candidate stream linear without it.)
-    val grouped = d.groupBy("s")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) <= maxDocFreq)
-      .select(col("s"), size(col("ds")).as("df"), col("ds"))
-      .localCheckpoint()
-    // ONE per-doc aggregate serves both prefix extraction and re-score:
-    // the shingle array sorted by the global (df asc, s asc) order —
-    // sort_array over structs IS that lexicographic order. `pref` keeps
-    // the df-order head (the candidate keys); `ss` re-sorts by plain
-    // shingle — the ascending order the merge-count intersect walks.
-    val tMicro = math.floor(minOverlapFrac * 1e6).toLong
-    val docSets = grouped
+    // filters keep the candidate stream linear without it.)
+    val grouped0 = d.groupBy("s")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds0"))
+      .select(col("s"), size(col("ds0")).as("df"),
+        when(size(col("ds0")) <= maxDocFreq, col("ds0")).as("ds"))
+    val grouped = if (materialize) grouped0.localCheckpoint() else grouped0
+    // ONE per-doc aggregate over the capped universe: the shingle array
+    // sorted by the global (df asc, s asc) order — sort_array over
+    // structs IS that lexicographic order.
+    val docSets0 = grouped
+      .filter(col("ds").isNotNull)
       .select(col("s"), col("df"), explode(col("ds")).as("doc_id"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ts"))
+    val docSets = if (materialize) docSets0.localCheckpoint() else docSets0
+    ShingleIndex(grouped, docSets)
+  }
+
+  /** Persist an index (groups + docs parquet; the docs `_SUCCESS` marker
+    * commits last, so a half-written index never gates).
+    */
+  def saveShingleIndex(idx: ShingleIndex, path: String): Unit = {
+    idx.groups.write.mode("overwrite").parquet(s"$path/groups")
+    idx.docs.write.mode("overwrite").parquet(s"$path/docs")
+  }
+
+  def shingleIndexExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/docs", "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def loadShingleIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): ShingleIndex =
+    ShingleIndex(spark.read.parquet(s"$path/groups"),
+      spark.read.parquet(s"$path/docs"))
+
+  /** O(delta + affected) index maintenance — the daily-crawl step. New
+    * docs' shingles merge into `groups` (df adds; member lists concat
+    * while the shingle stays under cap, NULL once it crosses — df keeps
+    * counting so it can never drift back under). Doc rows are rebuilt
+    * ONLY for (a) the delta docs and (b) old docs holding a shingle that
+    * CROSSED the cap this step (their capped sets shrank — the hot-list
+    * no-drift contract of bandTableWithHotList, applied to the df
+    * state). Every other doc keeps its existing row — stale df-order is
+    * sound, see [[ShingleIndex]]. Append-only contract: delta doc ids
+    * must be new (the incrementalStepExact precondition).
+    */
+  def mergeShingleIndex(idx: ShingleIndex, delta: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3,
+      maxDocFreq: Int = DefaultMaxDocFreq): ShingleIndex = {
+    val dNew = shingleTable(delta, idCol, textCol, shingleN, dedupe = false,
+        maxDocFreq = Int.MaxValue)
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .distinct() // set semantics: rebuild keys and df both need it
+      .localCheckpoint() // O(delta): feeds dGroups AND the rebuild keys
+    val dGroups = dNew.groupBy("s")
+      .agg(sort_array(collect_list(col("doc_id"))).as("dsd"))
+      .select(col("s"), size(col("dsd")).as("dfd"), col("dsd"))
+    // ONLY the delta-vocabulary rows change; they join the base stats
+    // (right-side broadcast of delta keys in practice) and MATERIALIZE
+    // small — O(delta vocabulary). Base rows are never rewritten: the
+    // returned index is a LAZY view (base anti-join ∪ updated rows), so
+    // a daily step's compute is O(delta + affected) plus base SCANS the
+    // serving plan was paying anyway — no O(corpus) state churn. A
+    // caller that wants the merged state durable pays the linear
+    // saveShingleIndex write explicitly (LSM-style compaction cadence,
+    // not per step); the first un-persisted version of this merge
+    // localCheckpointed the full merged state per step and the 100×
+    // probe measured exactly that (e = 0.92 from checkpoint churn).
+    val updated = dGroups.as("n").join(idx.groups.as("g"), Seq("s"), "left")
+      .select(col("s"),
+        (coalesce(col("g.df"), lit(0)) + col("n.dfd")).as("df2"),
+        col("g.ds").as("ds_old"), col("n.dsd").as("dsd"))
+      .select(col("s"), col("df2").as("df"),
+        when(col("df2") > maxDocFreq, lit(null))
+          .when(col("ds_old").isNotNull,
+            sort_array(concat(col("ds_old"), col("dsd"))))
+          .otherwise(col("dsd"))
+          .as("ds"),
+        // crossing = was under cap (list present) and no longer is
+        (col("ds_old").isNotNull && col("df2") > maxDocFreq).as("__crossed"),
+        col("ds_old"))
+      .localCheckpoint()
+    val crossedDocs = updated.filter(col("__crossed"))
+      .select(explode(col("ds_old")).as("doc_id")).distinct()
+    val newGroups = idx.groups
+      .join(dGroups.select("s"), Seq("s"), "left_anti")
+      .unionByName(updated.select("s", "df", "ds"))
+    // rebuild = delta docs' sets ∪ crossed old docs' sets, re-keyed to
+    // the MERGED df and re-capped; shingle membership for old docs comes
+    // from their existing ts rows (no corpus re-scan). rebuildKeys is
+    // small — AQE broadcasts it against the newGroups scan.
+    val rebuildKeys = dNew.unionByName(
+      idx.docs.join(crossedDocs, Seq("doc_id"))
+        .select(col("doc_id"), explode(col("ts")).as("t"))
+        .select(col("doc_id"), col("t.s").as("s")))
+    val rebuilt = rebuildKeys
+      .join(newGroups.filter(col("ds").isNotNull).select("s", "df"), Seq("s"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ts"))
+      .localCheckpoint() // O(delta + affected)
+    val untouched = idx.docs
+      .join(crossedDocs, Seq("doc_id"), "left_anti")
+      .join(delta.select(col(idCol).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    ShingleIndex(newGroups, untouched.unionByName(rebuilt))
+  }
+
+  /** The serving leg: every ordered pair that can reach
+    * `i ≥ minOverlapFrac · min(|A|,|B|)` with its EXACT intersection
+    * count and both (capped-universe) set sizes — `(doc_a, doc_b, i,
+    * na, nb)`. Callers pass the weakest such bound their own threshold
+    * implies and re-apply their exact predicate downstream, so the
+    * output they keep is identical to the all-pairs formulation's.
+    * With a loaded index this is the WHOLE per-run plan: two map-side
+    * projections (prefix slice + ss re-sort), the candidate equi-join,
+    * and the merge-count re-score — no corpus-wide aggregation at all.
+    */
+  private[graft] def shingleIntersectionsFromIndex(idx: ShingleIndex,
+      minOverlapFrac: Double, minSizeRatio: Double = 0.0): DataFrame = {
+    require(minOverlapFrac > 0.0 && minOverlapFrac <= 1.0,
+      s"minOverlapFrac must be in (0, 1], got $minOverlapFrac")
+    // `iMin` in integer micro-units (`T = ⌊frac·1e6⌋`,
+    // `iMin = ⌈T·n/1e6⌉` by long arithmetic) — floor makes T a
+    // conservative lower bound and no float rounding can shorten a
+    // prefix below the safe length; rationals i/n sit ≥ 1/(1e6·n) apart
+    // so the downstream double compare can never admit a pair the
+    // integer bound excluded.
+    val tMicro = math.floor(minOverlapFrac * 1e6).toLong
+    val grouped = idx.groups.filter(col("ds").isNotNull)
+    val docSets = idx.docs
       .withColumn("n", size(col("ts")))
       .withColumn("p", col("n") - expr(s"($tMicro * n + 999999) div 1000000") + 1)
       .select(col("doc_id"),
@@ -748,11 +971,10 @@ object Dedup {
         transform(slice(col("ts"), lit(1), col("p")),
           t => t.getField("s")).as("pref"),
         col("n"))
-      .localCheckpoint()
-    // Prefix keys explode map-side off the checkpoint. Only the SMALLER
-    // side needs its prefix indexed (the pigeonhole runs on min(|A|,|B|)),
-    // so the probe keeps a pair only when it is the smaller doc — half
-    // the candidate stream of symmetric generation.
+    // Prefix keys explode map-side. Only the SMALLER side needs its
+    // prefix indexed (the pigeonhole runs on min(|A|,|B|)), so the probe
+    // keeps a pair only when it is the smaller doc — half the candidate
+    // stream of symmetric generation.
     val prefix = docSets.select(col("doc_id").as("__pa"), col("n").as("__na"),
       explode(col("pref")).as("s"))
     val cand = prefix.join(grouped.select(col("s"), col("ds")), Seq("s"))
@@ -794,6 +1016,26 @@ object Dedup {
           .cast("long").as("i"),
         col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
       .filter(col("i") >= 1)
+  }
+
+  /** [[ngramJaccardPairs]] served from a maintained [[ShingleIndex]]. */
+  def ngramJaccardPairsFromIndex(idx: ShingleIndex, threshold: Double): DataFrame = {
+    val jac = col("i") * lit(1.0) / (col("na") + col("nb") - col("i"))
+    shingleIntersectionsFromIndex(idx,
+        minOverlapFrac = 2.0 * threshold / (1.0 + threshold),
+        minSizeRatio = threshold)
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+  }
+
+  /** [[containmentPairs]] served from a maintained [[ShingleIndex]]. */
+  def containmentPairsFromIndex(idx: ShingleIndex, threshold: Double): DataFrame = {
+    val contA = col("i") * lit(1.0) / col("na")
+    val contB = col("i") * lit(1.0) / col("nb")
+    shingleIntersectionsFromIndex(idx, minOverlapFrac = threshold)
+      .filter(greatest(contA, contB) >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(contA, 6).as("cont_a"), round(contB, 6).as("cont_b"))
   }
 
   /** EXACT-SUBSTRING duplication scan — the published "Deduplicating

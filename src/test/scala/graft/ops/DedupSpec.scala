@@ -171,6 +171,27 @@ class DedupSpec extends SparkSpec {
     assert(r2.changedIds.collect().map(_.getLong(0)).toSet == Set(18L))
   }
 
+  test("duplicateClustersTwoPhase equals duplicateClusters on every shape") {
+    import spark.implicits._
+    // chains (deep diameter), a star, singles-by-absence, and a
+    // component split across many partitions — the two-phase result must
+    // be indistinguishable from the reference implementation's
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // chain
+      (10L, 11L), (10L, 12L), (10L, 13L), // star
+      (20L, 21L), // pair
+      (30L, 31L), (31L, 32L), (32L, 30L) // triangle
+    ) ++ (0 until 40).map(i => (100L + i, 101L + i)) // long chain
+    val pairs = edges.toDF("doc_a", "doc_b").repartition(13)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ref = m(Dedup.duplicateClusters(pairs, maxIter = 64))
+    val two = m(Dedup.duplicateClustersTwoPhase(pairs, maxIter = 64))
+    assert(two == ref)
+    // empty edge set: empty result, no exception
+    assert(Dedup.duplicateClustersTwoPhase(pairs.limit(0)).count() == 0)
+  }
+
   test("duplicateClusters assigns every node the component-min canonical id") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {7,9}, isolated pair {20,21}
@@ -304,5 +325,71 @@ class DedupSpec extends SparkSpec {
     // empty base: no sketch to build, no matches — and no NPE
     assert(Dedup.bloomPrunedExactMatches(base.limit(0), delta, "text")
       .count() == 0)
+  }
+
+  test("ShingleIndex: merge equals full rebuild, including a cap crossing") {
+    import org.apache.spark.sql.Row
+    // bigram cap 3; "terms apply" is AT the cap in batch A and crosses it
+    // only in the union — the merge must null the member list, keep
+    // counting df, and rebuild exactly docs 10/11/12 (+ the delta)
+    val cap = 3; val n = 2
+    val batchA = Seq(
+      (10L, "terms apply please read now"),
+      (11L, "terms apply whenever possible ok"),
+      (12L, "terms apply to everything here"),
+      (13L, "alpha beta gamma delta epsilon"),
+      (14L, "alpha beta gamma delta zeta"),
+      (15L, "unrelated content entirely different")
+    ).toDF("doc_id", "text")
+    val batchB = Seq(
+      (16L, "alpha beta gamma delta eta"),
+      (17L, "terms apply and terms apply")
+    ).toDF("doc_id", "text")
+    val all = batchA.unionByName(batchB)
+
+    val full = Dedup.buildShingleIndex(all, "doc_id", "text", n, cap)
+    val merged = Dedup.mergeShingleIndex(
+      Dedup.buildShingleIndex(batchA, "doc_id", "text", n, cap),
+      batchB, "doc_id", "text", n, cap)
+
+    // shingle statistics: identical (s, df, member-set) rows — df keeps
+    // counting past the cap, the list nulls exactly when df > cap
+    def groupSet(g: org.apache.spark.sql.DataFrame) =
+      g.collect().map(r => (r.getLong(0), r.getInt(1),
+        Option(r.getSeq[Long](2)).map(_.toSet))).toSet
+    assert(groupSet(merged.groups) == groupSet(full.groups))
+
+    // per-doc capped sets: membership identical everywhere; REBUILT rows
+    // (delta 16/17 + crossed 10/11/12) carry fresh df and must equal the
+    // full rebuild struct for struct
+    def docMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) ->
+        r.getSeq[Row](1).map(x => (x.getInt(0), x.getLong(1)))).toMap
+    val fm = docMap(full.docs); val mm = docMap(merged.docs)
+    assert(fm.keySet == mm.keySet)
+    for (k <- fm.keySet)
+      assert(fm(k).map(_._2).toSet == mm(k).map(_._2).toSet, s"doc $k membership")
+    for (k <- Set(10L, 11L, 12L, 16L, 17L))
+      assert(fm(k) == mm(k), s"rebuilt doc $k must carry fresh df order")
+
+    // served results: indistinguishable from the direct operators on the
+    // full corpus (the drift this state machinery exists to prevent)
+    def cpairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    def jpairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cpairs(Dedup.containmentPairsFromIndex(merged, 0.5)) ==
+      cpairs(Dedup.containmentPairs(all, "doc_id", "text", 0.5, n, cap)))
+    assert(jpairs(Dedup.ngramJaccardPairsFromIndex(merged, 0.3)) ==
+      jpairs(Dedup.ngramJaccardPairs(all, "doc_id", "text", 0.3, n, cap)))
+
+    // persistence round-trip: save, load, serve — identical pairs
+    val dir = java.nio.file.Files.createTempDirectory("shidx").toString
+    Dedup.saveShingleIndex(merged, dir)
+    assert(Dedup.shingleIndexExists(spark, dir))
+    val loaded = Dedup.loadShingleIndex(spark, dir)
+    assert(cpairs(Dedup.containmentPairsFromIndex(loaded, 0.5)) ==
+      cpairs(Dedup.containmentPairs(all, "doc_id", "text", 0.5, n, cap)))
   }
 }
