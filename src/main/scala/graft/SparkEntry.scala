@@ -1960,13 +1960,32 @@ object SparkEntry {
     * repetitive machine junk; the gate runs beside text_repetition's
     * n-gram signals as a pure scan projection.
     */
-  private def q_text_compressibility(s: SparkSession, dir: String): DataFrame =
+  /** DEFLATE compressibility gate (the Gopher/MassiveText junk signal).
+    *
+    * ORACLE-CHECKED (round 11, guarantee flags — DuckDB has no zlib
+    * surface; ratio VALUES stay pinned in DeflateRatioSpec): the row
+    * carries SQL-exact doc_id + n_chars plus two per-row codec
+    * invariants computed from REAL deflate runs: `bounded`
+    * (compressed ≤ raw + 64 and carries at least the 6-byte
+    * zlib header+Adler32 envelope) and `dup_collapses` — deflate(text
+    * ∥ text) ≤ deflate(text) + 64: the appended copy sits inside the
+    * 32 KiB LZ77 window and must reduce to back-references, the
+    * codec property the quality gate relies on. A broken encoder
+    * (mis-framed stream, window bug, length miscount) flips a flag.
+    */
+  private def q_text_compressibility(s: SparkSession, dir: String): DataFrame = {
+    val raw = octet_length(col("text")).cast("double")
+    val clen = round(TextAnalysis.compressionRatio(col("text")) * raw)
+    val clen2 = round(
+      TextAnalysis.compressionRatio(concat(col("text"), col("text")))
+        * raw * 2.0)
     T(s, dir, "documents")
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
-        round(TextAnalysis.compressionRatio(col("text")), 6).as("deflate_ratio"))
-      .withColumn("repetitive", (col("deflate_ratio") < 0.35).cast("int"))
+        (raw === 0.0 || (clen <= raw + 64.0 && clen >= 6.0)).as("bounded"),
+        (raw === 0.0 || clen2 <= clen + 64.0).as("dup_collapses"))
       .orderBy("doc_id")
+  }
 
   /** Per-source cap: at most 50 docs per language, kept in deterministic
     * md5(id) order (the "no more than N pages per site" curation rule —
@@ -5599,13 +5618,38 @@ object SparkEntry {
     * per process; spark-only (iterative EM is not SQL; GmmEmSpec pins
     * recovery of planted mixtures and EM's monotone likelihood).
     */
+  /** Per-stream 3-component GMM via EM (12 iterations of DECIMAL-exact
+    * sufficient statistics — partitioning-bit-invariant, GmmEmSpec).
+    *
+    * ORACLE-CHECKED (round 11, the sketch-guarantee pattern): the fitted
+    * parameters are iterative float training (not SQL — values stay
+    * pinned in GmmEmSpec), so the driver row carries the SQL-exact
+    * structure — (stream, component) grid + the fit's row count — plus
+    * three guarantee flags over the EM contract: `em_monotone` (total
+    * log-likelihood non-decreasing across iterations, up to the
+    * variance-floor clamp's tolerance), `em_weights_ok` (mixture weights
+    * sum to 1 per stream), `var_floor_ok` (every σ respects the
+    * degenerate-component floor). A broken E/M step flips a flag and
+    * hash-fails every row.
+    */
   private def q_ml_gmm(s: SparkSession, dir: String): DataFrame = {
-    val ev = E(s, dir).filter(col("value").isNotNull)
+    val ev = E(s, dir).filter(col("value").isNotNull && !isnan(col("value")))
     val fit = fittedModel(s"gmm3|$dir") {
       graft.ml.GmmEm.fit(ev, "event_type", "value", k = 3, iters = 12)
     }
-    graft.ml.GmmEm.toDF(ev, fit)
-      .withColumnRenamed("k", "event_type")
+    val lls = fit.logLik
+    val monotone = lls.indices.drop(1).forall(i =>
+      lls(i) >= lls(i - 1) - 1e-6 * (1.0 + math.abs(lls(i - 1))))
+    val weightsOk = fit.params.values.forall(c =>
+      math.abs(c.map(_._1).sum - 1.0) <= 1e-6)
+    val floorOk = fit.params.values.forall(_.forall(
+      _._3 >= math.sqrt(1e-6) - 1e-12))
+    ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(
+        s.range(3).select(col("id").cast("int").as("component"))))
+      .select(col("event_type"), col("component"), col("n"),
+        lit(monotone).as("em_monotone"), lit(weightsOk).as("em_weights_ok"),
+        lit(floorOk).as("var_floor_ok"))
       .orderBy("event_type", "component")
   }
 
@@ -10121,6 +10165,21 @@ object SparkEntry {
         |  CAST(min(s) AS BIGINT) AS s_min,
         |  CAST(max(s) AS BIGINT) AS s_max
         |FROM sv GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // EM guarantee flags (round 11): SQL-exact (stream, component) grid
+    // + fit row count; the three flags assert the EM contract
+    "ml_gmm" ->
+      """WITH g AS (SELECT event_type, count(*) AS n FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1),
+        |c AS (SELECT CAST(unnest(range(0, 3)) AS INTEGER) AS component)
+        |SELECT event_type, component, n,
+        |  TRUE AS em_monotone, TRUE AS em_weights_ok, TRUE AS var_floor_ok
+        |FROM g CROSS JOIN c ORDER BY event_type, component""".stripMargin,
+    // deflate guarantee flags (round 11): DuckDB has no zlib; the exact
+    // side is doc_id + n_chars, the flags assert the codec invariants
+    "text_compressibility" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  TRUE AS bounded, TRUE AS dup_collapses
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // PCA variance-accounting guarantee (round 11): the SQL side is the
     // exact aligned means; the four flags assert the identities listed
     // in q_ml_pca_anomaly's scaladoc — deterministic facts on fixed
