@@ -3065,19 +3065,23 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
-  /** Spark-only: ADABOOST over decision stumps (Freund & Schapire) —
-    * the second trained classifier family beside Naive Bayes, fitted
-    * with the histogram trick (binned stump search: one tiny hash-agg
-    * per round, NO sort, NO weight table — weights recomputed as a
-    * column from the accumulated stump literals). Task: is this doc
-    * English, from five integer surface features. Deterministic (no
-    * RNG; refit bit-identical, spec'd); memoized per dir. Output:
-    * per-lang confusion counts. The fixture's text is language-
-    * independent by construction (the langid note in SURVEY §2.10), so
-    * this exercises the machinery; the LEARNING guarantee (boosted
-    * stumps carve an interval a single stump cannot, >97% on a
-    * separable corpus) lives in AdaBoostSpec — the text_nb_classifier
-    * framing. Non-SQL: the iterative reweighted fit.
+  /** ADABOOST over decision stumps (Freund & Schapire) — the second
+    * trained classifier family beside Naive Bayes, fitted with the
+    * histogram trick (binned stump search: one tiny hash-agg per round,
+    * NO sort, NO weight table — weights recomputed as a column from the
+    * accumulated stump literals). Task: is this doc English, from five
+    * integer surface features. Deterministic (no RNG; refit
+    * bit-identical, spec'd); memoized per dir. Output: per-lang
+    * confusion counts. The LEARNING guarantee (boosted stumps carve an
+    * interval a single stump cannot, >97% on a separable corpus) lives
+    * in AdaBoostSpec.
+    *
+    * ORACLE-CHECKED (round 11, the ml_ar_forecast fitted-params trick):
+    * the iterative reweighted FIT is not SQL, but the fitted stumps are
+    * 10 (feature, threshold, polarity, α) literals and every feature is
+    * an exact integer count — so the oracle re-derives the margin term
+    * for term in the same fold order, the sign predictions, and the
+    * confusion counts independently ([[adaboostOracleEntry]]).
     */
   private def q_ml_adaboost(s: SparkSession, dir: String): DataFrame = {
     val toks = graft.ops.Dedup.words(col("text"))
@@ -3096,6 +3100,15 @@ object SparkEntry {
     val model = fittedModel(s"adaboost/$dir") {
       graft.ml.AdaBoost.fit(feats, fcols, "y", rounds = 10, bins = 32)
     }
+    // publish the fitted stump literals for the oracle dump: the margin
+    // is a left-assoc sum of CASE terms in stump order, mirrored exactly
+    adaboostMarginSql = Some(model.stumps.map { st =>
+      val f = model.features(st.feature)
+      s"(CASE WHEN $f > CAST('${st.threshold}' AS DOUBLE) " +
+        s"THEN CAST('${st.polarity}' AS DOUBLE) " +
+        s"ELSE CAST('${-st.polarity}' AS DOUBLE) END) " +
+        s"* CAST('${st.alpha}' AS DOUBLE)"
+    }.mkString(" + "))
     model.score(feats)
       .groupBy("lang")
       .agg(count(lit(1)).as("n"),
@@ -11222,7 +11235,7 @@ object SparkEntry {
         |               pt AS (PARTITION BY event_type))
         |SELECT event_type, round(max(abs(fa - fb)), 6) AS ks
         |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
-  ) ++ ivfOracleEntry ++ pqOracleEntry ++ arOracleEntry
+  ) ++ ivfOracleEntry ++ pqOracleEntry ++ arOracleEntry ++ adaboostOracleEntry
 
   /** Centroid VALUES literals of the IVF quantizer this process served
     * (set by q_simsearch_ivf from the fit-once registry model — a
@@ -11252,6 +11265,42 @@ object SparkEntry {
     * q_ml_ar_forecast — same lifecycle contract as [[ivfCentroidValues]].
     */
   @volatile private var arCoefValues: Option[String] = None
+
+  /** The fitted stump-margin SQL published by q_ml_adaboost — same
+    * lifecycle contract as [[ivfCentroidValues]].
+    */
+  @volatile private var adaboostMarginSql: Option[String] = None
+
+  /** ml_adaboost oracle (round 11): with the 10 fitted stumps as exact
+    * literals, the oracle recomputes the five integer surface features,
+    * the additive margin in the same left-to-right stump order, the
+    * sign predictions (margin ≥ 0 → en), and the per-lang confusion
+    * counts — integer-exact end to end.
+    */
+  private def adaboostOracleEntry: Map[String, String] = adaboostMarginSql.map { margin =>
+    "ml_adaboost" ->
+      s"""WITH f AS (SELECT lang,
+         |    CAST(n_chars AS DOUBLE) AS f_chars,
+         |    CAST(len(ws) AS DOUBLE) AS f_words,
+         |    CAST(len(list_distinct(ws)) AS DOUBLE) AS f_distinct,
+         |    CAST(len(list_filter(ws,
+         |      w -> w IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE) AS f_stop,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |      AS f_nospace,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+         |  FROM (SELECT *,
+         |      string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |    FROM documents)),
+         |p AS (SELECT lang, y,
+         |    CASE WHEN ($margin) >= 0 THEN 1 ELSE -1 END AS pred
+         |  FROM f)
+         |SELECT lang, count(*) AS n,
+         |  CAST(sum(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS pred_en,
+         |  CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS correct
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+  }.toMap
 
   /** ml_ar_forecast oracle (round 11): the fitted coefficients as exact
     * literal inputs; the serving path — rounded 10-minute resample,
