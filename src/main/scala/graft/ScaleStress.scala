@@ -278,6 +278,21 @@ object ScaleStress {
         Geo.dbscan(pts, "uid", epsKm = 50.0, minPts = 3,
           dLatE4 = 4600L, dLonE4 = 10000L)
       }),
+      // LSH pair generation at the PRODUCTION parameterization (same
+      // density-scaled bucket-bit rule as op_graph_cc below): the
+      // registry query's fixed nPlanes=8 is the oracle-scale setting —
+      // probing THAT at 100× measures 256 buckets absorbing a 200k-vector
+      // corpus (quadratic in-bucket candidates, the round-11 sweep
+      // measured e = 1.39), not the plan. Bits scale with n so per-bucket
+      // density stays at the tuned level.
+      "op_simsearch_lsh" -> ((s: SparkSession, d: String) => {
+        val e = s.read.parquet(s"$d/embeddings.parquet")
+        val n = e.count()
+        val planes = math.max(8,
+          math.ceil(math.log(n / 40.0) / math.log(2.0)).toInt)
+        graft.ops.Similarity.lshCosinePairs(e, "vec_id", "embedding", 0.3,
+          nPlanes = planes)
+      }),
       // kNN-graph connected components at the PRODUCTION LSH
       // parameterization: bucket bits scale with corpus size
       // (nPlanes = log2(n / ~40-per-bucket), i.e. +log2(R) bits at R×),
