@@ -1954,12 +1954,6 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
-  /** Spark-only: DEFLATE compressibility per document — the native
-    * `graft_deflate_ratio` codegen expression (no SQL-engine zlib surface
-    * to oracle against; monotonicity/bounds are spec'd). Low ratio =
-    * repetitive machine junk; the gate runs beside text_repetition's
-    * n-gram signals as a pure scan projection.
-    */
   /** DEFLATE compressibility gate (the Gopher/MassiveText junk signal).
     *
     * ORACLE-CHECKED (round 11, guarantee flags — DuckDB has no zlib
@@ -3016,6 +3010,16 @@ object SparkEntry {
       .orderBy("tag", "gap_start_hb")
   }
 
+  /** Prequential z-scores in batch replay ([[Streams.scoreOnline]]'s
+    * Welford state over the full ordered history, one batch). ORACLE-
+    * CHECKED (round 11): the prequential z at row k IS the windowed
+    * (avg, stddev_samp) over rows 1..k−1 in (ts, value) order, so the
+    * oracle is an exact windowed-SQL twin — no sketch flags needed.
+    * Welford vs the two-pass window agree to ~2e-14 (measured max over
+    * sf0.1), five orders inside the round-6 contract, and no fixture z
+    * sits near the 3.0 threshold, so the anomaly flag is stable too.
+    * The cross-batch state carry stays MemoryStream-spec'd.
+    */
   private def q_stream_score(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val readings = E(s, dir)
@@ -3023,7 +3027,10 @@ object SparkEntry {
       .as[graft.streaming.Reading]
     graft.streaming.Streams.scoreOnline(readings, 3.0)
       .toDF()
-      .orderBy("tag", "ts")
+      .select(col("tag"),
+        graft.sources.Events.epochMicros(col("ts")).as("ts_us"),
+        col("value"), round(col("z"), 6).as("z"), col("anomalous"))
+      .orderBy("tag", "ts_us", "value")
   }
 
   /** PCA-reconstruction anomaly scoring over the aligned hourly matrix.
@@ -5562,9 +5569,15 @@ object SparkEntry {
     * (Sakoe-Chiba banded DP as a native codegen expression). The
     * corpus-scale stage is the profile groupBy; the DP runs once per
     * stream pair over 24-point aggregates — profile-vocabulary-bounded,
-    * never raw-row-quadratic. Spark-only: the DP recurrence is not SQL;
-    * DtwSpec pins identity, symmetry, the banded hand case, and the
-    * phase-shift ranking DTW exists to get right.
+    * never raw-row-quadratic. ORACLE-CHECKED (round 11): profile means
+    * are exact cent-integers (the win_ewma decimal discipline), so both
+    * engines feed the DP bit-identical doubles, and the oracle UNROLLS
+    * the radius-3 band ([[DtwDistance.Band]]) as generated per-cell
+    * CTEs ([[dtwOracleSql]]) — abs/add/least over identical doubles is
+    * deterministic, so c_24_24 must match exactly. Profiles restrict to
+    * complete 24-hour tags in BOTH engines (every fixture tag
+    * qualifies, so no rows drop); DtwSpec keeps the identity/symmetry/
+    * banded hand-case pins.
     */
   private def q_agg_dtw_profiles(s: SparkSession, dir: String): DataFrame = {
     val B = org.apache.spark.sql.graft.Bridge
@@ -5572,10 +5585,15 @@ object SparkEntry {
       B.column(DtwDistance(B.expression(a), B.expression(b)))
     val prof = E(s, dir).filter(col("value").isNotNull)
       .groupBy(col("event_type"), hour(col("ts")).as("h"))
-      .agg(avg("value").as("m"))
+      .agg((sum(col("value").cast("decimal(18,6)")) * lit(1000000L))
+          .cast("long").as("s_micro"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("h"),
+        expr("(s_micro div n) div 10000").cast("double").as("m"))
       .groupBy("event_type")
       .agg(transform(array_sort(collect_list(struct(col("h"), col("m")))),
         x => x.getField("m")).as("profile"))
+      .filter(size(col("profile")) === 24)
     val a = prof.select(col("event_type").as("tag_a"), col("profile").as("pa"))
     val b = prof.select(col("event_type").as("tag_b"), col("profile").as("pb"))
     a.join(b, col("tag_a") < col("tag_b"))
@@ -7216,6 +7234,58 @@ object SparkEntry {
   )
 
   // Shared oracle fragments
+
+  /** Generated oracle for agg_dtw_profiles: the Sakoe-Chiba banded DTW
+    * DP unrolled as one CTE PER CELL (row-major, so every neighbor is
+    * already defined) — cell (i,j) exists iff |i−j| ≤ band, its value is
+    * abs(pa[i]−pb[j]) + least(existing neighbors), and neighbors outside
+    * the band simply drop out of least() exactly as the Scala DP's INF
+    * sentinels drop out of min(). Band mirrors [[DtwDistance.Band]]
+    * (every 24-point profile pair runs at radius 3 — equal lengths, so
+    * the |n−m| widening never engages). 162 in-band cells → 162 chained
+    * CTEs over the ~10 pair rows: trivial for the oracle engine, and the
+    * answer c_24_24 must match Spark's rounded double bit-for-bit
+    * because both DPs consume the identical cent-exact profile doubles.
+    */
+  private def dtwOracleSql: String = {
+    val n = 24
+    val band = graft.expressions.DtwDistance.Band
+    def inBand(i: Int, j: Int): Boolean =
+      i >= 1 && i <= n && j >= 1 && j <= n && math.abs(i - j) <= band
+    val cellCtes = for {
+      i <- 1 to n
+      j <- math.max(1, i - band) to math.min(n, i + band)
+    } yield {
+      val nbrs = Seq(
+        if (i == 1 && j == 1) Some("0.0") else None,
+        if (inBand(i - 1, j)) Some(s"c_${i - 1}_$j") else None,
+        if (inBand(i, j - 1)) Some(s"c_${i}_${j - 1}") else None,
+        if (inBand(i - 1, j - 1)) Some(s"c_${i - 1}_${j - 1}") else None
+      ).flatten
+      val best =
+        if (nbrs.size == 1) nbrs.head else s"least(${nbrs.mkString(", ")})"
+      val src = if (i == 1 && j == 1) "pr" else prevCell(i, j, band, n)
+      s"r_${i}_$j AS (SELECT *, abs(pa[$i] - pb[$j]) + $best AS c_${i}_$j FROM $src)"
+    }
+    s"""WITH p AS (SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS h,
+       |    CAST((CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+       |      // count(*)) // 10000 AS DOUBLE) AS m
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |prof AS (SELECT event_type, list(m ORDER BY h) AS xs
+       |  FROM p GROUP BY 1 HAVING count(*) = 24),
+       |pr AS (SELECT a.event_type AS tag_a, b.event_type AS tag_b,
+       |    a.xs AS pa, b.xs AS pb
+       |  FROM prof a JOIN prof b ON a.event_type < b.event_type),
+       |${cellCtes.mkString(",\n")}
+       |SELECT tag_a, tag_b, round(c_${n}_$n, 6) AS dtw
+       |FROM r_${n}_$n ORDER BY tag_a, tag_b""".stripMargin
+  }
+
+  /** Row-major predecessor CTE name for [[dtwOracleSql]]'s cell chain:
+    * the previous in-band cell of row i, or the last cell of row i−1. */
+  private def prevCell(i: Int, j: Int, band: Int, n: Int): String =
+    if (j - 1 >= math.max(1, i - band)) s"r_${i}_${j - 1}"
+    else s"r_${i - 1}_${math.min(n, i - 1 + band)}"
 
   /** Mirror of AnomalyMath.fixedPointMetricsStats over lineitem with
     * ŷ = 1000·l_quantity: k_y/k_e are exact cents-integers (BIGINT), and
@@ -8999,6 +9069,26 @@ object SparkEntry {
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
         |  event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // the prequential z at row k IS the windowed (avg, stddev_samp) over
+    // rows 1..k−1 in (ts, value) order — an exact twin of scoreOnline's
+    // Welford replay (agree to ~2e-14, far inside round-6); sd is NULL
+    // below 2 prior rows, so the CASE's ELSE mirrors the n>=2 gate
+    "stream_score" ->
+      """WITH s AS (SELECT event_type AS tag,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+        |    count(*) OVER w AS cnt, avg(value) OVER w AS mu,
+        |    stddev_samp(value) OVER w AS sd
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT tag, ts_us, value,
+        |  round(CASE WHEN cnt >= 2 AND sd > 0 THEN (value - mu) / sd
+        |    ELSE 0.0 END, 6) AS z,
+        |  (CASE WHEN cnt >= 2 AND sd > 0 THEN abs((value - mu) / sd)
+        |    ELSE 0.0 END) > 3.0 AS anomalous
+        |FROM s ORDER BY tag, ts_us, value""".stripMargin,
+    // generated per-cell banded-DP chain — see dtwOracleSql's scaladoc
+    "agg_dtw_profiles" -> dtwOracleSql,
     // bloom candidates are exact-confirmed, so the oracle is the PLAIN
     // semi-join — any bloom false positive surviving to output hash-fails
     "dedup_bloom_incremental" ->
