@@ -3125,8 +3125,8 @@ object SparkEntry {
       .orderBy("lang")
   }
 
-  /** Spark-only: ISOLATION FOREST anomaly detection (Liu et al. 2008)
-    * over the aligned hourly streams — the ensemble detector beside the
+  /** ISOLATION FOREST anomaly detection (Liu et al. 2008) over the
+    * aligned hourly streams — the ensemble detector beside the
     * reconstruction-error family: no distributional assumption, catches
     * isolated joint positions the covariance models average away. Fit is
     * bounded by construction (ψ-subsample trees over one md5-ordered
@@ -3134,7 +3134,15 @@ object SparkEntry {
     * precedent) and memoized per dir (deterministic md5-derived splits
     * make the memo ≡ a refit); scoring is a broadcast-tree mapPartitions
     * scan — map-side only, no shuffle, no Janino literal-tree blowup.
-    * Non-SQL: the recursive tree walk.
+    * ORACLE-CHECKED (round 11, fitted-params-as-oracle-input — the
+    * adaboost/IVF lifecycle): the fitted node arrays publish as exact
+    * VALUES literals and the oracle REPLAYS the whole serving path in
+    * SQL — hourly align, a recursive-CTE walk of every (bucket, tree)
+    * pair down the split comparisons, per-leaf c(size) terms
+    * precomputed in Scala, score = 2^(−E[h]/c(ψ)) against the published
+    * threshold. Split comparisons are stable cross-engine: split points
+    * are u01-random within each feature range, so no fixture value sits
+    * within avg()'s ~1e-13 engine skew of one; the fit stays spec'd.
     */
   private def q_ml_isolation_forest(s: SparkSession, dir: String): DataFrame = {
     val tags = Seq("click", "view", "purchase")
@@ -3143,16 +3151,21 @@ object SparkEntry {
     val model = fittedModel(s"iforest/$dir") {
       graft.ml.IsolationForest.fit(wide, tags, "bucket")
     }
+    isoForestOracleBits = Some(isoForestBits(model))
     model.anomaly(wide, "bucket")
       .select(col("bucket"), round(col("anomaly_score"), 6).as("anomaly_score"),
         col("anomalous"))
       .orderBy("bucket")
   }
 
-  /** Spark-only: NONLINEAR trainable autoencoder (KerasAutoEncoder
-    * analogue) — random tanh encoder + ridge-trained decoder fitted in
-    * one shuffle-free aggregation pass; scoring is coefficient-literal
-    * column math. MLlib percentile + solve make it non-SQL-expressible.
+  /** NONLINEAR trainable autoencoder (KerasAutoEncoder analogue) —
+    * random tanh encoder + ridge-trained decoder fitted in one
+    * shuffle-free aggregation pass; scoring is coefficient-literal
+    * column math. ORACLE-CHECKED (round 11, fitted-params-as-oracle-
+    * input): the fitted (μ, σ, W, b, β, threshold) publish as exact
+    * literals and [[rfaeForwardSql]] replays the whole serving pass —
+    * standardize, 16 tanh units, linear decode, L2 error — in the same
+    * ascending accumulation order; the ridge SOLVE stays spec'd.
     */
   private def q_ml_autoencoder(s: SparkSession, dir: String): DataFrame = {
     val wide = Timeseries.align(E(s, dir), "ts", "event_type", "value",
@@ -3160,20 +3173,23 @@ object SparkEntry {
       .na.drop("any", Seq("click", "view", "purchase"))
     val model = graft.ml.AutoEncoder.fit(wide, Seq("click", "view", "purchase"),
       hidden = 16)
+    rfaeBits += ("ml_autoencoder" -> model)
     model.anomaly(wide)
       .select(col("bucket"), round(col("anomaly_score"), 6).as("anomaly_score"),
         col("anomalous"))
       .orderBy("bucket")
   }
 
-  /** Spark-only: GRADIENT-trained autoencoder (the KerasAutoEncoder
+  /** GRADIENT-trained autoencoder (the KerasAutoEncoder
     * backprop analogue) — both layers trained by distributed mini-batch
     * gradient descent (per-epoch treeAggregate gradients over a cached
     * standardized RDD; only O(h·d) gradient vectors move, never data
     * rows). Fit-once per process (the esn/ivf discipline — the seeded
     * fit is deterministic, so the memoized model equals a refit); the
     * scoring pass is the same coefficient-literal codegen column math as
-    * ml_autoencoder. Non-SQL: the iterative descent.
+    * ml_autoencoder. ORACLE-CHECKED (round 11): the DESCENT stays
+    * spec'd, but the fitted weights publish as exact literals and the
+    * serving pass replays in SQL via [[rfaeForwardSql]].
     */
   private def q_ml_autoencoder_sgd(s: SparkSession, dir: String): DataFrame = {
     val wide = Timeseries.align(E(s, dir), "ts", "event_type", "value",
@@ -3183,13 +3199,14 @@ object SparkEntry {
       graft.ml.AutoEncoderSGD.fit(wide, Seq("click", "view", "purchase"),
         hidden = 8, epochs = 60)
     }
+    rfaeBits += ("ml_autoencoder_sgd" -> model)
     model.anomaly(wide)
       .select(col("bucket"), round(col("anomaly_score"), 6).as("anomaly_score"),
         col("anomalous"))
       .orderBy("bucket")
   }
 
-  /** Spark-only: SEQUENCE autoencoder (the KerasLSTMAutoEncoder slot) —
+  /** SEQUENCE autoencoder (the KerasLSTMAutoEncoder slot) —
     * lag-embeds each hour's trailing lb=4 window into flat columns via
     * ONE chunk-keyed window sort (30-day chunks with an lb−1-row carry —
     * no single-partition window; PlanAuditSpec holds), then trains the
@@ -3199,7 +3216,11 @@ object SparkEntry {
     * (SequenceAeSpec separates a scrambled-order segment whose marginals
     * are clean). Fit-once per process (seeded + deterministic, the
     * esn/ivf discipline); scoring is the same coefficient-literal
-    * codegen column math. Non-SQL: the iterative descent.
+    * codegen column math. ORACLE-CHECKED (round 11): the descent
+    * stays spec'd, but the fitted weights publish as exact literals and
+    * the serving pass — plain-lag embed + forward pass — replays in SQL
+    * via [[rfaeForwardSql]] (the chunk-carried embed is output-identical
+    * to the oracle's global lag on any ≥lb−1-rows-per-chunk series).
     */
   private def q_ml_autoencoder_seq(s: SparkSession, dir: String): DataFrame = {
     val tags = Seq("click", "view", "purchase")
@@ -3213,6 +3234,7 @@ object SparkEntry {
       graft.ml.SequenceAE.fit(wide, tags, lb = 4, orderCol = "bucket",
         hidden = 12, epochs = 40)
     }
+    rfaeBits += ("ml_autoencoder_seq" -> model.inner)
     model.anomaly(wide)
       .select(col("bucket"), round(col("anomaly_score"), 6).as("anomaly_score"),
         col("anomalous"))
@@ -4017,13 +4039,35 @@ object SparkEntry {
     * same strided ∪ content-defined-anchor algebra as dedup_substring,
     * anchors from the native `graft_anchors` rolling hash (one O(1)/char
     * pass instead of one md5 per corpus character), xxhash64 span
-    * fingerprints. Spark-only: the oracle engine has neither hash family;
-    * SpanDedupSpec pins recall equivalence against the md5 variant.
+    * fingerprints. ORACLE-CHECKED (round 11, guarantee flags — the
+    * rolling anchor hash is not SQL, but two exact BRACKETS are): on
+    * every doc with strided-only duplicated spans, the rolling count is
+    * ≥ the strided-only floor (both variants examine every strided
+    * position; anchor positions only ADD shared-content occurrences)
+    * and ≤ the position-universe cap max(len−spanLen+1, 1). The oracle
+    * recomputes floor and cap content-exactly in SQL and asserts both
+    * Spark-computed flags TRUE — a recall regression in the anchor/
+    * fingerprint path (lost strided spans) or an explosion (junk
+    * anchors) flips a flag and hash-fails. SpanDedupSpec keeps the full
+    * recall-equivalence pins vs the md5 variant.
     */
-  private def q_dedup_substring_fast(s: SparkSession, dir: String): DataFrame =
-    Dedup.duplicatedSpansRolling(T(s, dir, "documents"), "doc_id", "text",
+  private def q_dedup_substring_fast(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val fast = Dedup.duplicatedSpansRolling(docs, "doc_id", "text",
+      spanLen = 64, stride = 32)
+    val floor = Dedup.duplicatedSpansStrided(docs, "doc_id", "text",
         spanLen = 64, stride = 32)
+      .select(col("doc_id"), col("n_dup_spans").as("floor_spans"))
+    val caps = docs.select(col("doc_id"),
+      greatest(length(col("text")) - 63, lit(1)).cast("long").as("cap"))
+    floor.join(fast, Seq("doc_id"), "left")
+      .join(caps, Seq("doc_id"))
+      .select(col("doc_id"), col("floor_spans"),
+        (coalesce(col("n_dup_spans"), lit(0L)) >= col("floor_spans"))
+          .as("ge_floor_ok"),
+        (coalesce(col("n_dup_spans"), lit(0L)) <= col("cap")).as("le_cap_ok"))
       .orderBy("doc_id")
+  }
 
   /** SEGMENT-level exact dedup with text RECONSTRUCTION — the C4 /
     * Dolma "line dedup" pipeline stage (remove every later occurrence of
@@ -4299,18 +4343,30 @@ object SparkEntry {
     * z-standardized via broadcast global stats (deliberately NOT a rank
     * window — ranking all buckets is a single-partition window, the
     * PlanAudit scale-killer; standardization is one tiny agg), averaged,
-    * top-20 consensus buckets via TakeOrdered. Spark-only: two of the
-    * three components are non-SQL fits.
+    * top-20 consensus buckets via TakeOrdered. ORACLE-CHECKED (round
+    * 11, fitted-params-as-oracle-input): the scaler μ / 1/σ factors and
+    * the k=2 component matrix publish as exact literals ([[pcaBits]]),
+    * the isolation forest rides the same published node table as
+    * ml_isolation_forest (same memoized fit), and the Mahalanobis leg
+    * was SQL-exact all along (agg_mahalanobis) — so the oracle replays
+    * ALL THREE serving paths, the join, the global standardization, and
+    * the top-20 cut. Engine float skew (~1e-13 on avg'd features) is
+    * five orders inside round-6, and the rank-20/21 consensus gap is
+    * ~1e-3 at every SF, so the cut is stable; both fits stay spec'd.
     */
   private def q_ml_anomaly_ensemble(s: SparkSession, dir: String): DataFrame = {
     val tags = Seq("click", "view", "purchase")
     val wide = Timeseries.align(E(s, dir), "ts", "event_type", "value",
       tags, "1 hour").na.drop("any", tags)
-    val pca = graft.ml.PcaAnomaly.fit(wide, tags, k = 2).score(wide)
+    val pcaModel = graft.ml.PcaAnomaly.fit(wide, tags, k = 2)
+    pcaEnsembleBits = Some(pcaBits(pcaModel))
+    val pca = pcaModel.score(wide)
       .select(col("bucket"), col("anomaly_score").as("s_pca"))
-    val forest = fittedModel(s"iforest/$dir") {
+    val forestModel = fittedModel(s"iforest/$dir") {
       graft.ml.IsolationForest.fit(wide, tags, "bucket")
-    }.score(wide, "bucket")
+    }
+    isoForestOracleBits = Some(isoForestBits(forestModel))
+    val forest = forestModel.score(wide, "bucket")
       .select(col("bucket"), col("anomaly_score").as("s_if"))
     val maha = mahalanobisD2(s, dir).select(col("bucket"), col("d2").as("s_mh"))
     val j = pca.join(forest, "bucket").join(maha, "bucket")
@@ -9089,6 +9145,22 @@ object SparkEntry {
         |FROM s ORDER BY tag, ts_us, value""".stripMargin,
     // generated per-cell banded-DP chain — see dtwOracleSql's scaladoc
     "agg_dtw_profiles" -> dtwOracleSql,
+    // strided-only floor + position-universe cap, both content-exact in
+    // SQL; the rolling variant's count sits between them on every doc
+    // (see q_dedup_substring_fast's scaladoc for the bracket argument)
+    "dedup_substring_fast" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(1, greatest(length(text) - 63, 1) + 1, 32)) AS p
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, substr(text, CAST(p AS INTEGER), 64) AS c FROM pos),
+        |shared AS (
+        |  SELECT c FROM spans GROUP BY c HAVING count(DISTINCT doc_id) > 1)
+        |SELECT doc_id, count(*) AS floor_spans,
+        |  TRUE AS ge_floor_ok, TRUE AS le_cap_ok
+        |FROM spans JOIN shared USING (c)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // bloom candidates are exact-confirmed, so the oracle is the PLAIN
     // semi-join — any bloom false positive surviving to output hash-fails
     "dedup_bloom_incremental" ->
@@ -11325,7 +11397,9 @@ object SparkEntry {
         |               pt AS (PARTITION BY event_type))
         |SELECT event_type, round(max(abs(fa - fb)), 6) AS ks
         |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
-  ) ++ ivfOracleEntry ++ pqOracleEntry ++ arOracleEntry ++ adaboostOracleEntry
+  ) ++ ivfOracleEntry ++ pqOracleEntry ++ arOracleEntry ++
+    adaboostOracleEntry ++ isoForestOracleEntry ++ ensembleOracleEntry ++
+    autoencoderOracleEntries
 
   /** Centroid VALUES literals of the IVF quantizer this process served
     * (set by q_simsearch_ivf from the fit-once registry model — a
@@ -11360,6 +11434,272 @@ object SparkEntry {
     * lifecycle contract as [[ivfCentroidValues]].
     */
   @volatile private var adaboostMarginSql: Option[String] = None
+
+  /** (node VALUES rows, nTrees, c(ψ) literal, threshold literal)
+    * published by q_ml_isolation_forest — same lifecycle contract as
+    * [[ivfCentroidValues]]. Doubles travel as VARCHAR literals and cast
+    * in SQL (the [[doubleArraySql]] exact-parse rule).
+    */
+  @volatile private var isoForestOracleBits
+    : Option[(String, Int, String, String)] = None
+
+  /** (μ, 1/σ factors, principal components) published by
+    * q_ml_anomaly_ensemble from the fitted scaler+PCA pipeline — same
+    * lifecycle contract as [[ivfCentroidValues]]. The factor is the
+    * scaler's own precomputed reciprocal (MLlib multiplies by 1/σ, it
+    * does not divide), so the SQL replay is arithmetic-identical.
+    */
+  @volatile private var pcaEnsembleBits
+    : Option[(Seq[Double], Seq[Double], Seq[Seq[Double]])] = None
+
+  private def pcaBits(m: graft.ml.PcaAnomalyModel)
+      : (Seq[Double], Seq[Double], Seq[Seq[Double]]) = {
+    import org.apache.spark.ml.feature.{PCAModel, StandardScalerModel}
+    val sc = m.pipeline.stages
+      .collectFirst { case s: StandardScalerModel => s }
+      .getOrElse(throw new IllegalStateException("pipeline has no scaler"))
+    val pca = m.pipeline.stages.collectFirst { case p: PCAModel => p }
+      .getOrElse(throw new IllegalStateException("pipeline has no PCA"))
+    val mu = sc.mean.toArray.toSeq
+    val factor = sc.std.toArray.toSeq
+      .map(s => if (s != 0.0) 1.0 / s else 0.0)
+    val pc = (0 until pca.getK).map(i =>
+      (0 until pca.pc.numRows).map(j => pca.pc(j, i)))
+    (mu, factor, pc)
+  }
+
+  /** Fitted random-feature / gradient / sequence autoencoders published
+    * for their oracles, keyed by query id — same lifecycle contract as
+    * [[ivfCentroidValues]]. All three serve through the SAME
+    * [[graft.ml.AutoEncoder.RfaeModel]] column math, so one generator
+    * ([[rfaeForwardSql]]) replays every forward pass from the fitted
+    * arrays.
+    */
+  @volatile private var rfaeBits
+    : Map[String, graft.ml.AutoEncoder.RfaeModel] = Map.empty
+
+  private def dlit(x: Double): String = s"CAST('$x' AS DOUBLE)"
+
+  /** Generated RFAE forward pass from fitted literals: standardize →
+    * h tanh units → linear decode → L2 reconstruction error, each layer
+    * a chained CTE (mirroring the materialized-layer Spark plan), every
+    * accumulation in the same ascending index order as the Scala
+    * `reduce(_ + _)`. Callers define an `emb` CTE holding `bucket` plus
+    * the feature columns named in `feats` (fit order).
+    */
+  private def rfaeForwardSql(m: graft.ml.AutoEncoder.RfaeModel,
+      feats: Seq[String]): String = {
+    val d = feats.length
+    val h = m.b.length
+    val xs = feats.zipWithIndex.map { case (f, j) =>
+      s"($f - ${dlit(m.means(j))}) / ${dlit(m.stds(j))} AS x$j"
+    }.mkString(",\n    ")
+    // the oracle engine has no tanh: 1 − 2/(e^{2a}+1) is the stable
+    // identity (exact at ±∞ via overflow/underflow, ~1e-16 relative
+    // elsewhere — the linear decode amplifies it nowhere near round-6)
+    val zs = (0 until h).map { i =>
+      val acc = (0 until d).map(j => s"x$j * ${dlit(m.w(i)(j))}")
+        .mkString(" + ")
+      s"1.0 - 2.0 / (exp(2.0 * ($acc + ${dlit(m.b(i))})) + 1.0) AS z$i"
+    }.mkString(",\n    ")
+    val xh = (0 until d).map { j =>
+      val acc = (0 until h).map(i => s"z$i * ${dlit(m.beta(i)(j))}")
+        .mkString(" + ")
+      s"$acc + ${dlit(m.beta(h)(j))} AS xh$j"
+    }.mkString(",\n    ")
+    val err = (0 until d).map(j => s"(x$j - xh$j) * (x$j - xh$j)")
+      .mkString(" + ")
+    s"""px AS (SELECT bucket, $xs FROM emb),
+       |hz AS (SELECT *, $zs FROM px),
+       |xr AS (SELECT *, $xh FROM hz),
+       |sc AS (SELECT bucket, sqrt($err) AS score FROM xr)""".stripMargin
+  }
+
+  /** One RFAE oracle entry: emb CTE + generated forward pass + the
+    * round-6 score and published-threshold flag. */
+  private def rfaeOracleEntry(name: String, embCte: String,
+      feats: Seq[String]): Map[String, String] =
+    rfaeBits.get(name).map { m =>
+      name ->
+        s"""WITH $alignedPtsCtes,
+           |$embCte,
+           |${rfaeForwardSql(m, feats)}
+           |SELECT bucket, round(score, 6) AS anomaly_score,
+           |  score > ${dlit(m.threshold)} AS anomalous
+           |FROM sc ORDER BY bucket""".stripMargin
+    }.toMap
+
+  /** The three RFAE-serving oracles (round 11): base random-feature AE
+    * and the SGD-trained AE score the aligned columns directly; the
+    * sequence AE first delay-embeds lb=4 windows — the oracle's plain
+    * `lag() OVER (ORDER BY bucket)` is output-identical to the Spark
+    * plan's chunk-carried embed whenever every 30-day chunk holds
+    * ≥ lb−1 rows (the fixture's near-hourly series holds ~720).
+    */
+  private def autoencoderOracleEntries: Map[String, String] = {
+    val tags = Seq("click", "view", "purchase")
+    val flat = "emb AS (SELECT bucket, click, view, purchase FROM pts)"
+    val lb = 4
+    val lagSelect = (for (l <- (lb - 1) to 0 by -1; t <- tags)
+      yield if (l == 0) s"$t AS ${t}__m0"
+        else s"lag($t, $l) OVER wnd AS ${t}__m$l").mkString(", ")
+    val notNull = graft.ml.SequenceAE.lagCols(tags, lb)
+      .map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val lagEmb =
+      s"""emb0 AS (SELECT bucket, $lagSelect
+         |  FROM pts WINDOW wnd AS (ORDER BY bucket)),
+         |emb AS (SELECT * FROM emb0 WHERE $notNull)""".stripMargin
+    rfaeOracleEntry("ml_autoencoder", flat, tags) ++
+      rfaeOracleEntry("ml_autoencoder_sgd", flat, tags) ++
+      rfaeOracleEntry("ml_autoencoder_seq", lagEmb,
+        graft.ml.SequenceAE.lagCols(tags, lb))
+  }
+
+  /** Flatten a fitted isolation forest into oracle-input literals: one
+    * VALUES row per node `(tree, node, feature, split, left, right,
+    * c_leaf)` — split/c_leaf as strings for the exact VARCHAR→DOUBLE
+    * parse; c_leaf precomputed in Scala so the oracle never needs ln.
+    */
+  private def isoForestBits(
+      m: graft.ml.IsolationForestModel): (String, Int, String, String) = {
+    val rows = m.trees.zipWithIndex.flatMap { case (tr, t) =>
+      tr.feature.indices.map { n =>
+        val cl =
+          if (tr.left(n) < 0) graft.ml.IsolationForest.c(tr.size(n)) else 0.0
+        s"($t,$n,${tr.feature(n)},'${tr.split(n)}',${tr.left(n)},${tr.right(n)},'$cl')"
+      }
+    }.mkString(",")
+    (rows, m.trees.length, graft.ml.IsolationForest.c(m.psi).toString,
+      m.threshold.toString)
+  }
+
+  /** ml_isolation_forest oracle (round 11): with the fitted node arrays
+    * as exact VALUES literals, the oracle re-walks every (bucket, tree)
+    * pair by recursive CTE — at each step the row moves to the left or
+    * right child by the same `x[f] < split` comparison the Scala
+    * traversal makes — then adds the precomputed per-leaf c(size)
+    * term, averages path lengths per bucket, and maps through
+    * 2^(−E[h]/c(ψ)). Tree-order vs hash-order float summation differ
+    * ~1e-14 relative (64 bounded terms), far inside the round-6
+    * contract; the anomalous flag compares the unrounded score to the
+    * published exact-percentile threshold, which interpolates strictly
+    * between training scores on every fixture (verified per SF), so no
+    * row sits at the flag boundary.
+    */
+  /** Shared iforest-walk CTE fragment: published node table → recursive
+    * per-(bucket, tree) descent → `sif(bucket, score)`. Callers must
+    * define a `pts(bucket, …, x)` CTE first and open WITH RECURSIVE.
+    */
+  private def isoWalkSql(rows: String, nTrees: Int, cPsi: String): String =
+    s"""nodes0(t, n, f, s0, l, r, cl0) AS (VALUES $rows),
+       |nd AS (SELECT t, n, f, CAST(s0 AS DOUBLE) AS s, l, r,
+       |    CAST(cl0 AS DOUBLE) AS cl FROM nodes0),
+       |walk(bucket, x, t, n, depth) AS (
+       |  SELECT p.bucket, p.x, r0.t, 0, 0
+       |  FROM pts p CROSS JOIN (SELECT DISTINCT t FROM nd) r0
+       |  UNION ALL
+       |  SELECT w2.bucket, w2.x, w2.t,
+       |    CASE WHEN w2.x[d.f + 1] < d.s THEN d.l ELSE d.r END,
+       |    w2.depth + 1
+       |  FROM walk w2 JOIN nd d ON d.t = w2.t AND d.n = w2.n
+       |  WHERE d.f >= 0),
+       |term AS (SELECT w3.bucket, w3.depth + d.cl AS plen
+       |  FROM walk w3 JOIN nd d ON d.t = w3.t AND d.n = w3.n
+       |  WHERE d.f < 0),
+       |sif AS (SELECT bucket,
+       |    pow(2.0, -(sum(plen) / $nTrees.0) / CAST('$cPsi' AS DOUBLE))
+       |      AS score FROM term GROUP BY 1)""".stripMargin
+
+  private val alignedPtsCtes =
+    s"""al AS ($wide1h),
+       |pts AS (SELECT bucket, click, view, purchase,
+       |    [click, view, purchase] AS x FROM al
+       |  WHERE click IS NOT NULL AND view IS NOT NULL
+       |    AND purchase IS NOT NULL)""".stripMargin
+
+  private def isoForestOracleEntry: Map[String, String] =
+    isoForestOracleBits.map { case (rows, nTrees, cPsi, thr) =>
+      "ml_isolation_forest" ->
+        s"""WITH RECURSIVE
+           |$alignedPtsCtes,
+           |${isoWalkSql(rows, nTrees, cPsi)}
+           |SELECT bucket, round(score, 6) AS anomaly_score,
+           |  score > CAST('$thr' AS DOUBLE) AS anomalous
+           |FROM sif ORDER BY bucket""".stripMargin
+    }.toMap
+
+  /** ml_anomaly_ensemble oracle (round 11): replays all three serving
+    * paths from published literals — PCA reconstruction error from the
+    * scaler μ / 1/σ factors and the k=2 component matrix (same
+    * multiply-by-reciprocal and j-ascending dot order as MLlib), the
+    * isolation-forest walk over the shared node table, and the
+    * cents-exact Mahalanobis d² (the agg_mahalanobis algebra verbatim,
+    * rounded to 6 BEFORE the consensus exactly as the Spark side does)
+    * — then the bucket join, global z-standardization, consensus
+    * average, and the top-20 cut on the UNROUNDED consensus.
+    */
+  private def ensembleOracleEntry: Map[String, String] = (for {
+    (rows, nTrees, cPsi, _) <- isoForestOracleBits
+    (mu, fac, pc) <- pcaEnsembleBits
+  } yield {
+    def dl(x: Double) = s"CAST('$x' AS DOUBLE)"
+    def xs(j: Int) = s"(${Seq("click", "view", "purchase")(j)} - ${dl(mu(j))}) * ${dl(fac(j))}"
+    def z(i: Int) = (0 until 3)
+      .map(j => s"${dl(pc(i)(j))} * x${j + 1}").mkString(" + ")
+    "ml_anomaly_ensemble" ->
+      s"""WITH RECURSIVE
+         |$alignedPtsCtes,
+         |${isoWalkSql(rows, nTrees, cPsi)},
+         |px AS (SELECT bucket, ${xs(0)} AS x1, ${xs(1)} AS x2,
+         |    ${xs(2)} AS x3 FROM pts),
+         |pz AS (SELECT bucket, x1, x2, x3, ${z(0)} AS z1, ${z(1)} AS z2
+         |  FROM px),
+         |spca AS (SELECT bucket, sqrt(greatest(0.0,
+         |    x1*x1 + x2*x2 + x3*x3 - z1*z1 - z2*z2)) AS s_pca FROM pz),
+         |hh AS (
+         |  SELECT event_type,
+         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         |    (CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+         |      // count(*)) // 10000 AS c
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |wm AS (
+         |  SELECT bucket,
+         |    max(CASE WHEN event_type = 'click' THEN c END) AS mx,
+         |    max(CASE WHEN event_type = 'view' THEN c END) AS my
+         |  FROM hh GROUP BY 1
+         |  HAVING max(CASE WHEN event_type = 'click' THEN c END) IS NOT NULL
+         |     AND max(CASE WHEN event_type = 'view' THEN c END) IS NOT NULL),
+         |stm AS (SELECT count(*) AS mn,
+         |    CAST(sum(mx) AS BIGINT) AS sx, CAST(sum(my) AS BIGINT) AS sy,
+         |    CAST(sum(mx * mx) AS BIGINT) AS sxx,
+         |    CAST(sum(my * my) AS BIGINT) AS syy,
+         |    CAST(sum(mx * my) AS BIGINT) AS sxy FROM wm),
+         |mm AS (SELECT bucket, mn,
+         |    CAST(mn * mx - sx AS DOUBLE) AS ax,
+         |    CAST(mn * my - sy AS DOUBLE) AS ay,
+         |    CAST(mn * sxx - sx * sx AS DOUBLE) AS vxx,
+         |    CAST(mn * syy - sy * sy AS DOUBLE) AS vyy,
+         |    CAST(mn * sxy - sx * sy AS DOUBLE) AS vxy
+         |  FROM wm CROSS JOIN stm),
+         |dd AS (SELECT bucket, round(
+         |    CAST(mn - 1 AS DOUBLE)
+         |      * (ax * ax * vyy - ax * ay * vxy * 2.0 + ay * ay * vxx)
+         |      / NULLIF(CAST(mn AS DOUBLE) * (vxx * vyy - vxy * vxy), 0),
+         |    6) AS s_mh FROM mm),
+         |j AS (SELECT p.bucket, p.s_pca, f.score AS s_if, m.s_mh
+         |  FROM spca p JOIN sif f USING (bucket) JOIN dd m USING (bucket)),
+         |gs AS (SELECT avg(s_pca) AS m1, stddev_samp(s_pca) AS d1,
+         |    avg(s_if) AS m2, stddev_samp(s_if) AS d2,
+         |    avg(s_mh) AS m3, stddev_samp(s_mh) AS d3 FROM j),
+         |cns AS (SELECT bucket,
+         |    ((s_pca - m1) / NULLIF(d1, 0.0) + (s_if - m2) / NULLIF(d2, 0.0)
+         |      + (s_mh - m3) / NULLIF(d3, 0.0)) / 3.0 AS consensus,
+         |    s_pca, s_if, s_mh FROM j CROSS JOIN gs),
+         |top AS (SELECT * FROM cns ORDER BY consensus DESC, bucket LIMIT 20)
+         |SELECT bucket, round(consensus, 6) AS consensus,
+         |  round(s_pca, 6) AS s_pca, round(s_if, 6) AS s_if, s_mh
+         |FROM top ORDER BY consensus DESC, bucket""".stripMargin
+  }).toMap
 
   /** ml_adaboost oracle (round 11): with the 10 fitted stumps as exact
     * literals, the oracle recomputes the five integer surface features,

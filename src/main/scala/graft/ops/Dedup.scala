@@ -1139,6 +1139,29 @@ object Dedup {
     spanDupCounts(spans)
   }
 
+  /** Strided-only duplicated-span counts — the SQL-exact FLOOR behind
+    * dedup_substring_fast's oracle flags. Both substring variants
+    * examine every strided position, and extra (anchor) positions can
+    * only ADD occurrences of a span's content to the shared set, so the
+    * rolling variant's per-doc count is ≥ this strided-only count on
+    * every doc (hash-collision inflation included: a 64-bit collision
+    * can only add false dups, never remove true ones). Fingerprints are
+    * xxhash64; the oracle groups raw 64-char content, equal up to
+    * 64-bit collisions (P ≤ n_spans²/2⁶⁴ — the shingle-keying
+    * argument).
+    */
+  def duplicatedSpansStrided(docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 64, stride: Int = 32): DataFrame = {
+    val lastStart = greatest(length(col(textCol)) - (spanLen - 1), lit(1))
+    val wide = docs.select(col(idCol).as("doc_id"), col(textCol))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+    val spans = wide.select(col("doc_id"),
+      explode(transform(sequence(lit(1), lastStart, lit(stride)),
+        p => xxhash64(col(textCol).substr(p, lit(spanLen))))).as("h"))
+    spanDupCounts(spans)
+  }
+
   /** Bloom-pruned EXACT-duplicate detection for the incremental ingest
     * path: which delta documents carry text already present verbatim in
     * the base corpus? The naive answer is one delta⋈base semi-join on the
