@@ -3241,7 +3241,7 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
-  /** Spark-only: TRUE BPTT recurrent sequence autoencoder (the faithful
+  /** TRUE BPTT recurrent sequence autoencoder (the faithful
     * KerasLSTMAutoEncoder slot, closing SURVEY §7.4 item 9) — a GRU
     * encoder walks each hour's trailing lb=4 window step by step, its
     * final state is the code, a zero-input GRU decoder unrolls it back
@@ -3253,7 +3253,11 @@ object SparkEntry {
     * Fit-once per process (seeded + deterministic); scoring is one
     * forward pass per independent window in mapPartitions — the genuine-
     * recurrence escape hatch, embarrassingly parallel at any width.
-    * Non-SQL: the iterative descent and the recurrent forward pass.
+    * ORACLE-CHECKED (round 11): the BPTT descent stays spec'd, but the
+    * fitted θ publishes as exact literals and [[gruOracleEntry]]
+    * unrolls the whole recurrent serving pass — lb GRU encoder steps,
+    * the zero-input decoder, reversed-window targets — as generated
+    * chained CTEs in the Scala accumulation order.
     */
   private def q_ml_rnn_autoencoder(s: SparkSession, dir: String): DataFrame = {
     val tags = Seq("click", "view", "purchase")
@@ -3270,6 +3274,7 @@ object SparkEntry {
       graft.ml.RnnAutoEncoder.fitOrLoad(s"$registryRoot/gruae_$key.txt",
         wide, tags, lb = 4, orderCol = "bucket", hidden = 8, epochs = 25)
     }
+    gruBits = Some(model)
     model.score(wide)
       .select(col("bucket"), round(col("anomaly_score"), 6).as("anomaly_score"),
         col("anomalous"))
@@ -11399,7 +11404,7 @@ object SparkEntry {
         |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
   ) ++ ivfOracleEntry ++ pqOracleEntry ++ arOracleEntry ++
     adaboostOracleEntry ++ isoForestOracleEntry ++ ensembleOracleEntry ++
-    autoencoderOracleEntries
+    autoencoderOracleEntries ++ gruOracleEntry
 
   /** Centroid VALUES literals of the IVF quantizer this process served
     * (set by q_simsearch_ivf from the fit-once registry model — a
@@ -11528,6 +11533,108 @@ object SparkEntry {
            |  score > ${dlit(m.threshold)} AS anomalous
            |FROM sc ORDER BY bucket""".stripMargin
     }.toMap
+
+  /** Fitted GRU autoencoder published by q_ml_rnn_autoencoder — same
+    * lifecycle contract as [[ivfCentroidValues]]. */
+  @volatile private var gruBits
+    : Option[graft.ml.RnnAutoEncoder.GruAeModel] = None
+
+  /** Generated oracle for ml_rnn_autoencoder: the lb-step GRU encoder
+    * and zero-input decoder UNROLLED as chained CTEs from the published
+    * θ (531 exact literals at h=8, d=3) — every gate in the Scala
+    * accumulation order (bias, then x terms j-ascending, then
+    * recurrent terms k-ascending), σ spelled as the identical
+    * 1/(1+e^{−a}), tanh via the stable exp identity, the reversed-
+    * window targets, and Σe²/(lb·d). Step-0 simplifications are
+    * float-exact (h₋₁ = 0: adding Σ U·0 and (1−z)·0 are identities),
+    * so the unroll computes the same doubles the mapPartitions forward
+    * pass does, modulo ~ulp exp/tanh skew — five orders inside the
+    * round-6 contract.
+    */
+  private def gruOracleEntry: Map[String, String] = gruBits.map { m =>
+    val lo = graft.ml.RnnAutoEncoder.Layout(m.hidden, m.baseTags.length)
+    import lo._
+    val lb = m.lb
+    val th = m.theta
+    val tags = m.baseTags
+    def T(i: Int) = dlit(th(i))
+    def sig(a: String) = s"1.0 / (1.0 + exp(-($a)))"
+    def tnh(a: String) = s"(1.0 - 2.0 / (exp(2.0 * ($a)) + 1.0))"
+    // x{t}j{j} = standardized lag column of step t (oldest first)
+    val stdCols = (for (t <- 0 until lb; j <- 0 until d) yield
+      s"(${tags(j)}__m${lb - 1 - t} - ${dlit(m.means(j))}) / ${dlit(m.stds(j))} AS x${t}j$j")
+      .mkString(",\n    ")
+    def encGate(t: Int, i: Int, offW: Int, offU: Int, offB: Int): String = {
+      val xTerms = (0 until d)
+        .map(j => s" + ${T(offW + i * d + j)} * x${t}j$j").mkString
+      val uTerms = if (t == 0) ""
+        else (0 until h)
+          .map(k => s" + ${T(offU + i * h + k)} * eh${t - 1}_$k").mkString
+      s"${T(offB + i)}$xTerms$uTerms"
+    }
+    val encCtes = (0 until lb).flatMap { t =>
+      val gates = (0 until h).flatMap { i =>
+        Seq(s"${sig(encGate(t, i, offWz, offUz, offbz))} AS ez${t}_$i",
+          s"${sig(encGate(t, i, offWr, offUr, offbr))} AS er${t}_$i")
+      }.mkString(",\n    ")
+      val hs = (0 until h).map { i =>
+        val xTerms = (0 until d)
+          .map(j => s" + ${T(offWh + i * d + j)} * x${t}j$j").mkString
+        val uTerms = if (t == 0) ""
+          else (0 until h).map(k =>
+            s" + ${T(offUh + i * h + k)} * (er${t}_$k * eh${t - 1}_$k)")
+            .mkString
+        val cand = tnh(s"${T(offbh + i)}$xTerms$uTerms")
+        if (t == 0) s"ez${t}_$i * $cand AS eh${t}_$i"
+        else s"(1.0 - ez${t}_$i) * eh${t - 1}_$i + ez${t}_$i * $cand AS eh${t}_$i"
+      }.mkString(",\n    ")
+      Seq(s"eg$t AS (SELECT *, $gates FROM ${if (t == 0) "std" else s"eh${t - 1}"})",
+        s"eh$t AS (SELECT *, $hs FROM eg$t)")
+    }
+    def sPrev(t: Int, k: Int) = if (t == 0) s"eh${lb - 1}_$k" else s"ds${t - 1}_$k"
+    val decCtes = (0 until lb).flatMap { t =>
+      val gates = (0 until h).flatMap { i =>
+        def acc(offG: Int, offC: Int) = s"${T(offC + i)}" + (0 until h)
+          .map(k => s" + ${T(offG + i * h + k)} * ${sPrev(t, k)}").mkString
+        Seq(s"${sig(acc(offGz, offcz))} AS dz${t}_$i",
+          s"${sig(acc(offGr, offcr))} AS dr${t}_$i")
+      }.mkString(",\n    ")
+      val ss = (0 until h).map { i =>
+        val uTerms = (0 until h).map(k =>
+          s" + ${T(offGh + i * h + k)} * (dr${t}_$k * ${sPrev(t, k)})")
+          .mkString
+        s"(1.0 - dz${t}_$i) * ${sPrev(t, i)} + dz${t}_$i * ${tnh(s"${T(offch + i)}$uTerms")} AS ds${t}_$i"
+      }.mkString(",\n    ")
+      val xh = (0 until d).map { j =>
+        s"${T(offco + j)}" + (0 until h)
+          .map(k => s" + ${T(offV + j * h + k)} * ds${t}_$k").mkString +
+          s" AS xh${t}j$j"
+      }.mkString(",\n    ")
+      Seq(
+        s"dg$t AS (SELECT *, $gates FROM ${if (t == 0) s"eh${lb - 1}" else s"dx${t - 1}"})",
+        s"ds$t AS (SELECT *, $ss FROM dg$t)",
+        s"dx$t AS (SELECT *, $xh FROM ds$t)")
+    }
+    val sse = (for (t <- 0 until lb; j <- 0 until d) yield
+      s"(xh${t}j$j - x${lb - 1 - t}j$j) * (xh${t}j$j - x${lb - 1 - t}j$j)")
+      .mkString(" + ")
+    val lagSelect = (for (l <- (lb - 1) to 0 by -1; t <- tags)
+      yield if (l == 0) s"$t AS ${t}__m0"
+        else s"lag($t, $l) OVER wnd AS ${t}__m$l").mkString(", ")
+    val notNull = graft.ml.SequenceAE.lagCols(tags, lb)
+      .map(c => s"$c IS NOT NULL").mkString(" AND ")
+    "ml_rnn_autoencoder" ->
+      s"""WITH $alignedPtsCtes,
+         |emb0 AS (SELECT bucket, $lagSelect
+         |  FROM pts WINDOW wnd AS (ORDER BY bucket)),
+         |emb AS (SELECT * FROM emb0 WHERE $notNull),
+         |std AS (SELECT bucket, $stdCols FROM emb),
+         |${(encCtes ++ decCtes).mkString(",\n")},
+         |sc AS (SELECT bucket, ($sse) / ${lb * d}.0 AS score FROM dx${lb - 1})
+         |SELECT bucket, round(score, 6) AS anomaly_score,
+         |  score > ${dlit(m.threshold)} AS anomalous
+         |FROM sc ORDER BY bucket""".stripMargin
+  }.toMap
 
   /** The three RFAE-serving oracles (round 11): base random-feature AE
     * and the SGD-trained AE score the aligned columns directly; the
