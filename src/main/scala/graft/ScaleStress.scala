@@ -160,14 +160,17 @@ object ScaleStress {
       // scale the partition bookkeeping ≈ the data volume, the probe
       // shows where the touched-partitions-only write pays
       "stream_upsert",
-      // simsearch_lsh (the REGISTRY query) is deliberately absent: its
-      // fixed nPlanes=8 is the oracle-scale setting, and probing it at
-      // 100× measures 256 buckets absorbing a 1M-vector corpus —
-      // quadratic in-bucket candidates by construction (measured
-      // e = 1.39 at 10×; a 100× leg ran 25+ min before being cut).
-      // The PRODUCTION parameterization is probed as op_simsearch_lsh
-      // below (density-scaled bucket bits — the documented scale path).
-      "simsearch_ivf", "dedup_semantic",
+      // The LSH-surfaced registry queries (simsearch_lsh and the graph
+      // family) are probed AS the registry queries since round 11's
+      // autoPlanes change: every LSH caller now density-scales its
+      // bucket bits (Similarity.autoPlanes — identical plans below
+      // 10240 vectors, so oracle hashes are untouched), which is the
+      // production parameterization the round-10 verdict named as the
+      // documented scale lever. Probing the old fixed-8 form at 100×
+      // measured 256 buckets absorbing a 1M-vector corpus (e = 1.39 at
+      // 10×; a 100× leg ran 25+ min before being cut) — bucket-density
+      // collapse by construction, not the plan.
+      "simsearch_lsh", "simsearch_ivf", "dedup_semantic",
       // round-8 session-3 additions: graph, MMR, streaming multivariate,
       // sliding windows, correlogram, per-stream sorts
       "graph_pagerank", "graph_triangles", "simsearch_mmr",

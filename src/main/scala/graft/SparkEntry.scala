@@ -1290,7 +1290,7 @@ object SparkEntry {
     * recall vs the brute-force baseline is additionally unit-tested.
     */
   private def q_simsearch_lsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshCosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
+    Similarity.lshCosinePairsAuto(T(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
       .orderBy("vec_a", "vec_b")
 
   /** LSH RECALL AUDIT — "measure, don't guess" as a first-class query:
@@ -1306,7 +1306,7 @@ object SparkEntry {
     val e = T(s, dir, "embeddings")
     val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.4)
       .agg(count(lit(1)).as("n_exact"))
-    val approx = Similarity.lshCosinePairs(e, "vec_id", "embedding", 0.4)
+    val approx = Similarity.lshCosinePairsAuto(e, "vec_id", "embedding", 0.4)
       .agg(count(lit(1)).as("n_lsh"))
     exact.crossJoin(approx)
       .select(col("n_exact"), col("n_lsh"),
@@ -1320,7 +1320,7 @@ object SparkEntry {
     * inlined plane literals (the simsearch_lsh pattern).
     */
   private def q_simsearch_knn_graph(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id", "embedding", 3)
+    Similarity.knnGraphAuto(T(s, dir, "embeddings"), "vec_id", "embedding", 3)
       .orderBy("qid", "rnk")
 
   /** PAGERANK over the kNN similarity graph — graph centrality as a
@@ -1339,7 +1339,7 @@ object SparkEntry {
     * amortizes at scale; lineage truncated every round).
     */
   private def q_graph_pagerank(s: SparkSession, dir: String): DataFrame = {
-    val edges = Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id",
+    val edges = Similarity.knnGraphAuto(T(s, dir, "embeddings"), "vec_id",
         "embedding", 3)
       .select(col("qid").as("src"), col("nid").as("dst"))
     val nodes = T(s, dir, "embeddings").select(col("vec_id").as("id"))
@@ -1356,7 +1356,7 @@ object SparkEntry {
     * absent by contract (degree-0 has no coefficient).
     */
   private def q_graph_triangles(s: SparkSession, dir: String): DataFrame = {
-    val edges = Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id",
+    val edges = Similarity.knnGraphAuto(T(s, dir, "embeddings"), "vec_id",
         "embedding", 3)
       .select(col("qid").as("src"), col("nid").as("dst"))
     graft.ops.Graph.triangles(edges)
@@ -1379,7 +1379,7 @@ object SparkEntry {
     */
   private def q_graph_cc(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir, "embeddings")
-    val pairs = Similarity.knnGraph(e, "vec_id", "embedding", 3)
+    val pairs = Similarity.knnGraphAuto(e, "vec_id", "embedding", 3)
       .select(col("qid").as("doc_a"), col("nid").as("doc_b"))
     val labels = Dedup.duplicateClusters(pairs, maxIter = 64)
       .select(col("doc_id").as("vec_id"), col("canonical_id").as("lbl"))
@@ -1401,7 +1401,7 @@ object SparkEntry {
     */
   private def q_graph_degree(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir, "embeddings")
-    val edges = Similarity.knnGraph(e, "vec_id", "embedding", 3)
+    val edges = Similarity.knnGraphAuto(e, "vec_id", "embedding", 3)
       .select(col("qid").as("src"), col("nid").as("dst"))
       .localCheckpoint()
     val outd = edges.groupBy(col("src").as("vec_id"))
@@ -1438,7 +1438,7 @@ object SparkEntry {
     */
   private def q_graph_bfs(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir, "embeddings")
-    val dirEdges = Similarity.knnGraph(e, "vec_id", "embedding", 3)
+    val dirEdges = Similarity.knnGraphAuto(e, "vec_id", "embedding", 3)
       .select(col("qid").as("src"), col("nid").as("dst"))
     val edges = dirEdges
       .unionByName(dirEdges.select(col("dst").as("src"), col("src").as("dst")))
@@ -1475,7 +1475,7 @@ object SparkEntry {
     * vs existing link).
     */
   private def q_graph_jaccard_nbrs(s: SparkSession, dir: String): DataFrame = {
-    val dirEdges = Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id",
+    val dirEdges = Similarity.knnGraphAuto(T(s, dir, "embeddings"), "vec_id",
         "embedding", 3)
       .select(col("qid").as("src"), col("nid").as("dst"))
     val und = dirEdges
@@ -1518,7 +1518,7 @@ object SparkEntry {
     * the same 100 TB shape as graph_degree.
     */
   private def q_ml_lof(s: SparkSession, dir: String): DataFrame = {
-    val edges = Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id",
+    val edges = Similarity.knnGraphAuto(T(s, dir, "embeddings"), "vec_id",
         "embedding", 3)
       .select(col("qid"), col("nid"), (lit(1.0) - col("cos_sim")).as("dist"))
       .localCheckpoint()
@@ -3281,12 +3281,10 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
-  /** Spark-only: trainable one-step-ahead AR forecast per tag (the
-    * KerasLSTMForecast analogue) — per-tag univariate models on the keyed
-    * long format, scored with |y − ŷ| per bucket. Windows partition by
-    * event_type; no global sort.
-    */
-  /** Per-key AR(6) one-step forecast over the resampled series.
+  /** Per-key AR(6) one-step forecast over the resampled series (the
+    * KerasLSTMForecast analogue) — per-tag univariate models on the
+    * keyed long format; windows partition by event_type, no global
+    * sort.
     *
     * ORACLE-CHECKED (round 11, the simsearch_ivf fitted-params-as-input
     * trick): the normal-equation FIT (one sufficient-sum shuffle + a
@@ -3309,13 +3307,18 @@ object SparkEntry {
       .orderBy("bucket", "event_type")
   }
 
-  /** Spark-only: RECURRENT one-step-ahead forecast — the echo-state
-    * network (KerasLSTMForecast's honest analogue: true cross-step state,
-    * only the linear readout trained). Head-to-head per key against the
-    * lb=3 feedforward AR on the same resampled series, emitted as scalar
+  /** RECURRENT one-step-ahead forecast — the echo-state network
+    * (KerasLSTMForecast's honest analogue: true cross-step state, only
+    * the linear readout trained). Head-to-head per key against the lb=3
+    * feedforward AR on the same resampled series, emitted as scalar
     * rows (event_type, n, mse_esn, mse_ar); the recurrence's value on a
     * task needing long memory is spec'd (~4× MSE on NARMA-10,
-    * EchoStateSpec). Non-SQL: the per-key sequential reservoir scan.
+    * EchoStateSpec). ORACLE-CHECKED (round 11): both fitted models
+    * publish as exact literals and [[esnOracleEntry]] replays the
+    * reservoir recurrence itself as a recursive CTE (32 state columns,
+    * one iteration per series row) plus the AR(3) lag fold — the whole
+    * serving surface, including the emit-before-update state contract
+    * and the shared rn > 10 washout filter; the ridge fits stay spec'd.
     */
   private def q_esn_forecast(s: SparkSession, dir: String): DataFrame = {
     val long = longResampled(s, dir).na.drop("any", Seq("v"))
@@ -3329,6 +3332,7 @@ object SparkEntry {
     val ar = fittedModel(s"ar3|$dir") {
       graft.ml.Forecast.fitPerKey(long, "event_type", "v", lb = 3, "bucket")
     }
+    esnBits = Some((esn, ar))
     // fair head-to-head: both MSEs over the IDENTICAL row set. The ESN
     // emits a prediction for every row (zero-state transient included)
     // while the AR drops the first lb rows per key — so rank the SHARED
@@ -11404,7 +11408,7 @@ object SparkEntry {
         |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
   ) ++ ivfOracleEntry ++ pqOracleEntry ++ arOracleEntry ++
     adaboostOracleEntry ++ isoForestOracleEntry ++ ensembleOracleEntry ++
-    autoencoderOracleEntries ++ gruOracleEntry
+    autoencoderOracleEntries ++ gruOracleEntry ++ esnOracleEntry
 
   /** Centroid VALUES literals of the IVF quantizer this process served
     * (set by q_simsearch_ivf from the fit-once registry model — a
@@ -11634,6 +11638,85 @@ object SparkEntry {
          |SELECT bucket, round(score, 6) AS anomaly_score,
          |  score > ${dlit(m.threshold)} AS anomalous
          |FROM sc ORDER BY bucket""".stripMargin
+  }.toMap
+
+  /** (ESN model, AR(3) baseline) published by q_esn_forecast — same
+    * lifecycle contract as [[ivfCentroidValues]]. */
+  @volatile private var esnBits: Option[(graft.ml.EchoState.EsnModel,
+    graft.ml.Forecast.KeyedForecastModel)] = None
+
+  /** Generated oracle for esn_forecast: the leaky reservoir recurrence
+    * replayed as a RECURSIVE CTE carrying the 32 state values as
+    * columns — iteration t joins the per-tag series row rn = t+1 and
+    * computes h_t from h_{t−1} in the Scala accumulation order (bias,
+    * input term, recurrent terms k-ascending; tanh via the stable exp
+    * identity; the prediction for row rn reads the state BEFORE that
+    * row's update, exactly the statePass emit-then-step contract). The
+    * AR(3) baseline replays from its published per-tag (w, b) with the
+    * ascending dot fold, and both MSEs aggregate over the identical
+    * washout-filtered (rn > 10) row set.
+    */
+  private def esnOracleEntry: Map[String, String] = esnBits.map { case (m, ar) =>
+    val r = m.reservoir
+    val leak = dlit(m.leak)
+    val oneMinusLeak = dlit(1.0 - m.leak)
+    def tnh(a: String) = s"(1.0 - 2.0 / (exp(2.0 * ($a)) + 1.0))"
+    // CAST the base-case zeros: a bare 0.0 literal types the recursive
+    // CTE's state columns DECIMAL(2,1), and every iteration then ROUNDS
+    // the state to one decimal place (measured: mse 2571 vs the true
+    // 2288) — the recursion's column types come from the base case.
+    val zeroState = (0 until r)
+      .map(i => s"CAST(0.0 AS DOUBLE) AS s$i").mkString(", ")
+    val nextState = (0 until r).map { i =>
+      val acc = s"${dlit(m.b(i))} + ${dlit(m.wIn(i)(0))} * r.xs" +
+        (0 until r).map(k => s" + ${dlit(m.wRes(i)(k))} * w.s$k").mkString
+      s"$oneMinusLeak * w.s$i + $leak * ${tnh(acc)} AS s$i"
+    }.mkString(",\n    ")
+    val readout = s"${dlit(m.beta(r)(0))}" +
+      (0 until r).map(i => s" + ${dlit(m.beta(i)(0))} * w.s$i").mkString
+    val arRows = ar.coefs.map { case (k, w, b) =>
+      s"('$k', ${dlit(w(0))}, ${dlit(w(1))}, ${dlit(w(2))}, ${dlit(b)})"
+    }.mkString(", ")
+    "esn_forecast" ->
+      s"""WITH RECURSIVE ser AS (
+         |  SELECT * FROM (
+         |    SELECT event_type,
+         |      time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+         |        AS bucket,
+         |      round(avg(value), 6) AS v
+         |    FROM events WHERE event_type IN ('click', 'view', 'purchase')
+         |    GROUP BY 1, 2) t0 WHERE v IS NOT NULL),
+         |sr AS MATERIALIZED (SELECT event_type, bucket, v,
+         |    (v - ${dlit(m.means(0))}) / ${dlit(m.stds(0))} AS xs,
+         |    row_number() OVER
+         |      (PARTITION BY event_type ORDER BY bucket) AS rn
+         |  FROM ser),
+         |walk(tag, t, ${(0 until r).map("s" + _).mkString(", ")}) AS (
+         |  SELECT event_type, 0, $zeroState
+         |  FROM (SELECT DISTINCT event_type FROM sr)
+         |  UNION ALL
+         |  SELECT w.tag, w.t + 1,
+         |    $nextState
+         |  FROM walk w JOIN sr r ON r.event_type = w.tag AND r.rn = w.t + 1),
+         |pe AS (SELECT r.event_type, r.rn,
+         |    abs(r.v - ($readout)) AS an
+         |  FROM sr r JOIN walk w ON w.tag = r.event_type AND w.t = r.rn - 1),
+         |ee AS (SELECT event_type, count(*) AS n,
+         |    round(avg(an * an), 6) AS mse_esn
+         |  FROM pe WHERE rn > 10 GROUP BY 1),
+         |arl AS (SELECT event_type, rn, v,
+         |    lag(v, 3) OVER w2 AS x0, lag(v, 2) OVER w2 AS x1,
+         |    lag(v, 1) OVER w2 AS x2
+         |  FROM sr WINDOW w2 AS (PARTITION BY event_type ORDER BY bucket)),
+         |arco AS (SELECT * FROM (VALUES $arRows)
+         |  AS t(event_type, w0, w1, w2, b)),
+         |arp AS (SELECT l.event_type, rn,
+         |    abs(v - (((w0 * x0 + w1 * x1) + w2 * x2) + b)) AS an
+         |  FROM arl l JOIN arco USING (event_type)),
+         |ae AS (SELECT event_type, round(avg(an * an), 6) AS mse_ar
+         |  FROM arp WHERE rn > 10 GROUP BY 1)
+         |SELECT ee.event_type, ee.n, ee.mse_esn, ae.mse_ar
+         |FROM ee JOIN ae USING (event_type) ORDER BY event_type""".stripMargin
   }.toMap
 
   /** The three RFAE-serving oracles (round 11): base random-feature AE
