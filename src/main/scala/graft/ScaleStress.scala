@@ -322,6 +322,13 @@ object ScaleStress {
           .select(col("qid").as("doc_a"), col("nid").as("doc_b"))
         Dedup.duplicateClusters(pairs, maxIter = 64)
       }),
+      // the LSH edge build ALONE (knnGraphAuto): the graph family's
+      // shared first stage, isolated so tiny-baseline exponents like
+      // graph_degree's (1× ≈ 0.7 s, nearly all fixed cost) can be
+      // decomposed into "edge build at scale" + "op's own work"
+      "op_knn_edges" -> ((s: SparkSession, d: String) =>
+        graft.ops.Similarity.knnGraphAuto(
+          s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 3)),
       "op_ks_drift" -> ((s: SparkSession, d: String) => {
         val ev = graft.sources.Events.read(s, s"$d/events.parquet")
         Drift.ksStatistic(ev, "event_type", "value",
