@@ -333,16 +333,7 @@ object Multimodal {
     * pair).
     */
   def phashPairs(media: DataFrame, idCol: String, bytesCol: String,
-      maxDist: Int = 3, batchSize: Int = 64): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 3,
-      s"maxDist=$maxDist: 4 exact bands only guarantee recall up to hamming 3 " +
-        "- raise the band count for a looser threshold")
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("ahash", LongType, nullable = false)))
-    val enc = RowEncoder.encoderFor(outSchema)
-    val iIdx = media.schema.fieldIndex(idCol)
-    val bIdx = media.schema.fieldIndex(bytesCol)
+      maxDist: Int = 3, batchSize: Int = 64): DataFrame =
     // localCheckpoint EAGERLY: the hash table is 16 bytes/row while the
     // decode behind it is the dominant cost, and the band self-join below
     // references it on both sides — without materialization the decode
@@ -350,13 +341,39 @@ object Multimodal {
     // in the executed plan, 4 MapPartitions nodes). After the checkpoint
     // every image decodes exactly once; MultimodalSpec pins the executed
     // plan to zero in-plan decode nodes.
-    val hashed = media.mapPartitions { rows =>
+    phashPairsFromHashes(
+      averageHashes(media, idCol, bytesCol, batchSize).localCheckpoint(),
+      maxDist)
+
+  /** The decode leg of [[phashPairs]] alone: aHash every payload to a
+    * (media_id, ahash) table — the publishable artifact. Persisting this
+    * output lets everything downstream of the (non-SQL-expressible)
+    * ImageIO decode be replayed and hash-checked by a plain-SQL oracle.
+    */
+  def averageHashes(media: DataFrame, idCol: String, bytesCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val iIdx = media.schema.fieldIndex(idCol)
+    val bIdx = media.schema.fieldIndex(bytesCol)
+    media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(_.flatMap { r =>
         if (r.isNullAt(iIdx) || r.isNullAt(bIdx)) None
         else averageHash(r.getAs[Array[Byte]](bIdx))
           .map(h => Row(r.getAs[Number](iIdx).longValue(), h))
       })
-    }(enc).localCheckpoint()
+    }(enc)
+  }
+
+  /** Banded hamming join over an already-hashed (media_id, ahash) table —
+    * the SQL-expressible tail of [[phashPairs]].
+    */
+  def phashPairsFromHashes(hashed: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist=$maxDist: 4 exact bands only guarantee recall up to hamming 3 " +
+        "- raise the band count for a looser threshold")
     val bands = hashed.select(col("media_id"), col("ahash"),
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bh", expr("shiftrightunsigned(ahash, band * 16)")

@@ -611,4 +611,66 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("cos_raw"), 6).as("cos_sim"),
         col("rnk"))
   }
+
+  /** Incremental maintenance of [[knnGraph]]: merge `newVecs` into an
+    * existing edge table without rebuilding untouched nodes — the daily-
+    * ingest path for a persisted corpus-scale graph (the ShingleIndex
+    * discipline applied to edges). Sound because the hyperplanes are
+    * data-independent md5 constants: new vectors hash into the existing
+    * bucket space with no refit. Delta candidates are every bucket
+    * collision involving a new vector (both directions); an affected
+    * base node re-ranks over (its old top-k ∪ its new candidates),
+    * which equals a full re-rank because an old candidate outside the
+    * old top-k already had ≥ k better neighbors. Old edges contribute
+    * pair IDS only — scores are recomputed exactly from the vectors, so
+    * tie-breaks match a full rebuild bit for bit (the persisted cos_sim
+    * is 6-dp-rounded; ranking with it could drift). Caller contract:
+    * same (k, nPlanes, nTables, dim) the base was built with — a corpus
+    * crossing an [[autoPlanes]] bit threshold forces a full rebuild.
+    * No-drift (merge == rebuild) is pinned by SimilaritySpec.
+    */
+  def knnGraphMerge(baseEdges: DataFrame, baseVecs: DataFrame,
+      newVecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 8, nTables: Int = 8, dim: Int = 64): DataFrame = {
+    val allVecs = baseVecs.select(col(idCol), col(vecCol))
+      .unionByName(newVecs.select(col(idCol), col(vecCol)))
+    def buckets(vs: DataFrame): DataFrame = vs
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__vd"))
+      .select(col(idCol),
+        posexplode(bucketsExpr(col("__vd"), nTables, nPlanes, dim))
+          .as(Seq("tbl", "bucket")))
+    val tbAll = buckets(allVecs)
+    val tbNew = buckets(newVecs)
+    val cand = tbNew
+      .select(col("tbl"), col("bucket"), col(idCol).as("qid"))
+      .join(tbAll.select(col("tbl"), col("bucket"), col(idCol).as("nid")),
+        Seq("tbl", "bucket"))
+      .unionByName(tbAll
+        .select(col("tbl"), col("bucket"), col(idCol).as("qid"))
+        .join(tbNew.select(col("tbl"), col("bucket"), col(idCol).as("nid")),
+          Seq("tbl", "bucket")))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    val affected = cand.select("qid").distinct()
+    val rerank = cand
+      .unionByName(baseEdges.join(affected, "qid").select("qid", "nid"))
+      .distinct()
+    val withN = allVecs.select(col(idCol), col(vecCol),
+      normSq(col(vecCol)).as("nsq"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("nid"))
+    val rescored = rerank
+      .join(withN.select(col(idCol).as("qid"), col(vecCol).as("va"),
+        col("nsq").as("naa")), "qid")
+      .join(withN.select(col(idCol).as("nid"), col(vecCol).as("vb"),
+        col("nsq").as("nbb")), "nid")
+      .withColumn("cos_raw",
+        dot(col("va"), col("vb")) / sqrt(nullif(col("naa") * col("nbb"), lit(0.0))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("cos_raw"), 6).as("cos_sim"),
+        col("rnk"))
+    baseEdges.join(affected, Seq("qid"), "left_anti")
+      .select("qid", "nid", "cos_sim", "rnk")
+      .unionByName(rescored)
+  }
 }

