@@ -30,6 +30,16 @@ object Sessions {
       // sources (a few thousand × ~KB-sized class = tens of MB, cheap
       // against a multi-GB driver).
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // Local streaming checkpoints through java.nio instead of Hadoop's
+      // LocalFileSystem: without the native Hadoop library every
+      // checkpoint file (offsets, commits, one state delta per store per
+      // batch) pays a FORKED `chmod` via RawLocalFileSystem.setPermission
+      // plus a .crc sibling — measured ~0.6 s of stream_ohlc's 1.0 s
+      // (JobTrace stack sampler). All checkpoint locations in this
+      // deployment are local/tmpfs; a cluster checkpointing to HDFS/S3
+      // would not set this key (the manager rejects non-file schemes).
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "graft.streaming.LocalNioCheckpointFileManager")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
     builder(s"local[$cores]", cores)

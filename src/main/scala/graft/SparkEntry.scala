@@ -248,21 +248,32 @@ object SparkEntry {
     */
   private[graft] def compactRoot(s: SparkSession, dir: String): String =
     s"$registryRoot/compact_${registryKey(
-      s"compact-v2|$dir|${tableFingerprint(s, s"$dir/events.parquet")}")}"
+      s"compact-v3|$dir|${tableFingerprint(s, s"$dir/events.parquet")}")}"
 
   /** Materialize-once compacted events copy (registry-gated) — shared by
     * the compaction query and the parquet-file-source streaming queries,
-    * which need a real DIRECTORY source.
+    * which need a real DIRECTORY source. File count derives from input
+    * SIZE (v3 — one range-sorted file per ~32 MB, min 2): a literal 8
+    * made every sf0.1 file 250 KB, and the seven streaming consumers
+    * each paid 8 scan tasks' fixed cost (parquet reader init dominates
+    * at that size — JobTrace: ~200 ms CPU per tiny task) per replay; a
+    * real compaction job targets a file-size band, not a file count, so
+    * the count grows with the data and scan parallelism at 100 TB comes
+    * from the data itself.
     */
   private def compactMaterialized(s: SparkSession, dir: String): String =
     fittedModel(s"compact|$dir") {
       val out = compactRoot(s, dir)
       val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
       val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(marker))
-        E(s, dir).repartitionByRange(8, col("ts"))
+      if (!fs.exists(marker)) {
+        val srcBytes = fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(s"$dir/events.parquet")).getLength
+        val nFiles = math.max(2L, srcBytes / (32L << 20)).toInt
+        E(s, dir).repartitionByRange(nFiles, col("ts"))
           .sortWithinPartitions("ts", "event_id")
           .write.mode("overwrite").parquet(out)
+      }
       out
     }
 
@@ -4190,13 +4201,19 @@ object SparkEntry {
     val floor = Dedup.duplicatedSpansStrided(docs, "doc_id", "text",
         spanLen = 64, stride = 32)
       .select(col("doc_id"), col("n_dup_spans").as("floor_spans"))
-    val caps = docs.select(col("doc_id"),
-      greatest(length(col("text")) - 63, lit(1)).cast("long").as("cap"))
-    floor.join(fast, Seq("doc_id"), "left")
-      .join(caps, Seq("doc_id"))
-      .select(col("doc_id"), col("floor_spans"),
-        (coalesce(col("n_dup_spans"), lit(0L)) >= col("floor_spans"))
-          .as("ge_floor_ok"),
+    // one flag row per CORPUS doc (r11 ADVICE: the old floor-keyed row
+    // set hid rolling-only docs — an anchor-junk explosion confined to a
+    // doc with zero strided duplicates was invisible to the cap check;
+    // the corpus row set is oracle-derivable where the rolling one
+    // isn't, and keeps le_cap_ok coverage universal)
+    docs.select(col("doc_id"),
+        greatest(length(col("text")) - 63, lit(1)).cast("long").as("cap"))
+      .join(floor, Seq("doc_id"), "left")
+      .join(fast, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("floor_spans"), lit(0L)).as("floor_spans"),
+        (coalesce(col("n_dup_spans"), lit(0L)) >=
+          coalesce(col("floor_spans"), lit(0L))).as("ge_floor_ok"),
         (coalesce(col("n_dup_spans"), lit(0L)) <= col("cap")).as("le_cap_ok"))
       .orderBy("doc_id")
   }
@@ -9292,15 +9309,18 @@ object SparkEntry {
       """WITH pos AS (
         |  SELECT doc_id, text,
         |    unnest(range(1, greatest(length(text) - 63, 1) + 1, 32)) AS p
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |spans AS (
         |  SELECT doc_id, substr(text, CAST(p AS INTEGER), 64) AS c FROM pos),
         |shared AS (
-        |  SELECT c FROM spans GROUP BY c HAVING count(DISTINCT doc_id) > 1)
-        |SELECT doc_id, count(*) AS floor_spans,
+        |  SELECT c FROM spans GROUP BY c HAVING count(DISTINCT doc_id) > 1),
+        |fl AS (
+        |  SELECT doc_id, count(*) AS floor_spans
+        |  FROM spans JOIN shared USING (c) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(fl.floor_spans, 0) AS floor_spans,
         |  TRUE AS ge_floor_ok, TRUE AS le_cap_ok
-        |FROM spans JOIN shared USING (c)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM documents d LEFT JOIN fl USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // bloom candidates are exact-confirmed, so the oracle is the PLAIN
     // semi-join — any bloom false positive surviving to output hash-fails
     "dedup_bloom_incremental" ->
@@ -10735,7 +10755,7 @@ object SparkEntry {
         |    list_filter(range(1, greatest(length(text) - 63, 1) + 1, 1),
         |      p -> CAST(('0x' || substr(md5(substr(text, CAST(p AS INTEGER), 16)),
         |        1, 2)) AS INT) % 16 = 0))) AS p
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |spans AS (
         |  SELECT doc_id, md5(substr(text, CAST(p AS INTEGER), 64)) AS h FROM pos),
         |shared AS (

@@ -1086,7 +1086,12 @@ object Dedup {
     // scan produced (ONE task on a 32-core box — the fuzzyPairs lesson,
     // same count-pinned-repartition fix so AQE's byte-sighted coalescer
     // cannot fold the CPU-dense stage back together).
+    // NULL text is dropped (r11 ADVICE): md5/xxhash64 of a NULL substring
+    // collapses every null-text doc onto one fingerprint — they would
+    // all count as mutual "duplicates" while a SQL oracle's
+    // content-equality join never matches NULL.
     val wide = docs.select(col(idCol).as("doc_id"), col(textCol))
+      .filter(col(textCol).isNotNull)
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
         col("doc_id"))
     val spans = wide.select(col("doc_id"),
@@ -1131,6 +1136,7 @@ object Dedup {
       Bridge.expression(col(textCol)), Bridge.expression(lit(anchorGram)),
       Bridge.expression(lit(anchorMod)), Bridge.expression(lit(spanLen))))
     val wide = docs.select(col(idCol).as("doc_id"), col(textCol))
+      .filter(col(textCol).isNotNull) // see duplicatedSpans' NULL note
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
         col("doc_id"))
     val spans = wide.select(col("doc_id"),
@@ -1154,6 +1160,7 @@ object Dedup {
       spanLen: Int = 64, stride: Int = 32): DataFrame = {
     val lastStart = greatest(length(col(textCol)) - (spanLen - 1), lit(1))
     val wide = docs.select(col(idCol).as("doc_id"), col(textCol))
+      .filter(col(textCol).isNotNull) // see duplicatedSpans' NULL note
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
         col("doc_id"))
     val spans = wide.select(col("doc_id"),

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 class LakeSinksSpec extends SparkSpec {
   import spark.implicits._
 
-  test("sink_compact lays out exactly N files with disjoint ts ranges") {
+  test("sink_compact lays out size-targeted files with disjoint ts ranges") {
     SparkEntry.queries("sink_compact")(spark, "/root/testdata/sf0.001").count()
     val root = SparkEntry.compactRoot(spark, "/root/testdata/sf0.001")
     val perFile = spark.read.parquet(root)
@@ -17,7 +17,9 @@ class LakeSinksSpec extends SparkSpec {
       .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
       .orderBy("lo")
       .collect()
-    assert(perFile.length == 8, s"expected 8 compacted files, got ${perFile.length}")
+    // file count derives from input bytes (one file per ~32 MB, min 2) —
+    // the fixture is far below one target so the floor applies
+    assert(perFile.length == 2, s"expected 2 compacted files, got ${perFile.length}")
     perFile.sliding(2).foreach { case Array(a, b) =>
       assert(!b.getTimestamp(1).before(a.getTimestamp(2)),
         s"file ranges overlap: ${a.toSeq} vs ${b.toSeq}")
