@@ -226,21 +226,24 @@ object ScaleStress {
       "op_containment" -> ((s: SparkSession, d: String) => {
         val path = twinIndexPath(d, "cont")
         if (!Dedup.shingleIndexExists(s, path))
-          Dedup.saveShingleIndex(
-            Dedup.buildShingleIndex(withTwins(s, d), "doc_id", "text", 3, 20),
-            path)
+          Dedup.buildAndSaveShingleIndex(withTwins(s, d), "doc_id", "text",
+            path, 3, 20)
         Dedup.containmentPairsFromIndex(Dedup.loadShingleIndex(s, path), 0.7)
       }),
       "op_shidx_build" -> ((s: SparkSession, d: String) =>
-        Dedup.buildShingleIndex(withTwins(s, d), "doc_id", "text", 3, 20).docs),
+        // the parquet-through production build (incl. the index write):
+        // the in-memory materialize=true form stages the ~corpus-scale
+        // groups frame to block storage AND parquet — at sf100 that
+        // double-staging alone filled the sandbox disk
+        Dedup.buildAndSaveShingleIndex(withTwins(s, d), "doc_id", "text",
+          twinIndexPath(d, "bld"), 3, 20).docs),
       "op_containment_incr" -> ((s: SparkSession, d: String) => {
         val all = withTwins(s, d)
         val base = all.filter(col("doc_id") % 101 =!= 3)
         val delta = all.filter(col("doc_id") % 101 === 3)
         val path = twinIndexPath(d, "base101")
         if (!Dedup.shingleIndexExists(s, path))
-          Dedup.saveShingleIndex(
-            Dedup.buildShingleIndex(base, "doc_id", "text", 3, 20), path)
+          Dedup.buildAndSaveShingleIndex(base, "doc_id", "text", path, 3, 20)
         Dedup.containmentPairsFromIndex(
           Dedup.mergeShingleIndex(Dedup.loadShingleIndex(s, path), delta,
             "doc_id", "text", 3, 20), 0.7)

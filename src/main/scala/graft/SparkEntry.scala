@@ -1174,12 +1174,11 @@ object SparkEntry {
         s"shidx-v1|$variant|$dir|n=3|cap=$cap|${
           tableFingerprint(s, s"$dir/documents.parquet")}")}"
       if (!Dedup.shingleIndexExists(s, out))
-        // materialize = true: the checkpoint is computed once and feeds
-        // BOTH parquet writes (groups and docs) — materialize = false
-        // would re-run the corpus aggregation for the second write
-        Dedup.saveShingleIndex(
-          Dedup.buildShingleIndex(corpus, "doc_id", "text", 3, cap,
-            materialize = true), out)
+        // parquet-through build: groups is born on disk and docs derives
+        // from the re-read — never a second staged copy of the state
+        // (the r12 third-decade lesson; see buildAndSaveShingleIndex)
+        Dedup.buildAndSaveShingleIndex(corpus, "doc_id", "text", out,
+          3, cap)
       out
     }
 
@@ -1391,6 +1390,39 @@ object SparkEntry {
     */
   private def q_simsearch_knn_graph(s: SparkSession, dir: String): DataFrame =
     knnEdges(s, dir).orderBy("qid", "rnk")
+
+  /** INCREMENTAL kNN-graph maintenance as a driver-gated no-drift check
+    * (the dedup_incremental discipline, round 12): yesterday's edge
+    * table for the base corpus (vec_id % 5 ≠ 0) is registry-persisted;
+    * the query merges today's delta (every fifth vector) via
+    * [[graft.ops.Similarity.knnGraphMerge]] — delta bucket-join +
+    * affected-node re-rank over (old top-k ∪ new candidates), untouched
+    * base edges served as-is — and the ORACLE is the full-rebuild kNN
+    * SQL over the whole corpus, so any drift between the merge algebra
+    * and a rebuild (lost candidates, stale ranks, tie-break skew)
+    * hash-fails at the driver, not just in a spec. Sound because the
+    * hyperplanes are data-independent constants: delta vectors hash
+    * into the existing bucket space with no refit (a full rebuild is
+    * only forced at an autoPlanes bit threshold — see [[knnEdges]]).
+    */
+  private def q_simsearch_knn_incr(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    val base = e.filter(col("vec_id") % 5 =!= 0)
+    val delta = e.filter(col("vec_id") % 5 === 0)
+    val basePath = fittedModel(s"knnbase|$dir") {
+      val out = s"$registryRoot/knnbase_${registryKey(
+        s"knnbase-v1|k=3|mod5|$dir|${tableFingerprint(s, s"$dir/embeddings.parquet")}")}"
+      val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker))
+        Similarity.knnGraph(base, "vec_id", "embedding", 3)
+          .write.mode("overwrite").parquet(out)
+      out
+    }
+    Similarity.knnGraphMerge(s.read.parquet(basePath), base, delta,
+        "vec_id", "embedding", 3)
+      .orderBy("qid", "rnk")
+  }
 
   /** THE kNN edge table (k = 3, density-scaled LSH) — fingerprint-keyed,
     * `_SUCCESS`-gated, persisted ONCE per corpus and served to the whole
@@ -7288,6 +7320,7 @@ object SparkEntry {
     "simsearch_topk" -> (q_simsearch_topk _),
     "simsearch_lsh" -> (q_simsearch_lsh _),
     "simsearch_knn_graph" -> (q_simsearch_knn_graph _),
+    "simsearch_knn_incr" -> (q_simsearch_knn_incr _),
     "simsearch_int8" -> (q_simsearch_int8 _),
     "text_langid" -> (q_text_langid _),
     "text_quality" -> (q_text_quality _),
@@ -9815,6 +9848,8 @@ object SparkEntry {
          |FROM dots WHERE dot/sqrt(naa*nbb) >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
     "simsearch_lsh" -> lshOracleSql,
     "simsearch_knn_graph" -> knnGraphOracleSql,
+    // the incremental merge must EQUAL the full rebuild — same oracle
+    "simsearch_knn_incr" -> knnGraphOracleSql,
     "simsearch_topk" -> topkOracleSql,
     // nProbe = nLists makes IVF exhaustive ≡ brute force: same oracle
     "simsearch_ivf_exact" -> topkOracleSql,

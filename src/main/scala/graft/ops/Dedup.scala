@@ -858,6 +858,37 @@ object Dedup {
     idx.docs.write.mode("overwrite").parquet(s"$path/docs")
   }
 
+  /** Build an index DIRECTLY onto disk — the corpus-scale path. The
+    * composed build+save ([[buildShingleIndex]] then
+    * [[saveShingleIndex]]) stages every frame TWICE: both frames
+    * localCheckpoint to block storage and then write again as parquet,
+    * so the box carries ~2× the index's size in intermediates (measured:
+    * the sf100 probe leg filled the sandbox's disk — ~700 M group rows
+    * staged to block manager AND parquet, plus both aggregation
+    * shuffles' files held until job end). Here `groups` is born as
+    * parquet (one shuffle chain, one write), read BACK for the per-doc
+    * aggregation (a column-pruned scan — cheaper than the checkpoint it
+    * replaces), and `docs` written from that — peak disk ≈ the final
+    * artifact plus one live shuffle, the LSM discipline of never holding
+    * a second staged copy of state.
+    */
+  def buildAndSaveShingleIndex(docs: DataFrame, idCol: String,
+      textCol: String, path: String, shingleN: Int = 3,
+      maxDocFreq: Int = DefaultMaxDocFreq): ShingleIndex = {
+    val spark = docs.sparkSession
+    val idx = buildShingleIndex(docs, idCol, textCol, shingleN, maxDocFreq,
+      materialize = false)
+    idx.groups.write.mode("overwrite").parquet(s"$path/groups")
+    val grouped = spark.read.parquet(s"$path/groups")
+    val docSets = grouped
+      .filter(col("ds").isNotNull)
+      .select(col("s"), col("df"), explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ts"))
+    docSets.write.mode("overwrite").parquet(s"$path/docs")
+    loadShingleIndex(spark, path)
+  }
+
   def shingleIndexExists(spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$path/docs", "_SUCCESS")

@@ -509,34 +509,51 @@ object Similarity {
     * path for pairwise similarity: one narrow map to compute buckets, an
     * equi-join keyed on (table, bucket), never an all-pairs product.
     */
-  def lshCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nPlanes: Int = 8, nTables: Int = 8, dim: Int = 64): DataFrame = {
-    // Bucket stage carries IDS ONLY: the band equi-join and the
-    // pair-dedup distinct shuffle skinny (id, tbl, bucket) rows, never the
-    // vectors — at 100 TB the arrays would dominate both exchanges.
-    // Vectors re-attach afterwards via two id equi-joins for the exact
-    // re-score (the minhashLshPairs → jaccardRescore shape).
+  /** Bucket rows carrying the vector and its precomputed norm — the
+    * shared candidate-generation stage of [[lshCosinePairs]] and
+    * [[knnGraph]] since round 12's third-decade rework. The exact
+    * cosine is computed INSIDE the bucket join's projection, so the
+    * only pair-scale exchange downstream carries (id, id, one double):
+    * the previous ids-only-candidates → distinct → re-attach-vectors
+    * shape shuffled PAIRS × 520-byte vector rows, which is the term
+    * that explodes (pairs ≈ n · perBucket · tables ≈ 300 n) — measured:
+    * fine at 100×, but the 1000× (~sf100) leg's ~1.5 G candidates ×
+    * two vector joins filled the box's disk. Vectors-on-bucket-rows is
+    * n · tables — linear, 40 M × ~300 B at 1000×. The dot is recomputed
+    * per table collision (≤ nTables× per pair, ~100 ns each) — CPU
+    * bought for two orders of shuffle, the right trade at every scale.
+    */
+  private def scoredBucketPairs(vecs: DataFrame, idCol: String,
+      vecCol: String, nPlanes: Int, nTables: Int, dim: Int,
+      pairPred: (Column, Column) => Column): DataFrame = {
     val withVd = vecs.select(col(idCol), col(vecCol),
       col(vecCol).cast("array<double>").as("__vd")) // cast ONCE per row for all tables×planes
-    val tb = withVd.select(col(idCol),
+    val tb = withVd.select(col(idCol), col(vecCol),
+      normSq(col(vecCol)).as("nsq"),
       posexplode(bucketsExpr(col("__vd"), nTables, nPlanes, dim)).as(Seq("tbl", "bucket")))
-    val a = tb.select(col("tbl"), col("bucket"), col(idCol).as("vec_a"))
+    val a = tb.select(col("tbl"), col("bucket"), col(idCol).as("qid"),
+      col(vecCol).as("va"), col("nsq").as("naa"))
     val b = tb.select(col("tbl").as("tbl_b"), col("bucket").as("bucket_b"),
-      col(idCol).as("vec_b"))
-    val candIds = a.join(b,
+      col(idCol).as("nid"), col(vecCol).as("vb"), col("nsq").as("nbb"))
+    a.join(b,
         col("tbl") === col("tbl_b") && col("bucket") === col("bucket_b") &&
-          col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b")
-      .distinct() // a pair can collide in several tables; score it once
-    val withN = vecs.select(col(idCol), col(vecCol), normSq(col(vecCol)).as("nsq"))
-    candIds
-      .join(withN.select(col(idCol).as("vec_a"), col(vecCol).as("va"), col("nsq").as("naa")), "vec_a")
-      .join(withN.select(col(idCol).as("vec_b"), col(vecCol).as("vb"), col("nsq").as("nbb")), "vec_b")
-      .withColumn("cos_raw",
-        dot(col("va"), col("vb")) / sqrt(nullif(col("naa") * col("nbb"), lit(0.0))))
-      .filter(col("cos_raw") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cos_sim"))
+          pairPred(col("qid"), col("nid")))
+      .select(col("qid"), col("nid"),
+        (dot(col("va"), col("vb")) /
+          sqrt(nullif(col("naa") * col("nbb"), lit(0.0)))).as("cos_raw"))
   }
+
+  def lshCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 8, nTables: Int = 8, dim: Int = 64): DataFrame =
+    // threshold applies BEFORE any pair-scale exchange (the in-bucket
+    // score makes that possible); multi-table survivors carry identical
+    // cosine bits (same expression, same inputs), so the distinct
+    // dedups them exactly
+    scoredBucketPairs(vecs, idCol, vecCol, nPlanes, nTables, dim, _ < _)
+      .filter(col("cos_raw") >= threshold)
+      .distinct()
+      .select(col("qid").as("vec_a"), col("nid").as("vec_b"),
+        round(col("cos_raw"), 6).as("cos_sim"))
 
   /** Approximate k-NN GRAPH over the corpus — each vector's top-k
     * neighbors among its LSH candidates (same bucket in ANY of the
@@ -584,28 +601,19 @@ object Similarity {
 
   def knnGraph(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 8, nTables: Int = 8, dim: Int = 64): DataFrame = {
-    val withVd = vecs.select(col(idCol),
-      col(vecCol).cast("array<double>").as("__vd"))
-    val tb = withVd.select(col(idCol),
-      posexplode(bucketsExpr(col("__vd"), nTables, nPlanes, dim)).as(Seq("tbl", "bucket")))
-    val a = tb.select(col("tbl"), col("bucket"), col(idCol).as("qid"))
-    val b = tb.select(col("tbl").as("tbl_b"), col("bucket").as("bucket_b"),
-      col(idCol).as("nid"))
-    val candIds = a.join(b,
-        col("tbl") === col("tbl_b") && col("bucket") === col("bucket_b") &&
-          col("qid") =!= col("nid"))
-      .select("qid", "nid")
-      .distinct() // collide in several tables → rank the neighbor once
-    val withN = vecs.select(col(idCol), col(vecCol), normSq(col(vecCol)).as("nsq"))
+    // ONE pair-scale exchange (partition by qid, sort (cos desc, nid)):
+    // a pair colliding in several tables carries identical cosine bits,
+    // so duplicates sort ADJACENT (equal in both sort keys) and a lag
+    // pass drops them; the rank window shares the same partitioning and
+    // ordering, so Catalyst reuses the exchange and sort. The previous
+    // shape paid a distinct over the candidate ids PLUS two
+    // vector-attach joins — see [[scoredBucketPairs]] for why that dies
+    // at the third decade.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos_raw").desc, col("nid"))
-    candIds
-      .join(withN.select(col(idCol).as("qid"), col(vecCol).as("va"),
-        col("nsq").as("naa")), "qid")
-      .join(withN.select(col(idCol).as("nid"), col(vecCol).as("vb"),
-        col("nsq").as("nbb")), "nid")
-      .withColumn("cos_raw",
-        dot(col("va"), col("vb")) / sqrt(nullif(col("naa") * col("nbb"), lit(0.0))))
+    scoredBucketPairs(vecs, idCol, vecCol, nPlanes, nTables, dim, _ =!= _)
+      .withColumn("__dup", lag(col("nid"), 1).over(w) <=> col("nid"))
+      .filter(!col("__dup"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), round(col("cos_raw"), 6).as("cos_sim"),

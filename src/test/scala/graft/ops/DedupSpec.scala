@@ -391,5 +391,12 @@ class DedupSpec extends SparkSpec {
     val loaded = Dedup.loadShingleIndex(spark, dir)
     assert(cpairs(Dedup.containmentPairsFromIndex(loaded, 0.5)) ==
       cpairs(Dedup.containmentPairs(all, "doc_id", "text", 0.5, n, cap)))
+
+    // the parquet-through corpus-scale build (groups born on disk, docs
+    // derived from the re-read) is the SAME index as the in-memory build
+    val dir2 = java.nio.file.Files.createTempDirectory("shidx2").toString
+    val disk = Dedup.buildAndSaveShingleIndex(all, "doc_id", "text", dir2, n, cap)
+    assert(groupSet(disk.groups) == groupSet(full.groups))
+    assert(docMap(disk.docs) == docMap(full.docs))
   }
 }
