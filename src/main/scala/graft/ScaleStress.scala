@@ -117,7 +117,9 @@ object ScaleStress {
     */
   private def twinIndexPath(d: String, variant: String): String =
     new java.io.File(
-      s"target/scale-stress/idx/${new java.io.File(d).getName}-$variant")
+      // v2: per-doc sets store df ≥ 2 shingles only (+ n column) — a
+      // v1-era artifact must never serve the new reader
+      s"target/scale-stress/idx/${new java.io.File(d).getName}-$variant-v2")
       .getAbsolutePath
 
   /** Replica-safe analogue of SparkEntry's docsWithDups: case-mutated

@@ -8,8 +8,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
-  def builder(master: String, cores: Int): SparkSession.Builder =
-    SparkSession.builder()
+  def builder(master: String, cores: Int): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .withExtensions(new GraftExtensions) // graft_dot etc. in SQL
       .config("spark.sql.session.timeZone", "UTC") // tz-aware discipline
@@ -30,16 +30,21 @@ object Sessions {
       // sources (a few thousand × ~KB-sized class = tens of MB, cheap
       // against a multi-GB driver).
       .config("spark.sql.codegen.cache.maxEntries", "5000")
-      // Local streaming checkpoints through java.nio instead of Hadoop's
-      // LocalFileSystem: without the native Hadoop library every
-      // checkpoint file (offsets, commits, one state delta per store per
-      // batch) pays a FORKED `chmod` via RawLocalFileSystem.setPermission
-      // plus a .crc sibling — measured ~0.6 s of stream_ohlc's 1.0 s
-      // (JobTrace stack sampler). All checkpoint locations in this
-      // deployment are local/tmpfs; a cluster checkpointing to HDFS/S3
-      // would not set this key (the manager rejects non-file schemes).
-      .config("spark.sql.streaming.checkpointFileManagerClass",
+    // Local streaming checkpoints through java.nio instead of Hadoop's
+    // LocalFileSystem: without the native Hadoop library every
+    // checkpoint file (offsets, commits, one state delta per store per
+    // batch) pays a FORKED `chmod` via RawLocalFileSystem.setPermission
+    // plus a .crc sibling — measured ~0.6 s of stream_ohlc's 1.0 s
+    // (JobTrace stack sampler). SCOPED to local masters: a cluster
+    // deployment's checkpoints live on HDFS/S3, which this manager
+    // rejects by scheme — it never silently takes over a remote path;
+    // a local session that must checkpoint remotely can still reset
+    // spark.sql.streaming.checkpointFileManagerClass explicitly.
+    if (master.startsWith("local"))
+      b.config("spark.sql.streaming.checkpointFileManagerClass",
         "graft.streaming.LocalNioCheckpointFileManager")
+    else b
+  }
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
     builder(s"local[$cores]", cores)

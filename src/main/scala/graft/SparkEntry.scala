@@ -122,19 +122,35 @@ object SparkEntry {
   private val publishedOracleSql =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Fragment filenames are FIXTURE-KEYED when the runner declares one
+    * (`graft.oracle.fixture`, set by Verify from its sfDir): a query
+    * that THROWS during Verify must not fall back to a fragment fitted
+    * on a different fixture — that fails safe (hash mismatch) but masks
+    * the real error behind a confusing oracle diff. With the key in the
+    * name, a missing run yields a missing fragment → the absent oracle
+    * entry points at the query failure itself. Unkeyed (tests, ad-hoc
+    * sessions): plain `<name>.sql`, same behavior as before.
+    */
+  private def oracleFragmentFile(name: String): java.nio.file.Path = {
+    val fixture = sys.props.get("graft.oracle.fixture")
+      .map(_.replaceAll("[^A-Za-z0-9.]+", "-").stripPrefix("-"))
+    java.nio.file.Paths.get(registryRoot, "oracle_sql",
+      fixture.fold(s"$name.sql")(f => s"$name.$f.sql"))
+  }
+
   private def publishOracle(name: String, sql: String): Unit = {
     publishedOracleSql.put(name, sql)
     try {
-      val dir = java.nio.file.Paths.get(registryRoot, "oracle_sql")
-      java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.writeString(dir.resolve(s"$name.sql"), sql)
+      val f = oracleFragmentFile(name)
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.writeString(f, sql)
     } catch { case _: Exception => () } // fragment persistence is best-effort
   }
 
   private def publishedOracles(names: String*): Map[String, String] =
     names.flatMap { n =>
       Option(publishedOracleSql.get(n)).orElse {
-        val f = java.nio.file.Paths.get(registryRoot, "oracle_sql", s"$n.sql")
+        val f = oracleFragmentFile(n)
         if (java.nio.file.Files.isReadable(f))
           Some(java.nio.file.Files.readString(f))
         else None
@@ -1171,7 +1187,9 @@ object SparkEntry {
     // hash-bin-dependent "Recursive update" IllegalStateException
     fittedModel(s"shidx|$variant|$dir|cap=$cap") {
       val out = s"$registryRoot/shidx_${registryKey(
-        s"shidx-v1|$variant|$dir|n=3|cap=$cap|${
+        // v2: docs rows are (doc_id, ts=df≥2 shingles, n) — the
+        // third-decade layout; a v1 artifact must never serve it
+        s"shidx-v2|$variant|$dir|n=3|cap=$cap|${
           tableFingerprint(s, s"$dir/documents.parquet")}")}"
       if (!Dedup.shingleIndexExists(s, out))
         // parquet-through build: groups is born on disk and docs derives
@@ -1355,9 +1373,20 @@ object SparkEntry {
   private def embAutoPlanes(s: SparkSession, dir: String): Int = {
     val n = embCount(s, dir)
     val p = Similarity.autoPlanes(n)
-    if (p > 8)
-      System.err.println(s"[graft] autoPlanes=$p (> 8) for $dir ($n vectors):" +
-        " the static 8-plane oracle SQL is not valid for this fixture size")
+    if (p > 8) {
+      val msg = s"[graft] autoPlanes=$p (> 8) for $dir ($n vectors):" +
+        " the static 8-plane oracle SQL is not valid for this fixture size"
+      // In an oracle-compared run (Verify sets graft.oracle.fixture) a
+      // mismatched plane count would surface MUCH later as an opaque
+      // hash diff on every LSH-family query — fail at the cause instead
+      // (r12 ADVICE). Non-oracle contexts (Bench at huge SF, ScaleStress
+      // probes through SparkEntry) keep the warning and the right plan.
+      if (sys.props.contains("graft.oracle.fixture"))
+        throw new IllegalStateException(msg +
+          " - regenerate the LSH oracles for this plane count or verify" +
+          " on a fixture under the 10240-vector autoPlanes floor")
+      System.err.println(msg)
+    }
     p
   }
 
@@ -1409,18 +1438,25 @@ object SparkEntry {
     val e = T(s, dir, "embeddings")
     val base = e.filter(col("vec_id") % 5 =!= 0)
     val delta = e.filter(col("vec_id") % 5 === 0)
+    // planes from the SAME density rule as knnEdges (r12 ADVICE: a
+    // literal 8 here diverged from the merged graph past the autoPlanes
+    // floor); in the key so a plane-count change can never serve a
+    // stale base. knnGraphMerge's caller contract requires the merge to
+    // run at the base's plane count.
+    val planes = embAutoPlanes(s, dir)
     val basePath = fittedModel(s"knnbase|$dir") {
       val out = s"$registryRoot/knnbase_${registryKey(
-        s"knnbase-v1|k=3|mod5|$dir|${tableFingerprint(s, s"$dir/embeddings.parquet")}")}"
+        s"knnbase-v1|k=3|p=$planes|mod5|$dir|${
+          tableFingerprint(s, s"$dir/embeddings.parquet")}")}"
       val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
       val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(marker))
-        Similarity.knnGraph(base, "vec_id", "embedding", 3)
+        Similarity.knnGraph(base, "vec_id", "embedding", 3, nPlanes = planes)
           .write.mode("overwrite").parquet(out)
       out
     }
     Similarity.knnGraphMerge(s.read.parquet(basePath), base, delta,
-        "vec_id", "embedding", 3)
+        "vec_id", "embedding", 3, nPlanes = planes)
       .orderBy("qid", "rnk")
   }
 
@@ -3576,13 +3612,12 @@ object SparkEntry {
     * only the ImageIO decode itself stays spec-verified (MultimodalSpec
     * pins twin recall and determinism).
     */
-  private def q_multimodal_phash_dedup(s: SparkSession, dir: String): DataFrame = {
-    // The binary corpus is registry-materialized once (the scan_csv
-    // fixture discipline): at a real lake the images already exist, so
-    // the warm plan measures the OP — decode → aHash → banded hamming
-    // join — not the synthetic fixture's double render+encode.
-    assertTwinIdHeadroom(s, dir)
-    val mediaPath = fittedModel(s"phashmedia|$dir") {
+  /** Registry path of the materialized binary image corpus (originals +
+    * every-10th-doc 64×64 twins) — shared by the batch and incremental
+    * phash queries; see [[q_multimodal_phash_dedup]] for why it exists.
+    */
+  private def phashMediaMaterialized(s: SparkSession, dir: String): String =
+    fittedModel(s"phashmedia|$dir") {
       val out = s"$registryRoot/phashmedia_${registryKey(
         s"phashmedia-v1|$dir|${tableFingerprint(s, s"$dir/documents.parquet")}")}"
       val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
@@ -3599,10 +3634,13 @@ object SparkEntry {
       }
       out
     }
-    // Publish the decode output: the aHash table is the artifact the
-    // oracle replays from (the r11 fitted-params lifecycle — decode is
-    // the only leg plain SQL can't express).
-    val hashPath = fittedModel(s"phashhash|$dir") {
+
+  /** Registry path of the FULL-corpus aHash table (the published decode
+    * output both phash oracles replay from).
+    */
+  private def phashHashesMaterialized(s: SparkSession, dir: String): String = {
+    val mediaPath = phashMediaMaterialized(s, dir)
+    fittedModel(s"phashhash|$dir") {
       val out = s"$registryRoot/phashhash_${registryKey(
         s"phashhash-v1|$dir|${tableFingerprint(s, mediaPath)}")}"
       val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
@@ -3612,8 +3650,15 @@ object SparkEntry {
           .write.mode("overwrite").parquet(out)
       out
     }
-    publishOracle("multimodal_phash_dedup",
-      s"""WITH h AS (SELECT media_id, ahash FROM read_parquet('$hashPath/*.parquet')),
+  }
+
+  /** The full-rebuild phash-pair oracle over a persisted aHash table —
+    * banding + bit_count(xor) rescore + threshold in plain SQL; shared
+    * verbatim by `multimodal_phash_dedup` (batch path) and
+    * `multimodal_phash_incr` (incremental path — the no-drift gate).
+    */
+  private def phashPairsOracle(hashPath: String): String =
+    s"""WITH h AS (SELECT media_id, ahash FROM read_parquet('$hashPath/*.parquet')),
          |bands AS (SELECT media_id, ahash, band,
          |            (ahash >> (band * 16)) & 65535 AS bh
          |          FROM h CROSS JOIN (VALUES (0),(1),(2),(3)) AS bs(band)),
@@ -3623,8 +3668,66 @@ object SparkEntry {
          |            ON a.band = b.band AND a.bh = b.bh
          |           AND a.media_id < b.media_id)
          |SELECT media_a, media_b, hamming FROM pairs
-         |WHERE hamming <= 3 ORDER BY media_a, media_b""".stripMargin)
+         |WHERE hamming <= 3 ORDER BY media_a, media_b""".stripMargin
+
+  private def q_multimodal_phash_dedup(s: SparkSession, dir: String): DataFrame = {
+    // The binary corpus is registry-materialized once (the scan_csv
+    // fixture discipline): at a real lake the images already exist, so
+    // the warm plan measures the OP — decode → aHash → banded hamming
+    // join — not the synthetic fixture's double render+encode.
+    assertTwinIdHeadroom(s, dir)
+    // Publish the decode output: the aHash table is the artifact the
+    // oracle replays from (the r11 fitted-params lifecycle — decode is
+    // the only leg plain SQL can't express).
+    val hashPath = phashHashesMaterialized(s, dir)
+    publishOracle("multimodal_phash_dedup", phashPairsOracle(hashPath))
     Multimodal.phashPairsFromHashes(s.read.parquet(hashPath), 3)
+      .orderBy("media_a", "media_b")
+  }
+
+  /** INCREMENTAL image-dedup maintenance, driver-gated against the
+    * FULL-REBUILD oracle (the dedup_incremental / simsearch_knn_incr
+    * discipline, r12 verdict #4): "yesterday's" aHash table + pair set
+    * for the base corpus (media_id % 7 ≠ 3 — twins sit +100000 ≡ +5
+    * (mod 7) from their originals, so twin pairs CROSS the split and
+    * the step must find base↔delta pairs, not just delta-internal ones)
+    * are registry-persisted; the query decodes ONLY today's delta and
+    * runs one [[graft.multimodal.Multimodal.phashMergePairs]]. The
+    * oracle is the batch query's full-rebuild SQL over the full-corpus
+    * hash table, so drift between the merge algebra and a rebuild
+    * hash-fails at the driver. At 100 TB this is the economics of image
+    * dedup: the decode (the dominant cost) prices at O(delta), the join
+    * at O(delta × band collisions) — never O(corpus²), never a
+    * re-decode of the lake.
+    */
+  private def q_multimodal_phash_incr(s: SparkSession, dir: String): DataFrame = {
+    assertTwinIdHeadroom(s, dir)
+    val mediaPath = phashMediaMaterialized(s, dir)
+    val statePath = fittedModel(s"phashbase|$dir") {
+      val out = s"$registryRoot/phashbase_${registryKey(
+        s"phashbase-v1|mod7|$dir|${tableFingerprint(s, mediaPath)}")}"
+      // pairs' _SUCCESS commits LAST so a half-written state never gates
+      val marker = new org.apache.hadoop.fs.Path(s"$out/pairs", "_SUCCESS")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        val baseHashes = Multimodal.averageHashes(
+          s.read.parquet(mediaPath).filter(col("media_id") % 7 =!= 3),
+          "media_id", "bytes").localCheckpoint()
+        baseHashes.write.mode("overwrite").parquet(s"$out/hashes")
+        Multimodal.phashPairsFromHashes(baseHashes, 3)
+          .write.mode("overwrite").parquet(s"$out/pairs")
+      }
+      out
+    }
+    publishOracle("multimodal_phash_incr",
+      phashPairsOracle(phashHashesMaterialized(s, dir)))
+    val deltaHashes = Multimodal.averageHashes(
+      s.read.parquet(mediaPath).filter(col("media_id") % 7 === 3),
+      "media_id", "bytes")
+    Multimodal.phashMergePairs(
+        s.read.parquet(s"$statePath/hashes"),
+        s.read.parquet(s"$statePath/pairs"),
+        deltaHashes, 3)
       .orderBy("media_a", "media_b")
   }
 
@@ -4203,11 +4306,20 @@ object SparkEntry {
 
   /** Exact-substring duplication scan ([[Dedup.duplicatedSpans]], the
     * Lee et al. suffix-array semantic as strided 64-char fingerprints):
-    * per-doc count of spans shared verbatim with another document.
+    * per-doc count of spans shared verbatim with another document. One
+    * row per CORPUS doc (n_dup_spans = 0 for clean docs — the same
+    * universal-coverage discipline as `dedup_substring_fast`'s flag
+    * rows, r12 verdict #7): a doc wrongly ACQUIRING duplicate spans and
+    * a doc wrongly LOSING them are both visible in a row set the oracle
+    * derives from the corpus, not from the match set.
     */
   private def q_dedup_substring(s: SparkSession, dir: String): DataFrame =
-    Dedup.duplicatedSpans(T(s, dir, "documents"), "doc_id", "text",
-        spanLen = 64, stride = 32)
+    T(s, dir, "documents").select(col("doc_id"))
+      .join(Dedup.duplicatedSpans(T(s, dir, "documents"), "doc_id", "text",
+          spanLen = 64, stride = 32),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
       .orderBy("doc_id")
 
   /** Production-path substring dedup ([[Dedup.duplicatedSpansRolling]]):
@@ -7411,6 +7523,7 @@ object SparkEntry {
     "esn_forecast" -> (q_esn_forecast _),
     "multimodal_features" -> (q_multimodal_features _),
     "multimodal_phash_dedup" -> (q_multimodal_phash_dedup _),
+    "multimodal_phash_incr" -> (q_multimodal_phash_incr _),
     "multimodal_decode" -> (q_multimodal_decode _),
     "multimodal_wav_decode" -> (q_multimodal_wav_decode _),
     "scan_orc" -> (q_scan_orc _),
@@ -10794,10 +10907,13 @@ object SparkEntry {
         |spans AS (
         |  SELECT doc_id, md5(substr(text, CAST(p AS INTEGER), 64)) AS h FROM pos),
         |shared AS (
-        |  SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) > 1)
-        |SELECT doc_id, count(*) AS n_dup_spans
-        |FROM spans JOIN shared USING (h)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+        |dup AS (
+        |  SELECT doc_id, count(*) AS n_dup_spans
+        |  FROM spans JOIN shared USING (h) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(dup.n_dup_spans, 0) AS n_dup_spans
+        |FROM documents d LEFT JOIN dup USING (doc_id)
+        |ORDER BY 1""".stripMargin,
     "agg_ks_drift" -> driftOracle(
       """round(max(abs(fa - fb)), 6) AS ks""",
       """CAST(sum(na) OVER pk AS DOUBLE) / sum(na) OVER pt AS fa,
@@ -11600,7 +11716,7 @@ object SparkEntry {
     "simsearch_ivf", "simsearch_pq", "ml_ar_forecast", "ml_adaboost",
     "ml_isolation_forest", "ml_anomaly_ensemble", "ml_autoencoder",
     "ml_autoencoder_sgd", "ml_autoencoder_seq", "ml_rnn_autoencoder",
-    "esn_forecast", "multimodal_phash_dedup")
+    "esn_forecast", "multimodal_phash_dedup", "multimodal_phash_incr")
 
   /** DuckDB DOUBLE[] literal that parses EXACTLY: a plain decimal
     * literal goes through DECIMAL(18,17) and the cast to DOUBLE can

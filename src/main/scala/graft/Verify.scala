@@ -5,6 +5,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    // Fixture-key the generated-oracle fragments (see
+    // SparkEntry.oracleFragmentFile): a query that fails here must
+    // surface as a MISSING oracle, never as a stale one from a
+    // different fixture's earlier run.
+    System.setProperty("graft.oracle.fixture", sfDir)
     // optional trailing names: dump only those queries (and only their
     // oracle entries) — local iteration aid; the driver passes none.
     val only = args.drop(2).toSet

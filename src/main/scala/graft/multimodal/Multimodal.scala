@@ -387,6 +387,50 @@ object Multimodal {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Incremental maintenance of [[phashPairs]] — the daily-ingest path
+    * for a persisted image-dedup state (the knnGraphMerge / ShingleIndex
+    * discipline applied to the aHash registry). Exact BY CONSTRUCTION,
+    * not approximately: an aHash is a pure per-image function (no corpus
+    * statistics — unlike minhash's df cap there is nothing to re-fit),
+    * so `hashes(base ∪ delta) = hashes(base) ∪ hashes(delta)` and the
+    * hamming-≤-d pair predicate is per-pair, giving
+    *
+    *   pairs(base ∪ delta) = pairs(base) ∪ {pairs with ≥ 1 delta side}
+    *
+    * disjointly. The step decodes ONLY the delta (the expensive leg) and
+    * band-joins the delta hashes against base ∪ delta — O(delta ×
+    * collisions), never a base×base re-join, never a base re-decode.
+    * Caller contract: delta media ids are new (append-only, the
+    * incrementalStepExact precondition); `basePairs` is [[
+    * phashPairsFromHashes]] output over exactly `baseHashes`. No-drift
+    * (merge == full rebuild) is pinned by MultimodalSpec and
+    * driver-gated by `multimodal_phash_incr`'s full-rebuild oracle.
+    */
+  def phashMergePairs(baseHashes: DataFrame, basePairs: DataFrame,
+      deltaHashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist=$maxDist: 4 exact bands only guarantee recall up to hamming 3 " +
+        "- raise the band count for a looser threshold")
+    def bands(h: DataFrame) = h.select(col("media_id"), col("ahash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bh", expr("shiftrightunsigned(ahash, band * 16)")
+        .bitwiseAND(0xffffL))
+    val all = bands(baseHashes.unionByName(deltaHashes))
+    // delta probes all: one direction suffices because the output pair
+    // is id-normalized below; a delta-delta collision arrives twice and
+    // the distinct collapses it
+    val newPairs = bands(deltaHashes).as("a").join(all.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.media_id") =!= col("b.media_id"))
+      .select(least(col("a.media_id"), col("b.media_id")).as("media_a"),
+        greatest(col("a.media_id"), col("b.media_id")).as("media_b"),
+        expr("bit_count(a.ahash ^ b.ahash)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+    basePairs.select(col("media_a"), col("media_b"), col("hamming"))
+      .unionByName(newPairs)
+  }
+
   /** Build a media frame from any table with an id and a string payload —
     * lets the documents fixture stand in for a binary corpus in tests and
     * benchmarks.

@@ -786,10 +786,15 @@ object Dedup {
     *     never candidate keys, and df only grows, so the list never
     *     comes back — but the row must survive so an incremental merge
     *     keeps counting it);
-    *   - `docs`: one row per doc — `(doc_id, ts)` with `ts` the doc's
-    *     capped shingle set sorted by the corpus-global (df asc, s asc)
-    *     order. The QUERY-TIME threshold decides the prefix length, so
-    *     one index serves every (jaccard, containment, τ) variant.
+    *   - `docs`: one row per doc — `(doc_id, ts, n)` with `ts` the
+    *     doc's **df ≥ 2** capped shingles sorted by the corpus-global
+    *     (df asc, s asc) order and `n` the FULL capped-universe set
+    *     size (df = 1 included — the jaccard/containment denominators
+    *     need it; the singletons themselves never intersect and are
+    *     stored once, in `groups`, not per doc — the third-decade disk
+    *     fix, see [[docSetsFromMembership]]). The QUERY-TIME threshold
+    *     decides the prefix length, so one index serves every
+    *     (jaccard, containment, τ) variant.
     *
     * Incremental contract (see [[mergeShingleIndex]]): a doc's `ts` row
     * is rebuilt only when the doc is new or one of its shingles crossed
@@ -822,6 +827,28 @@ object Dedup {
     * doc-set derivation and the candidate join; pass false when the
     * frames are about to be persisted anyway ([[saveShingleIndex]]).
     */
+  /** The per-doc aggregate shared by every index build/rebuild path:
+    * from `(doc_id, s, df)` membership rows over the CAPPED universe
+    * (df ≤ cap), emit `(doc_id, ts, n)` — `ts` the df-ordered struct
+    * array of **df ≥ 2 shingles only**, `n` the FULL capped-universe
+    * set size. A df = 1 shingle lives in exactly one document, so it
+    * can never contribute to an intersection; storing it in the doc's
+    * set only to re-shuffle it through the prefix join and the
+    * re-score arrays was the measured third-decade wall (sf100: this
+    * repetition-free corpus is ~90 % df = 1 vocabulary — ~30 GB of
+    * doc-set entries + their in-flight shuffles exceeded the box's
+    * disk). Scores stay exact: `i` counts only shared shingles (df ≥ 2
+    * by definition) and `n` keeps the full size for the caller's
+    * jaccard/containment denominators. The prefix pigeonhole stays
+    * sound on the filtered sets — see [[shingleIntersectionsFromIndex]].
+    */
+  private def docSetsFromMembership(m: DataFrame): DataFrame =
+    m.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n"),
+        sort_array(collect_list(when(col("df") >= 2,
+          struct(col("df"), col("s"))))).as("ts"))
+      .select(col("doc_id"), col("ts"), col("n"))
+
   def buildShingleIndex(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, maxDocFreq: Int = DefaultMaxDocFreq,
       materialize: Boolean = true): ShingleIndex = {
@@ -838,14 +865,12 @@ object Dedup {
       .select(col("s"), size(col("ds0")).as("df"),
         when(size(col("ds0")) <= maxDocFreq, col("ds0")).as("ds"))
     val grouped = if (materialize) grouped0.localCheckpoint() else grouped0
-    // ONE per-doc aggregate over the capped universe: the shingle array
-    // sorted by the global (df asc, s asc) order — sort_array over
-    // structs IS that lexicographic order.
-    val docSets0 = grouped
+    // ONE per-doc aggregate over the capped universe: the df ≥ 2 shingle
+    // array sorted by the global (df asc, s asc) order — sort_array over
+    // structs IS that lexicographic order — plus the full capped size n.
+    val docSets0 = docSetsFromMembership(grouped
       .filter(col("ds").isNotNull)
-      .select(col("s"), col("df"), explode(col("ds")).as("doc_id"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ts"))
+      .select(col("s"), col("df"), explode(col("ds")).as("doc_id")))
     val docSets = if (materialize) docSets0.localCheckpoint() else docSets0
     ShingleIndex(grouped, docSets)
   }
@@ -880,11 +905,9 @@ object Dedup {
       materialize = false)
     idx.groups.write.mode("overwrite").parquet(s"$path/groups")
     val grouped = spark.read.parquet(s"$path/groups")
-    val docSets = grouped
+    val docSets = docSetsFromMembership(grouped
       .filter(col("ds").isNotNull)
-      .select(col("s"), col("df"), explode(col("ds")).as("doc_id"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ts"))
+      .select(col("s"), col("df"), explode(col("ds")).as("doc_id")))
     docSets.write.mode("overwrite").parquet(s"$path/docs")
     loadShingleIndex(spark, path)
   }
@@ -904,12 +927,16 @@ object Dedup {
     * docs' shingles merge into `groups` (df adds; member lists concat
     * while the shingle stays under cap, NULL once it crosses — df keeps
     * counting so it can never drift back under). Doc rows are rebuilt
-    * ONLY for (a) the delta docs and (b) old docs holding a shingle that
+    * ONLY for (a) the delta docs, (b) old docs holding a shingle that
     * CROSSED the cap this step (their capped sets shrank — the hot-list
     * no-drift contract of bandTableWithHotList, applied to the df
-    * state). Every other doc keeps its existing row — stale df-order is
-    * sound, see [[ShingleIndex]]. Append-only contract: delta doc ids
-    * must be new (the incrementalStepExact precondition).
+    * state), and (c) old docs holding a shingle that GREW from df = 1
+    * to df ≥ 2 (their stored ts must gain it — singletons are not
+    * stored per doc, see [[docSetsFromMembership]]; n is unchanged but
+    * the shingle can now intersect). Every other doc keeps its existing
+    * row — stale df-order is sound, see [[ShingleIndex]]. Append-only
+    * contract: delta doc ids must be new (the incrementalStepExact
+    * precondition).
     */
   def mergeShingleIndex(idx: ShingleIndex, delta: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3,
@@ -934,7 +961,7 @@ object Dedup {
     // localCheckpointed the full merged state per step and the 100×
     // probe measured exactly that (e = 0.92 from checkpoint churn).
     val updated = dGroups.as("n").join(idx.groups.as("g"), Seq("s"), "left")
-      .select(col("s"),
+      .select(col("s"), coalesce(col("g.df"), lit(0)).as("df_old"),
         (coalesce(col("g.df"), lit(0)) + col("n.dfd")).as("df2"),
         col("g.ds").as("ds_old"), col("n.dsd").as("dsd"))
       .select(col("s"), col("df2").as("df"),
@@ -945,25 +972,39 @@ object Dedup {
           .as("ds"),
         // crossing = was under cap (list present) and no longer is
         (col("ds_old").isNotNull && col("df2") > maxDocFreq).as("__crossed"),
+        // GREW = was a singleton (df = 1, hence excluded from its one
+        // member's stored ts — see docSetsFromMembership) and now has
+        // df ≥ 2 while staying under the cap: the old member doc's ts
+        // must GAIN the shingle or a (old, new) pair sharing it would
+        // be invisible to both sides' prefixes (its own set is stale,
+        // and the delta doc only probes as the SMALLER side).
+        (col("df_old") === 1 && col("df2") <= maxDocFreq).as("__grew"),
         col("ds_old"))
       .localCheckpoint()
-    val crossedDocs = updated.filter(col("__crossed"))
+    val crossedDocs = updated.filter(col("__crossed") || col("__grew"))
       .select(explode(col("ds_old")).as("doc_id")).distinct()
     val newGroups = idx.groups
       .join(dGroups.select("s"), Seq("s"), "left_anti")
       .unionByName(updated.select("s", "df", "ds"))
-    // rebuild = delta docs' sets ∪ crossed old docs' sets, re-keyed to
-    // the MERGED df and re-capped; shingle membership for old docs comes
-    // from their existing ts rows (no corpus re-scan). rebuildKeys is
-    // small — AQE broadcasts it against the newGroups scan.
+    // rebuild = delta docs' sets ∪ crossed/grew old docs' sets, re-keyed
+    // to the MERGED df and re-capped; shingle membership for old docs
+    // comes from their existing ts rows (df ≥ 2) PLUS the base index's
+    // singleton rows (df = 1 shingles live only in groups — a map-side
+    // explode of the df = 1 slice semi-joined to the rebuild set, one of
+    // the base scans the serving plan pays anyway; output is O(affected
+    // docs' vocabulary)). rebuildKeys is small — AQE broadcasts it
+    // against the newGroups scan.
     val rebuildKeys = dNew.unionByName(
       idx.docs.join(crossedDocs, Seq("doc_id"))
         .select(col("doc_id"), explode(col("ts")).as("t"))
         .select(col("doc_id"), col("t.s").as("s")))
-    val rebuilt = rebuildKeys
-      .join(newGroups.filter(col("ds").isNotNull).select("s", "df"), Seq("s"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ts"))
+      .unionByName(
+        idx.groups.filter(col("df") === 1)
+          .select(explode(col("ds")).as("doc_id"), col("s"))
+          .join(crossedDocs, Seq("doc_id"))
+          .select(col("doc_id"), col("s")))
+    val rebuilt = docSetsFromMembership(rebuildKeys
+      .join(newGroups.filter(col("ds").isNotNull).select("s", "df"), Seq("s")))
       .localCheckpoint() // O(delta + affected)
     val untouched = idx.docs
       .join(crossedDocs, Seq("doc_id"), "left_anti")
@@ -993,13 +1034,26 @@ object Dedup {
     // so the downstream double compare can never admit a pair the
     // integer bound excluded.
     val tMicro = math.floor(minOverlapFrac * 1e6).toLong
-    val grouped = idx.groups.filter(col("ds").isNotNull)
+    // Candidate keys come only from df ≥ 2 groups: a df = 1 shingle's
+    // member list has one element, so its self-join contributes nothing
+    // — skipping the slice keeps ~90 % of a natural corpus's vocabulary
+    // out of the candidate join's build side.
+    val grouped = idx.groups.filter(col("ds").isNotNull && col("df") >= 2)
+    // Pigeonhole on the FILTERED set: iMin = ⌈τ·n⌉ runs on the FULL
+    // capped size n (stored — the caller's denominators need it), but
+    // every intersection element is shared, hence df ≥ 2, hence inside
+    // the stored ts (size n2). If a qualifying pair's intersection
+    // avoided the smaller doc's first p = n2 − iMin + 1 stored shingles
+    // it would fit in the n2 − p = iMin − 1 suffix, contradicting
+    // i ≥ iMin — the same argument as before, run on ts instead of the
+    // full set. p ≤ 0 (n2 < iMin) means the doc cannot be the smaller
+    // side of any qualifying pair: no prefix keys at all.
     val docSets = idx.docs
-      .withColumn("n", size(col("ts")))
-      .withColumn("p", col("n") - expr(s"($tMicro * n + 999999) div 1000000") + 1)
+      .withColumn("p",
+        size(col("ts")) - expr(s"($tMicro * n + 999999) div 1000000") + 1)
       .select(col("doc_id"),
         sort_array(transform(col("ts"), t => t.getField("s"))).as("ss"),
-        transform(slice(col("ts"), lit(1), col("p")),
+        transform(slice(col("ts"), lit(1), greatest(col("p"), lit(0))),
           t => t.getField("s")).as("pref"),
         col("n"))
     // Prefix keys explode map-side. Only the SMALLER side needs its

@@ -34,8 +34,10 @@ class LocalNioCheckpointFileManager(root: Path, conf: Configuration)
 
   require(root.toUri.getScheme == null || root.toUri.getScheme == "file",
     s"LocalNioCheckpointFileManager handles file: paths only, got $root " +
-      "- unset spark.sql.streaming.checkpointFileManagerClass for remote " +
-      "checkpoint locations")
+      "- unset spark.sql.streaming.checkpointFileManagerClass (or set it " +
+      "to org.apache.spark.sql.execution.streaming.checkpointing." +
+      "FileSystemBasedCheckpointFileManager, the stock manager) for " +
+      "remote checkpoint locations")
 
   private def nio(p: Path): NioPath = Paths.get(p.toUri.getPath)
 
@@ -76,15 +78,31 @@ class LocalNioCheckpointFileManager(root: Path, conf: Configuration)
         if (!done) {
           done = true
           out.close()
-          if (!overwriteIfPossible && Files.exists(dst)) {
-            Files.deleteIfExists(tmp)
-            throw new FileAlreadyExistsException(
-              s"rename destination $path already exists")
-          }
           if (overwriteIfPossible)
             Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
               StandardCopyOption.REPLACE_EXISTING)
-          else Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+          else {
+            // No-overwrite commit must ARBITRATE, not check-then-move:
+            // POSIX rename(2) (hence ATOMIC_MOVE) silently replaces an
+            // existing destination, so an exists() pre-check leaves a
+            // window where a racing writer's committed file is
+            // clobbered instead of raising. link(2) is the atomic
+            // claim: it fails with EEXIST iff the destination exists,
+            // and on success the COMPLETE file appears at dst in one
+            // syscall — the loser sees FileAlreadyExistsException, the
+            // winner's content is never replaced. (This is the stock
+            // manager's exactly-once batch-commit arbitration, without
+            // its forked-chmod tax.)
+            try Files.createLink(dst, tmp)
+            catch {
+              case e: java.nio.file.FileAlreadyExistsException =>
+                Files.deleteIfExists(tmp)
+                throw new FileAlreadyExistsException(
+                  s"rename destination $path already exists" +
+                    (if (e.getMessage != null) s" (${e.getMessage})" else ""))
+            }
+            Files.deleteIfExists(tmp)
+          }
         }
       }
       override def cancel(): Unit = synchronized {

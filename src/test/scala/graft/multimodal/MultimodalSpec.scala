@@ -108,6 +108,40 @@ class MultimodalSpec extends SparkSpec {
       s"decode ran inside the join plan:\n${executed.take(2000)}")
   }
 
+  test("phashMergePairs equals the full rebuild (no-drift), decoding only the delta") {
+    // split with twin pairs CROSSING it (twin = original + 1000; 1000 ≡ 1
+    // mod 3, so original and twin land on different sides of a mod-3
+    // split) — the merge must find base↔delta pairs, delta-internal
+    // pairs, and keep base-base pairs untouched
+    val base = (0 until 24).map(i => (i.toLong, s"image seed $i"))
+    val media = Multimodal.fromDigestPng(base.toDF("id", "txt"), "id", "txt")
+    val originals = Multimodal.resizePayload(media, "bytes", 8.0)
+    val twins = Multimodal.resizePayload(
+      media.filter(col("media_id") % 3 === 0), "bytes", 16.0)
+      .select((col("media_id") + 1000).as("media_id"), col("kind"),
+        col("bytes"), col("meta"))
+    val corpus = originals.unionByName(twins).localCheckpoint()
+    val baseSide = corpus.filter(col("media_id") % 3 =!= 1)
+    val deltaSide = corpus.filter(col("media_id") % 3 === 1)
+    assert(deltaSide.count() > 0 && baseSide.count() > 0)
+    val baseHashes = Multimodal.averageHashes(baseSide, "media_id", "bytes")
+      .localCheckpoint()
+    val basePairs = Multimodal.phashPairsFromHashes(baseHashes, 3)
+    val deltaHashes = Multimodal.averageHashes(deltaSide, "media_id", "bytes")
+    def pset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val merged = pset(Multimodal.phashMergePairs(
+      baseHashes, basePairs, deltaHashes, 3))
+    val rebuilt = pset(Multimodal.phashPairs(corpus, "media_id", "bytes", 3))
+    assert(merged == rebuilt, s"merge drift: merged-only=${merged -- rebuilt} " +
+      s"rebuilt-only=${rebuilt -- merged}")
+    // ...and the merge actually crossed the split: at least one pair has
+    // exactly one delta-side endpoint (mod-3 twin arithmetic guarantees
+    // candidates exist unless twin recall collapsed entirely)
+    assert(merged.exists(p => (p._1 % 3 == 1) != (p._2 % 3 == 1)),
+      s"no base-delta pair found in $merged")
+  }
+
   test("phashPairs drops undecodable payloads and rejects unreachable distance bounds") {
     // text payloads never decode: no hash, no pairs — and the banded
     // join's recall guarantee stops at hamming 3, so a looser bound is a

@@ -327,7 +327,7 @@ class DedupSpec extends SparkSpec {
       .count() == 0)
   }
 
-  test("ShingleIndex: merge equals full rebuild, including a cap crossing") {
+  test("ShingleIndex: merge equals full rebuild, including cap and df 1->2 crossings") {
     import org.apache.spark.sql.Row
     // bigram cap 3; "terms apply" is AT the cap in batch A and crosses it
     // only in the union — the merge must null the member list, keep
@@ -343,7 +343,14 @@ class DedupSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val batchB = Seq(
       (16L, "alpha beta gamma delta eta"),
-      (17L, "terms apply and terms apply")
+      (17L, "terms apply and terms apply"),
+      // GROW-crossing: doc 15's bigrams are all df = 1 in batch A (so
+      // its stored ts is EMPTY under the df ≥ 2 layout); doc 18 takes
+      // three of them to df = 2. Without the grow rebuild, doc 15's
+      // prefix stays empty and the (15, 18) pair — doc 15 is the
+      // SMALLER side (n 3 < 4), so only its prefix can generate it —
+      // silently vanishes from the served pairs.
+      (18L, "unrelated content entirely different stuff")
     ).toDF("doc_id", "text")
     val all = batchA.unionByName(batchB)
 
@@ -360,17 +367,29 @@ class DedupSpec extends SparkSpec {
     assert(groupSet(merged.groups) == groupSet(full.groups))
 
     // per-doc capped sets: membership identical everywhere; REBUILT rows
-    // (delta 16/17 + crossed 10/11/12) carry fresh df and must equal the
-    // full rebuild struct for struct
+    // (delta 16/17/18, cap-crossed 10/11/12, grow-crossed 15) carry
+    // fresh df and must equal the full rebuild struct for struct
     def docMap(d: org.apache.spark.sql.DataFrame) =
-      d.collect().map(r => r.getLong(0) ->
-        r.getSeq[Row](1).map(x => (x.getInt(0), x.getLong(1)))).toMap
+      d.select("doc_id", "ts", "n").collect().map(r => r.getLong(0) ->
+        (r.getSeq[Row](1).map(x => (x.getInt(0), x.getLong(1))), r.getInt(2))).toMap
     val fm = docMap(full.docs); val mm = docMap(merged.docs)
     assert(fm.keySet == mm.keySet)
-    for (k <- fm.keySet)
-      assert(fm(k).map(_._2).toSet == mm(k).map(_._2).toSet, s"doc $k membership")
-    for (k <- Set(10L, 11L, 12L, 16L, 17L))
+    for (k <- fm.keySet) {
+      assert(fm(k)._1.map(_._2).toSet == mm(k)._1.map(_._2).toSet,
+        s"doc $k membership")
+      assert(fm(k)._2 == mm(k)._2, s"doc $k full capped size n")
+    }
+    for (k <- Set(10L, 11L, 12L, 15L, 16L, 17L, 18L))
       assert(fm(k) == mm(k), s"rebuilt doc $k must carry fresh df order")
+    // the df ≥ 2 layout contract: ts never stores a singleton, n counts
+    // the FULL capped universe. doc 13 "alpha beta gamma delta epsilon":
+    // 4 capped bigrams, "delta epsilon" df = 1 excluded from ts; doc 17:
+    // "terms apply" over cap (df 4 > 3), both remaining bigrams df = 1
+    // → n = 2, ts empty; doc 15: all three stored bigrams grew to df = 2.
+    for ((_, (ts, _)) <- fm) assert(ts.forall { case (df, _) => df >= 2 })
+    assert(fm(13L)._1.size == 3 && fm(13L)._2 == 4)
+    assert(fm(17L)._1.isEmpty && fm(17L)._2 == 2)
+    assert(fm(15L)._1.size == 3 && fm(15L)._2 == 3)
 
     // served results: indistinguishable from the direct operators on the
     // full corpus (the drift this state machinery exists to prevent)
