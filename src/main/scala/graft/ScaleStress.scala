@@ -301,12 +301,11 @@ object ScaleStress {
       // measured e = 1.39), not the plan. Bits scale with n so per-bucket
       // density stays at the tuned level.
       "op_simsearch_lsh" -> ((s: SparkSession, d: String) => {
+        // autoPlanesSchedule = the production parameterization since
+        // round 13 (fractional bits hold mean bucket density ~constant
+        // across decades — the r12 verdict's density turn)
         val e = s.read.parquet(s"$d/embeddings.parquet")
-        val n = e.count()
-        val planes = math.max(8,
-          math.ceil(math.log(n / 40.0) / math.log(2.0)).toInt)
-        graft.ops.Similarity.lshCosinePairs(e, "vec_id", "embedding", 0.3,
-          nPlanes = planes)
+        graft.ops.Similarity.lshCosinePairsAuto(e, "vec_id", "embedding", 0.3)
       }),
       // kNN-graph connected components at the PRODUCTION LSH
       // parameterization: bucket bits scale with corpus size
@@ -319,11 +318,8 @@ object ScaleStress {
       // the plan. Density-targeted bits are the documented scale path.
       "op_graph_cc" -> ((s: SparkSession, d: String) => {
         val e = s.read.parquet(s"$d/embeddings.parquet")
-        val n = e.count()
-        val planes = math.max(8,
-          math.ceil(math.log(n / 40.0) / math.log(2.0)).toInt)
         val pairs = graft.ops.Similarity
-          .knnGraph(e, "vec_id", "embedding", 3, nPlanes = planes)
+          .knnGraphAuto(e, "vec_id", "embedding", 3)
           .select(col("qid").as("doc_a"), col("nid").as("doc_b"))
         Dedup.duplicateClusters(pairs, maxIter = 64)
       }),

@@ -22,6 +22,14 @@ import org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileMana
   * gives the same atomic rename-into-place commit contract without the
   * fork or the checksum sibling.
   *
+  * Crash debris contract: a killed writer leaves `.name.<uuid>.tmp`
+  * siblings behind. They are invisible to readers (dotted names no
+  * metadata/state log parses) and the manager does NO proactive orphan
+  * cleanup — run-and-discard replay checkpoints delete the whole dir,
+  * and a durable checkpoint's orphans are bounded by in-flight writers
+  * at crash time. Recovery over exactly this debris (plus an
+  * uncommitted offsets entry) is pinned by StreamsSpec's crash test.
+  *
   * Scope honesty: this is the LOCAL-disk manager for run-and-discard
   * replay checkpoints (tmpfs-backed — see `replayCheckpointRoot`) and
   * local lake state. A production deployment checkpointing to HDFS/S3

@@ -230,6 +230,50 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("autoPlanesSchedule: all-8 below the floor, near-constant mean density above") {
+    // fixture contract: any n <= 10240 must leave every table at 8 bits
+    // (oracle plans/hashes untouched)
+    for (n <- Seq(1L, 100L, 10240L))
+      assert(Similarity.autoPlanesSchedule(n) == Seq.fill(8)(8), s"n=$n")
+    // above the floor: bits are floor/floor+1 mixes and the MEAN bucket
+    // density n * mean(2^-p) stays within ±8% of the 40 target at every
+    // size — the property integer ceil loses (its density swings 20..40,
+    // the measured source of the last-decade exponent ratchet)
+    for (n <- Seq(20000L, 51200L, 100000L, 512000L, 1000000L, 5120000L,
+        51200000L)) {
+      val sched = Similarity.autoPlanesSchedule(n)
+      assert(sched.length == 8 && sched.forall(_ >= 8))
+      assert(sched.max - sched.min <= 1, s"n=$n sched=$sched")
+      val meanDensity = sched.map(p => n / math.pow(2.0, p)).sum / 8.0
+      assert(meanDensity >= 40.0 * 0.92 && meanDensity <= 40.0 * 1.08,
+        s"n=$n sched=$sched meanDensity=$meanDensity")
+    }
+  }
+
+  test("schedule LSH: uniform schedule is bit-identical; mixed schedule is " +
+      "bracketed by its uniform endpoints") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // uniform schedule == the plain form (the mask short-circuits away)
+    assert(pset(Similarity.lshCosinePairsSched(e, "vec_id", "embedding",
+        0.35, Seq.fill(8)(4))) ==
+      pset(Similarity.lshCosinePairs(e, "vec_id", "embedding", 0.35,
+        nPlanes = 4)))
+    // masking table t to p bits IS table t at p planes, so a mixed
+    // schedule's candidates sit between the all-coarse (superset) and
+    // all-fine (subset) uniform runs; exact re-score + threshold
+    // preserves both inclusions on the emitted pairs
+    val mixed = pset(Similarity.lshCosinePairsSched(e, "vec_id", "embedding",
+      0.35, Seq(4, 4, 4, 4, 5, 5, 5, 5)))
+    val coarse = pset(Similarity.lshCosinePairs(e, "vec_id", "embedding",
+      0.35, nPlanes = 4))
+    val fine = pset(Similarity.lshCosinePairs(e, "vec_id", "embedding",
+      0.35, nPlanes = 5))
+    assert(fine.subsetOf(mixed), s"missing: ${(fine -- mixed).take(5)}")
+    assert(mixed.subsetOf(coarse), s"extra: ${(mixed -- coarse).take(5)}")
+  }
+
   test("knnGraphMerge no-drift: merging a delta equals a full rebuild") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val base = e.filter(col("vec_id") % 5 =!= 0)

@@ -184,6 +184,90 @@ class StreamsSpec extends SparkSpec {
     rows.foreach(r => assert(batchMap(key(r)) == ((r.getDouble(2), r.getLong(3)))))
   }
 
+  test("crash recovery: restart over a crashed nio checkpoint (orphan tmps + " +
+      "uncommitted offsets) still matches the batch oracle") {
+    // The nio manager sits under every streaming commit; this pins the
+    // RECOVERY half of its contract. A killed driver leaves exactly two
+    // kinds of debris: (a) orphaned `.name.<uuid>.tmp` siblings from
+    // in-flight createAtomic writers (never renamed — invisible to
+    // readers, reclaimed only when the checkpoint dir is deleted; the
+    // manager does no proactive orphan cleanup, by design), and (b) an
+    // offsets/<n+1> entry whose batch never wrote its commits/<n+1>
+    // marker — the canonical crash point (offset durable first). On
+    // restart Spark must re-run batch n+1 from the recorded offsets and
+    // the resumed output must equal the one-shot batch computation.
+    val root = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val (in, out, chk) = (s"$root/in", s"$root/out", s"$root/chk")
+    readings.take(3).toDF.coalesce(1).write.mode("append").parquet(in)
+    val schema = readings.toDF.schema
+    def start() = Streams.resample(
+        spark.readStream.schema(schema).parquet(in),
+        "ts", "tag", "value", "10 minutes", "0 seconds")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", chk).outputMode("append").start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // crash debris (the manager's own tmp naming, garbage payloads)
+    def orphan(dir: java.nio.file.Path, name: String): Unit = {
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve(
+        s".$name.${java.util.UUID.randomUUID()}.tmp"),
+        Array.fill[Byte](64)(0x5a))
+    }
+    val ck = java.nio.file.Paths.get(chk)
+    orphan(ck.resolve("offsets"), "99")
+    orphan(ck.resolve("commits"), "99")
+    val stateDirs = {
+      val s = java.nio.file.Files.walk(ck.resolve("state"))
+      try {
+        val ds = s.filter(p => java.nio.file.Files.isDirectory(p))
+          .toArray(n => new Array[java.nio.file.Path](n))
+        ds.toSeq
+      } finally s.close()
+    }
+    stateDirs.takeRight(2).foreach(d => orphan(d, "7.delta"))
+    // batch n+1: offsets written (same source log offset as n — a crash
+    // before any new file was picked up), commit never written
+    val offsets = ck.resolve("offsets")
+    val ids = {
+      val s = java.nio.file.Files.list(offsets)
+      try s.toArray(n => new Array[java.nio.file.Path](n)).toSeq
+        .map(_.getFileName.toString).filter(_.forall(_.isDigit)).map(_.toLong)
+      finally s.close()
+    }
+    val last = ids.max
+    java.nio.file.Files.copy(offsets.resolve(last.toString),
+      offsets.resolve((last + 1).toString))
+    assert(!java.nio.file.Files.exists(
+      ck.resolve("commits").resolve((last + 1).toString)),
+      "fixture bug: the uncommitted batch already has a commit marker")
+
+    // restart: finish the uncommitted batch, then take new data
+    val sentinel = Reading("a", ts("2024-01-01 02:00:00"), 0.0)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      readings.drop(3).toDF.coalesce(1).write.mode("append").parquet(in)
+      q2.processAllAvailable()
+      Seq(sentinel).toDF.coalesce(1).write.mode("append").parquet(in)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val batch = Streams.resample((readings :+ sentinel).toDF,
+      "ts", "tag", "value", "10 minutes", "0 seconds")
+    val key = (r: org.apache.spark.sql.Row) => (r.getTimestamp(0), r.getString(1))
+    val batchMap = batch.collect()
+      .map(r => key(r) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.nonEmpty)
+    // exactly-once across the crash: no duplicated window rows either
+    assert(rows.map(key).distinct.length == rows.length,
+      s"duplicate windows after recovery: ${rows.mkString(",")}")
+    rows.foreach(r => assert(batchMap(key(r)) == ((r.getDouble(2), r.getLong(3))),
+      s"window ${key(r)} diverged after recovery"))
+  }
+
   test("scoreOnline is prequential and identical between batch and two-batch stream") {
     // batch (single pass over a static Dataset)
     val batchScores = Streams.scoreOnline(readings.toDS, 1.5)
