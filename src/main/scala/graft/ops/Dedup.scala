@@ -1027,13 +1027,78 @@ object Dedup {
       minOverlapFrac: Double, minSizeRatio: Double = 0.0): DataFrame = {
     require(minOverlapFrac > 0.0 && minOverlapFrac <= 1.0,
       s"minOverlapFrac must be in (0, 1], got $minOverlapFrac")
-    // `iMin` in integer micro-units (`T = ⌊frac·1e6⌋`,
-    // `iMin = ⌈T·n/1e6⌉` by long arithmetic) — floor makes T a
-    // conservative lower bound and no float rounding can shorten a
-    // prefix below the safe length; rationals i/n sit ≥ 1/(1e6·n) apart
-    // so the downstream double compare can never admit a pair the
-    // integer bound excluded.
+    // STRATEGY (round 13, the third-decade fix): the prefix-filter +
+    // array-re-score plan's pair-scale exchange carries candidate pairs
+    // × BOTH docs' shingle arrays — measured 12.4 GB at ~sf10 (→ ~10×
+    // that a decade up, the exact in-flight-shuffle wall that killed the
+    // r12 sf100 attempt). When the capped df distribution is low (every
+    // shipped graft surface runs cap = 20), the EXACT intersection
+    // counts come far cheaper from CO-MEMBERSHIP MENTIONS: each capped
+    // df ≥ 2 group emits its C(df, 2) ordered member pairs (ids only,
+    // 24 B), one hash-agg counts i per pair — Σ C(df,2) ≤ (cap/2)·
+    // memberships rows, and NO ARRAY EVER CROSSES THE WIRE (the
+    // scoredBucketPairs lesson applied to sets). A boilerplate-heavy
+    // corpus at a large cap inverts the economics (one df = 1000
+    // shingle is 5·10⁵ mentions), so the strategy is picked from ONE
+    // narrow model-sized aggregate over the groups stats — the
+    // fit-once discipline; both plans are exact and emit the identical
+    // (doc_a, doc_b, i, na, nb) contract, spec'd equal in DedupSpec.
     val tMicro = math.floor(minOverlapFrac * 1e6).toLong
+    val stats = idx.groups.filter(col("ds").isNotNull && col("df") >= 2)
+      .agg(sum(expr("(CAST(df AS BIGINT) * (df - 1)) div 2")).as("mentions"),
+        sum(col("df").cast("long")).as("memberships"))
+      .head()
+    val mentions = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val memberships = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    if (mentions <= 32L * math.max(1L, memberships))
+      mentionIntersections(idx, tMicro, minSizeRatio)
+    else prefixIntersections(idx, tMicro, minSizeRatio)
+  }
+
+  /** The mention-count plan: i(A, B) = the number of capped df ≥ 2
+    * groups whose member list contains both docs, counted by exploding
+    * each group's ordered member pairs and one hash aggregation —
+    * ids-only end to end. Emits every pair with i ≥ 1 that survives the
+    * conservative integer micro-unit bounds (a SUPERSET of the
+    * qualifying pairs, like the prefix plan — callers re-apply their
+    * exact predicate).
+    */
+  private[graft] def mentionIntersections(idx: ShingleIndex, tMicro: Long,
+      minSizeRatio: Double): DataFrame = {
+    val grouped = idx.groups.filter(col("ds").isNotNull && col("df") >= 2)
+    // two chained explodes stream d² rows per group and keep (a < b):
+    // ds is build-sorted so values compare directly; no combination
+    // array is ever materialized
+    val pairs = grouped.select(col("s"), explode(col("ds")).as("doc_a"),
+        col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+    val iCounts = pairs.groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("i"))
+    val sizes = idx.docs.select(col("doc_id"), col("n"))
+    iCounts
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      // the same conservative integer bounds the prefix plan generates
+      // under: reachability (i ≥ frac·min — floor'd tMicro keeps a
+      // superset) and size compatibility (min ≥ ratio·max)
+      .filter(lit(1000000L) * col("i") >=
+        lit(tMicro) * least(col("na"), col("nb")))
+      .filter(lit(1000000L) * least(col("na"), col("nb")) >=
+        lit(math.floor(minSizeRatio * 1e6).toLong) *
+          greatest(col("na"), col("nb")))
+      .select(col("doc_a"), col("doc_b"), col("i").cast("long").as("i"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
+  }
+
+  /** The prefix-filter + sorted-merge re-score plan — the right shape
+    * when hot capped shingles make Σ C(df,2) explode (large caps on
+    * boilerplate-heavy corpora); see [[shingleIntersectionsFromIndex]].
+    */
+  private[graft] def prefixIntersections(idx: ShingleIndex, tMicro: Long,
+      minSizeRatio: Double): DataFrame = {
     // Candidate keys come only from df ≥ 2 groups: a df = 1 shingle's
     // member list has one element, so its self-join contributes nothing
     // — skipping the slice keeps ~90 % of a natural corpus's vocabulary

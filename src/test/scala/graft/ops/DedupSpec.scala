@@ -417,5 +417,26 @@ class DedupSpec extends SparkSpec {
     val disk = Dedup.buildAndSaveShingleIndex(all, "doc_id", "text", dir2, n, cap)
     assert(groupSet(disk.groups) == groupSet(full.groups))
     assert(docMap(disk.docs) == docMap(full.docs))
+
+    // BOTH serving strategies emit the identical (doc_a, doc_b, i, na,
+    // nb) rows under the same conservative bounds: the mention-count
+    // plan (ids-only co-membership agg — the third-decade shape) and
+    // the prefix-filter + sorted-merge re-score plan (the large-cap
+    // fallback). The qualifying-pair contract is what callers consume;
+    // compare it exactly under both thresholds used by the public API.
+    def iset(df: org.apache.spark.sql.DataFrame, frac: Double) = {
+      val t = math.floor(frac * 1e6).toLong
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .filter { case (_, _, i, na, nb) =>
+          1000000L * i >= t * math.min(na, nb) } // qualifying pairs only
+        .toSet
+    }
+    for (frac <- Seq(0.3, 0.5, 0.75, 1.0)) {
+      val t = math.floor(frac * 1e6).toLong
+      assert(iset(Dedup.mentionIntersections(full, t, 0.0), frac) ==
+        iset(Dedup.prefixIntersections(full, t, 0.0), frac),
+        s"strategy drift at frac=$frac")
+    }
   }
 }
