@@ -806,8 +806,58 @@ object Dedup {
     * merely minimizes candidates. Stale order costs a few extra
     * candidates, never a missed pair, and the exact re-score keeps
     * output identical to the full rebuild's.
+    *
+    * Round-14 additions (both optional — a pre-v3 artifact loads with
+    * None and serves exactly as before):
+    *   - `stats`: the strategy-pick statistics ([[ShingleStats]]),
+    *     computed once at build/merge/save and persisted as `meta/` —
+    *     no serve ever re-aggregates the groups table;
+    *   - `pairs`: the PAIR STATE — exact intersection counts `(doc_a,
+    *     doc_b, i)` over the capped df ≥ 2 universe, persisted as
+    *     `pairs/` and maintained incrementally by [[mergeShingleIndex]]
+    *     (the dedupstate pattern applied to the set-overlap family).
+    *     With it, serving any (jaccard|containment, τ) is scan +
+    *     attach n + filter — the sf100 probe's 383 s recompute becomes
+    *     a state scan. Built only while the mention economics hold
+    *     ([[mentionPlanPreferred]]): past the crossover the state is
+    *     Σ C(df,2)-scale and the prefix plan is the right serve anyway.
     */
-  final case class ShingleIndex(groups: DataFrame, docs: DataFrame)
+  final case class ShingleIndex(groups: DataFrame, docs: DataFrame,
+      stats: Option[ShingleStats] = None, pairs: Option[DataFrame] = None)
+
+  /** Strategy-pick statistics over the capped df ≥ 2 groups — `mentions`
+    * = Σ C(df,2) (the mention plan's explode volume) and `memberships`
+    * = Σ df (the corpus co-occurrence mass). Computed ONCE at
+    * build/merge time and persisted with the index (`meta/`), never
+    * re-aggregated per serve (round-13 ADVICE: the per-serve stats agg
+    * + `.head()` cost ~20 s at sf100 and blocked the driver on every
+    * call for a lazily merged index).
+    */
+  final case class ShingleStats(mentions: Long, memberships: Long)
+
+  /** One narrow model-sized aggregate over the groups stats — the only
+    * corpus-scale action the strategy pick ever needs, paid at
+    * build/merge/save, or once per serve only for an index that carries
+    * no stored stats (a pre-v3 artifact).
+    */
+  private[graft] def computeShingleStats(groups: DataFrame): ShingleStats = {
+    val row = groups.filter(col("ds").isNotNull && col("df") >= 2)
+      .agg(sum(expr("(CAST(df AS BIGINT) * (df - 1)) div 2")).as("mentions"),
+        sum(col("df").cast("long")).as("memberships"))
+      .head()
+    ShingleStats(if (row.isNullAt(0)) 0L else row.getLong(0),
+      if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
+
+  /** The mentions-vs-prefix crossover guard (see
+    * [[shingleIntersectionsFromIndex]]): the mention plan moves
+    * Σ C(df,2) ids-only rows, the prefix plan ~memberships-scale rows
+    * with arrays on the re-score edge; mentions ≤ 32× memberships keeps
+    * the explode strictly cheaper than the measured pairs×arrays
+    * exchange it replaces. Pure function of the stored stats.
+    */
+  private[graft] def mentionPlanPreferred(st: ShingleStats): Boolean =
+    st.mentions <= 32L * math.max(1L, st.memberships)
 
   /** Build the index from scratch: ONE groupBy(s) (map-side collect_set —
     * the dedup rides the aggregation, round 11 removed the separate
@@ -851,7 +901,7 @@ object Dedup {
 
   def buildShingleIndex(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, maxDocFreq: Int = DefaultMaxDocFreq,
-      materialize: Boolean = true): ShingleIndex = {
+      materialize: Boolean = true, pairState: Boolean = false): ShingleIndex = {
     val d = shingleTable(docs, idCol, textCol, shingleN, dedupe = false,
         maxDocFreq = Int.MaxValue)
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
@@ -872,14 +922,36 @@ object Dedup {
       .filter(col("ds").isNotNull)
       .select(col("s"), col("df"), explode(col("ds")).as("doc_id")))
     val docSets = if (materialize) docSets0.localCheckpoint() else docSets0
-    ShingleIndex(grouped, docSets)
+    // stats ride the build (one model-sized agg on the just-checkpointed
+    // groups — the serve-time strategy pick becomes a pure in-memory
+    // compare); the lazy materialize=false form stays action-free and
+    // leaves stats to the save path, which computes them from the
+    // written parquet.
+    val st = if (materialize) Some(computeShingleStats(grouped)) else None
+    // pair state only when the mention economics allow (the same guard
+    // the serve-time strategy pick runs): past the crossover the state
+    // is Σ C(df,2)-scale — larger than the corpus — and the prefix plan
+    // is the right serve anyway.
+    val ps = if (pairState && materialize && st.exists(mentionPlanPreferred))
+      Some(mentionPairCounts(grouped).localCheckpoint()) else None
+    ShingleIndex(grouped, docSets, st, ps)
   }
 
-  /** Persist an index (groups + docs parquet; the docs `_SUCCESS` marker
-    * commits last, so a half-written index never gates).
+  /** Persist an index (groups + pairs + meta + docs parquet; the docs
+    * `_SUCCESS` marker commits last, so a half-written index never
+    * gates). Stats are computed here when the index carries none, so a
+    * saved artifact ALWAYS has `meta/` and a loaded index never pays a
+    * per-serve strategy aggregate; the pair state is written only when
+    * present (see [[buildShingleIndex]]'s economics guard).
     */
   def saveShingleIndex(idx: ShingleIndex, path: String): Unit = {
+    val spark = idx.groups.sparkSession
+    import spark.implicits._
     idx.groups.write.mode("overwrite").parquet(s"$path/groups")
+    idx.pairs.foreach(_.write.mode("overwrite").parquet(s"$path/pairs"))
+    val st = idx.stats.getOrElse(computeShingleStats(idx.groups))
+    Seq((st.mentions, st.memberships)).toDF("mentions", "memberships")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     idx.docs.write.mode("overwrite").parquet(s"$path/docs")
   }
 
@@ -899,12 +971,25 @@ object Dedup {
     */
   def buildAndSaveShingleIndex(docs: DataFrame, idCol: String,
       textCol: String, path: String, shingleN: Int = 3,
-      maxDocFreq: Int = DefaultMaxDocFreq): ShingleIndex = {
+      maxDocFreq: Int = DefaultMaxDocFreq,
+      pairState: Boolean = true): ShingleIndex = {
     val spark = docs.sparkSession
+    import spark.implicits._
     val idx = buildShingleIndex(docs, idCol, textCol, shingleN, maxDocFreq,
       materialize = false)
     idx.groups.write.mode("overwrite").parquet(s"$path/groups")
     val grouped = spark.read.parquet(s"$path/groups")
+    // stats from the WRITTEN groups (a pruned two-column scan), stored
+    // as meta so no serve ever re-aggregates; the pair state — the
+    // round-13 verdict's named lead — is born from the same parquet
+    // scan when the mention economics allow, turning every later serve
+    // into scan + attach-n + filter instead of the ΣC(df,2) explode +
+    // hash-agg recompute (measured 383 s at sf100).
+    val st = computeShingleStats(grouped)
+    if (pairState && mentionPlanPreferred(st))
+      mentionPairCounts(grouped).write.mode("overwrite").parquet(s"$path/pairs")
+    Seq((st.mentions, st.memberships)).toDF("mentions", "memberships")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     val docSets = docSetsFromMembership(grouped
       .filter(col("ds").isNotNull)
       .select(col("s"), col("df"), explode(col("ds")).as("doc_id")))
@@ -919,9 +1004,24 @@ object Dedup {
   }
 
   def loadShingleIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): ShingleIndex =
+      path: String): ShingleIndex = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def committed(sub: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub", "_SUCCESS")
+      p.getFileSystem(conf).exists(p)
+    }
+    // meta/pairs are optional on disk (pre-v3 artifacts; indexes past
+    // the pair-economics guard) — absence degrades to the per-serve
+    // stats agg / recompute plans, never to an error
+    val st = if (committed("meta")) {
+      val r = spark.read.parquet(s"$path/meta").head()
+      Some(ShingleStats(r.getAs[Long]("mentions"), r.getAs[Long]("memberships")))
+    } else None
+    val ps = if (committed("pairs")) Some(spark.read.parquet(s"$path/pairs"))
+      else None
     ShingleIndex(spark.read.parquet(s"$path/groups"),
-      spark.read.parquet(s"$path/docs"))
+      spark.read.parquet(s"$path/docs"), st, ps)
+  }
 
   /** O(delta + affected) index maintenance — the daily-crawl step. New
     * docs' shingles merge into `groups` (df adds; member lists concat
@@ -964,7 +1064,7 @@ object Dedup {
       .select(col("s"), coalesce(col("g.df"), lit(0)).as("df_old"),
         (coalesce(col("g.df"), lit(0)) + col("n.dfd")).as("df2"),
         col("g.ds").as("ds_old"), col("n.dsd").as("dsd"))
-      .select(col("s"), col("df2").as("df"),
+      .select(col("s"), col("df_old"), col("dsd"), col("df2").as("df"),
         when(col("df2") > maxDocFreq, lit(null))
           .when(col("ds_old").isNotNull,
             sort_array(concat(col("ds_old"), col("dsd"))))
@@ -1010,7 +1110,69 @@ object Dedup {
       .join(crossedDocs, Seq("doc_id"), "left_anti")
       .join(delta.select(col(idCol).as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
-    ShingleIndex(newGroups, untouched.unionByName(rebuilt))
+    // ----- pair-state + stats maintenance (round 14): both derive from
+    // the SAME checkpointed `updated` frame — O(delta vocabulary), no
+    // corpus re-scan, no extra base pass beyond the pair-state scan the
+    // serving plan pays anyway.
+    //
+    // Stats: only updated rows change the capped df ≥ 2 sums. Per row,
+    // new contribution − old contribution; old side counted iff the
+    // base row was under cap (ds_old present; C(1,2) = 0 handles the
+    // df = 1 slice), new side iff the merged row stays under cap.
+    val mergedStats = idx.stats.map { base =>
+      val c2new = expr("(CAST(df AS BIGINT) * (df - 1)) div 2")
+      val c2old = expr("(CAST(df_old AS BIGINT) * (df_old - 1)) div 2")
+      val r = updated.agg(
+        sum(when(col("ds").isNotNull, c2new).otherwise(0L) -
+          when(col("ds_old").isNotNull, c2old).otherwise(0L)).as("dm"),
+        sum(when(col("ds").isNotNull && col("df") >= 2,
+            col("df").cast("long")).otherwise(0L) -
+          when(col("ds_old").isNotNull && col("df_old") >= 2,
+            col("df_old").cast("long")).otherwise(0L)).as("dmem"))
+        .head()
+      ShingleStats(base.mentions + (if (r.isNullAt(0)) 0L else r.getLong(0)),
+        base.memberships + (if (r.isNullAt(1)) 0L else r.getLong(1)))
+    }
+    // Pair state: the delta-mention algebra. An updated group that STAYS
+    // under cap gains exactly its (old × new) + C(new, 2) member pairs
+    // (+1 mention each — the df 1→2 grow case falls out: C(1,2) = 0 old
+    // pairs, the cross pairs appear here); a group that CROSSES the cap
+    // loses the C(df_old, 2) pairs it contributed while under it (−1
+    // each); a group born or already over cap contributes nothing on
+    // either side. i' = i + Σ delta, rows dropped at i' = 0 (a pair
+    // whose only shared shingle crossed the cap). All ids-only, all
+    // bounded by cap × |delta vocabulary|.
+    val mergedPairs = idx.pairs.map { basePairs =>
+      val underCap = updated.filter(col("ds").isNotNull)
+      val cross = underCap.filter(col("ds_old").isNotNull)
+        .select(explode(col("ds_old")).as("x"), col("dsd"))
+        .select(col("x"), explode(col("dsd")).as("y"))
+        .select(least(col("x"), col("y")).as("doc_a"),
+          greatest(col("x"), col("y")).as("doc_b"), lit(1L).as("w"))
+      val withinNew = underCap
+        .select(explode(col("dsd")).as("x"), col("dsd"))
+        .select(col("x"), explode(col("dsd")).as("y"))
+        .filter(col("x") < col("y")) // dsd is build-sorted
+        .select(col("x").as("doc_a"), col("y").as("doc_b"), lit(1L).as("w"))
+      val removedCrossed = updated.filter(col("__crossed"))
+        .select(explode(col("ds_old")).as("x"), col("ds_old"))
+        .select(col("x"), explode(col("ds_old")).as("y"))
+        .filter(col("x") < col("y")) // ds_old is build-sorted
+        .select(col("x").as("doc_a"), col("y").as("doc_b"), lit(-1L).as("w"))
+      val dAgg = cross.unionByName(withinNew).unionByName(removedCrossed)
+        .groupBy("doc_a", "doc_b").agg(sum(col("w")).as("dw"))
+        .filter(col("dw") =!= 0)
+        .localCheckpoint() // O(delta pairs); joined twice below
+      val touched = dAgg.join(basePairs, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"),
+          (coalesce(col("i"), lit(0L)) + col("dw")).cast("long").as("i"))
+        .filter(col("i") >= 1)
+      basePairs
+        .join(dAgg.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
+        .unionByName(touched)
+    }
+    ShingleIndex(newGroups, untouched.unionByName(rebuilt),
+      mergedStats, mergedPairs)
   }
 
   /** The serving leg: every ordered pair that can reach
@@ -1039,18 +1201,21 @@ object Dedup {
     // memberships rows, and NO ARRAY EVER CROSSES THE WIRE (the
     // scoredBucketPairs lesson applied to sets). A boilerplate-heavy
     // corpus at a large cap inverts the economics (one df = 1000
-    // shingle is 5·10⁵ mentions), so the strategy is picked from ONE
-    // narrow model-sized aggregate over the groups stats — the
-    // fit-once discipline; both plans are exact and emit the identical
+    // shingle is 5·10⁵ mentions), so the strategy is picked from the
+    // STORED index stats (computed once at build/merge/save — the
+    // fit-once discipline); both plans are exact and emit the identical
     // (doc_a, doc_b, i, na, nb) contract, spec'd equal in DedupSpec.
     val tMicro = math.floor(minOverlapFrac * 1e6).toLong
-    val stats = idx.groups.filter(col("ds").isNotNull && col("df") >= 2)
-      .agg(sum(expr("(CAST(df AS BIGINT) * (df - 1)) div 2")).as("mentions"),
-        sum(col("df").cast("long")).as("memberships"))
-      .head()
-    val mentions = if (stats.isNullAt(0)) 0L else stats.getLong(0)
-    val memberships = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-    if (mentions <= 32L * math.max(1L, memberships))
+    // PAIR STATE (round 14): an index carrying persisted iCounts serves
+    // any (jaccard|containment, τ) as scan pairs + attach n + filter —
+    // no explode, no aggregation, no strategy question (the state IS
+    // the mention plan's aggregate, maintained incrementally by
+    // mergeShingleIndex). Without it, the strategy pick runs on the
+    // STORED stats (computed once at build/merge/save) and only a
+    // stats-less pre-v3 artifact pays a per-serve aggregate.
+    if (idx.pairs.isDefined) pairStateIntersections(idx, tMicro, minSizeRatio)
+    else if (mentionPlanPreferred(
+        idx.stats.getOrElse(computeShingleStats(idx.groups))))
       mentionIntersections(idx, tMicro, minSizeRatio)
     else prefixIntersections(idx, tMicro, minSizeRatio)
   }
@@ -1064,26 +1229,46 @@ object Dedup {
     * exact predicate).
     */
   private[graft] def mentionIntersections(idx: ShingleIndex, tMicro: Long,
-      minSizeRatio: Double): DataFrame = {
-    val grouped = idx.groups.filter(col("ds").isNotNull && col("df") >= 2)
-    // two chained explodes stream d² rows per group and keep (a < b):
-    // ds is build-sorted so values compare directly; no combination
-    // array is ever materialized
-    val pairs = grouped.select(col("s"), explode(col("ds")).as("doc_a"),
-        col("ds"))
+      minSizeRatio: Double): DataFrame =
+    boundedIntersections(mentionPairCounts(idx.groups), idx.docs,
+      tMicro, minSizeRatio)
+
+  /** Serve from the PERSISTED pair state: the iCounts scan replaces the
+    * whole mention explode + hash-agg (the sf100 383 s → state-scan
+    * turn). Identical `(doc_a, doc_b, i, na, nb)` contract — spec'd
+    * row-equal to [[mentionIntersections]] in DedupSpec.
+    */
+  private[graft] def pairStateIntersections(idx: ShingleIndex, tMicro: Long,
+      minSizeRatio: Double): DataFrame =
+    boundedIntersections(idx.pairs.get, idx.docs, tMicro, minSizeRatio)
+
+  /** Exact per-pair intersection counts `(doc_a, doc_b, i)` from the
+    * capped df ≥ 2 groups — the mention plan's aggregate and the pair
+    * state's on-disk layout. Two chained explodes stream C(df, 2) rows
+    * per group and keep (a < b): ds is build-sorted so values compare
+    * directly; no combination array is ever materialized.
+    */
+  private[graft] def mentionPairCounts(groups: DataFrame): DataFrame =
+    groups.filter(col("ds").isNotNull && col("df") >= 2)
+      .select(col("s"), explode(col("ds")).as("doc_a"), col("ds"))
       .select(col("doc_a"), explode(col("ds")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-    val iCounts = pairs.groupBy("doc_a", "doc_b")
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("i"))
-    val sizes = idx.docs.select(col("doc_id"), col("n"))
+
+  /** Shared serving tail: attach both docs' capped-universe sizes and
+    * apply the conservative integer micro-unit bounds — reachability
+    * (i ≥ frac·min; floor'd tMicro keeps a superset) and size
+    * compatibility (min ≥ ratio·max).
+    */
+  private def boundedIntersections(iCounts: DataFrame, docSizes: DataFrame,
+      tMicro: Long, minSizeRatio: Double): DataFrame = {
+    val sizes = docSizes.select(col("doc_id"), col("n"))
     iCounts
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
         Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
         Seq("doc_b"))
-      // the same conservative integer bounds the prefix plan generates
-      // under: reachability (i ≥ frac·min — floor'd tMicro keeps a
-      // superset) and size compatibility (min ≥ ratio·max)
       .filter(lit(1000000L) * col("i") >=
         lit(tMicro) * least(col("na"), col("nb")))
       .filter(lit(1000000L) * least(col("na"), col("nb")) >=

@@ -354,9 +354,11 @@ class DedupSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val all = batchA.unionByName(batchB)
 
-    val full = Dedup.buildShingleIndex(all, "doc_id", "text", n, cap)
+    val full = Dedup.buildShingleIndex(all, "doc_id", "text", n, cap,
+      materialize = true, pairState = true)
     val merged = Dedup.mergeShingleIndex(
-      Dedup.buildShingleIndex(batchA, "doc_id", "text", n, cap),
+      Dedup.buildShingleIndex(batchA, "doc_id", "text", n, cap,
+        materialize = true, pairState = true),
       batchB, "doc_id", "text", n, cap)
 
     // shingle statistics: identical (s, df, member-set) rows — df keeps
@@ -391,6 +393,35 @@ class DedupSpec extends SparkSpec {
     assert(fm(17L)._1.isEmpty && fm(17L)._2 == 2)
     assert(fm(15L)._1.size == 3 && fm(15L)._2 == 3)
 
+    // round 14 — PAIR STATE and stats ride the merge: the incremental
+    // delta-mention algebra (new×old + C(new,2) adds for under-cap
+    // updated groups, C(df_old,2) removals for cap-CROSSED groups — the
+    // batch has both, plus the df 1→2 grow case) must land on exactly
+    // the pair rows a from-scratch rebuild computes, and the merged
+    // stats must equal a recount of the merged groups.
+    assert(merged.stats.isDefined && full.stats.isDefined)
+    assert(merged.stats.get == full.stats.get, "merged stats drifted")
+    assert(merged.stats.get == Dedup.computeShingleStats(merged.groups),
+      "stored stats must equal a recount of the merged groups")
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged.pairs.isDefined && full.pairs.isDefined)
+    assert(pset(merged.pairs.get) == pset(full.pairs.get),
+      "merged pair state must equal the rebuilt iCounts")
+    assert(pset(full.pairs.get) == pset(Dedup.mentionPairCounts(full.groups)))
+
+    // serve-from-state ≡ the mention plan, row for row (the contract
+    // callers consume — both post the same conservative bounds)
+    def rowset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    for (frac <- Seq(0.3, 0.75)) {
+      val t = math.floor(frac * 1e6).toLong
+      assert(rowset(Dedup.pairStateIntersections(merged, t, 0.0)) ==
+        rowset(Dedup.mentionIntersections(full, t, 0.0)),
+        s"pair-state serve drift at frac=$frac")
+    }
+
     // served results: indistinguishable from the direct operators on the
     // full corpus (the drift this state machinery exists to prevent)
     def cpairs(df: org.apache.spark.sql.DataFrame) =
@@ -408,6 +439,11 @@ class DedupSpec extends SparkSpec {
     Dedup.saveShingleIndex(merged, dir)
     assert(Dedup.shingleIndexExists(spark, dir))
     val loaded = Dedup.loadShingleIndex(spark, dir)
+    // v3 artifact: meta + pairs persist and reload — the loaded index
+    // serves from state with zero per-serve aggregation
+    assert(loaded.stats.contains(merged.stats.get))
+    assert(loaded.pairs.isDefined &&
+      pset(loaded.pairs.get) == pset(full.pairs.get))
     assert(cpairs(Dedup.containmentPairsFromIndex(loaded, 0.5)) ==
       cpairs(Dedup.containmentPairs(all, "doc_id", "text", 0.5, n, cap)))
 
@@ -417,6 +453,8 @@ class DedupSpec extends SparkSpec {
     val disk = Dedup.buildAndSaveShingleIndex(all, "doc_id", "text", dir2, n, cap)
     assert(groupSet(disk.groups) == groupSet(full.groups))
     assert(docMap(disk.docs) == docMap(full.docs))
+    assert(disk.stats.contains(full.stats.get))
+    assert(disk.pairs.isDefined && pset(disk.pairs.get) == pset(full.pairs.get))
 
     // BOTH serving strategies emit the identical (doc_a, doc_b, i, na,
     // nb) rows under the same conservative bounds: the mention-count
@@ -438,5 +476,54 @@ class DedupSpec extends SparkSpec {
         iset(Dedup.prefixIntersections(full, t, 0.0), frac),
         s"strategy drift at frac=$frac")
     }
+  }
+
+  test("mentions/prefix crossover guard flips on a hot capped shingle; plans row-identical either side") {
+    // One boilerplate bigram shared by every doc, everything else df = 1.
+    // With df_hot docs, the df ≥ 2 capped stats are mentions = C(df_hot, 2)
+    // and memberships = df_hot, so the 32× guard crosses between
+    // df_hot = 60 (1770 ≤ 1920 → mention plan) and df_hot = 100
+    // (4950 > 3200 → prefix plan) at cap 200 — the first corpus that
+    // actually EXERCISES the ratio switch instead of calling the plans
+    // directly (round-13 verdict #7).
+    def corpus(nDocs: Int) =
+      (0 until nDocs).map(i => (i.toLong, s"alpha beta uniq$i"))
+        .toDF("doc_id", "text")
+    val cap = 200
+    val hot = Dedup.buildShingleIndex(corpus(100), "doc_id", "text", 2, cap,
+      materialize = true, pairState = true)
+    val cool = Dedup.buildShingleIndex(corpus(60), "doc_id", "text", 2, cap,
+      materialize = true, pairState = true)
+    assert(hot.stats.contains(Dedup.ShingleStats(4950L, 100L)))
+    assert(cool.stats.contains(Dedup.ShingleStats(1770L, 60L)))
+    assert(!Dedup.mentionPlanPreferred(hot.stats.get),
+      "hot corpus must pick the prefix plan")
+    assert(Dedup.mentionPlanPreferred(cool.stats.get),
+      "cool corpus must pick the mention plan")
+    // the pair-economics guard must DECLINE pair state past the
+    // crossover even when the caller requests it
+    assert(hot.pairs.isEmpty, "pair state built past the mention crossover")
+    assert(cool.pairs.isDefined)
+    // row-identity of the PICKED plan against both explicit plans on
+    // both sides of the boundary — the guard may only change cost,
+    // never the qualifying pairs (same comparison discipline as above:
+    // the contract is the qualifying set)
+    def iset(df: org.apache.spark.sql.DataFrame, frac: Double) = {
+      val t = math.floor(frac * 1e6).toLong
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .filter { case (_, _, i, na, nb) =>
+          1000000L * i >= t * math.min(na, nb) }
+        .toSet
+    }
+    for (idx <- Seq(hot, cool); frac <- Seq(0.3, 0.6)) {
+      val t = math.floor(frac * 1e6).toLong
+      val picked = iset(Dedup.shingleIntersectionsFromIndex(idx, frac), frac)
+      assert(picked == iset(Dedup.mentionIntersections(idx, t, 0.0), frac))
+      assert(picked == iset(Dedup.prefixIntersections(idx, t, 0.0), frac))
+    }
+    // every pair shares exactly the one hot bigram: i = 1, n = 2 — the
+    // hot side's qualifying set at frac 0.3 is all C(100, 2) pairs
+    assert(iset(Dedup.shingleIntersectionsFromIndex(hot, 0.3), 0.3).size == 4950)
   }
 }
