@@ -101,15 +101,33 @@ class LocalNioCheckpointFileManager(root: Path, conf: Configuration)
             // winner's content is never replaced. (This is the stock
             // manager's exactly-once batch-commit arbitration, without
             // its forked-chmod tax.)
-            try Files.createLink(dst, tmp)
-            catch {
+            try {
+              Files.createLink(dst, tmp)
+              Files.deleteIfExists(tmp)
+            } catch {
               case e: java.nio.file.FileAlreadyExistsException =>
                 Files.deleteIfExists(tmp)
                 throw new FileAlreadyExistsException(
                   s"rename destination $path already exists" +
                     (if (e.getMessage != null) s" (${e.getMessage})" else ""))
+              case _: UnsupportedOperationException =>
+                // Link-less local filesystem (FAT/exFAT, some FUSE and
+                // overlay mounts exposed under file:). Fall back to the
+                // exists-check + ATOMIC_MOVE commit the manager shipped
+                // with before link(2) arbitration — with its documented
+                // RESIDUAL RACE: rename(2) replaces an existing
+                // destination, so two writers racing the same batch file
+                // in the check-to-move window can clobber instead of
+                // raise. Spark's single-driver commit discipline makes
+                // that window practically idle; filesystems WITH links
+                // keep the fully atomic claim above (round-13 ADVICE).
+                if (Files.exists(dst)) {
+                  Files.deleteIfExists(tmp)
+                  throw new FileAlreadyExistsException(
+                    s"rename destination $path already exists")
+                }
+                Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
             }
-            Files.deleteIfExists(tmp)
           }
         }
       }
