@@ -23,9 +23,21 @@ def load(path):
 reps = [load(p) for p in sys.argv[1:]]
 names = sorted(set().union(*[set(r) for r in reps]))
 pins = {}
+partial = []
 for n in names:
     vals = [r[n] for r in reps if n in r]
+    if len(vals) < len(reps):
+        # a query missing from some rep logs (truncated run, newly added
+        # query) is pinned from fewer samples than the N-rep protocol
+        # claims — surface it instead of silently pinning from one value
+        partial.append((n, len(vals)))
     pins[n] = round(statistics.median(vals), 3)
+for n, k in partial:
+    print(f"WARNING: {n} pinned from {k}/{len(reps)} reps", file=sys.stderr)
+if partial and len(reps) > 1:
+    print(f"WARNING: {len(partial)} pin(s) below the {len(reps)}-rep "
+          "protocol — re-run the missing reps or annotate the pin",
+          file=sys.stderr)
 out = {
     "comment": ("per-query warm pins from quiet-window medians of "
                 f"{len(reps)} same-build local runs (round 13); Bench "
