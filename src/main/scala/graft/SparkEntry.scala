@@ -1187,9 +1187,11 @@ object SparkEntry {
     // hash-bin-dependent "Recursive update" IllegalStateException
     fittedModel(s"shidx|$variant|$dir|cap=$cap") {
       val out = s"$registryRoot/shidx_${registryKey(
-        // v2: docs rows are (doc_id, ts=df≥2 shingles, n) — the
-        // third-decade layout; a v1 artifact must never serve it
-        s"shidx-v2|$variant|$dir|n=3|cap=$cap|${
+        // v3: + persisted pair state (pairs/) and strategy stats
+        // (meta/) — serving scans state instead of recomputing the
+        // mention agg; a v2 artifact (no pairs/meta) must never
+        // shadow the new layout's registry entry
+        s"shidx-v3|$variant|$dir|n=3|cap=$cap|${
           tableFingerprint(s, s"$dir/documents.parquet")}")}"
       if (!Dedup.shingleIndexExists(s, out))
         // parquet-through build: groups is born on disk and docs derives
@@ -1224,6 +1226,42 @@ object SparkEntry {
           shingleIndexMaterialized(s, dir, "dups", docsWithDups(s, dir), 20)),
         0.7)
       .orderBy("doc_a", "doc_b")
+
+  /** INCREMENTAL shingle-index maintenance, driver-gated against the
+    * FULL-REBUILD containment oracle (round 14 — the dedup_incremental /
+    * simsearch_knn_incr discipline applied to the round's pair-state
+    * algebra): "yesterday's" [[graft.ops.Dedup.ShingleIndex]] for the
+    * base corpus (doc_id % 7 ≠ 3 — the +100000 twins sit ≡ +5 (mod 7)
+    * from their originals, so twin pairs CROSS the split and the merge
+    * must find base↔delta pairs) is registry-persisted WITH its pair
+    * state; the query runs one [[graft.ops.Dedup.mergeShingleIndex]] —
+    * stats + iCounts maintained incrementally from the delta vocabulary
+    * (new×old + C(new,2) mention adds, C(df_old,2) removals for
+    * cap-crossed groups, df 1→2 grow rebuilds) — and serves containment
+    * τ = 0.7 FROM THE MERGED PAIR STATE. The oracle is
+    * dedup_containment's full-corpus SQL verbatim: DuckDB rebuilds from
+    * scratch, Spark takes the merge+state-scan path, the hashes must
+    * collide. At 100 TB this is the shingle family's daily-crawl
+    * economics: merge prices at O(delta + affected), serving at a state
+    * scan (sf100: 383 s recompute → ~the pairs scan).
+    */
+  private def q_dedup_containment_incr(s: SparkSession, dir: String): DataFrame = {
+    val all = docsWithDups(s, dir)
+    val delta = all.filter(col("doc_id") % 7 === 3)
+    val base = all.filter(col("doc_id") % 7 =!= 3)
+    val basePath = fittedModel(s"shidxbase|$dir") {
+      val out = s"$registryRoot/shidxbase_${registryKey(
+        s"shidxbase-v1|mod7|dups|$dir|n=3|cap=20|${
+          tableFingerprint(s, s"$dir/documents.parquet")}")}"
+      if (!Dedup.shingleIndexExists(s, out))
+        Dedup.buildAndSaveShingleIndex(base, "doc_id", "text", out, 3, 20)
+      out
+    }
+    Dedup.containmentPairsFromIndex(
+        Dedup.mergeShingleIndex(Dedup.loadShingleIndex(s, basePath), delta,
+          "doc_id", "text", 3, 20), 0.7)
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** Canonical-doc assignment: connected components over the LSH near-dup
     * pair graph — every doc in a duplicate cluster maps to the cluster's
@@ -1349,10 +1387,13 @@ object SparkEntry {
     * buckets (round 2: upgraded from spark-only to oracle-checked);
     * recall vs the brute-force baseline is additionally unit-tested.
     */
-  private def q_simsearch_lsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshCosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding",
-        0.3, nPlanes = embAutoPlanes(s, dir))
+  private def q_simsearch_lsh(s: SparkSession, dir: String): DataFrame = {
+    val sched = embSchedule(s, dir)
+    publishOracle("simsearch_lsh", lshOracleSql(sched))
+    Similarity.lshCosinePairsSched(T(s, dir, "embeddings"), "vec_id",
+        "embedding", 0.3, sched)
       .orderBy("vec_a", "vec_b")
+  }
 
   /** Memoized embeddings row count — the LSH surfaces size their bucket
     * bits from it, and before round 12 every `*Auto` call re-ran the
@@ -1363,32 +1404,21 @@ object SparkEntry {
       java.lang.Long.valueOf(T(s, dir, "embeddings").count())
     }.longValue()
 
-  /** [[graft.ops.Similarity.autoPlanes]] over the memoized count, with
-    * the fixture-size threshold made LOUD (r11 ADVICE): the static
-    * 8-plane oracle SQL for the LSH family silently assumes every
-    * fixture stays under autoPlanes' 10240-vector floor — past it a
-    * hash mismatch would look like an LSH bug instead of a fixture-size
-    * threshold.
+  /** The fixture's per-table bucket-bit schedule
+    * ([[graft.ops.Similarity.autoPlanesSchedule]] over the memoized
+    * count) — THE parameterization every LSH-family query runs AND
+    * publishes its oracle under (round 14, r13 verdict #6: the r12-era
+    * embAutoPlanes THREW past the 10240-vector floor because the static
+    * 8-plane oracle SQL could not describe a scheduled fixture; now each
+    * query publishes schedule-generated plane literals via
+    * [[publishOracle]], so any fixture size oracle-checks). Below the
+    * floor the schedule is all-8s: plans, oracle text, and hashes are
+    * byte-identical to the static era.
     */
-  private def embAutoPlanes(s: SparkSession, dir: String): Int = {
-    val n = embCount(s, dir)
-    val p = Similarity.autoPlanes(n)
-    if (p > 8) {
-      val msg = s"[graft] autoPlanes=$p (> 8) for $dir ($n vectors):" +
-        " the static 8-plane oracle SQL is not valid for this fixture size"
-      // In an oracle-compared run (Verify sets graft.oracle.fixture) a
-      // mismatched plane count would surface MUCH later as an opaque
-      // hash diff on every LSH-family query — fail at the cause instead
-      // (r12 ADVICE). Non-oracle contexts (Bench at huge SF, ScaleStress
-      // probes through SparkEntry) keep the warning and the right plan.
-      if (sys.props.contains("graft.oracle.fixture"))
-        throw new IllegalStateException(msg +
-          " - regenerate the LSH oracles for this plane count or verify" +
-          " on a fixture under the 10240-vector autoPlanes floor")
-      System.err.println(msg)
+  private def embSchedule(s: SparkSession, dir: String): Seq[Int] =
+    fittedModel(s"embsched|$dir") {
+      Similarity.autoPlanesSchedule(embCount(s, dir))
     }
-    p
-  }
 
   /** LSH RECALL AUDIT — "measure, don't guess" as a first-class query:
     * the candidate-generation recall of the production LSH path against
@@ -1400,11 +1430,13 @@ object SparkEntry {
     * pipelines.
     */
   private def q_simsearch_recall_audit(s: SparkSession, dir: String): DataFrame = {
+    val sched = embSchedule(s, dir)
+    publishOracle("simsearch_recall_audit", recallAuditOracle(sched))
     val e = T(s, dir, "embeddings")
     val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.4)
       .agg(count(lit(1)).as("n_exact"))
-    val approx = Similarity.lshCosinePairs(e, "vec_id", "embedding", 0.4,
-      nPlanes = embAutoPlanes(s, dir))
+    val approx = Similarity.lshCosinePairsSched(e, "vec_id", "embedding", 0.4,
+      sched)
       .agg(count(lit(1)).as("n_lsh"))
     exact.crossJoin(approx)
       .select(col("n_exact"), col("n_lsh"),
@@ -1417,8 +1449,10 @@ object SparkEntry {
     * behind SemDeDup clustering and graph-based ANN. Oracle-checked via
     * inlined plane literals (the simsearch_lsh pattern).
     */
-  private def q_simsearch_knn_graph(s: SparkSession, dir: String): DataFrame =
+  private def q_simsearch_knn_graph(s: SparkSession, dir: String): DataFrame = {
+    publishOracle("simsearch_knn_graph", knnGraphOracleSql(embSchedule(s, dir)))
     knnEdges(s, dir).orderBy("qid", "rnk")
+  }
 
   /** INCREMENTAL kNN-graph maintenance as a driver-gated no-drift check
     * (the dedup_incremental discipline, round 12): yesterday's edge
@@ -1438,25 +1472,27 @@ object SparkEntry {
     val e = T(s, dir, "embeddings")
     val base = e.filter(col("vec_id") % 5 =!= 0)
     val delta = e.filter(col("vec_id") % 5 === 0)
-    // planes from the SAME density rule as knnEdges (r12 ADVICE: a
+    // schedule from the SAME density rule as knnEdges (r12 ADVICE: a
     // literal 8 here diverged from the merged graph past the autoPlanes
-    // floor); in the key so a plane-count change can never serve a
-    // stale base. knnGraphMerge's caller contract requires the merge to
-    // run at the base's plane count.
-    val planes = embAutoPlanes(s, dir)
+    // floor); in the key so a schedule change can never serve a stale
+    // base. knnGraphMergeSched's caller contract requires the merge to
+    // run at the base's schedule.
+    val sched = embSchedule(s, dir)
+    publishOracle("simsearch_knn_incr", knnGraphOracleSql(sched))
+    val schedKey = sched.mkString(".") // see knnEdges' tripwire note
     val basePath = fittedModel(s"knnbase|$dir") {
       val out = s"$registryRoot/knnbase_${registryKey(
-        s"knnbase-v1|k=3|p=$planes|mod5|$dir|${
+        s"knnbase-v2|k=3|sched=$schedKey|mod5|$dir|${
           tableFingerprint(s, s"$dir/embeddings.parquet")}")}"
       val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
       val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(marker))
-        Similarity.knnGraph(base, "vec_id", "embedding", 3, nPlanes = planes)
+        Similarity.knnGraphSched(base, "vec_id", "embedding", 3, sched)
           .write.mode("overwrite").parquet(out)
       out
     }
-    Similarity.knnGraphMerge(s.read.parquet(basePath), base, delta,
-        "vec_id", "embedding", 3, nPlanes = planes)
+    Similarity.knnGraphMergeSched(s.read.parquet(basePath), base, delta,
+        "vec_id", "embedding", 3, sched)
       .orderBy("qid", "rnk")
   }
 
@@ -1481,14 +1517,22 @@ object SparkEntry {
     * no-drift property: merge(edges(base), delta) == edges(base ∪ delta).
     */
   private def knnEdges(s: SparkSession, dir: String): DataFrame = {
+    val sched = embSchedule(s, dir)
+    // hoisted: a quoted literal inside the key interpolation would blind
+    // RegistryFingerprintSpec's static fingerprint tripwire
+    val schedKey = sched.mkString(".")
     val path = fittedModel(s"knnedges|$dir") {
+      // v2: density-SCHEDULED bucket bits (in the key — a schedule
+      // change can never serve a stale edge table); all-8s below the
+      // floor, so every oracle fixture's artifact bytes are unchanged
       val out = s"$registryRoot/knnedges_${registryKey(
-        s"knnedges-v1|k=3|$dir|${tableFingerprint(s, s"$dir/embeddings.parquet")}")}"
+        s"knnedges-v2|k=3|sched=$schedKey|$dir|${
+          tableFingerprint(s, s"$dir/embeddings.parquet")}")}"
       val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
       val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(marker))
-        Similarity.knnGraph(T(s, dir, "embeddings"), "vec_id", "embedding", 3,
-            nPlanes = embAutoPlanes(s, dir))
+        Similarity.knnGraphSched(T(s, dir, "embeddings"), "vec_id",
+            "embedding", 3, sched)
           .write.mode("overwrite").parquet(out)
       out
     }
@@ -1511,6 +1555,7 @@ object SparkEntry {
     * amortizes at scale; lineage truncated every round).
     */
   private def q_graph_pagerank(s: SparkSession, dir: String): DataFrame = {
+    publishOracle("graph_pagerank", pagerankOracle(embSchedule(s, dir)))
     val edges = knnEdges(s, dir)
       .select(col("qid").as("src"), col("nid").as("dst"))
     val nodes = T(s, dir, "embeddings").select(col("vec_id").as("id"))
@@ -1527,6 +1572,7 @@ object SparkEntry {
     * absent by contract (degree-0 has no coefficient).
     */
   private def q_graph_triangles(s: SparkSession, dir: String): DataFrame = {
+    publishOracle("graph_triangles", trianglesOracle(embSchedule(s, dir)))
     val edges = knnEdges(s, dir)
       .select(col("qid").as("src"), col("nid").as("dst"))
     graft.ops.Graph.triangles(edges)
@@ -1548,6 +1594,7 @@ object SparkEntry {
     * ids only, driver state is nil.
     */
   private def q_graph_cc(s: SparkSession, dir: String): DataFrame = {
+    publishOracle("graph_cc", graphCcOracle(embSchedule(s, dir)))
     val e = T(s, dir, "embeddings")
     val pairs = knnEdges(s, dir)
       .select(col("qid").as("doc_a"), col("nid").as("doc_b"))
@@ -1570,6 +1617,7 @@ object SparkEntry {
     * carries two longs per edge.
     */
   private def q_graph_degree(s: SparkSession, dir: String): DataFrame = {
+    publishOracle("graph_degree", graphDegreeOracle(embSchedule(s, dir)))
     val e = T(s, dir, "embeddings")
     // persisted-parquet input: re-scanning it per agg is cheaper than a
     // localCheckpoint materialization (the pre-r12 checkpoint existed to
@@ -1609,6 +1657,7 @@ object SparkEntry {
     * integer, no tie-breaks needed (min-hop is unique).
     */
   private def q_graph_bfs(s: SparkSession, dir: String): DataFrame = {
+    publishOracle("graph_bfs", graphBfsOracle(embSchedule(s, dir)))
     val e = T(s, dir, "embeddings")
     val dirEdges = knnEdges(s, dir)
       .select(col("qid").as("src"), col("nid").as("dst"))
@@ -1647,6 +1696,7 @@ object SparkEntry {
     * vs existing link).
     */
   private def q_graph_jaccard_nbrs(s: SparkSession, dir: String): DataFrame = {
+    publishOracle("graph_jaccard_nbrs", graphJaccardNbrsOracle(embSchedule(s, dir)))
     val dirEdges = knnEdges(s, dir)
       .select(col("qid").as("src"), col("nid").as("dst"))
     val und = dirEdges
@@ -1689,6 +1739,7 @@ object SparkEntry {
     * the same 100 TB shape as graph_degree.
     */
   private def q_ml_lof(s: SparkSession, dir: String): DataFrame = {
+    publishOracle("ml_lof", lofOracle(embSchedule(s, dir)))
     val edges = knnEdges(s, dir)
       .select(col("qid"), col("nid"), (lit(1.0) - col("cos_sim")).as("dist"))
     val kd = edges.groupBy("qid").agg(max("dist").as("kdist"))
@@ -7425,6 +7476,7 @@ object SparkEntry {
     "dedup_simhash" -> (q_dedup_simhash _),
     "dedup_ngram_jaccard" -> (q_dedup_ngram_jaccard _),
     "dedup_containment" -> (q_dedup_containment _),
+    "dedup_containment_incr" -> (q_dedup_containment_incr _),
     "dedup_near_duplicates" -> (q_dedup_near_duplicates _),
     "dedup_incremental" -> (q_dedup_incremental _),
     "dedup_clusters" -> (q_dedup_clusters _),
@@ -7752,6 +7804,27 @@ object SparkEntry {
        |WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Full-rebuild exact-containment SQL over the duplicated corpus —
+    * the oracle for BOTH dedup_containment (Spark serves the maintained
+    * index) and dedup_containment_incr (Spark merges a delta into the
+    * persisted base index — pair-state delta algebra included — and
+    * must land on the identical answer).
+    */
+  private val containmentFullRebuildSql =
+    s"""WITH $docsWithDupsSql, ${shingleCte("all_docs")},
+       |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 20),
+       |shc AS (SELECT sh.doc_id, sh.s FROM sh ANTI JOIN hot USING (s)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+       |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) AS i
+       |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  round(i * 1.0 / sa.n, 6) AS cont_a,
+       |  round(i * 1.0 / sb.n, 6) AS cont_b
+       |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+       |WHERE greatest(i * 1.0 / sa.n, i * 1.0 / sb.n) >= 0.7
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private val simhashBitsSql =
     (0 until 60).map(b =>
       s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN (1::BIGINT << $b) ELSE 0 END)"
@@ -8030,14 +8103,25 @@ object SparkEntry {
     * per-table bucket longs in SQL (plane literals inlined) — used by the
     * lsh-pairs and knn-graph oracles.
     */
-  private def lshBucketCtes(nTables: Int, nPlanes: Int, dim: Int): String = {
+  private def lshBucketCtes(nTables: Int, nPlanes: Int, dim: Int): String =
+    lshBucketCtes(Seq.fill(nTables)(nPlanes), dim)
+
+  /** Schedule-parameterized form (round 14, the r13 verdict's #6):
+    * table t sums exactly `schedule(t)` sign bits — the SQL twin of
+    * [[graft.ops.Similarity.autoPlanesSchedule]]'s masked expression
+    * (bit b of table t comes from plane (t, b), so summing the first
+    * p_t bits IS the masked bucket). A uniform all-8s schedule emits
+    * byte-identical text to the historical static oracles, so every
+    * below-floor fixture's oracle SQL — and hash — is untouched.
+    */
+  private def lshBucketCtes(schedule: Seq[Int], dim: Int): String = {
     def planeLit(t: Int, p: Int): String =
       Similarity.planeVector(t, p, dim).map(_.toString).mkString("[", ", ", "]")
-    def bucketSql(t: Int): String = (0 until nPlanes).map { p =>
+    def bucketSql(t: Int): String = (0 until schedule(t)).map { p =>
       s"(CASE WHEN ${dotSql("vd", planeLit(t, p))} >= 0 THEN (${1L << p})::BIGINT ELSE 0 END)"
     }.mkString(" + ")
-    val bucketCols = (0 until nTables).map(t => s"${bucketSql(t)} AS bk$t").mkString(", ")
-    val blUnion = (0 until nTables)
+    val bucketCols = schedule.indices.map(t => s"${bucketSql(t)} AS bk$t").mkString(", ")
+    val blUnion = schedule.indices
       .map(t => s"SELECT vec_id, $t AS tbl, bk$t AS bucket FROM b")
       .mkString(" UNION ALL ")
     s"""v AS (SELECT vec_id,
@@ -8046,8 +8130,15 @@ object SparkEntry {
        |bl AS ($blUnion)""".stripMargin
   }
 
-  private def lshOracleSql: String = {
-    s"""WITH ${lshBucketCtes(8, 8, 64)},
+  /** Uniform 8×8 schedule — the historical static-oracle setting and
+    * the [[graft.ops.Similarity.autoPlanesSchedule]] floor value; every
+    * LSH-family oracle builder defaults to it so the below-floor text
+    * stays byte-identical to the pre-schedule static SQL.
+    */
+  private val u8: Seq[Int] = Seq.fill(8)(8)
+
+  private def lshOracleSql(schedule: Seq[Int] = u8): String = {
+    s"""WITH ${lshBucketCtes(schedule, 64)},
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
        |         FROM bl a JOIN bl b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
        |          AND a.vec_id < b2.vec_id),
@@ -8068,8 +8159,8 @@ object SparkEntry {
   /** Recall-audit oracle: the lsh CTEs + an exact all-pairs count at
     * the same threshold; same subset argument, same count ratio.
     */
-  private def recallAuditOracle: String = {
-    s"""WITH ${lshBucketCtes(8, 8, 64)},
+  private def recallAuditOracle(schedule: Seq[Int] = u8): String = {
+    s"""WITH ${lshBucketCtes(schedule, 64)},
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
        |         FROM bl a JOIN bl b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
        |          AND a.vec_id < b2.vec_id),
@@ -8105,8 +8196,8 @@ object SparkEntry {
     * simsearch_knn_graph edge set, shared by the graph_cc /
     * graph_degree oracles (pagerank/triangles inline the same text).
     */
-  private def knnEdgeCtes: String =
-    s"""${lshBucketCtes(8, 8, 64)},
+  private def knnEdgeCtes(schedule: Seq[Int] = u8): String =
+    s"""${lshBucketCtes(schedule, 64)},
        |cand AS (SELECT DISTINCT a.vec_id AS qid, b2.vec_id AS nid
        |         FROM bl a JOIN bl b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
        |          AND a.vec_id <> b2.vec_id),
@@ -8127,8 +8218,8 @@ object SparkEntry {
        |        1.0 - round(dot / sqrt(naa * nbb), 6) AS dist
        |      FROM rk0 WHERE rnk <= 3)""".stripMargin
 
-  private def knnGraphOracleSql: String = {
-    s"""WITH ${lshBucketCtes(8, 8, 64)},
+  private def knnGraphOracleSql(schedule: Seq[Int] = u8): String = {
+    s"""WITH ${lshBucketCtes(schedule, 64)},
        |cand AS (SELECT DISTINCT a.vec_id AS qid, b2.vec_id AS nid
        |         FROM bl a JOIN bl b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
        |          AND a.vec_id <> b2.vec_id),
@@ -8149,11 +8240,94 @@ object SparkEntry {
        |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
   }
 
+  /** Graph-family oracles over the kNN edge CTEs — factored into
+    * schedule-parameterized builders (round 14, r13 verdict #6) so each
+    * query can PUBLISH the fixture's scheduled-bits version at run time;
+    * the static map entries call the uniform default (byte-identical to
+    * the historical text).
+    */
+  private def graphCcOracle(schedule: Seq[Int] = u8): String =
+    s"""WITH RECURSIVE ${knnEdgeCtes(schedule)},
+       |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |nod AS (SELECT vec_id AS id FROM embeddings),
+       |reach(node, label) AS (
+       |  SELECT id, id FROM nod
+       |  UNION
+       |  SELECT und.dst, r2.label FROM reach r2 JOIN und ON und.src = r2.node),
+       |comp AS (SELECT node AS vec_id, min(label) AS comp
+       |  FROM reach GROUP BY 1),
+       |sz AS (SELECT comp, count(*) AS n_members FROM comp GROUP BY 1)
+       |SELECT c.vec_id, c.comp, s.n_members
+       |FROM comp c JOIN sz s USING (comp) ORDER BY vec_id""".stripMargin
+
+  private def graphBfsOracle(schedule: Seq[Int] = u8): String =
+    s"""WITH RECURSIVE ${knnEdgeCtes(schedule)},
+       |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |seeds AS (SELECT vec_id FROM embeddings WHERE label = 0),
+       |walk(node, d) AS (
+       |  SELECT vec_id, 0 FROM seeds
+       |  UNION
+       |  SELECT und.dst, w.d + 1 FROM walk w JOIN und ON und.src = w.node
+       |  WHERE w.d < 10),
+       |best AS (SELECT node AS vec_id, min(d) AS hops FROM walk GROUP BY 1)
+       |SELECT em.vec_id, CAST(COALESCE(b.hops, -1) AS BIGINT) AS hops
+       |FROM embeddings em LEFT JOIN best b USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+
+  private def graphJaccardNbrsOracle(schedule: Seq[Int] = u8): String =
+    s"""WITH ${knnEdgeCtes(schedule)},
+       |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+       |ix AS (SELECT e1.src AS a, e2.src AS b, count(*) AS inter
+       |  FROM und e1 JOIN und e2 ON e1.dst = e2.dst AND e1.src < e2.src
+       |  GROUP BY 1, 2),
+       |j AS (SELECT ix.a, ix.b, CAST(ix.inter AS BIGINT) AS inter,
+       |    round(CAST(ix.inter AS DOUBLE)
+       |      / CAST(da.deg + db.deg - ix.inter AS DOUBLE), 6) AS jaccard,
+       |    COALESCE(ed.is_edge, FALSE) AS is_edge
+       |  FROM ix JOIN deg da ON da.src = ix.a JOIN deg db ON db.src = ix.b
+       |  LEFT JOIN (SELECT src AS a, dst AS b, TRUE AS is_edge FROM und) ed
+       |    ON ed.a = ix.a AND ed.b = ix.b)
+       |SELECT a, b, inter, jaccard, is_edge FROM j WHERE jaccard >= 0.4
+       |ORDER BY a, b""".stripMargin
+
+  private def graphDegreeOracle(schedule: Seq[Int] = u8): String =
+    s"""WITH ${knnEdgeCtes(schedule)},
+       |outd AS (SELECT src AS vec_id, count(*) AS out_deg FROM e GROUP BY 1),
+       |ind AS (SELECT dst AS vec_id, count(*) AS in_deg FROM e GROUP BY 1),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e),
+       |undd AS (SELECT v AS vec_id, count(*) AS und_deg FROM (
+       |    SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY 1)
+       |SELECT em.vec_id, COALESCE(out_deg, 0) AS out_deg,
+       |  COALESCE(in_deg, 0) AS in_deg, COALESCE(und_deg, 0) AS und_deg
+       |FROM embeddings em LEFT JOIN outd USING (vec_id)
+       |LEFT JOIN ind USING (vec_id) LEFT JOIN undd USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+
+  private def lofOracle(schedule: Seq[Int] = u8): String =
+    s"""WITH ${knnEdgeCtes(schedule)},
+       |kd AS (SELECT src, max(dist) AS kdist FROM e GROUP BY 1),
+       |reach AS (SELECT e.src AS p,
+       |    CAST(floor(greatest(kd.kdist, e.dist) * 1000000.0) AS BIGINT)
+       |      AS reach_ppm
+       |  FROM e JOIN kd ON kd.src = e.dst),
+       |lrd AS (SELECT p, CAST(count(*) AS BIGINT) AS n,
+       |    (CAST(count(*) AS BIGINT) * 1000000000000)
+       |      // greatest(CAST(sum(reach_ppm) AS BIGINT), 1) AS lrd_ppm
+       |  FROM reach GROUP BY 1),
+       |sl AS (SELECT e.src AS p, CAST(sum(lo.lrd_ppm) AS BIGINT) AS sl
+       |  FROM e JOIN lrd lo ON lo.p = e.dst GROUP BY 1)
+       |SELECT l.p AS vec_id, l.n AS n_nbr,
+       |  round(CAST(sl.sl AS DOUBLE) / CAST(l.n * l.lrd_ppm AS DOUBLE), 6)
+       |    AS lof
+       |FROM lrd l JOIN sl USING (p) ORDER BY vec_id""".stripMargin
+
   /** PageRank oracle: the knn-graph CTEs verbatim (same edges), then ten
     * UNROLLED power-iteration CTEs (a recursive CTE cannot aggregate in
     * its recursive member) replaying the identical integer arithmetic.
     */
-  private def pagerankOracle: String = {
+  private def pagerankOracle(schedule: Seq[Int] = u8): String = {
     val iters = (1 to 10).map { k =>
       s"""p$k AS (SELECT nn.vec_id,
          |    150000 + (850 * COALESCE(f.inflow, 0)) // 1000 AS pr
@@ -8163,7 +8337,7 @@ object SparkEntry {
          |    FROM ed JOIN p${k - 1} ON p${k - 1}.vec_id = ed.src
          |    GROUP BY 1) f USING (vec_id))"""
     }.mkString(",\n|")
-    s"""WITH ${lshBucketCtes(8, 8, 64)},
+    s"""WITH ${lshBucketCtes(schedule, 64)},
        |cand AS (SELECT DISTINCT a.vec_id AS qid, b2.vec_id AS nid
        |         FROM bl a JOIN bl b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
        |          AND a.vec_id <> b2.vec_id),
@@ -8192,8 +8366,8 @@ object SparkEntry {
   /** Triangle/clustering oracle: the knn CTEs verbatim, symmetrized
     * ordered edges, the identical a<b<c enumeration and corner credits.
     */
-  private def trianglesOracle: String =
-    s"""WITH ${lshBucketCtes(8, 8, 64)},
+  private def trianglesOracle(schedule: Seq[Int] = u8): String =
+    s"""WITH ${lshBucketCtes(schedule, 64)},
        |cand AS (SELECT DISTINCT a.vec_id AS qid, b2.vec_id AS nid
        |         FROM bl a JOIN bl b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
        |          AND a.vec_id <> b2.vec_id),
@@ -8627,23 +8801,7 @@ object SparkEntry {
         |  FROM w WHERE len(ws) >= 2)
         |SELECT doc_id, count(*) AS n_hits, CAST(min(pos) AS BIGINT) AS first_pos
         |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin,
-    "ml_lof" ->
-      s"""WITH $knnEdgeCtes,
-         |kd AS (SELECT src, max(dist) AS kdist FROM e GROUP BY 1),
-         |reach AS (SELECT e.src AS p,
-         |    CAST(floor(greatest(kd.kdist, e.dist) * 1000000.0) AS BIGINT)
-         |      AS reach_ppm
-         |  FROM e JOIN kd ON kd.src = e.dst),
-         |lrd AS (SELECT p, CAST(count(*) AS BIGINT) AS n,
-         |    (CAST(count(*) AS BIGINT) * 1000000000000)
-         |      // greatest(CAST(sum(reach_ppm) AS BIGINT), 1) AS lrd_ppm
-         |  FROM reach GROUP BY 1),
-         |sl AS (SELECT e.src AS p, CAST(sum(lo.lrd_ppm) AS BIGINT) AS sl
-         |  FROM e JOIN lrd lo ON lo.p = e.dst GROUP BY 1)
-         |SELECT l.p AS vec_id, l.n AS n_nbr,
-         |  round(CAST(sl.sl AS DOUBLE) / CAST(l.n * l.lrd_ppm AS DOUBLE), 6)
-         |    AS lof
-         |FROM lrd l JOIN sl USING (p) ORDER BY vec_id""".stripMargin,
+    "ml_lof" -> lofOracle(),
     "stream_geo_fence" -> {
       val (ula, ulo) = geoE4Sql("u", "user_id")
       val cy = triE4Sql("tc", "s_suppkey", 1, 1000000L)
@@ -9936,20 +10094,11 @@ object SparkEntry {
          |SELECT da AS doc_a, db AS doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
          |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
          |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
-    "dedup_containment" ->
-      s"""WITH $docsWithDupsSql, ${shingleCte("all_docs")},
-         |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 20),
-         |shc AS (SELECT sh.doc_id, sh.s FROM sh ANTI JOIN hot USING (s)),
-         |sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
-         |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) AS i
-         |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2)
-         |SELECT da AS doc_a, db AS doc_b,
-         |  round(i * 1.0 / sa.n, 6) AS cont_a,
-         |  round(i * 1.0 / sb.n, 6) AS cont_b
-         |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
-         |WHERE greatest(i * 1.0 / sa.n, i * 1.0 / sb.n) >= 0.7
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    // one oracle string, two construction routes (the dedup_incremental
+    // discipline): the batch serve and the incremental merge+serve must
+    // land on identical containment rows
+    "dedup_containment" -> containmentFullRebuildSql,
+    "dedup_containment_incr" -> containmentFullRebuildSql,
     "dedup_embed_cosine" ->
       s"""WITH dots AS (
          | SELECT a.vec_id va, b.vec_id vb,
@@ -9959,10 +10108,10 @@ object SparkEntry {
          | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
          |SELECT va AS vec_a, vb AS vec_b, dot/sqrt(naa*nbb) AS cos_sim
          |FROM dots WHERE dot/sqrt(naa*nbb) >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
-    "simsearch_lsh" -> lshOracleSql,
-    "simsearch_knn_graph" -> knnGraphOracleSql,
+    "simsearch_lsh" -> lshOracleSql(),
+    "simsearch_knn_graph" -> knnGraphOracleSql(),
     // the incremental merge must EQUAL the full rebuild — same oracle
-    "simsearch_knn_incr" -> knnGraphOracleSql,
+    "simsearch_knn_incr" -> knnGraphOracleSql(),
     "simsearch_topk" -> topkOracleSql,
     // nProbe = nLists makes IVF exhaustive ≡ brute force: same oracle
     "simsearch_ivf_exact" -> topkOracleSql,
@@ -10945,65 +11094,14 @@ object SparkEntry {
     "agg_corr_matrix" -> corrMatrixOracle,
     "agg_mahalanobis" -> mahalanobisOracle,
     "agg_acf" -> acfOracle,
-    "graph_pagerank" -> pagerankOracle,
-    "graph_triangles" -> trianglesOracle,
-    "graph_cc" ->
-      s"""WITH RECURSIVE $knnEdgeCtes,
-         |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-         |nod AS (SELECT vec_id AS id FROM embeddings),
-         |reach(node, label) AS (
-         |  SELECT id, id FROM nod
-         |  UNION
-         |  SELECT und.dst, r2.label FROM reach r2 JOIN und ON und.src = r2.node),
-         |comp AS (SELECT node AS vec_id, min(label) AS comp
-         |  FROM reach GROUP BY 1),
-         |sz AS (SELECT comp, count(*) AS n_members FROM comp GROUP BY 1)
-         |SELECT c.vec_id, c.comp, s.n_members
-         |FROM comp c JOIN sz s USING (comp) ORDER BY vec_id""".stripMargin,
-    "graph_bfs" ->
-      s"""WITH RECURSIVE $knnEdgeCtes,
-         |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-         |seeds AS (SELECT vec_id FROM embeddings WHERE label = 0),
-         |walk(node, d) AS (
-         |  SELECT vec_id, 0 FROM seeds
-         |  UNION
-         |  SELECT und.dst, w.d + 1 FROM walk w JOIN und ON und.src = w.node
-         |  WHERE w.d < 10),
-         |best AS (SELECT node AS vec_id, min(d) AS hops FROM walk GROUP BY 1)
-         |SELECT em.vec_id, CAST(COALESCE(b.hops, -1) AS BIGINT) AS hops
-         |FROM embeddings em LEFT JOIN best b USING (vec_id)
-         |ORDER BY vec_id""".stripMargin,
-    "graph_jaccard_nbrs" ->
-      s"""WITH $knnEdgeCtes,
-         |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-         |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
-         |ix AS (SELECT e1.src AS a, e2.src AS b, count(*) AS inter
-         |  FROM und e1 JOIN und e2 ON e1.dst = e2.dst AND e1.src < e2.src
-         |  GROUP BY 1, 2),
-         |j AS (SELECT ix.a, ix.b, CAST(ix.inter AS BIGINT) AS inter,
-         |    round(CAST(ix.inter AS DOUBLE)
-         |      / CAST(da.deg + db.deg - ix.inter AS DOUBLE), 6) AS jaccard,
-         |    COALESCE(ed.is_edge, FALSE) AS is_edge
-         |  FROM ix JOIN deg da ON da.src = ix.a JOIN deg db ON db.src = ix.b
-         |  LEFT JOIN (SELECT src AS a, dst AS b, TRUE AS is_edge FROM und) ed
-         |    ON ed.a = ix.a AND ed.b = ix.b)
-         |SELECT a, b, inter, jaccard, is_edge FROM j WHERE jaccard >= 0.4
-         |ORDER BY a, b""".stripMargin,
-    "graph_degree" ->
-      s"""WITH $knnEdgeCtes,
-         |outd AS (SELECT src AS vec_id, count(*) AS out_deg FROM e GROUP BY 1),
-         |ind AS (SELECT dst AS vec_id, count(*) AS in_deg FROM e GROUP BY 1),
-         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-         |  FROM e),
-         |undd AS (SELECT v AS vec_id, count(*) AS und_deg FROM (
-         |    SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY 1)
-         |SELECT em.vec_id, COALESCE(out_deg, 0) AS out_deg,
-         |  COALESCE(in_deg, 0) AS in_deg, COALESCE(und_deg, 0) AS und_deg
-         |FROM embeddings em LEFT JOIN outd USING (vec_id)
-         |LEFT JOIN ind USING (vec_id) LEFT JOIN undd USING (vec_id)
-         |ORDER BY vec_id""".stripMargin,
+    "graph_pagerank" -> pagerankOracle(),
+    "graph_triangles" -> trianglesOracle(),
+    "graph_cc" -> graphCcOracle(),
+    "graph_bfs" -> graphBfsOracle(),
+    "graph_jaccard_nbrs" -> graphJaccardNbrsOracle(),
+    "graph_degree" -> graphDegreeOracle(),
     "simsearch_mmr" -> mmrOracle,
-    "simsearch_recall_audit" -> recallAuditOracle,
+    "simsearch_recall_audit" -> recallAuditOracle(),
     "win_drawdown" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
@@ -11716,7 +11814,15 @@ object SparkEntry {
     "simsearch_ivf", "simsearch_pq", "ml_ar_forecast", "ml_adaboost",
     "ml_isolation_forest", "ml_anomaly_ensemble", "ml_autoencoder",
     "ml_autoencoder_sgd", "ml_autoencoder_seq", "ml_rnn_autoencoder",
-    "esn_forecast", "multimodal_phash_dedup", "multimodal_phash_incr")
+    "esn_forecast", "multimodal_phash_dedup", "multimodal_phash_incr",
+    // The LSH family (round 14): each query publishes its oracle with
+    // plane literals generated from the fixture's autoPlanesSchedule —
+    // published text OVERRIDES the static uniform-8s default (map ++
+    // semantics), which remains the byte-identical below-floor
+    // fallback for a cold process.
+    "simsearch_lsh", "simsearch_recall_audit", "simsearch_knn_graph",
+    "simsearch_knn_incr", "graph_pagerank", "graph_triangles", "graph_cc",
+    "graph_bfs", "graph_jaccard_nbrs", "graph_degree", "ml_lof")
 
   /** DuckDB DOUBLE[] literal that parses EXACTLY: a plain decimal
     * literal goes through DECIMAL(18,17) and the cast to DOUBLE can

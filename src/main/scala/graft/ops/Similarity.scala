@@ -539,19 +539,28 @@ object Similarity {
     * uniform schedule short-circuits to the unmasked expression, so
     * every existing plan is byte-identical.
     */
+  /** Per-table bucket longs under a plane SCHEDULE: the uniform
+    * expression computes max(p) bits for every table and tables
+    * scheduled fewer bits mask the top bit(s) off. A uniform schedule
+    * short-circuits to the unmasked expression (byte-identical plans —
+    * the fixture-stability contract). `vd` MUST be `array<double>`.
+    */
+  private def scheduledBucketsExpr(vd: Column, planesPerTable: Seq[Int],
+      dim: Int): Column = {
+    val pMax = planesPerTable.max
+    val raw = bucketsExpr(vd, planesPerTable.length, pMax, dim)
+    if (planesPerTable.forall(_ == pMax)) raw
+    else zip_with(raw,
+      typedLit(planesPerTable.map(p => (1L << p) - 1)),
+      (b, m) => b.bitwiseAND(m))
+  }
+
   private def scoredBucketPairsSched(vecs: DataFrame, idCol: String,
       vecCol: String, planesPerTable: Seq[Int], dim: Int,
       pairPred: (Column, Column) => Column): DataFrame = {
-    val nTables = planesPerTable.length
-    val pMax = planesPerTable.max
     val withVd = vecs.select(col(idCol), col(vecCol),
       col(vecCol).cast("array<double>").as("__vd")) // cast ONCE per row for all tables×planes
-    val raw = bucketsExpr(col("__vd"), nTables, pMax, dim)
-    val buckets =
-      if (planesPerTable.forall(_ == pMax)) raw
-      else zip_with(raw,
-        typedLit(planesPerTable.map(p => (1L << p) - 1)),
-        (b, m) => b.bitwiseAND(m))
+    val buckets = scheduledBucketsExpr(col("__vd"), planesPerTable, dim)
     val tb = withVd.select(col(idCol), col(vecCol),
       normSq(col(vecCol)).as("nsq"),
       posexplode(buckets).as(Seq("tbl", "bucket")))
@@ -712,13 +721,25 @@ object Similarity {
     */
   def knnGraphMerge(baseEdges: DataFrame, baseVecs: DataFrame,
       newVecs: DataFrame, idCol: String, vecCol: String, k: Int,
-      nPlanes: Int = 8, nTables: Int = 8, dim: Int = 64): DataFrame = {
+      nPlanes: Int = 8, nTables: Int = 8, dim: Int = 64): DataFrame =
+    knnGraphMergeSched(baseEdges, baseVecs, newVecs, idCol, vecCol, k,
+      Seq.fill(nTables)(nPlanes), dim)
+
+  /** [[knnGraphMerge]] under a per-table plane schedule — the caller
+    * contract extends verbatim: the merge must run at the SAME schedule
+    * the base edge table was built with (a corpus whose schedule
+    * changed forces a full rebuild; uniform schedules short-circuit to
+    * the byte-identical unmasked expression).
+    */
+  def knnGraphMergeSched(baseEdges: DataFrame, baseVecs: DataFrame,
+      newVecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      planesPerTable: Seq[Int], dim: Int = 64): DataFrame = {
     val allVecs = baseVecs.select(col(idCol), col(vecCol))
       .unionByName(newVecs.select(col(idCol), col(vecCol)))
     def buckets(vs: DataFrame): DataFrame = vs
       .select(col(idCol), col(vecCol).cast("array<double>").as("__vd"))
       .select(col(idCol),
-        posexplode(bucketsExpr(col("__vd"), nTables, nPlanes, dim))
+        posexplode(scheduledBucketsExpr(col("__vd"), planesPerTable, dim))
           .as(Seq("tbl", "bucket")))
     val tbAll = buckets(allVecs)
     val tbNew = buckets(newVecs)

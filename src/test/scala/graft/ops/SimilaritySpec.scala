@@ -291,5 +291,21 @@ class SimilaritySpec extends SparkSpec {
     // and the merge genuinely reuses untouched base edges: nodes with no
     // new-vector bucket collision keep their exact base rows
     assert(merged.nonEmpty && full.nonEmpty)
+
+    // SCHEDULED no-drift (round 14): the same property under a
+    // NON-uniform per-table bit schedule (the above-floor production
+    // parameterization) — the merge must mask identically to the build
+    // or delta vectors land in different buckets than the base's.
+    val sched = Seq(4, 4, 4, 4, 4, 4, 5, 5)
+    val fullSched = key(Similarity.knnGraphSched(e, "vec_id", "embedding", 3, sched))
+    val baseSched = Similarity.knnGraphSched(base, "vec_id", "embedding", 3, sched)
+    val mergedSched = key(Similarity.knnGraphMergeSched(
+      baseSched, base, delta, "vec_id", "embedding", 3, sched))
+    assert(mergedSched == fullSched,
+      s"scheduled merge drifted: only-merged=${(mergedSched -- fullSched).take(5)} " +
+        s"only-full=${(fullSched -- mergedSched).take(5)}")
+    // the masked schedule is a genuinely different graph than uniform-8
+    // on this fixture (otherwise the scheduled assertion is vacuous)
+    assert(fullSched != full)
   }
 }
