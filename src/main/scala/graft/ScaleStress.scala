@@ -235,7 +235,8 @@ object ScaleStress {
       "op_near_duplicates" -> ((s: SparkSession, d: String) =>
         Dedup.nearDuplicates(withTwins(s, d), "doc_id", "text", 0.6)),
       "op_dup_clusters" -> ((s: SparkSession, d: String) =>
-        Dedup.duplicateClusters(
+        // two-phase CC (round 14) — tracks the registry queries' plan
+        Dedup.duplicateClustersTwoPhase(
           Dedup.minhashLshPairs(withTwins(s, d), "doc_id", "text"))),
       // The set-overlap scorers split into three probes after round 11's
       // ShingleIndex registry (the round-10 verdict's named scale risk:
@@ -381,7 +382,8 @@ object ScaleStress {
         val pairs = graft.ops.Similarity
           .knnGraphAuto(e, "vec_id", "embedding", 3)
           .select(col("qid").as("doc_a"), col("nid").as("doc_b"))
-        Dedup.duplicateClusters(pairs, maxIter = 64)
+        // two-phase CC (round 14) — tracks q_graph_cc's plan
+        Dedup.duplicateClustersTwoPhase(pairs, maxIter = 64)
       }),
       // the LSH edge build ALONE (knnGraphAuto): the graph family's
       // shared first stage, isolated so tiny-baseline exponents like

@@ -1211,9 +1211,22 @@ object SparkEntry {
 
   /** The 100 TB near-dup pipeline: LSH candidate pairs → exact Jaccard
     * re-score — O(candidates), never O(n²). Oracle-checked end to end.
+    *
+    * Candidates come from the REGISTRY-PERSISTED band table (round 14):
+    * [[minhashBandsMaterialized]] persists exactly
+    * `Dedup.bandTable(docsWithDups, "doc_id", "text")` with the same
+    * (k=20, bands=5, n=3, cap=20) defaults [[graft.ops.Dedup.nearDuplicates]]
+    * derives per run, so `pairsFromBands(read(bands))` is the SAME
+    * deterministic function of the same input — identical candidates,
+    * identical output — minus the per-run shingle→md5→20-min-agg→band
+    * derivation (the dedup_minhash_lsh/dedup_clusters serving shape,
+    * r10). The exact re-score still runs per execution; at 100 TB the
+    * band table is precisely the state the incremental path persists.
     */
   private def q_dedup_near_duplicates(s: SparkSession, dir: String): DataFrame =
-    Dedup.nearDuplicates(docsWithDups(s, dir), "doc_id", "text", 0.6)
+    Dedup.jaccardRescore(docsWithDups(s, dir), "doc_id", "text",
+        Dedup.pairsFromBands(s.read.parquet(minhashBandsMaterialized(s, dir))),
+        0.6)
       .orderBy("doc_a", "doc_b")
 
   /** Containment scoring over the duplicated corpus: catches subset
@@ -1268,7 +1281,10 @@ object SparkEntry {
     * min id (keep-one-per-cluster dedup).
     */
   private def q_dedup_clusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.duplicateClusters(
+    // two-phase CC (round 14) — same output contract, a fraction of the
+    // per-round job launches; A/B'd in-window: 1.1–1.6 s vs 1.8–2.2 s
+    // single-phase at sf0.1. See q_graph_cc.
+    Dedup.duplicateClustersTwoPhase(
         Dedup.pairsFromBands(
           s.read.parquet(minhashBandsMaterialized(s, dir))))
       .orderBy("doc_id")
@@ -1598,7 +1614,12 @@ object SparkEntry {
     val e = T(s, dir, "embeddings")
     val pairs = knnEdges(s, dir)
       .select(col("qid").as("doc_a"), col("nid").as("doc_b"))
-    val labels = Dedup.duplicateClusters(pairs, maxIter = 64)
+    // two-phase CC (round 14): partition-local union-find + min-label
+    // rounds on the CONTRACTED boundary graph — the ml_dbscan shape (r11),
+    // output pinned equal to duplicateClusters in DedupSpec. The kNN
+    // graph's many shallow components made per-round job launches the
+    // cost, exactly the ε-graph profile.
+    val labels = Dedup.duplicateClustersTwoPhase(pairs, maxIter = 64)
       .select(col("doc_id").as("vec_id"), col("canonical_id").as("lbl"))
     val all = e.select(col("vec_id"))
       .join(labels, Seq("vec_id"), "left_outer")
@@ -1665,21 +1686,34 @@ object SparkEntry {
       .unionByName(dirEdges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
     val maxHops = 10
-    var visited = e.filter(col("label") === 0)
+    // Per-round state = a LIST of per-hop checkpointed frames (round 14):
+    // the previous shape re-materialized the WHOLE growing visited set
+    // every round (O(V) rows × rounds) plus a separate isEmpty job on the
+    // frontier — 3 jobs/round. Now each round materializes only ITS hop's
+    // frontier; the dedup anti-join reads the union of the already-cached
+    // hop frames lazily, and the convergence check rides the
+    // just-checkpointed (tiny) frontier. Hop assignment unchanged
+    // (min-hop is unique), same rows, same oracle.
+    val seeds = e.filter(col("label") === 0)
       .select(col("vec_id"), lit(0).as("hops")).localCheckpoint()
-    var frontier = visited.select(col("vec_id"))
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame](seeds)
+    var frontier = seeds.select(col("vec_id"))
+    var done = frontier.isEmpty
     var k = 1
-    while (k <= maxHops && !frontier.isEmpty) {
+    while (k <= maxHops && !done) {
+      val visitedIds = parts.map(_.select(col("vec_id")))
+        .reduce(_ unionByName _)
       val next = edges.join(frontier, edges("src") === frontier("vec_id"))
         .select(col("dst").as("vec_id")).distinct()
-        .join(visited.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .join(visitedIds, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), lit(k).as("hops"))
         .localCheckpoint()
-      visited = visited
-        .unionByName(next.select(col("vec_id"), lit(k).as("hops")))
-        .localCheckpoint()
-      frontier = next
+      done = next.isEmpty
+      parts += next
+      frontier = next.select(col("vec_id"))
       k += 1
     }
+    val visited = parts.reduce(_ unionByName _)
     e.select(col("vec_id")).join(visited, Seq("vec_id"), "left_outer")
       .select(col("vec_id"),
         coalesce(col("hops"), lit(-1)).cast("long").as("hops"))
@@ -2108,9 +2142,18 @@ object SparkEntry {
         passThrough = true)
       .filter(col("n_words") >= 8 && col("stopword_ratio") <= 0.4)
       .select("doc_id", "lang", "scrubbed", "n_words")
-    val canon = Dedup.exact(kept, "doc_id", "scrubbed")
-      .select(col("canonical_id").as("doc_id"))
-    val deduped = kept.join(canon, Seq("doc_id"))
+    // single-pass canonical filter (round 14): a row survives exact dedup
+    // iff its id IS the min of its md5(lower(trim(scrubbed))) group (ids
+    // are unique, so "doc_id ∈ {group minima}" ⟺ "doc_id = own group's
+    // min") — one min-window over the content hash instead of
+    // Dedup.exact + id join, which evaluated the 3-regex scrub subtree
+    // once per join branch. Same rows, same oracle.
+    val deduped = kept
+      .withColumn("__cid", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(lower(trim(col("scrubbed")))))))
+      .filter(col("doc_id") === col("__cid"))
+      .drop("__cid")
     graft.ops.Sampling.stratifiedSample(deduped, "doc_id", "lang",
         Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.25)
       .select(col("doc_id"), col("lang"), col("n_words"), col("scrubbed"))
@@ -4708,8 +4751,14 @@ object SparkEntry {
     */
   private def q_ml_anomaly_ensemble(s: SparkSession, dir: String): DataFrame = {
     val tags = Seq("click", "view", "purchase")
+    // materialize the shared hourly-aligned frame ONCE (round 14): it
+    // feeds the PCA fit, the PCA scoring pass, and the forest scoring
+    // pass — three references that each re-ran the events scan +
+    // resample-align aggregation (no exchange reuse across the
+    // differently-pruned subtrees). One hourly frame is model-sized
+    // (buckets × 3 tags); values unchanged.
     val wide = Timeseries.align(E(s, dir), "ts", "event_type", "value",
-      tags, "1 hour").na.drop("any", tags)
+      tags, "1 hour").na.drop("any", tags).localCheckpoint()
     val pcaModel = graft.ml.PcaAnomaly.fit(wide, tags, k = 2)
     val pca = pcaModel.score(wide)
       .select(col("bucket"), col("anomaly_score").as("s_pca"))
@@ -5753,25 +5802,44 @@ object SparkEntry {
       .join(e, col("id") === col("vec_id"))
       .select(col("id"), col("embedding"))
     val half = Similarity.cosinePairs(ce, "id", "embedding", threshold = -1.0)
-    val pairsim = half
-      .select(col("vec_a").as("ida"), col("vec_b").as("idb"), col("cos_sim"))
-      .unionByName(half
-        .select(col("vec_b").as("ida"), col("vec_a").as("idb"), col("cos_sim")))
-      .localCheckpoint()
-    var sel = cand.orderBy(col("rel").desc, col("id")).limit(1)
-      .select(col("id"), lit(1L).as("rank"), col("rel").as("mmr"))
-      .localCheckpoint()
-    for (k <- 2 to 10) {
-      val mx = pairsim.join(sel.select(col("id").as("idb")), "idb")
-        .groupBy("ida").agg(max(col("cos_sim")).as("mx"))
-      val next = cand.join(sel.select(col("id")), Seq("id"), "left_anti")
-        .join(mx, col("id") === col("ida"))
-        .withColumn("sc", lit(0.7) * col("rel") - lit(0.3) * col("mx"))
-        .orderBy(col("sc").desc, col("id")).limit(1)
-        .select(col("id"), lit(k.toLong).as("rank"), col("sc").as("mmr"))
-      sel = sel.unionByName(next).localCheckpoint()
+    // MODEL-SIZED greedy on the driver (round 14, the agg_markov_stationary
+    // precedent): the candidate set is FIXED at 50 by construction — top-50
+    // of one query vector — so the greedy's state is 50 (id, rel) rows plus
+    // the C(50,2) pair-similarity matrix, bounded regardless of corpus
+    // scale. The previous shape ran 9 sequential join+orderBy+limit(1)+
+    // localCheckpoint Spark jobs over these ≤50-row frames (~27 jobs,
+    // ~1.9 s at sf0.1 — pure fixed job-launch cost). Arithmetic and
+    // tie-breaks are replayed verbatim: sc = 0.7·rel − 0.3·max(cos_sim over
+    // selected) in IEEE double with the same literals; argmax resolves ties
+    // on min id (the orderBy(sc desc, id) contract); round(mmr, 6) stays a
+    // Column op. Oracle SQL unchanged, hashes unchanged.
+    import s.implicits._
+    val candArr = cand.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))) // ≤ 50 rows, bounded
+    val sim = new scala.collection.mutable.HashMap[(Long, Long), Double]
+    half.select(col("vec_a"), col("vec_b"), col("cos_sim")).collect()
+      .foreach { r => // ≤ C(50,2) rows, bounded
+        val a = r.getLong(0); val b = r.getLong(1); val c = r.getDouble(2)
+        sim((a, b)) = c; sim((b, a)) = c
+      }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val first = candArr.reduceLeft { (x, y) =>
+      if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x
     }
-    sel.select(col("rank"), col("id"), round(col("mmr"), 6).as("mmr"))
+    selected += ((1L, first._1, first._2))
+    for (k <- 2 to 10) {
+      val chosen = selected.map(_._2).toSet
+      var best: (Long, Double) = null
+      for ((id, rel) <- candArr if !chosen.contains(id)) {
+        val mx = chosen.iterator.map(b => sim((id, b))).max
+        val sc = 0.7 * rel - 0.3 * mx
+        if (best == null || sc > best._2 || (sc == best._2 && id < best._1))
+          best = (id, sc)
+      }
+      selected += ((k.toLong, best._1, best._2))
+    }
+    selected.toSeq.toDF("rank", "id", "mmr")
+      .select(col("rank"), col("id"), round(col("mmr"), 6).as("mmr"))
       .orderBy("rank")
   }
 
@@ -6468,7 +6536,9 @@ object SparkEntry {
       .join(nm.select(col("name").as("name_a"), col("id").as("doc_a")), "name_a")
       .join(nm.select(col("name").as("name_b"), col("id").as("doc_b")), "name_b")
       .select("doc_a", "doc_b")
-    val clusters = Dedup.duplicateClusters(edges)
+    // two-phase CC (round 14): ER components are shallow and numerous —
+    // the per-round job-launch profile two-phase exists for (q_graph_cc)
+    val clusters = Dedup.duplicateClustersTwoPhase(edges)
     nm.join(clusters.withColumnRenamed("doc_id", "id"), Seq("id"), "left")
       .select(col("name"),
         coalesce(col("canonical_id"), col("id")).as("entity_id"))

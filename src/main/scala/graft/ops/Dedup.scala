@@ -253,8 +253,9 @@ object Dedup {
       maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
     // Candidates are SMALL after LSH pruning and referenced three times
     // below (the pair join + both sides of the semi-join): materialize
-    // once so the generation pipeline behind them runs exactly once.
-    val p = pairs.localCheckpoint()
+    // once so the generation pipeline behind them runs exactly once
+    // (lazy, round 14 — cached on first use, no dedicated job).
+    val p = pairs.localCheckpoint(false)
     // only docs that appear in a candidate pair need a shingle set —
     // after LSH pruning that is a small fraction of the corpus
     val docsInPairs = p.select(col("doc_a").as(idCol))
@@ -489,11 +490,16 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String, threshold: Double,
       k: Int = 20, bands: Int = 5, shingleN: Int = 3,
       maxDocFreq: Int = DefaultMaxDocFreq): IncrementalResult = {
+    // LAZY checkpoints (round 14): eager=false keeps the materialize-once
+    // contract (every consumer reads the cached blocks) but folds the
+    // materialization into the FIRST consuming job instead of a dedicated
+    // job + driver gap per frame — the step ran ~6 such launch-bound jobs
+    // at fixture scale (JobTrace).
     val stats = mergeShingleStats(state.stats,
-      shingleStats(newDocs, idCol, textCol, shingleN)).localCheckpoint()
-    val hot = hotList(stats, maxDocFreq).localCheckpoint()
+      shingleStats(newDocs, idCol, textCol, shingleN)).localCheckpoint(false)
+    val hot = hotList(stats, maxDocFreq).localCheckpoint(false)
     val newlyHot = hot.join(hotList(state.stats, maxDocFreq), Seq("s"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val newIds = newDocs.select(col(idCol))
     val existingDocs = allDocs.join(newIds, Seq(idCol), "left_anti")
     val affectedIds =
@@ -503,11 +509,12 @@ object Dedup {
         .select(col(idCol), explode(shingles(col("__ws"), shingleN)).as("s"))
         .join(broadcast(newlyHot), Seq("s"), "left_semi")
         .select(col(idCol)).distinct()
-    val changedIds = newIds.unionByName(affectedIds).distinct().localCheckpoint()
+    val changedIds = newIds.unionByName(affectedIds).distinct()
+      .localCheckpoint(false)
     val changedDocs = allDocs.join(changedIds, Seq(idCol), "left_semi")
     val changedBands =
       bandTableWithHotList(changedDocs, idCol, textCol, hot, k, bands, shingleN)
-        .localCheckpoint() // referenced by the union AND the join side
+        .localCheckpoint(false) // referenced by the union AND the join side
     val keptBands = state.bands.join(
       changedIds.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_anti")
     val unionBands = keptBands.unionByName(changedBands)
@@ -823,7 +830,16 @@ object Dedup {
     *     Σ C(df,2)-scale and the prefix plan is the right serve anyway.
     */
   final case class ShingleIndex(groups: DataFrame, docs: DataFrame,
-      stats: Option[ShingleStats] = None, pairs: Option[DataFrame] = None)
+      statsF: () => Option[ShingleStats] = () => None,
+      pairs: Option[DataFrame] = None) {
+    /** Strategy-pick statistics, LAZY (round 14, the r13 ADVICE item
+      * generalized): forcing them costs a driver action — a meta-parquet
+      * `head()` on a loaded index, the delta-vocabulary aggregate on a
+      * merged one — that a pair-state serve never needs. Memoized, so
+      * save + pick on the same index pay at most one action.
+      */
+    lazy val stats: Option[ShingleStats] = statsF()
+  }
 
   /** Strategy-pick statistics over the capped df ≥ 2 groups — `mentions`
     * = Σ C(df,2) (the mention plan's explode volume) and `memberships`
@@ -927,12 +943,17 @@ object Dedup {
     // compare); the lazy materialize=false form stays action-free and
     // leaves stats to the save path, which computes them from the
     // written parquet.
-    val st = if (materialize) Some(computeShingleStats(grouped)) else None
+    val st: () => Option[ShingleStats] =
+      if (materialize) {
+        lazy val v = Some(computeShingleStats(grouped))
+        () => v
+      } else () => None
     // pair state only when the mention economics allow (the same guard
     // the serve-time strategy pick runs): past the crossover the state
     // is Σ C(df,2)-scale — larger than the corpus — and the prefix plan
-    // is the right serve anyway.
-    val ps = if (pairState && materialize && st.exists(mentionPlanPreferred))
+    // is the right serve anyway. (Requesting pair state forces the
+    // stats; a plain build leaves them lazy — round 14.)
+    val ps = if (pairState && materialize && st().exists(mentionPlanPreferred))
       Some(mentionPairCounts(grouped).localCheckpoint()) else None
     ShingleIndex(grouped, docSets, st, ps)
   }
@@ -1022,10 +1043,14 @@ object Dedup {
     // meta/pairs are optional on disk (pre-v3 artifacts; indexes past
     // the pair-economics guard) — absence degrades to the per-serve
     // stats agg / recompute plans, never to an error
-    val st = if (committed("meta")) {
-      val r = spark.read.parquet(s"$path/meta").head()
-      Some(ShingleStats(r.getAs[Long]("mentions"), r.getAs[Long]("memberships")))
-    } else None
+    // LAZY (round 14): the meta head() is a driver action per load; a
+    // pair-state serve never consults the stats, so loading must not
+    // pay for them
+    val st: () => Option[ShingleStats] = () =>
+      if (committed("meta")) {
+        val r = spark.read.parquet(s"$path/meta").head()
+        Some(ShingleStats(r.getAs[Long]("mentions"), r.getAs[Long]("memberships")))
+      } else None
     val ps = if (committed("pairs")) Some(spark.read.parquet(s"$path/pairs"))
       else None
     ShingleIndex(spark.read.parquet(s"$path/groups"),
@@ -1054,7 +1079,8 @@ object Dedup {
         maxDocFreq = Int.MaxValue)
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
       .distinct() // set semantics: rebuild keys and df both need it
-      .localCheckpoint() // O(delta): feeds dGroups AND the rebuild keys
+      // lazy (round 14): materialize-once on first use, no dedicated job
+      .localCheckpoint(false) // O(delta): feeds dGroups AND the rebuild keys
     val dGroups = dNew.groupBy("s")
       .agg(sort_array(collect_list(col("doc_id"))).as("dsd"))
       .select(col("s"), size(col("dsd")).as("dfd"), col("dsd"))
@@ -1089,7 +1115,7 @@ object Dedup {
         // and the delta doc only probes as the SMALLER side).
         (col("df_old") === 1 && col("df2") <= maxDocFreq).as("__grew"),
         col("ds_old"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy — see dNew
     val crossedDocs = updated.filter(col("__crossed") || col("__grew"))
       .select(explode(col("ds_old")).as("doc_id")).distinct()
     val newGroups = idx.groups
@@ -1114,7 +1140,7 @@ object Dedup {
           .select(col("doc_id"), col("s")))
     val rebuilt = docSetsFromMembership(rebuildKeys
       .join(newGroups.filter(col("ds").isNotNull).select("s", "df"), Seq("s")))
-      .localCheckpoint() // O(delta + affected)
+      .localCheckpoint(false) // O(delta + affected); lazy — see dNew
     val untouched = idx.docs
       .join(crossedDocs, Seq("doc_id"), "left_anti")
       .join(delta.select(col(idCol).as("doc_id")).distinct(),
@@ -1128,7 +1154,12 @@ object Dedup {
     // new contribution − old contribution; old side counted iff the
     // base row was under cap (ds_old present; C(1,2) = 0 handles the
     // df = 1 slice), new side iff the merged row stays under cap.
-    val mergedStats = idx.stats.map { base =>
+    // LAZY thunk (round 14): the delta aggregate + head() is a driver
+    // action a pair-state serve never needs; only save/strategy-pick
+    // forces it (ShingleIndex.stats memoizes). `updated` is already
+    // checkpointed, so a deferred force re-reads the materialized
+    // blocks, not the merge lineage.
+    val mergedStats: () => Option[ShingleStats] = () => idx.stats.map { base =>
       val c2new = expr("(CAST(df AS BIGINT) * (df - 1)) div 2")
       val c2old = expr("(CAST(df_old AS BIGINT) * (df_old - 1)) div 2")
       val r = updated.agg(
@@ -1171,7 +1202,7 @@ object Dedup {
       val dAgg = cross.unionByName(withinNew).unionByName(removedCrossed)
         .groupBy("doc_a", "doc_b").agg(sum(col("w")).as("dw"))
         .filter(col("dw") =!= 0)
-        .localCheckpoint() // O(delta pairs); joined twice below
+        .localCheckpoint(false) // O(delta pairs); joined twice below
       val touched = dAgg.join(basePairs, Seq("doc_a", "doc_b"), "left")
         .select(col("doc_a"), col("doc_b"),
           (coalesce(col("i"), lit(0L)) + col("dw")).cast("long").as("i"))
