@@ -2352,13 +2352,14 @@ object SparkEntry {
       .select(col("doc_id"),
         conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
       .distinct()
-      // materialized once: it feeds BOTH the df count and the join back
-      // (the ngram/containment exchange-reuse lesson), and the rows are
-      // already distinct so the df is a PLAIN count — no distinct-agg
-      // expand pass
-      .localCheckpoint()
-    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    sh.join(df, "h")
+    // df as ONE count-window over h (round 14): the former shape
+    // materialized the distinct table (a dedicated checkpoint job),
+    // aggregated df per h, and shuffle-joined it back — two extra passes
+    // of the shingle table through the exchange layer. A partition-wide
+    // count window needs a single shuffle by h and, with rows already
+    // distinct, computes the identical per-shingle doc-frequency.
+    sh.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))

@@ -733,10 +733,35 @@ object Dedup {
       shingleN: Int = 8, minShared: Int = 1,
       maxDocFreq: Int = DefaultMaxDocFreq,
       broadcastBench: Boolean = true): DataFrame = {
-    val c = shingleTable(corpus, idCol, textCol, shingleN, dedupe = true, maxDocFreq)
     val b = shingleTable(bench, benchIdCol, benchTextCol, shingleN,
         dedupe = true, maxDocFreq = Int.MaxValue)
       .select(col("doc_id").as("bench_id"), col("s"))
+      // feeds the key set AND the final join — materialize once (lazy:
+      // cached by the first consuming job, no dedicated job)
+      .localCheckpoint(false)
+    // Semi-join the corpus explode against the benchmark's shingle SET
+    // before the distinct and the df cap (round 14): only shingles that
+    // exist on the benchmark side can ever reach the output, the filter
+    // is on `s` itself so it commutes with distinct(doc, s), and a kept
+    // shingle keeps every one of its rows so its doc-frequency — hence
+    // its hot-list membership — is unchanged. Effect: the corpus-wide
+    // (doc, s) distinct and the df aggregation shuffle only the
+    // benchmark-matching sliver instead of the whole corpus vocabulary,
+    // and the explode runs once (cached) instead of twice (the hot-list
+    // leg and the main leg each re-ran it).
+    val sSet = b.select("s").distinct()
+    val matched = corpus
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("__ws"))
+      .select(col("doc_id"), explode(shingles(col("__ws"), shingleN)).as("s"))
+      .join(broadcast(sSet), Seq("s"), "left_semi")
+      .distinct()
+      .localCheckpoint(false) // feeds the hot-list agg AND the join
+    val c = if (maxDocFreq == Int.MaxValue) matched
+      else {
+        val hot = matched.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select("s")
+        matched.join(broadcast(hot), Seq("s"), "left_anti")
+      }
     c.join(if (broadcastBench) broadcast(b) else b, Seq("s"))
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("shared"))
