@@ -526,4 +526,47 @@ class DedupSpec extends SparkSpec {
     // hot side's qualifying set at frac 0.3 is all C(100, 2) pairs
     assert(iset(Dedup.shingleIntersectionsFromIndex(hot, 0.3), 0.3).size == 4950)
   }
+
+  test("strategy-pick crossover: a hot capped shingle flips the serve " +
+      "to the prefix plan, rows identical either side of the boundary") {
+    // The 32×-memberships guard (mentionPlanPreferred) needs a capped
+    // shingle with df ≥ ~66 to trip — impossible at the shipped cap of
+    // 20, which is why no registry fixture exercises it. Build the
+    // crossing corpus directly: 1-word shingles, cap 100, one "hot"
+    // word shared by every doc. With h hot docs plus the 3 fixed docs,
+    // mentions = C(h + 3, 2) + 1 (the df = 2 "shared" group) and
+    // memberships = (h + 3) + 2, so h = 70 ⟹ 2629/75 ≈ 35.1 > 32
+    // (prefix side) and h = 60 ⟹ 1954/65 ≈ 30.1 ≤ 32 (mention side).
+    def corpus(nHot: Int) =
+      ((1 to nHot).map(i => (i.toLong, s"hot u${i}a u${i}b")) ++
+        Seq((9001L, "hot"), (9002L, "hot shared xa"), (9003L, "hot shared xb")))
+        .toDF("doc_id", "text")
+    def build(nHot: Int) = Dedup.buildShingleIndex(corpus(nHot),
+      "doc_id", "text", shingleN = 1, maxDocFreq = 100,
+      materialize = true, pairState = false) // no pairs: the guard must run
+    val over = build(70)
+    val under = build(60)
+    // the pick itself, on the stats the serve consults
+    assert(!Dedup.mentionPlanPreferred(over.stats.get))
+    assert(Dedup.mentionPlanPreferred(under.stats.get))
+    // row identity against the direct all-in-one operators on BOTH
+    // sides of the boundary, at both public thresholds (containment
+    // catches the {hot} ⊂ {hot, u, u} subset docs; Jaccard the
+    // {hot, shared, x} near-pair)
+    def cpairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    def jpairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for ((idx, n) <- Seq((over, 70), (under, 60))) {
+      assert(cpairs(Dedup.containmentPairsFromIndex(idx, 0.3)) ==
+        cpairs(Dedup.containmentPairs(corpus(n), "doc_id", "text", 0.3, 1, 100)))
+      assert(jpairs(Dedup.ngramJaccardPairsFromIndex(idx, 0.3)) ==
+        jpairs(Dedup.ngramJaccardPairs(corpus(n), "doc_id", "text", 0.3, 1, 100)))
+    }
+    // the subset doc 9001 ({hot}, n = 1) is fully contained in every
+    // other doc: cont_a = 1.0 must survive the prefix plan's bounds
+    assert(cpairs(Dedup.containmentPairsFromIndex(over, 0.3))
+      .exists { case (_, b, _, cb) => b == 9001L && cb == 1.0 })
+  }
 }
