@@ -4243,7 +4243,12 @@ object SparkEntry {
       (types.map(t => sum(col(s"has_$t")).as(s"n_$t")) ++
         (for { a <- types; b <- types if a != b }
           yield sum(col(s"has_$a") * col(s"has_$b")).as(s"n_${a}_$b")))
-    val g = sess.agg(aggs.head, aggs.tail: _*)
+    // ONE row, 26 bounded columns — materialize it ONCE (round 14): the
+    // 20 per-pair selects below each replayed the whole scan → session
+    // window → presence agg pipeline through the union (plan audit: 80
+    // Exchanges / 40 parquet scans for one query). Checkpointing the
+    // model-sized aggregate leaves 20 selects over one cached row.
+    val g = sess.agg(aggs.head, aggs.tail: _*).localCheckpoint()
     val rows = for { a <- types; b <- types if a != b } yield
       g.select(lit(a).as("type_a"), lit(b).as("type_b"),
         col(s"n_${a}_$b").as("n_both"),
@@ -4704,7 +4709,10 @@ object SparkEntry {
         sum(when(both, cb * cb)).as(s"sbb_${a}_$b"),
         sum(when(both, ca * cb)).as(s"sab_${a}_$b"))
     }
-    val stats = wide.agg(aggs.head, aggs.tail: _*)
+    // ONE row of 60 sufficient statistics — materialize ONCE (round 14,
+    // the agg_basket_lift finding): the 10 per-pair selects below each
+    // replayed scan → hourly agg → wide agg → stats agg through the union.
+    val stats = wide.agg(aggs.head, aggs.tail: _*).localCheckpoint()
     val rows = pairs.map { case (a, b) =>
       val (n, sa, sb) = (col(s"n_${a}_$b"), col(s"sa_${a}_$b"), col(s"sb_${a}_$b"))
       val (saa, sbb, sab) =
@@ -5464,7 +5472,10 @@ object SparkEntry {
     */
   private def q_win_rolling_corr(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wide = hourlyCentsWide(s, dir)
+    // bounded frame (hourly buckets × |types| cents columns) referenced
+    // by all 10 per-pair legs — materialize ONCE (round 14): each leg
+    // replayed the events scan + two aggregations through the union
+    val wide = hourlyCentsWide(s, dir).localCheckpoint()
     val long = corrPairs.map { case (a, b) =>
       wide.filter(col(s"c_$a").isNotNull && col(s"c_$b").isNotNull)
         .select(lit(s"${a}_$b").as("pair"), col("bucket"),

@@ -46,9 +46,15 @@ object Search {
     import org.apache.spark.sql.expressions.Window
     val tf = tokens(docs, idCol, textCol)
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
-    val df = tf.groupBy("term").agg(countDistinct(idCol).as("__df"))
-    val n = tf.agg(countDistinct(idCol).as("__n"))
-    tf.join(df, Seq("term"))
+    // ONE explode instead of three (round 14): tf rows are distinct
+    // (doc, term) by construction, so df(term) is a plain count window
+    // over term (the text_novelty shape — no second tokenize pass, no
+    // vocabulary join), and N (docs with ≥ 1 token) is a scan-side
+    // size() count that never explodes at all. Values identical.
+    val n = docs.agg(sum(when(size(regexp_extract_all(
+        lower(col(textCol)), lit("[a-z0-9]+"), lit(0))) > 0, 1L)
+      .otherwise(0L)).as("__n"))
+    tf.withColumn("__df", count(lit(1)).over(Window.partitionBy("term")))
       .crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("__tf") *
         (log((col("__n") + lit(1.0)) / (col("__df") + lit(1.0))) + lit(1.0)), 6))
@@ -69,7 +75,13 @@ object Search {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = tokens(docs, idCol, textCol)
-    val dl = toks.groupBy(idCol).agg(count(lit(1)).as("__dl"))
+    // per-doc length WITHOUT a second tokenize-explode-shuffle pass
+    // (round 14): |d| is size() of the same extraction, a scan-side
+    // projection; the > 0 filter reproduces the groupBy's row set
+    // exactly (a token-less doc had no toks rows, hence no dl row).
+    val dl = docs.select(col(idCol), size(regexp_extract_all(
+        lower(col(textCol)), lit("[a-z0-9]+"), lit(0))).cast("long").as("__dl"))
+      .filter(col("__dl") > 0)
     val stats = dl.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
     // normalize the query with the SAME tokenization as the corpus: a
     // capitalized or hyphenated query term would otherwise silently match
