@@ -3589,7 +3589,11 @@ object SparkEntry {
     * and the shared rn > 10 washout filter; the ridge fits stay spec'd.
     */
   private def q_esn_forecast(s: SparkSession, dir: String): DataFrame = {
-    val long = longResampled(s, dir).na.drop("any", Seq("v"))
+    // bounded resampled frame (10-min buckets × 3 types) referenced three
+    // times on the warm path (the keep-window, both forecast scans) —
+    // materialize ONCE (round 14, the agg_basket_lift finding: each
+    // reference replayed the events scan + resample aggregation)
+    val long = longResampled(s, dir).na.drop("any", Seq("v")).localCheckpoint()
     // fit-once, forecast-many (the simsearch_ivf discipline): both fits
     // are seeded and deterministic, so the memoized model is identical to
     // a refit — later executions pay only the forecast scans

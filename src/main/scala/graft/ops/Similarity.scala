@@ -743,16 +743,25 @@ object Similarity {
           .as(Seq("tbl", "bucket")))
     val tbAll = buckets(allVecs)
     val tbNew = buckets(newVecs)
+    // ONE bucket join, both orientations from a single explode (round
+    // 14): the former two-leg union (new→all ∪ all→new) evaluated BOTH
+    // bucket explodes twice, and the un-materialized candidate set was
+    // then replayed for `affected` and `rerank` — the full plan scanned
+    // the embeddings 48 times (plan audit). {(q,n): share a bucket, q or
+    // n ∈ new} ≡ both orderings of (new × all) pairs, since all ⊇ new
+    // covers new–new pairs in both orders. Candidates are O(delta ×
+    // collisions) — checkpointed once (lazily) for the three readers.
     val cand = tbNew
       .select(col("tbl"), col("bucket"), col(idCol).as("qid"))
       .join(tbAll.select(col("tbl"), col("bucket"), col(idCol).as("nid")),
         Seq("tbl", "bucket"))
-      .unionByName(tbAll
-        .select(col("tbl"), col("bucket"), col(idCol).as("qid"))
-        .join(tbNew.select(col("tbl"), col("bucket"), col(idCol).as("nid")),
-          Seq("tbl", "bucket")))
       .filter(col("qid") =!= col("nid"))
-      .select("qid", "nid").distinct()
+      .select(explode(array(
+        struct(col("qid").as("qid"), col("nid").as("nid")),
+        struct(col("nid").as("qid"), col("qid").as("nid")))).as("__p"))
+      .select(col("__p.qid").as("qid"), col("__p.nid").as("nid"))
+      .distinct()
+      .localCheckpoint(false)
     val affected = cand.select("qid").distinct()
     val rerank = cand
       .unionByName(baseEdges.join(affected, "qid").select("qid", "nid"))
