@@ -2932,11 +2932,17 @@ object SparkEntry {
   private def q_agg_funnel(s: SparkSession, dir: String): DataFrame = {
     val e = E(s, dir).select(col("user_id"), col("event_type"),
       graft.sources.Events.epochMicros(col("ts")).as("us"))
+    // per-stage frames are one row per user and each feeds BOTH the next
+    // stage and the final union - materialize each ONCE (round 14: the
+    // unioned plan replayed the whole upstream stage chain per reference,
+    // 12 scans of events for a 3-stage funnel)
     val c = e.filter(col("event_type") === "click")
       .groupBy("user_id").agg(min(col("us")).as("c_us"))
+      .localCheckpoint()
     val v = e.filter(col("event_type") === "view").join(c, "user_id")
       .filter(col("us") > col("c_us"))
       .groupBy("user_id").agg(min(col("us")).as("v_us"))
+      .localCheckpoint()
     val p = e.filter(col("event_type") === "purchase").join(v, "user_id")
       .filter(col("us") > col("v_us"))
       .groupBy("user_id").agg(min(col("us")).as("p_us"))
@@ -2965,12 +2971,16 @@ object SparkEntry {
     val W = 86400000000L // 24 h in epoch-µs
     val e = E(s, dir).select(col("user_id"), col("event_type"),
       graft.sources.Events.epochMicros(col("ts")).as("us"))
+    // one row per user per stage, each frame read by the next stage AND
+    // the final depth join - materialize each ONCE (round 14, agg_funnel)
     val c = e.filter(col("event_type") === "click")
       .groupBy("user_id").agg(min(col("us")).as("c_us"))
+      .localCheckpoint()
     val v = e.filter(col("event_type") === "view").join(c, "user_id")
       .filter(col("us") > col("c_us") && col("us") <= col("c_us") + W)
       .groupBy("user_id")
       .agg(min(col("us")).as("v_us"), min(col("c_us")).as("c_us"))
+      .localCheckpoint()
     val p = e.filter(col("event_type") === "purchase")
       .join(v.select(col("user_id"), col("v_us"), col("c_us")), "user_id")
       .filter(col("us") > col("v_us") && col("us") <= col("c_us") + W)
@@ -6271,6 +6281,9 @@ object SparkEntry {
     val obs = E(s, dir)
       .groupBy(col("event_type"), hour(col("ts")).as("h"))
       .agg(count(lit(1)).as("o"))
+      // model-sized observed table (|types| x 24) referenced four times
+      // (row/col totals, N, cells) - materialize ONCE (round 14)
+      .localCheckpoint()
     val rowTot = obs.groupBy("event_type").agg(sum(col("o")).as("rt"))
     val colTot = obs.groupBy("h").agg(sum(col("o")).as("ct"))
     val n = obs.agg(sum(col("o")).as("n"))
@@ -6637,7 +6650,11 @@ object SparkEntry {
       "cast(cast(value as decimal(18,6)) * 1000000 as bigint) div 10000")
     val binned = E(s, dir).filter(col("value").isNotNull)
       .select(col("event_type"), length(cents.cast("string")).as("mag"))
+    // model-sized contingency table (|types| x |magnitudes|) referenced
+    // four times (marginals, N, cells) - materialize ONCE (round 14, the
+    // agg_basket_lift finding: each reference replayed the events scan)
     val joint = binned.groupBy("event_type", "mag").agg(count(lit(1)).as("nxy"))
+      .localCheckpoint()
     val nx = joint.groupBy("event_type").agg(sum("nxy").as("nx"))
     val ny = joint.groupBy("mag").agg(sum("nxy").as("ny"))
     val n = joint.agg(sum("nxy").as("n"))
@@ -6982,8 +6999,12 @@ object SparkEntry {
     val cents = expr("cast(cast(value as decimal(18,6)) * 100 as bigint)")
     val per = E(s, dir).filter(col("value").isNotNull)
       .groupBy("user_id").agg(sum(cents).as("v"), count(lit(1)).as("n"))
+    // one row per user, read by the skyline windows AND the bucket-max
+    // legs - materialize ONCE (round 14: each reference replayed the
+    // events scan + per-user aggregation)
     val pts = per.withColumn("bkt",
       floor(col("v").cast("double") / 1000000.0).cast("long"))
+      .localCheckpoint()
     val wStrict = Window.partitionBy("bkt").orderBy(col("v").desc)
       .rangeBetween(Window.unboundedPreceding, -1)
     val wTie = Window.partitionBy("v")
