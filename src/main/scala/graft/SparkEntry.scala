@@ -3031,6 +3031,10 @@ object SparkEntry {
     val v = e.filter(col("event_type") === "view").join(c, "user_id")
       .filter(col("us") > col("c_us"))
       .groupBy("user_id").agg(min(col("us")).as("v_us"), min(col("c_us")).as("c_us"))
+      // one row per user, read by BOTH the click→view gap leg and the
+      // purchase stage — materialize once (round 14, the agg_funnel
+      // discipline: the union replayed the events→c→v chain per leg)
+      .localCheckpoint()
     val p = e.filter(col("event_type") === "purchase")
       .join(v.select(col("user_id"), col("v_us")), "user_id")
       .filter(col("us") > col("v_us"))
@@ -5523,7 +5527,9 @@ object SparkEntry {
     * exact form; a windowed/sampled variant is the >100k-bucket path.
     */
   private def q_agg_trend_mk(s: SparkSession, dir: String): DataFrame = {
-    val h = hourlyCentsLong(s, dir)
+    // the hourly frame is model-sized (streams × hours) and feeds the
+    // pair join twice plus the n aggregate — materialize once (round 14)
+    val h = hourlyCentsLong(s, dir).localCheckpoint()
     val a = h.select(col("event_type"), col("bucket").as("ba"), col("c").as("ca"))
     val b = h.select(col("event_type"), col("bucket").as("bb"), col("c").as("cb"))
     val sg = when(col("cb") > col("ca"), 1L)
@@ -5549,6 +5555,8 @@ object SparkEntry {
     val h = hourlyCentsLong(s, dir)
       .withColumn("es", graft.sources.Events.epochSeconds(col("bucket")))
       .withColumn("t", expr("es div 3600"))
+      // model-sized, read by both sides of the pair join (round 14)
+      .localCheckpoint()
     val a = h.select(col("event_type"), col("t").as("ta"), col("c").as("ca"))
     val b = h.select(col("event_type"), col("t").as("tb"), col("c").as("cb"))
     a.join(b, Seq("event_type")).filter(col("ta") < col("tb"))
@@ -6523,6 +6531,9 @@ object SparkEntry {
     */
   private def q_agg_expectations(s: SparkSession, dir: String): DataFrame = {
     val types = Seq("click", "view", "purchase", "signup", "error")
+    // the ONE-row stats frame feeds every constraint row below —
+    // materialize it once (round 14: the per-constraint union replayed
+    // the full events scan + aggregation five times)
     val m = E(s, dir).agg(
       count(lit(1)).as("n"),
       count(col("value")).as("n_value"),
@@ -6534,17 +6545,20 @@ object SparkEntry {
         .cast("long")).as("n_ts_ok"))
     val nD = col("n").cast("double")
     def row(name: String, metric: Column, passed: Column) =
-      m.select(lit(name).as("check_name"), round(metric, 6).as("metric"),
+      struct(lit(name).as("check_name"), round(metric, 6).as("metric"),
         passed.as("passed"))
-    row("completeness_value", col("n_value") / nD, col("n_value") / nD >= 0.9)
-      .unionByName(row("uniqueness_event_id", col("n_ids") / nD,
-        col("n_ids") === col("n")))
-      .unionByName(row("min_value_nonneg", col("min_value"),
-        col("min_value") >= 0.0))
-      .unionByName(row("type_in_domain", col("n_type_ok") / nD,
-        col("n_type_ok") === col("n")))
-      .unionByName(row("ts_in_range", col("n_ts_ok") / nD,
-        col("n_ts_ok") === col("n")))
+    // ONE select emits all five constraint rows via explode(array(...)):
+    // the aggregate subtree is referenced once in-plan — the former
+    // 5-way union of per-constraint selects replayed the full events
+    // scan + aggregation per row (5 scans → 1, no materialization job)
+    m.select(explode(array(
+        row("completeness_value", col("n_value") / nD, col("n_value") / nD >= 0.9),
+        row("uniqueness_event_id", col("n_ids") / nD, col("n_ids") === col("n")),
+        row("min_value_nonneg", col("min_value"), col("min_value") >= 0.0),
+        row("type_in_domain", col("n_type_ok") / nD, col("n_type_ok") === col("n")),
+        row("ts_in_range", col("n_ts_ok") / nD, col("n_ts_ok") === col("n"))
+      )).as("r"))
+      .select(col("r.check_name"), col("r.metric"), col("r.passed"))
       .orderBy("check_name")
   }
 
