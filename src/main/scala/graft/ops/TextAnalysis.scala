@@ -160,32 +160,31 @@ object TextAnalysis {
       md5(concat_ws(" ", array_sort(array_distinct(words(col(textCol)))))).as("fingerprint"))
 
   /** Char n-grams as ROWS `(key, g)` — the form both langid passes
-    * consume. Generator + window, no higher-order functions, after two
-    * discarded designs: per-position `substr(text, i, n)` re-scans
-    * UTF8String bytes from offset 0 (O(len²) per doc), and an
-    * array+`transform` HOF evaluates its lambda INTERPRETED per element
-    * (~µs each — 4 s just to gram the sf0.1 corpus); posexplode and
-    * lead/concat stay in codegen'd/batch operators.
+    * consume. One scan-side `regexp_extract_all` over the whole text
+    * (round 14), after THREE discarded designs: per-position
+    * `substr(text, i, n)` re-scans UTF8String bytes from offset 0
+    * (O(len²) per doc); an array+`transform` HOF evaluates its lambda
+    * INTERPRETED per element (~µs each — 4 s just to gram the sf0.1
+    * corpus); and the rounds-5–13 posexplode + `lead`-window form, which
+    * was codegen'd but paid a full EXCHANGE of the per-CHARACTER table
+    * (hash by a synthetic row id) before the window — the heaviest
+    * shuffle in both langid plans, moving ~|corpus chars| rows to
+    * reassemble adjacency the source row already had.
     *
-    * The lead window partitions by a per-ROW id, never by `keyExpr`: a
-    * non-unique key (the language, in training) would interleave
-    * positions from different documents — grams stitched across document
-    * boundaries, in nondeterministic tie order. The id's value never
-    * reaches the output, so monotonically_increasing_id's
-    * partition-layout dependence is harmless: only doc-local adjacency
-    * matters.
+    * The pattern `(?s)(?=(.{n})).` consumes one character per match and
+    * CAPTURES the n chars starting there (lookahead), so the extracted
+    * group list is exactly every doc-local n-gram in order — identical
+    * rows to the lead-window form (the DuckDB oracle derives the gram
+    * set independently and hash-gates this). `(?s)` keeps `.` matching
+    * newlines, matching split-based adjacency across line breaks. The
+    * regex runs per doc inside the scan: no synthetic id, no window, no
+    * exchange — doc-local work stays in the row (the textrank lesson).
     */
   private def gramRows(docs: DataFrame, keyExpr: Column, textCol: String,
-      n: Int): DataFrame = {
-    val w = Window.partitionBy("__rid").orderBy("__p")
-    docs.withColumn("__rid", monotonically_increasing_id())
-      .select(col("__rid"), keyExpr.as("__key"),
-        posexplode(split(lower(col(textCol)), "")).as(Seq("__p", "__c")))
-      .withColumn("g", concat(col("__c") +:
-        (1 until n).map(o => lead(col("__c"), o).over(w)): _*))
-      .filter(col("g").isNotNull && length(col("g")) === n)
-      .select(col("__key"), col("g"))
-  }
+      n: Int): DataFrame =
+    docs.select(keyExpr.as("__key"),
+      explode(regexp_extract_all(lower(col(textCol)),
+        lit(s"(?s)(?=(.{$n}))."), lit(1))).as("g"))
 
   /** TRAINED language identification — Cavnar-Trenkle n-gram text
     * categorization (published method: per-class ranked n-gram profiles,
