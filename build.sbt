@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench's one-line JSON summary must reach the caller's stdout capture
+// window as a bare, final line (round 15): route forked run output
+// straight to this process's stdout/stderr instead of through sbt's
+// logger (which prefixes every line with "[info] "/"[error] "), and
+// drop the "[success] Total time ..." trailer that would otherwise be
+// the last stdout line after it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// `run / outputStrategy` is consumed by the forked-run machinery, not by
+// another setting — sbt's unused-key lint cannot see that
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

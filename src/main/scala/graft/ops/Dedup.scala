@@ -395,6 +395,19 @@ object Dedup {
   def mergeShingleStats(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("s").agg(sum(col("df")).cast("long").as("df"))
 
+  /** Would the planner decline to broadcast this frame? Read from
+    * plan-time statistics (Catalyst's size estimate — file sizes for a
+    * parquet scan; NO job runs). The merge path uses this as its
+    * slice-vs-direct-join boundary: it is by construction the same
+    * boundary at which the planner stops broadcasting the base side of
+    * a small-left outer join and falls back to shuffling it whole.
+    */
+  private def exceedsBroadcast(df: DataFrame): Boolean = {
+    val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    thr <= 0 || df.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(thr)
+  }
+
   /** Shingles over the df cap — tiny by construction (only the corpus
     * boilerplate above the cap), so every consumer broadcasts it.
     */
@@ -1038,10 +1051,18 @@ object Dedup {
       // cluster + sort the pair state before writing: unsorted (doc_a,
       // doc_b, i) longs are incompressible id noise (measured 11 GB at
       // the sf100 probe — 2.75× the rest of the index and the disk
-      // wall of the incr-probe leg); sorted runs RLE/delta-encode. One
-      // ids-only exchange at build time, amortized like the rest.
-      mentionPairCounts(grouped)
-        .repartition(col("doc_a")).sortWithinPartitions("doc_a", "doc_b")
+      // wall of the incr-probe leg); sorted runs RLE/delta-encode.
+      // ONE exchange for agg + layout (round 15, guide §2.4): the
+      // mention stream is hash-partitioned by doc_a BEFORE the pair
+      // aggregation — hashpartitioning(doc_a) satisfies the
+      // groupBy(doc_a, doc_b) clustering requirement, so the
+      // aggregation's own exchange IS the write layout and the
+      // pair-scale repartition(doc_a) that followed the agg disappears
+      // (r14 shape: agg exchange on (doc_a, doc_b) + a second full
+      // pair-scale exchange on doc_a — two shuffles of ΣC(df,2)-scale
+      // data where one suffices).
+      mentionPairCountsByDocA(grouped)
+        .sortWithinPartitions("doc_a", "doc_b")
         .write.mode("overwrite").parquet(s"$path/pairs")
     Seq((st.mentions, st.memberships)).toDF("mentions", "memberships")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -1110,17 +1131,33 @@ object Dedup {
       .agg(sort_array(collect_list(col("doc_id"))).as("dsd"))
       .select(col("s"), size(col("dsd")).as("dfd"), col("dsd"))
     // ONLY the delta-vocabulary rows change; they join the base stats
-    // (right-side broadcast of delta keys in practice) and MATERIALIZE
-    // small — O(delta vocabulary). Base rows are never rewritten: the
-    // returned index is a LAZY view (base anti-join ∪ updated rows), so
-    // a daily step's compute is O(delta + affected) plus base SCANS the
-    // serving plan was paying anyway — no O(corpus) state churn. A
-    // caller that wants the merged state durable pays the linear
-    // saveShingleIndex write explicitly (LSM-style compaction cadence,
-    // not per step); the first un-persisted version of this merge
-    // localCheckpointed the full merged state per step and the 100×
-    // probe measured exactly that (e = 0.92 from checkpoint churn).
-    val updated = dGroups.as("n").join(idx.groups.as("g"), Seq("s"), "left")
+    // and MATERIALIZE small — O(delta vocabulary). Base rows are never
+    // rewritten: the returned index is a LAZY view (base anti-join ∪
+    // updated rows), so a daily step's compute is O(delta + affected)
+    // plus base SCANS the serving plan was paying anyway — no O(corpus)
+    // state churn. A caller that wants the merged state durable pays
+    // the linear saveShingleIndex write explicitly (LSM-style compaction
+    // cadence, not per step); the first un-persisted version of this
+    // merge localCheckpointed the full merged state per step and the
+    // 100× probe measured exactly that (e = 0.92 from checkpoint churn).
+    //
+    // SEMI-JOIN SLICE FIRST when the base side outgrows a broadcast
+    // (round 15, guide §3.2): a LeftOuter with the small side on the
+    // LEFT cannot broadcast-build its big right side, so past fixture
+    // scale the planner sort-merge-shuffles the ENTIRE base groups table
+    // (the 4 GB index at sf100) just to attach O(delta-vocab) rows. The
+    // left-semi slice streams the base scan against the broadcast delta
+    // keys (no corpus shuffle), and the outer join then runs small ×
+    // small. Result identical: the left join reads exactly the base rows
+    // whose s is a delta key, which is exactly the slice. The decision
+    // is the planner's own boundary, read from plan-time statistics (no
+    // job): under the broadcast threshold the direct join already
+    // broadcasts the base and the slice would only add a pass.
+    val baseForUpdate =
+      if (exceedsBroadcast(idx.groups))
+        idx.groups.join(dGroups.select("s"), Seq("s"), "left_semi")
+      else idx.groups
+    val updated = dGroups.as("n").join(baseForUpdate.as("g"), Seq("s"), "left")
       .select(col("s"), coalesce(col("g.df"), lit(0)).as("df_old"),
         (coalesce(col("g.df"), lit(0)) + col("n.dfd")).as("df2"),
         col("g.ds").as("ds_old"), col("n.dsd").as("dsd"))
@@ -1208,27 +1245,57 @@ object Dedup {
     // whose only shared shingle crossed the cap). All ids-only, all
     // bounded by cap × |delta vocabulary|.
     val mergedPairs = idx.pairs.map { basePairs =>
-      val underCap = updated.filter(col("ds").isNotNull)
-      val cross = underCap.filter(col("ds_old").isNotNull)
-        .select(explode(col("ds_old")).as("x"), col("dsd"))
-        .select(col("x"), explode(col("dsd")).as("y"))
-        .select(least(col("x"), col("y")).as("doc_a"),
-          greatest(col("x"), col("y")).as("doc_b"), lit(1L).as("w"))
-      val withinNew = underCap
-        .select(explode(col("dsd")).as("x"), col("dsd"))
-        .select(col("x"), explode(col("dsd")).as("y"))
-        .filter(col("x") < col("y")) // dsd is build-sorted
-        .select(col("x").as("doc_a"), col("y").as("doc_b"), lit(1L).as("w"))
-      val removedCrossed = updated.filter(col("__crossed"))
-        .select(explode(col("ds_old")).as("x"), col("ds_old"))
-        .select(col("x"), explode(col("ds_old")).as("y"))
-        .filter(col("x") < col("y")) // ds_old is build-sorted
-        .select(col("x").as("doc_a"), col("y").as("doc_b"), lit(-1L).as("w"))
-      val dAgg = cross.unionByName(withinNew).unionByName(removedCrossed)
+      // ONE pass over `updated` (round 15; was three explode legs + a
+      // 3-way union, each leg re-scanning the checkpointed frame and the
+      // union re-shuffling into the delta aggregate). Per group row the
+      // delta mentions are
+      //   under cap → (old × new) cross adds + C(new, 2) within-new adds
+      //   crossed   → −C(df_old, 2) retractions
+      // and the two cases are DISJOINT (ds non-null ⟺ under cap, while
+      // __crossed ⟹ over cap), so one flattened pair array per row
+      // covers every leg — bounded by C(cap, 2) structs per row, and a
+      // row that is neither (born/stayed over cap) yields NULL, which
+      // explode drops. Pair semantics identical to the three legs:
+      // cross pairs take least/greatest (base vs delta ids unordered),
+      // within-array pairs enumerate x < y directly off the build-sorted
+      // arrays via index slicing.
+      def crossPairs(xs: Column, ys: Column, w: Long): Column =
+        flatten(transform(xs, x => transform(ys, y =>
+          struct(least(x, y).as("doc_a"), greatest(x, y).as("doc_b"),
+            lit(w).as("w")))))
+      def orderedPairs(xs: Column, w: Long): Column =
+        flatten(transform(xs, (x, i) =>
+          transform(slice(xs, i + lit(2), size(xs)), y =>
+            struct(x.as("doc_a"), y.as("doc_b"), lit(w).as("w")))))
+      val noOld = slice(col("dsd"), 1, 0) // empty, same element type
+      val pairArr =
+        when(col("ds").isNotNull,
+          concat(
+            crossPairs(when(col("ds_old").isNotNull, col("ds_old"))
+              .otherwise(noOld), col("dsd"), 1L),
+            orderedPairs(col("dsd"), 1L)))
+        .when(col("__crossed"), orderedPairs(col("ds_old"), -1L))
+      val dAgg = updated
+        .select(explode(pairArr).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+          col("p.w").as("w"))
         .groupBy("doc_a", "doc_b").agg(sum(col("w")).as("dw"))
         .filter(col("dw") =!= 0)
         .localCheckpoint(false) // O(delta pairs); joined twice below
-      val touched = dAgg.join(basePairs, Seq("doc_a", "doc_b"), "left")
+      // semi-join slice first when the pair state outgrows a broadcast
+      // (round 15, guide §3.2 — same decision as baseForUpdate above):
+      // LeftOuter with the small dAgg on the left would sort-merge-
+      // shuffle the ENTIRE base pair state (11 GB at sf100) to attach
+      // O(delta-pair) rows; the semi slice streams the pairs scan
+      // against the broadcast delta keys instead, and the outer join
+      // runs small × small. Identical result — the left join reads
+      // exactly the base rows keyed by a dAgg pair.
+      val basePairSlice =
+        if (exceedsBroadcast(basePairs))
+          basePairs.join(dAgg.select("doc_a", "doc_b"),
+            Seq("doc_a", "doc_b"), "left_semi")
+        else basePairs
+      val touched = dAgg.join(basePairSlice, Seq("doc_a", "doc_b"), "left")
         .select(col("doc_a"), col("doc_b"),
           (coalesce(col("i"), lit(0L)) + col("dw")).cast("long").as("i"))
         .filter(col("i") >= 1)
@@ -1318,6 +1385,27 @@ object Dedup {
       .select(col("s"), explode(col("ds")).as("doc_a"), col("ds"))
       .select(col("doc_a"), explode(col("ds")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("i"))
+
+  /** [[mentionPairCounts]] in the pair state's ON-DISK layout: the
+    * mention stream repartitions by doc_a FIRST, and because
+    * hashpartitioning(doc_a) satisfies ClusteredDistribution(doc_a,
+    * doc_b), the pair aggregation runs on that same exchange — agg
+    * partitioning and write layout share ONE shuffle (guide §2.4). The
+    * map-side partial aggregation the explicit repartition forgoes
+    * bought little here by construction: a pair's duplicate mentions
+    * come from different shingle groups, which the groups scan spreads
+    * across partitions, so pre-exchange rows ≈ post-partial rows — and
+    * the r14 shape paid a SECOND full pair-scale exchange to get the
+    * doc_a layout back. Same rows, same aggregation, same final layout.
+    */
+  private[graft] def mentionPairCountsByDocA(groups: DataFrame): DataFrame =
+    groups.filter(col("ds").isNotNull && col("df") >= 2)
+      .select(col("s"), explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .repartition(col("doc_a"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("i"))
 

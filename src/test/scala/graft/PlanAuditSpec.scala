@@ -373,4 +373,36 @@ class PlanAuditSpec extends SparkSpec {
     val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(pf.contains("event_date"), s"date bound not a partition filter:\n$plan")
   }
+
+  // ---- round-15 regression guards for the r14 optimization round's
+  // headline plan shapes (the r14 verdict's #8): a future refactor that
+  // silently reintroduces a replayed subtree or the per-character langid
+  // exchange must fail here, not in a scale probe two rounds later.
+
+  private def countIn(plan: String, needle: String): Int =
+    plan.sliding(needle.length).count(_ == needle)
+
+  test("agg_basket_lift never replays the stats subtree through its pair union (r14: 80→2 Exchanges)") {
+    val plan = planOf("agg_basket_lift")
+    val n = countIn(plan, "Exchange")
+    assert(n <= 4, s"agg_basket_lift carries $n Exchanges (r14 shape: 2):\n${plan.take(2000)}")
+  }
+
+  test("simsearch_knn_incr keeps the one-bucket-join merge shape (r14: 48→12 scans, 24→0 Generate)") {
+    val plan = planOf("simsearch_knn_incr")
+    val scans = countIn(plan, "Scan parquet")
+    assert(scans <= 12, s"simsearch_knn_incr carries $scans parquet scans (r14 shape: 12)")
+    assert(!plan.contains("Generate"),
+      "simsearch_knn_incr re-grew an explode leg (r14 removed all 24)")
+  }
+
+  test("langid plans never reintroduce the per-character synthetic-id window (r14: grams are scan-side)") {
+    for (q <- Seq("text_langid", "text_langid_trained")) {
+      val plan = planOf(q)
+      assert(!plan.contains("monotonically_increasing_id"),
+        s"$q re-grew the per-character __rid window")
+      val n = countIn(plan, "Exchange")
+      assert(n <= 8, s"$q carries $n Exchanges (r14 shape: 8)")
+    }
+  }
 }

@@ -569,4 +569,31 @@ class DedupSpec extends SparkSpec {
     assert(cpairs(Dedup.containmentPairsFromIndex(over, 0.3))
       .exists { case (_, b, _, cb) => b == 9001L && cb == 1.0 })
   }
+
+  test("mentionPairCountsByDocA: identical rows, and agg + write layout share ONE exchange") {
+    // (s, df, ds) groups — incl. an over-cap NULL list and a singleton,
+    // both of which must contribute no pairs
+    val groups = Seq(
+      (1L, 3, Option(Seq(1L, 2L, 5L))),
+      (2L, 2, Option(Seq(2L, 5L))),
+      (3L, 2, Option(Seq(1L, 5L))),
+      (4L, 1, Option(Seq(7L))),
+      (5L, 9, None: Option[Seq[Long]])
+    ).toDF("s", "df", "ds")
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val byA = Dedup.mentionPairCountsByDocA(groups)
+      .sortWithinPartitions("doc_a", "doc_b")
+    assert(pset(byA) == pset(Dedup.mentionPairCounts(groups)))
+    // the round-15 build-cost contract: hashpartitioning(doc_a) satisfies
+    // the (doc_a, doc_b) aggregation's clustering requirement, so the
+    // explicit repartition is the ONLY exchange — the r14 write shape
+    // paid a second, pair-scale one to regain the doc_a layout after an
+    // agg exchange on (doc_a, doc_b)
+    val exchanges = byA.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size
+    assert(exchanges == 1, s"pair write carries $exchanges exchanges:\n" +
+      byA.queryExecution.sparkPlan.toString.take(2000))
+  }
 }
