@@ -201,6 +201,13 @@ object ScaleStress {
       // 10×; a 100× leg ran 25+ min before being cut) — bucket-density
       // collapse by construction, not the plan.
       "simsearch_lsh", "simsearch_ivf", "dedup_semantic",
+      // round 15 (r14 verdict #4): the incremental kNN merge — r14
+      // halved its bucket hashing (one bucket join, both orientations
+      // from one explode) with 100×-only evidence; the base/delta split
+      // is vec_id % 5 (replica-safe, no fixed id-domain offset) and the
+      // base edge table is registry-built on the cold leg like every
+      // fit-once artifact
+      "simsearch_knn_incr",
       // round-8 session-3 additions: graph, MMR, streaming multivariate,
       // sliding windows, correlogram, per-stream sorts
       "graph_pagerank", "graph_triangles", "simsearch_mmr",

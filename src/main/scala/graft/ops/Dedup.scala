@@ -996,12 +996,15 @@ object Dedup {
     ShingleIndex(grouped, docSets, st, ps)
   }
 
-  /** Persist an index (groups + pairs + meta + docs parquet; the docs
-    * `_SUCCESS` marker commits last, so a half-written index never
-    * gates). Stats are computed here when the index carries none, so a
-    * saved artifact ALWAYS has `meta/` and a loaded index never pays a
-    * per-serve strategy aggregate; the pair state is written only when
-    * present (see [[buildShingleIndex]]'s economics guard).
+  /** Persist an index (groups + pairs + docs + meta parquet; the META
+    * `_SUCCESS` marker commits last — it is the component every v3
+    * writer always emits, so a half-written index never gates (round
+    * 15: was docs-last, changed so the build can overlap the pairs and
+    * docs jobs — see [[buildAndSaveShingleIndex]]). Stats are computed
+    * here when the index carries none, so a saved artifact ALWAYS has
+    * `meta/` and a loaded index never pays a per-serve strategy
+    * aggregate; the pair state is written only when present (see
+    * [[buildShingleIndex]]'s economics guard).
     */
   def saveShingleIndex(idx: ShingleIndex, path: String): Unit = {
     val spark = idx.groups.sparkSession
@@ -1011,9 +1014,9 @@ object Dedup {
       .sortWithinPartitions("doc_a", "doc_b") // see buildAndSaveShingleIndex
       .write.mode("overwrite").parquet(s"$path/pairs"))
     val st = idx.stats.getOrElse(computeShingleStats(idx.groups))
+    idx.docs.write.mode("overwrite").parquet(s"$path/docs")
     Seq((st.mentions, st.memberships)).toDF("mentions", "memberships")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    idx.docs.write.mode("overwrite").parquet(s"$path/docs")
   }
 
   /** Build an index DIRECTLY onto disk — the corpus-scale path. The
@@ -1047,35 +1050,52 @@ object Dedup {
     // into scan + attach-n + filter instead of the ΣC(df,2) explode +
     // hash-agg recompute (measured 383 s at sf100).
     val st = computeShingleStats(grouped)
-    if (pairState && mentionPlanPreferred(st))
-      // cluster + sort the pair state before writing: unsorted (doc_a,
-      // doc_b, i) longs are incompressible id noise (measured 11 GB at
-      // the sf100 probe — 2.75× the rest of the index and the disk
-      // wall of the incr-probe leg); sorted runs RLE/delta-encode.
-      // ONE exchange for agg + layout (round 15, guide §2.4): the
-      // mention stream is hash-partitioned by doc_a BEFORE the pair
-      // aggregation — hashpartitioning(doc_a) satisfies the
-      // groupBy(doc_a, doc_b) clustering requirement, so the
-      // aggregation's own exchange IS the write layout and the
-      // pair-scale repartition(doc_a) that followed the agg disappears
-      // (r14 shape: agg exchange on (doc_a, doc_b) + a second full
-      // pair-scale exchange on doc_a — two shuffles of ΣC(df,2)-scale
-      // data where one suffices).
-      mentionPairCountsByDocA(grouped)
-        .sortWithinPartitions("doc_a", "doc_b")
-        .write.mode("overwrite").parquet(s"$path/pairs")
-    Seq((st.mentions, st.memberships)).toDF("mentions", "memberships")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // The pairs job and the docs job are INDEPENDENT passes over the
+    // just-written groups parquet: submit pairs from a second driver
+    // thread so the docs job back-fills executors freed by the pairs
+    // job's tail instead of waiting for it (round 15, guide §2.6 —
+    // actions are only sequential because driver code calls them
+    // sequentially). meta/ commits LAST, after both, and is the gate
+    // [[shingleIndexExists]] checks — a crash mid-build still never
+    // leaves a gating half-index.
+    val pairsJob: Option[scala.concurrent.Future[Unit]] =
+      if (pairState && mentionPlanPreferred(st))
+        // cluster + sort the pair state before writing: unsorted (doc_a,
+        // doc_b, i) longs are incompressible id noise (measured 11 GB at
+        // the sf100 probe — 2.75× the rest of the index and the disk
+        // wall of the incr-probe leg); sorted runs RLE/delta-encode.
+        // ONE exchange for agg + layout (round 15, guide §2.4): the
+        // mention stream is hash-partitioned by doc_a BEFORE the pair
+        // aggregation — hashpartitioning(doc_a) satisfies the
+        // groupBy(doc_a, doc_b) clustering requirement, so the
+        // aggregation's own exchange IS the write layout and the
+        // pair-scale repartition(doc_a) that followed the agg disappears
+        // (r14 shape: agg exchange on (doc_a, doc_b) + a second full
+        // pair-scale exchange on doc_a — two shuffles of ΣC(df,2)-scale
+        // data where one suffices).
+        Some(scala.concurrent.Future {
+          mentionPairCountsByDocA(grouped)
+            .sortWithinPartitions("doc_a", "doc_b")
+            .write.mode("overwrite").parquet(s"$path/pairs")
+        }(scala.concurrent.ExecutionContext.global))
+      else None
     val docSets = docSetsFromMembership(grouped
       .filter(col("ds").isNotNull)
       .select(col("s"), col("df"), explode(col("ds")).as("doc_id")))
     docSets.write.mode("overwrite").parquet(s"$path/docs")
+    pairsJob.foreach(f =>
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+    Seq((st.mentions, st.memberships)).toDF("mentions", "memberships")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     loadShingleIndex(spark, path)
   }
 
   def shingleIndexExists(spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/docs", "_SUCCESS")
+    // meta commits LAST in both writers (round 15 — previously docs;
+    // every v3 artifact has meta, verified across the live registry
+    // before the switch), so this is the never-gate-a-half-index marker
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta", "_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
