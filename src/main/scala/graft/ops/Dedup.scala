@@ -1173,9 +1173,14 @@ object Dedup {
     // is the planner's own boundary, read from plan-time statistics (no
     // job): under the broadcast threshold the direct join already
     // broadcasts the base and the slice would only add a pass.
+    // the keys side is EXPLICITLY broadcast: the checkpointed delta
+    // frame carries no usable static size, so an unhinted semi-join
+    // plans sort-merge and pays the base shuffle's map side before AQE
+    // can convert; delta smallness is the incremental path's standing
+    // contract (the broadcast(hot)/broadcast(newlyHot) discipline)
     val baseForUpdate =
       if (exceedsBroadcast(idx.groups))
-        idx.groups.join(dGroups.select("s"), Seq("s"), "left_semi")
+        idx.groups.join(broadcast(dGroups.select("s")), Seq("s"), "left_semi")
       else idx.groups
     val updated = dGroups.as("n").join(baseForUpdate.as("g"), Seq("s"), "left")
       .select(col("s"), coalesce(col("g.df"), lit(0)).as("df_old"),
@@ -1312,7 +1317,8 @@ object Dedup {
       // exactly the base rows keyed by a dAgg pair.
       val basePairSlice =
         if (exceedsBroadcast(basePairs))
-          basePairs.join(dAgg.select("doc_a", "doc_b"),
+          // keys explicitly broadcast — see baseForUpdate
+          basePairs.join(broadcast(dAgg.select("doc_a", "doc_b")),
             Seq("doc_a", "doc_b"), "left_semi")
         else basePairs
       val touched = dAgg.join(basePairSlice, Seq("doc_a", "doc_b"), "left")
