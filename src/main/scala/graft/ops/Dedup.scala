@@ -1050,41 +1050,33 @@ object Dedup {
     // into scan + attach-n + filter instead of the ΣC(df,2) explode +
     // hash-agg recompute (measured 383 s at sf100).
     val st = computeShingleStats(grouped)
-    // The pairs job and the docs job are INDEPENDENT passes over the
-    // just-written groups parquet: submit pairs from a second driver
-    // thread so the docs job back-fills executors freed by the pairs
-    // job's tail instead of waiting for it (round 15, guide §2.6 —
-    // actions are only sequential because driver code calls them
-    // sequentially). meta/ commits LAST, after both, and is the gate
-    // [[shingleIndexExists]] checks — a crash mid-build still never
-    // leaves a gating half-index.
-    val pairsJob: Option[scala.concurrent.Future[Unit]] =
-      if (pairState && mentionPlanPreferred(st))
-        // cluster + sort the pair state before writing: unsorted (doc_a,
-        // doc_b, i) longs are incompressible id noise (measured 11 GB at
-        // the sf100 probe — 2.75× the rest of the index and the disk
-        // wall of the incr-probe leg); sorted runs RLE/delta-encode.
-        // ONE exchange for agg + layout (round 15, guide §2.4): the
-        // mention stream is hash-partitioned by doc_a BEFORE the pair
-        // aggregation — hashpartitioning(doc_a) satisfies the
-        // groupBy(doc_a, doc_b) clustering requirement, so the
-        // aggregation's own exchange IS the write layout and the
-        // pair-scale repartition(doc_a) that followed the agg disappears
-        // (r14 shape: agg exchange on (doc_a, doc_b) + a second full
-        // pair-scale exchange on doc_a — two shuffles of ΣC(df,2)-scale
-        // data where one suffices).
-        Some(scala.concurrent.Future {
-          mentionPairCountsByDocA(grouped)
-            .sortWithinPartitions("doc_a", "doc_b")
-            .write.mode("overwrite").parquet(s"$path/pairs")
-        }(scala.concurrent.ExecutionContext.global))
-      else None
+    // (Round-15 A/B, documented negative: submitting the pairs job from
+    // a second driver thread to overlap it with the docs job — guide
+    // §2.6 — measured 618 vs 526 s at sf100 in adjacent windows. Both
+    // jobs are full-width on a saturated 32-thread box, so they fight
+    // for execution memory and disk instead of back-filling a tail;
+    // reverted to sequential. meta/ still commits LAST as the gate.)
+    if (pairState && mentionPlanPreferred(st))
+      // cluster + sort the pair state before writing: unsorted (doc_a,
+      // doc_b, i) longs are incompressible id noise (measured 11 GB at
+      // the sf100 probe — 2.75× the rest of the index and the disk
+      // wall of the incr-probe leg); sorted runs RLE/delta-encode.
+      // ONE exchange for agg + layout (round 15, guide §2.4): the
+      // mention stream is hash-partitioned by doc_a BEFORE the pair
+      // aggregation — hashpartitioning(doc_a) satisfies the
+      // groupBy(doc_a, doc_b) clustering requirement, so the
+      // aggregation's own exchange IS the write layout and the
+      // pair-scale repartition(doc_a) that followed the agg disappears
+      // (r14 shape: agg exchange on (doc_a, doc_b) + a second full
+      // pair-scale exchange on doc_a — two shuffles of ΣC(df,2)-scale
+      // data where one suffices; sf100 build 584.9 → 526.0 s).
+      mentionPairCountsByDocA(grouped)
+        .sortWithinPartitions("doc_a", "doc_b")
+        .write.mode("overwrite").parquet(s"$path/pairs")
     val docSets = docSetsFromMembership(grouped
       .filter(col("ds").isNotNull)
       .select(col("s"), col("df"), explode(col("ds")).as("doc_id")))
     docSets.write.mode("overwrite").parquet(s"$path/docs")
-    pairsJob.foreach(f =>
-      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
     Seq((st.mentions, st.memberships)).toDF("mentions", "memberships")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     loadShingleIndex(spark, path)
@@ -1307,21 +1299,15 @@ object Dedup {
         .groupBy("doc_a", "doc_b").agg(sum(col("w")).as("dw"))
         .filter(col("dw") =!= 0)
         .localCheckpoint(false) // O(delta pairs); joined twice below
-      // semi-join slice first when the pair state outgrows a broadcast
-      // (round 15, guide §3.2 — same decision as baseForUpdate above):
-      // LeftOuter with the small dAgg on the left would sort-merge-
-      // shuffle the ENTIRE base pair state (11 GB at sf100) to attach
-      // O(delta-pair) rows; the semi slice streams the pairs scan
-      // against the broadcast delta keys instead, and the outer join
-      // runs small × small. Identical result — the left join reads
-      // exactly the base rows keyed by a dAgg pair.
-      val basePairSlice =
-        if (exceedsBroadcast(basePairs))
-          // keys explicitly broadcast — see baseForUpdate
-          basePairs.join(broadcast(dAgg.select("doc_a", "doc_b")),
-            Seq("doc_a", "doc_b"), "left_semi")
-        else basePairs
-      val touched = dAgg.join(basePairSlice, Seq("doc_a", "doc_b"), "left")
+      // (Round-15 A/B, documented negative: slicing basePairs with a
+      // broadcast semi-join on the dAgg keys — the baseForUpdate move —
+      // REGRESSED the sf100 merge probe. Unlike the delta VOCABULARY,
+      // the delta PAIR key set is delta-memberships × df-scale (tens of
+      // millions of rows at sf100) — far past sane broadcast size, so
+      // the "slice" paid a giant driver collect + build where the
+      // direct join's pair-state shuffle is exchange-reused by the
+      // anti-join leg below anyway. Reverted to the r14 direct join.)
+      val touched = dAgg.join(basePairs, Seq("doc_a", "doc_b"), "left")
         .select(col("doc_a"), col("doc_b"),
           (coalesce(col("i"), lit(0L)) + col("dw")).cast("long").as("i"))
         .filter(col("i") >= 1)
