@@ -61,8 +61,19 @@ object Similarity {
     * (withColumn) rather than per filter+project.
     */
   def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    // Pin the streamed side's width BEFORE the non-equi join (round 15 —
+    // the fuzzyPairs/duplicatedSpans lesson, found by JobTrace: the
+    // whole O(n²/2) dot-product pass ran as ONE task because the join is
+    // a BroadcastNestedLoop whose streamed side is a single-file scan).
+    // One narrow exchange of n vector rows buys join-parallel compute;
+    // both sides pinned because the planner may build either. The
+    // explicit-N form keeps AQE's byte-sighted coalescer from folding
+    // the CPU-dense exchange back to one partition.
+    val w = vecs.sparkSession.sessionState.conf.numShufflePartitions
     val a = withNormSq(vecs, idCol, vecCol, "vec_a", "va", "naa")
+      .repartition(w, col("vec_a"))
     val b = withNormSq(vecs, idCol, vecCol, "vec_b", "vb", "nbb")
+      .repartition(w, col("vec_b"))
     a.join(b, col("vec_a") < col("vec_b"))
       // same expression tree as the oracle: dot / sqrt(naa*nbb)
       .withColumn("cos_sim",
